@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed over a full action (count of the result — forces the
+complete plan without driver-side collect overhead). A warmup query runs
+first so JVM/codegen startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ods_to_datalake_spark.plans.suite import headline_queries, load_all
+    from ods_to_datalake_spark.session import build_session
+
+    load_all()
+    spark = build_session(app_name="ods_to_datalake_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = headline_queries()
+
+    # warmup: touch every table + JIT the common operators
+    from ods_to_datalake_spark.catalog import TESTDATA_TABLES, load_testdata
+
+    cat = load_testdata(spark, sf_dir)
+    for t in TESTDATA_TABLES:
+        cat.table(t).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,92 @@
+"""Named-table catalog over parquet directories (SURVEY §2.1 S1).
+
+The reference resolves every input through a metastore:
+``spark_session.table('processing_ibs.ibs_t_policy_payment_transaction')``
+(ibs_ordinary_payment_utilities.py:25-26). Our engine keeps the same
+"tables are named, not pathed" contract but backs it with either the real
+session catalog (when a metastore exists) or a directory of parquet files
+(the testdata layout: ``<dir>/<table>.parquet``).
+
+Scans stay fully declarative so Catalyst keeps predicate pushdown, column
+pruning, and partition pruning (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables the driver-generated testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Resolve table names to DataFrames.
+
+    Resolution order: explicit registrations → parquet file under
+    ``base_dir`` → session catalog (metastore) — mirroring how the reference
+    mixes catalog tables (S1) with ad-hoc frames (S2).
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._registered: dict[str, DataFrame] = {}
+        # The testdata `events` table stores TIMESTAMP(NANOS) parquet,
+        # which Spark only reads via the nanos-as-long legacy mode; the
+        # catalog converts back to TimestampType below (truncation to
+        # micros — the same thing DuckDB does reading the file).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    @staticmethod
+    def _fix_nanos(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        for f in df.schema.fields:
+            meta = f.metadata or {}
+            if meta.get("__is_nanos__") or (
+                f.name == "ts" and isinstance(f.dataType, T.LongType)
+            ):
+                df = df.withColumn(
+                    f.name, F.expr(f"timestamp_micros({f.name} div 1000)")
+                )
+        return df
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self._registered[name] = df
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._registered:
+            return self._registered[name]
+        if self.base_dir is not None:
+            path = os.path.join(self.base_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                return self._fix_nanos(self.spark.read.parquet(path))
+            # hive-partitioned dataset directory written by our writer
+            dirpath = os.path.join(self.base_dir, name)
+            if os.path.isdir(dirpath):
+                return self.spark.read.parquet(dirpath)
+        return self.spark.table(name)
+
+    def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Expose tables as temp views so `spark.sql` queries can use them."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Catalog over a driver-generated scale-factor directory."""
+    return Catalog(spark, base_dir=sf_dir)

@@ -1,0 +1,915 @@
+"""Core relational suite: SURVEY §2 operators mapped onto the testdata.
+
+Table-role mapping (testdata ⟷ reference IBS schema):
+- `orders`   plays the payment-header fact (`ibs_t_policy_payment_transaction`)
+- `lineitem` plays the child/period rows folded into documents
+- `customer`/`nation`/`region` play the policy master + md_ref dimensions
+
+Each query's docstring cites the reference site whose semantics it
+generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.functions.decode import value_map_decode
+from ods_to_datalake_spark.operators import agg as agg_ops
+from ods_to_datalake_spark.operators import joins as join_ops
+from ods_to_datalake_spark.operators import nest, windows
+from ods_to_datalake_spark.plans.suite import register
+
+D182 = T.DecimalType(18, 2)
+D384 = T.DecimalType(38, 4)
+D386 = T.DecimalType(38, 6)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(D182)
+
+
+# ---------------------------------------------------------------------------
+# S/P layer — scans, projection, predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_projection_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    """,
+    doc="S1+P1: catalog scan with column projection "
+    "(ibs_ordinary_payment_utilities.py:25-26, :97). Column pruning must "
+    "reach the parquet scan (ReadSchema shows 3 of 6 columns).",
+)
+def p01_projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return cat.table("orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+@register(
+    "p06_range_filter",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    """,
+    doc="P6: half-open date-range predicate directly above the scan "
+    "(ibs_ordinary_payment_utilities.py:27-29) — pushed to parquet "
+    "row-group stats.",
+)
+def p06_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    lo, hi = F.lit("1995-01-01").cast("timestamp"), F.lit("1996-01-01").cast("timestamp")
+    return (
+        cat.table("orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+    )
+
+
+@register(
+    "p07_isin_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="P7: IN-list predicate (pstu isin, ibs_ordinary_payment_utilities.py:33).",
+)
+def p07_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "p08_not_isin_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus NOT IN ('F', 'O')
+    """,
+    doc="P8: negated IN-list (ibs_ordinary_payment_utilities.py:46).",
+)
+def p08_not_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("orders")
+        .filter(~F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "p10_trim_compound_filter",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE TRIM(c_mktsegment) = 'BUILDING' AND TRIM(c_name) <> ''
+    """,
+    doc="P10: compound predicate with trim-normalization "
+    "(ibs_ordinary_payment_utilities.py:127,133,139).",
+)
+def p10_trim_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("customer")
+        .filter(
+            (F.trim(F.col("c_mktsegment")) == "BUILDING")
+            & (F.trim(F.col("c_name")) != "")
+        )
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "f08_case_decode",
+    oracle="""
+    SELECT o_orderkey,
+           CASE
+             WHEN TRIM(o_orderpriority) = '1-URGENT' THEN '01'
+             WHEN TRIM(o_orderpriority) = '2-HIGH' THEN '02'
+             WHEN TRIM(o_orderpriority) = '3-MEDIUM' THEN '03'
+             ELSE '99'
+           END AS priority_code
+    FROM orders
+    """,
+    doc="F8: data-driven CASE decode table — the payment-channel decode "
+    "pattern (ibs_ordinary_payment_utilities.py:221-241) incl. the '99' "
+    "fallback.",
+)
+def f08_case_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    code = value_map_decode(
+        "o_orderpriority",
+        {"1-URGENT": "01", "2-HIGH": "02", "3-MEDIUM": "03"},
+        default="99",
+    )
+    return cat.table("orders").select(
+        "o_orderkey", code.alias("priority_code")
+    )
+
+
+@register(
+    "f_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_iso,
+           CONCAT('ORD_', CAST(o_orderkey AS VARCHAR), '_',
+                  CAST(o_custkey AS VARCHAR)) AS business_key,
+           CONCAT_WS('_', o_orderstatus, o_orderpriority) AS status_priority,
+           PRINTF('%s_%d', STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d'), 7)
+             AS run_index_key,
+           CONCAT(STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d'),
+                  'T00:00:00+07:00') AS order_ts_iso
+    FROM orders
+    """,
+    doc="F1-F5,F7,F9: to_date/date_format/concat/concat_ws/format_string/"
+    "lit/cast, incl. the fixed-offset ISO timestamp-string build "
+    "(ibs_ordinary_payment_utilities.py:191-210) and the run-index "
+    "partition key (pyspark_add_index_on_s3.py:31-41).",
+)
+def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions.timefmt import iso_ts_string
+
+    cat = load_testdata(spark, sf_dir)
+    d = F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    return cat.table("orders").select(
+        "o_orderkey",
+        d.alias("order_date_iso"),
+        F.concat(
+            F.lit("ORD_"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("o_custkey").cast("string"),
+        ).alias("business_key"),
+        F.concat_ws("_", "o_orderstatus", "o_orderpriority").alias(
+            "status_priority"
+        ),
+        F.format_string("%s_%d", d, F.lit(7)).alias("run_index_key"),
+        iso_ts_string(d).alias("order_ts_iso"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J layer — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j01_semi_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    doc="J1+P2: source-selection semi-join — the reference's inner-join + "
+    "select(left['*']) (ibs_ordinary_payment_utilities.py:37-42) done as "
+    "a true left_semi.",
+)
+def j01_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    inforce = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return join_ops.semi_join(
+        li, inforce, li["l_orderkey"] == inforce["o_orderkey"]
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "j01b_anti_join",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+    doc="Generalized NOT-IN as left_anti (SURVEY §2.3 'not present' row).",
+)
+def j01b_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders, li = cat.table("orders"), cat.table("lineitem")
+    keys = li.select("l_orderkey")
+    return join_ops.anti_join(
+        orders, keys, orders["o_orderkey"] == keys["l_orderkey"]
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "j02_left_attach_preagg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COALESCE(l.item_count, 0) AS item_count,
+           CAST(COALESCE(l.total_qty, 0) AS DECIMAL(18,2)) AS total_qty
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS item_count,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="J2: left attach of a pre-aggregated child — fold BEFORE the join "
+    "so no group holds a cross-product "
+    "(ibs_ordinary_payment_utilities.py:99-107).",
+)
+def j02_left_attach_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders, li = cat.table("orders"), cat.table("lineitem")
+    pre = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("item_count"),
+        F.sum(_dec("l_quantity")).cast(D182).alias("total_qty"),
+    )
+    joined = join_ops.left_attach(
+        orders, pre, orders["o_orderkey"] == pre["l_orderkey"]
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce("item_count", F.lit(0)).alias("item_count"),
+        F.coalesce(F.col("total_qty"), F.lit(0).cast(D182))
+        .cast(D182)
+        .alias("total_qty"),
+    )
+
+
+@register(
+    "j03_broadcast_dim_decode",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="J3: chained broadcast dimension decodes "
+    "(ibs_ordinary_payment_utilities.py:255-261) with explicit "
+    "F.broadcast — the fact side is never shuffled.",
+)
+def j03_broadcast_dim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cust, nation, region = (
+        cat.table("customer"),
+        cat.table("nation"),
+        cat.table("region"),
+    )
+    step1 = join_ops.left_attach(
+        cust,
+        nation,
+        cust["c_nationkey"] == nation["n_nationkey"],
+        broadcast=True,
+    )
+    step2 = join_ops.left_attach(
+        step1,
+        region,
+        F.col("n_regionkey") == region["r_regionkey"],
+        broadcast=True,
+    )
+    return step2.select(
+        "c_custkey",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+@register(
+    "j04_range_join",
+    oracle="""
+    SELECT o.o_orderkey, b.bucket_name
+    FROM orders o
+    JOIN (
+      SELECT * FROM (VALUES
+        ('small',  0.0,      100000.0),
+        ('medium', 100000.0, 300000.0),
+        ('large',  300000.0, 1e18)
+      ) AS t(bucket_name, lo, hi)
+    ) b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    """,
+    doc="Generalized range join (point-in-interval) via broadcast — "
+    "SURVEY §2.3 'not present' row; small interval dim ⇒ BNLJ broadcast.",
+)
+def j04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    buckets = spark.createDataFrame(
+        [
+            ("small", 0.0, 100000.0),
+            ("medium", 100000.0, 300000.0),
+            ("large", 300000.0, 1e18),
+        ],
+        "bucket_name string, lo double, hi double",
+    )
+    joined = join_ops.range_join(
+        orders, F.broadcast(buckets), "o_totalprice", "lo", "hi"
+    )
+    return joined.select("o_orderkey", "bucket_name")
+
+
+# ---------------------------------------------------------------------------
+# A layer — aggregations & folds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a01_fold_sorted_array",
+    oracle="""
+    SELECT l_orderkey,
+           STRING_AGG(
+             CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
+                    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)),
+             '|' ORDER BY CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'),
+                                 ':',
+                                 CAST(CAST(l_quantity AS DECIMAL(18,2))
+                                      AS VARCHAR))
+           ) AS items
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    doc="A1+A5: child fold to a deterministically SORTED array "
+    "(sort_array(collect_list(struct(...))), "
+    "ibs_ordinary_payment_utilities.py:99-101) — compared via its "
+    "delimited-string form; note string sort order is the golden-file "
+    "behavior ('_1,_10,_2').",
+)
+def a01_fold_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    element = F.concat(
+        F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+        F.lit(":"),
+        _dec("l_quantity").cast("string"),
+    )
+    return nest.fold_to_sorted_strings(
+        li, ["l_orderkey"], element, out_col="items"
+    )
+
+
+@register(
+    "a02_document_fold",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           COALESCE(l.periods, '') AS periods,
+           COALESCE(l.n_periods, 0) AS n_periods
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_periods,
+             STRING_AGG(
+               CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
+                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                      ':', l_returnflag, ':',
+                      STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m-%d'),
+                      'T00:00:00+07:00'),
+               '|' ORDER BY
+                 CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
+                        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                        ':', l_returnflag, ':',
+                        STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m-%d'),
+                        'T00:00:00+07:00')
+             ) AS periods
+      FROM lineitem GROUP BY l_orderkey
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="A2: the defining document-fold — header + sorted nested periods "
+    "with pinned casts and ISO-offset timestamp strings "
+    "(ibs_ordinary_payment_utilities.py:144-253), flattened to its "
+    "hash-stable string form. The real nested variant is "
+    "plans.ordinary_payment / entry().",
+    headline=True,
+)
+def a02_document_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions.timefmt import iso_ts_string
+
+    cat = load_testdata(spark, sf_dir)
+    orders, li = cat.table("orders"), cat.table("lineitem")
+    key = F.lpad(F.col("l_linenumber").cast("string"), 2, "0")
+    element = F.concat(
+        key,
+        F.lit(":"),
+        _dec("l_extendedprice").cast("string"),
+        F.lit(":"),
+        F.col("l_returnflag"),
+        F.lit(":"),
+        iso_ts_string(F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")),
+    )
+    folded = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_periods"),
+        F.array_join(F.sort_array(F.collect_list(element)), "|").alias(
+            "periods"
+        ),
+    )
+    joined = orders.join(
+        folded, orders["o_orderkey"] == folded["l_orderkey"], "left"
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(D182).alias("total_price"),
+        F.coalesce("periods", F.lit("")).alias("periods"),
+        F.coalesce("n_periods", F.lit(0)).alias("n_periods"),
+    )
+
+
+@register(
+    "a03_conditional_sum",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+             AS sum_f_price,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+             AS sum_o_price,
+           CAST(SUM(CASE WHEN l_linestatus IN ('F','O')
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2))
+             AS sum_total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A3: conditional sum / pivot-by-hand (pyspark_sum_function:25-41) "
+    "— decimal-exact, single hash-aggregate with map-side partials.",
+)
+def a03_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        agg_ops.conditional_sum(
+            "l_extendedprice", F.col("l_linestatus") == "F"
+        ).cast(D182).alias("sum_f_price"),
+        agg_ops.conditional_sum(
+            "l_extendedprice", F.col("l_linestatus") == "O"
+        ).cast(D182).alias("sum_o_price"),
+        agg_ops.conditional_sum(
+            "l_extendedprice", F.col("l_linestatus").isin("F", "O")
+        ).cast(D182).alias("sum_total_price"),
+    )
+
+
+@register(
+    "a04_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0)
+                AS DECIMAL(18,2)) AS F,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0)
+                AS DECIMAL(18,2)) AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A4: pivot with explicit value whitelist + na.fill "
+    "(all_from_gemini.txt:560-570) — no distinct-values pre-job, pinned "
+    "schema.",
+)
+def a04_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    out = agg_ops.pivot_sum(
+        li,
+        ["l_returnflag"],
+        "l_linestatus",
+        ["F", "O"],
+        "l_quantity",
+        fill=None,
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0).cast(D182)).cast(D182).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0).cast(D182)).cast(D182).alias("O"),
+    )
+
+
+@register(
+    "a06_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-set generalization (SURVEY §2.4 'not present' row): "
+    "rollup over two keys — one shuffle, Expand-based.",
+)
+def a06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    return agg_ops.grouped(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast(D182).alias("sum_qty"),
+        ],
+        mode="rollup",
+    )
+
+
+@register(
+    "a07_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Distinct aggregate generalization — Spark plans a two-phase "
+    "partial-distinct expand; exact, scalable.",
+)
+def a07_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W layer — windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w01_sequence",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_shipdate, l_linenumber
+           ) AS INT) AS row_num
+    FROM lineitem
+    """,
+    doc="W1: per-group row_number sequence ordered by date with unique "
+    "tiebreaker (ibs_ordinary_payment_utilities.py:84-94).",
+)
+def w01_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    return windows.sequence(
+        li, ["l_orderkey"], ["l_shipdate", "l_linenumber"], out_col="row_num"
+    ).select("l_orderkey", "l_linenumber", "row_num")
+
+
+@register(
+    "w02_multikey_sequence",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey, l_returnflag
+             ORDER BY l_shipdate, l_extendedprice, l_linenumber
+           ) AS INT) AS period_seq
+    FROM lineitem
+    """,
+    doc="W2: composite-partition, composite-order sequencing "
+    "(ibs_ordinary_payment_utilities.py:110-122).",
+)
+def w02_multikey_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    return windows.sequence(
+        li,
+        ["l_orderkey", "l_returnflag"],
+        ["l_shipdate", "l_extendedprice", "l_linenumber"],
+        out_col="period_seq",
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "period_seq")
+
+
+@register(
+    "w03_surrogate_key",
+    oracle="""
+    SELECT o_orderkey,
+           CONCAT('ORD_KAL_', CAST(o_custkey AS VARCHAR), '_',
+                  CAST(ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                  ) AS VARCHAR)) AS refer_code
+    FROM orders
+    """,
+    doc="W3: surrogate business key via windowed row_number + concat "
+    "(pmt_refer_code_of_company, ibs_ordinary_payment_utilities.py:262-266).",
+)
+def w03_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    return windows.surrogate_key(
+        orders,
+        "ORD_KAL_",
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        out_col="refer_code",
+    ).select("o_orderkey", "refer_code")
+
+
+@register(
+    "w04_dedup_keep_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Window-dedup: keep first row per key under explicit order "
+    "(the reference's dedup substitute, SURVEY §2.5 note) — Spark "
+    "rewrites to WindowGroupLimit.",
+)
+def w04_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    return windows.dedup_keep_first(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    ).select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops (SURVEY §2.6 generalization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t01_top_k",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k — TakeOrderedAndProject (per-partition heap + driver "
+    "merge, no global sort); unique tiebreaker pins ties.",
+)
+def t01_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return agg_ops.top_k(
+        cat.table("orders"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "t02_top_k_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Per-group top-k via rank window — WindowGroupLimit pushes the "
+    "limit map-side before the shuffle.",
+)
+def t02_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return agg_ops.top_k_per_group(
+        cat.table("orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "u01_set_ops",
+    oracle="""
+    SELECT k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ) EXCEPT SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    doc="Set-op generalization (SURVEY §2.6): union-distinct + except.",
+)
+def u01_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders, cust = cat.table("orders"), cat.table("customer")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("k")
+    )
+    return a.union(b).distinct().exceptAll(c.distinct())
+
+
+# ---------------------------------------------------------------------------
+# Flagship analytical queries (headline bench)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2))))
+                AS DECIMAL(38,6)) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary — the headline scan+agg; "
+    "decimal-exact, single shuffle, map-side partials.",
+    headline=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    price, disc, tax = (
+        _dec("l_extendedprice"),
+        _dec("l_discount"),
+        _dec("l_tax"),
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast(D182).alias("sum_qty"),
+            F.sum(price).cast(D182).alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast(D384).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast(D386)
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    doc="TPC-H Q3-shaped join+agg: selective dim filter first, fact join "
+    "on keys, decimal-exact revenue.",
+    headline=True,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cust = cat.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = cat.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast(D384).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped star join: facts shuffle on join keys once; "
+    "nation/region/supplier broadcast.",
+    headline=True,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cust, orders, li = (
+        cat.table("customer"),
+        cat.table("orders"),
+        cat.table("lineitem"),
+    )
+    supp, nation, region = (
+        cat.table("supplier"),
+        cat.table("nation"),
+        cat.table("region"),
+    )
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(
+            F.broadcast(asia_nations),
+            cust["c_nationkey"] == asia_nations["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast(D384).alias("revenue"))
+        .select(F.col("n_name").alias("nation_name"), "revenue")
+    )
