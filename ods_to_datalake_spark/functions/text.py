@@ -1,0 +1,173 @@
+"""Text-analysis expression library (charter LLM-pipeline extensions).
+
+Everything here is pure Catalyst expressions (split / transform / filter /
+aggregate higher-order functions + md5) — no UDFs, so the hot path stays
+JVM-side and vectorized, and every operator has an exactly-matching ANSI-SQL
+oracle (DuckDB computes identical md5 hex, so even MinHash is cross-engine
+reproducible).
+
+Scale notes: all operators are per-row (map-only, no shuffle) except where
+documented. Shingle/minhash arrays are bounded by token count; for 100-TB
+corpora the per-row cost is linear and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for fingerprint arithmetic: 2^31-1 (Mersenne prime).
+FP_MOD = 2_147_483_647
+# Knuth multiplicative constant for positional weights.
+FP_WEIGHT = 2_654_435_761
+
+# Small deterministic stopword lists for the language-ID heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def shingles(tok: Column, n: int) -> Column:
+    """Word n-gram shingles: overlapping windows of `n` tokens joined by
+    a single space. Empty array when the document has < n tokens."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tok, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(sh: Column, k: int) -> Column:
+    """k-element MinHash signature over a shingle array.
+
+    Hash family: md5 of `"<seed>|<shingle>"` — k seeded variants of one
+    strong hash. min() over hex strings ≡ min over the 128-bit values
+    (fixed-width lowercase hex compares identically as string or int).
+    Returns array<string> of k minima; empty-shingle docs get k nulls.
+    """
+    def seeded(seed: int):
+        # NB: must stay a 1-arg lambda — transform() treats a 2-arg lambda
+        # as (element, index), which would shadow the captured seed.
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded(seed))) for seed in range(k)]
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: split a `bands*rows` signature into `bands` band keys,
+    each the md5 of its concatenated rows. Returns array<string> of length
+    `bands`; band i of two docs collides iff their signature rows agree
+    across the whole band."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig, b * rows + r + 1)
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash32(tok: Column) -> Column:
+    """32-bit SimHash as a 32-char bitstring.
+
+    Per-token projection: bit i of token t = MSB of the i-th hex nibble of
+    md5(t) (each nibble's top bit is an independent balanced bit of a
+    strong hash). Document bit i = sign of sum over tokens of ±1.
+    Pure expressions; identical in ANSI SQL.
+    """
+    hashes = F.transform(tok, F.md5)  # one md5 per token
+
+    def nibble_signs(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda i: F.when(
+                F.substring(h, i, 1).isin(
+                    "8", "9", "a", "b", "c", "d", "e", "f"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(acc, nibble_signs(h), lambda a, b: a + b),
+    )
+    bits = F.transform(
+        counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return F.array_join(bits, "")
+
+
+def hex_word_value(word: Column, hex_chars: int = 6) -> Column:
+    """Deterministic integer value of a word: first `hex_chars` hex chars
+    of md5 as a bigint (< 16^hex_chars). Shared with the SQL oracle via
+    `CAST(concat('0x', substring(md5(w),1,n)) AS BIGINT)`."""
+    return F.conv(F.substring(F.md5(word), 1, hex_chars), 16, 10).cast("long")
+
+
+def fingerprint(tok: Column) -> Column:
+    """Order-sensitive document fingerprint.
+
+    Positional weighted hash: sum_i value(token_i) * weight(i) mod 2^31-1,
+    with weight(i) = (i * FP_WEIGHT) mod (2^31-1). Order-sensitive (unlike
+    a bag-of-words hash) yet expressible as a plain sum in ANSI SQL — no
+    sequential fold needed, so it parallelizes and has an exact oracle.
+    Max intermediate: 16^6 * 2^31 * len — safely inside int64 for docs
+    up to ~50k tokens.
+    """
+    weighted = F.transform(
+        tok,
+        lambda t, i: hex_word_value(t)
+        * ((i + 1).cast("long") * F.lit(FP_WEIGHT) % F.lit(FP_MOD)),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ) % F.lit(FP_MOD)
+
+
+def stopword_count(tok: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the given stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def langid_scores(tok: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio (0..1)."""
+    n = F.greatest(F.size(tok), F.lit(1))
+    return {
+        lang: stopword_count(tok, words) / n
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def langid(tok: Column) -> Column:
+    """Argmax language with deterministic tie-break (list order), 'und'
+    when no stopword hits at all."""
+    scores = langid_scores(tok)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr

@@ -1,0 +1,42 @@
+"""Vector math over embedding array columns — pure Catalyst expressions.
+
+Embeddings arrive as `array<float>` parquet columns; everything casts to
+double before arithmetic (same as the SQL oracle) so both engines fold the
+same 64-bit values in the same element order — bit-identical results.
+
+For 100-TB corpora: these are per-row map expressions (no shuffle); the
+ANN operators in `operators/similarity.py` add the partitioning strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold — same element order as the SQL
+    oracle's list_dot_product, so doubles match exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine rounded for cross-engine-stable ranking/thresholding."""
+    return F.round(cosine(a, b), digits)

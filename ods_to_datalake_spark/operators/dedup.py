@@ -1,0 +1,179 @@
+"""Deduplication operators (charter LLM-pipeline extensions).
+
+Four tiers, cheapest-first — the standard large-corpus dedup funnel:
+
+1. `exact_dedup` — content-hash groupBy. One shuffle on the hash.
+2. `minhash_lsh_candidates` — MinHash + LSH banding. Map-side signature,
+   explode to (band, key), one shuffle on band keys, self-join within
+   buckets. Candidate count ≈ true-near-dup pairs + tunable noise; never
+   the O(n²) cross product.
+3. `jaccard_pairs` — exact n-gram Jaccard, computed ONLY for candidate
+   pairs (shuffle on doc_id to attach shingle sets, then a per-pair
+   intersect — bounded by candidate count).
+4. `simhash_signatures` — 32-bit SimHash for Hamming-style near-dup
+   bucketing (equal-signature grouping here; banded Hamming search is a
+   composition of `lsh` on signature chunks).
+
+All operators are pure built-in expressions (md5-based hash family) so
+they have exact ANSI-SQL oracles and never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions import text as X
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Duplicate clusters by exact content hash: (hash, n_copies, keep_id)."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias(f"keep_{id_col}"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    shingle_n: int,
+    k: int,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Attach a k-element MinHash signature column (array<string>)."""
+    tok = X.tokens(text_col)
+    sh = X.shingles(tok, shingle_n)
+    return df.withColumn(out_col, X.minhash_signature(sh, k))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    Plan shape: map (signature) → explode bands → shuffle on
+    (band_idx, band_key) → per-bucket self-join → distinct pairs.
+    A bucket with B docs emits B², so a degenerate key (e.g. all-empty
+    docs) is the skew risk — empty-shingle docs are filtered out first.
+    """
+    assert bands * rows == k, "signature length must equal bands*rows"
+    tok = X.tokens(text_col)
+    sh = X.shingles(tok, shingle_n)
+    sig = (
+        df.select(F.col(id_col), sh.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(
+            F.col(id_col),
+            X.lsh_band_keys(
+                X.minhash_signature(F.col("__sh"), k), bands, rows
+            ).alias("band_keys"),
+        )
+    )
+
+    banded = sig.select(
+        id_col, F.posexplode("band_keys").alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
+
+    Attaches each side's distinct-shingle set size, counts the shingle
+    intersection via an exploded join, and keeps pairs with
+    jaccard >= threshold. Cost is bounded by the candidate list — the LSH
+    pre-filter is what makes this viable at corpus scale.
+    """
+    tok = X.tokens(text_col)
+    sh_set = df.select(
+        F.col(id_col),
+        F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+    sizes = sh_set.select(id_col, F.size("sh").alias("n_sh"))
+    exploded = sh_set.select(id_col, F.explode("sh").alias("shingle"))
+
+    ea = exploded.alias("ea")
+    eb = exploded.alias("eb")
+    inter = (
+        candidates.alias("c")
+        .join(ea, F.col("c.id_a") == F.col(f"ea.{id_col}"))
+        .join(
+            eb,
+            (F.col("c.id_b") == F.col(f"eb.{id_col}"))
+            & (F.col("ea.shingle") == F.col("eb.shingle")),
+        )
+        .groupBy("c.id_a", "c.id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        candidates.alias("c")
+        .join(sa, F.col("c.id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("c.id_b") == F.col(f"sb.{id_col}"))
+        .join(
+            inter.alias("i"),
+            (F.col("c.id_a") == F.col("i.id_a"))
+            & (F.col("c.id_b") == F.col("i.id_b")),
+            "left",
+        )
+        .select(
+            F.col("c.id_a").alias("id_a"),
+            F.col("c.id_b").alias("id_b"),
+            F.round(
+                F.coalesce(F.col("i.n_inter"), F.lit(0))
+                / (
+                    F.col("sa.n_sh")
+                    + F.col("sb.n_sh")
+                    - F.coalesce(F.col("i.n_inter"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, simhash32 bitstring) per document."""
+    return df.select(
+        F.col(id_col), X.simhash32(X.tokens(text_col)).alias("simhash")
+    )

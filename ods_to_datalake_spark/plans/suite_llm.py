@@ -3,8 +3,10 @@
 
 Oracle strategy: every hash-based operator is built on md5 — the one hash
 both Spark and DuckDB compute identically — so even MinHash/LSH has an
-exact ANSI-SQL oracle. Vector math is cast to double on both sides and
-rounded before ranking so top-k selection is cross-engine deterministic.
+exact ANSI-SQL oracle. Vector math is cast to double on both sides, folded
+in the same element order, and rounded before ranking so top-k selection
+is cross-engine deterministic. The SQL below is *generated* from the same
+constants the Spark operators use, keeping both sides in lockstep.
 """
 
 from __future__ import annotations
@@ -13,7 +15,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.functions import text as X
+from ods_to_datalake_spark.functions import vectors as V
 from ods_to_datalake_spark.plans.suite import register
+
+# shared tuning constants (Spark operators AND SQL oracles)
+SHINGLE_N = 3
+MINHASH_K = 8
+LSH_BANDS = 4
+LSH_ROWS = 2
+ANN_TOPK = 10
+IVF_TOPK = 5
+IVF_NPROBE = 2
+N_QUERY_VECS = 8  # queries = vec_id < 8
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (must mirror functions/text.py exactly)
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _sql_shingles(toks: str, n: int = SHINGLE_N) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({toks}) - {n - 2})] "
+        f"ELSE [] END"
+    )
+
+
+def _sql_minhash(sh: str, seed: int) -> str:
+    return (
+        f"list_min(list_transform({sh}, "
+        f"x -> md5(concat('{seed}|', x))))"
+    )
+
+
+def _sql_band_key(band: int, rows: int = LSH_ROWS) -> str:
+    cols = ", ".join(f"mh_{band * rows + r}" for r in range(rows))
+    return f"md5(concat_ws(',', {cols}))"
+
+
+SQL_WORD_VALUE = "CAST(concat('0x', substring(md5({w}), 1, 6)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
 
 
 @register(
@@ -30,15 +79,439 @@ from ods_to_datalake_spark.plans.suite import register
     "keep-min representative; duplicate clusters only.",
 )
 def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import exact_dedup
+
+    cat = load_testdata(spark, sf_dir)
+    return exact_dedup(cat.table("documents"), "text", "doc_id")
+
+
+_MINHASH_COLS = ",\n           ".join(
+    f"{_sql_minhash('sh', s)} AS mh_{s}" for s in range(MINHASH_K)
+)
+
+
+@register(
+    "x03_minhash_signature",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_sql_shingles(SQL_TOKENS)} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id,
+           {_MINHASH_COLS}
+      FROM sh_t WHERE len(sh) > 0
+    )
+    SELECT doc_id,
+           concat_ws(',', {", ".join(f"mh_{s}" for s in range(MINHASH_K))})
+             AS signature
+    FROM sig
+    """,
+    doc=f"MinHash signatures: k={MINHASH_K} seeded md5 minima over word "
+    f"{SHINGLE_N}-shingles — map-only, no shuffle; the md5 hash family "
+    "makes the signature bit-identical in the SQL oracle.",
+)
+def x03_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents")
+    tok = X.tokens("text")
+    sh = X.shingles(tok, SHINGLE_N)
     return (
-        docs.groupBy(F.md5("text").alias("content_hash"))
-        .agg(
-            F.count("*").alias("n_copies"),
-            F.min("doc_id").alias("keep_doc_id"),
+        docs.select(F.col("doc_id"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                X.minhash_signature(F.col("sh"), MINHASH_K), ","
+            ).alias("signature"),
         )
-        .filter(F.col("n_copies") > 1)
+    )
+
+
+_BAND_SQL = ", ".join(
+    f"{_sql_band_key(b)} AS bk_{b}" for b in range(LSH_BANDS)
+)
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, bk_{b} AS band_key FROM bands"
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "x04_minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_sql_shingles(SQL_TOKENS)} AS sh FROM documents
+    ), sig AS (
+      SELECT doc_id,
+           {_MINHASH_COLS}
+      FROM sh_t WHERE len(sh) > 0
+    ), bands AS (
+      SELECT doc_id, {_BAND_SQL} FROM sig
+    ), banded AS (
+      {_BAND_UNION}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+    doc=f"MinHash+LSH near-dup candidates: {LSH_BANDS} bands × {LSH_ROWS} "
+    "rows; explode to band keys, one shuffle, per-bucket self-join — "
+    "never the O(n²) cross product.",
+    headline=True,
+)
+def x04_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import minhash_lsh_candidates
+
+    cat = load_testdata(spark, sf_dir)
+    return minhash_lsh_candidates(
+        cat.table("documents"),
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        rows=LSH_ROWS,
+    )
+
+
+@register(
+    "x05_lsh_jaccard_verify",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, list_distinct({_sql_shingles(SQL_TOKENS)}) AS sh
+      FROM documents
+    ), sh_ok AS (
+      SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0
+    ), sig AS (
+      SELECT doc_id,
+           {_MINHASH_COLS}
+      FROM sh_ok
+    ), bands AS (
+      SELECT doc_id, {_BAND_SQL} FROM sig
+    ), banded AS (
+      {_BAND_UNION}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh_ok
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n_sh FROM sh_ok
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN ex ea ON c.id_a = ea.doc_id
+      JOIN ex eb ON c.id_b = eb.doc_id AND ea.shingle = eb.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(COALESCE(i.n_inter, 0)
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)), 6)
+             AS jaccard
+    FROM cand c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    """,
+    doc="Exact n-gram Jaccard for LSH candidate pairs only — the "
+    "candidate pre-filter bounds the quadratic verify step; the full "
+    "dedup funnel (hash → LSH → verify) in one plan.",
+)
+def x05_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cands = minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        rows=LSH_ROWS,
+    )
+    return jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    )
+
+
+_SIMHASH_BITS_SQL = ",\n        ".join(
+    f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN "
+    f"substring(h, {i}, 1) IN ('8','9','a','b','c','d','e','f') "
+    f"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    for i in range(1, 33)
+)
+
+
+@register(
+    "x06_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_transform({SQL_TOKENS}, tk -> md5(tk)) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           concat({_SIMHASH_BITS_SQL}) AS simhash
+    FROM t
+    """,
+    doc="32-bit SimHash (nibble-MSB projection of per-token md5): "
+    "map-only signature for Hamming-bucket near-dup grouping; one md5 "
+    "per token via array-accumulator aggregate.",
+)
+def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import simhash_signatures
+
+    cat = load_testdata(spark, sf_dir)
+    return simhash_signatures(cat.table("documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_COS = (
+    "ROUND(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "x07_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ), c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, vec_id, {_SQL_COS} AS cosine
+      FROM c, q WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS rn FROM s
+    ) WHERE rn <= {ANN_TOPK}
+    """,
+    doc=f"Brute-force cosine top-{ANN_TOPK}: broadcast query set × corpus "
+    "scan, rounded-cosine ranking with id tiebreak, WindowGroupLimit "
+    "top-k — the exact ANN baseline.",
+    headline=True,
+)
+def x07_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.similarity import brute_force_topk
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(
+        emb, queries, "vec_id", "embedding", ANN_TOPK
+    ).select("query_id", "vec_id", "cosine")
+
+
+@register(
+    "x08_ivf_ann",
+    oracle=f"""
+    WITH dims AS (
+      SELECT unnest(range(1,
+        (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS pos
+    ), per_dim AS (
+      SELECT e.label, d.pos,
+             CAST(SUM(CAST(CAST(e.embedding[d.pos] AS DOUBLE)
+                           AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS mean_val
+      FROM embeddings e, dims d
+      GROUP BY e.label, d.pos
+    ), cents AS (
+      SELECT label, list(mean_val ORDER BY pos) AS centroid
+      FROM per_dim GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ), probe_scores AS (
+      SELECT q.query_id, c.label,
+             ROUND(list_dot_product(qv, centroid) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(centroid, centroid))), 6)
+               AS c_cos
+      FROM q, cents c
+    ), probes AS (
+      SELECT query_id, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY c_cos DESC, label
+        ) AS rn FROM probe_scores
+      ) WHERE rn <= {IVF_NPROBE}
+    ), c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ), s AS (
+      SELECT p.query_id, c.vec_id, {_SQL_COS} AS cosine
+      FROM c JOIN probes p ON c.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id
+      ) AS rn FROM s
+    ) WHERE rn <= {IVF_TOPK}
+    """,
+    doc=f"IVF-style ANN: decimal-exact label centroids, nprobe={IVF_NPROBE} "
+    f"probe, exact top-{IVF_TOPK} within probed cells only — corpus scan "
+    "drops ~n_clusters/nprobe; centroids broadcast, corpus never shuffled.",
+)
+def x08_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.similarity import ivf_topk
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        "label",
+        IVF_TOPK,
+        nprobe=IVF_NPROBE,
+    ).select("query_id", "vec_id", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+_SQL_LANG_SCORES = ",\n             ".join(
+    f"{_sql_stop_count(lang)} / greatest(len(toks), 1) AS s_{lang}"
+    for lang in X.STOPWORDS
+)
+_SQL_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = best THEN '{lang}'" for lang in X.STOPWORDS
+)
+
+
+@register(
+    "x09_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id,
+             {_SQL_LANG_SCORES}
+      FROM t
+    ), best_t AS (
+      SELECT doc_id,
+             greatest({", ".join(f"s_{lang}" for lang in X.STOPWORDS)})
+               AS best, *
+      FROM scores
+    )
+    SELECT doc_id,
+           CASE WHEN best <= 0 THEN 'und' {_SQL_LANG_CASE} END
+             AS lang_pred
+    FROM best_t
+    """,
+    doc="Language-ID heuristic: stopword-hit ratio per language, argmax "
+    "with deterministic tie-break — map-only, no shuffle.",
+)
+def x09_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return cat.table("documents").select(
+        "doc_id", X.langid(X.tokens("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "x10_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {SQL_TOKENS} AS toks,
+             {_sql_stop_count('en')} AS en_stops
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS
+                      DOUBLE) / greatest(length(text), 1), 6)
+             AS punct_ratio,
+           ROUND(CAST(en_stops AS DOUBLE) / greatest(len(toks), 1), 6)
+             AS stopword_ratio,
+           ROUND(CAST(length(text) AS DOUBLE) / greatest(len(toks), 1), 6)
+             AS mean_token_len
+    FROM t
+    """,
+    doc="Quality-signal extraction: length, punctuation ratio, stopword "
+    "ratio, mean token length — the filter features of a corpus-quality "
+    "pipeline, all JVM-side regexp/array ops.",
+)
+def x10_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    toks = X.tokens("text")
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    return cat.table("documents").select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9 ]"), 0))
+            .cast("double")
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            X.stopword_count(toks, X.STOPWORDS["en"]).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+@register(
+    "x11_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, len(toks) + 1),
+                i -> {SQL_WORD_VALUE.format(w='toks[i]')}
+                     * ((i * {X.FP_WEIGHT}) % {X.FP_MOD})))
+                % {X.FP_MOD} AS BIGINT) AS fingerprint
+    FROM t
+    """,
+    doc="Order-sensitive document fingerprint: positional weighted hash "
+    "mod 2^31-1 — order-sensitive like a rolling hash but expressible as "
+    "a plain sum, so it parallelizes and has an exact SQL oracle.",
+)
+def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return cat.table("documents").select(
+        "doc_id", X.fingerprint(X.tokens("text")).alias("fingerprint")
     )
 
 
@@ -53,7 +526,7 @@ def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Token counting: whitespace tokens + a BPE-ish regex segmentation "
-    "(letters runs / digit runs / single punctuation) — pure JVM-side "
+    "(letter runs / digit runs / single punctuation) — pure JVM-side "
     "regexp, no UDF.",
 )
 def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
