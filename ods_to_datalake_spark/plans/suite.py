@@ -68,6 +68,7 @@ def headline_queries() -> dict[str, QueryFn]:
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
         suite_core,
+        suite_events,
         suite_llm,
     )
 

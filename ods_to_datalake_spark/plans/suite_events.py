@@ -1,0 +1,115 @@
+"""Event-stream suite: batch faces of the streaming operators (SURVEY
+§2.8 extension). Each query is the `spark.read` face of a function whose
+`spark.readStream` face is tested in tests/test_streaming.py — plus the
+as-of join generalization over event time."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.plans.suite import register
+
+
+@register(
+    "e01_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling-window aggregation — the batch face of the watermarked "
+    "streaming agg (streaming/events.py tumbling_counts); state bounded "
+    "by watermark on the stream path, plain hash-agg here.",
+    headline=True,
+)
+def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.streaming.events import tumbling_counts
+
+    cat = load_testdata(spark, sf_dir)
+    return tumbling_counts(cat.table("events"), "1 hour")
+
+
+@register(
+    "e02_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN FLOOR(epoch(ts)) -
+                  FLOOR(epoch(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) + 1 AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization (30-min gap) via lag + running sum — one shuffle "
+    "on user_id, window reuses the partitioning; the streaming face uses "
+    "session_window state merge (tests/test_streaming.py).",
+)
+def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.streaming.events import sessionize_batch
+
+    cat = load_testdata(spark, sf_dir)
+    out = sessionize_batch(cat.table("events"), "30 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )
+
+
+@register(
+    "e03_asof_join",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_signup_ts
+    FROM events
+    """,
+    doc="As-of join (backward): each event matched to the user's latest "
+    "at-or-before signup — union-tag + window implementation, ONE "
+    "shuffle on the key, no per-row range scan (operators/joins.py "
+    "asof_join).",
+)
+def e03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.joins import asof_join
+
+    cat = load_testdata(spark, sf_dir)
+    ev = cat.table("events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(
+        ev,
+        signups.withColumnRenamed("signup_ts", "ts_r").withColumn(
+            "last_signup_ts", F.col("ts_r")
+        ),
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts_r",
+        direction="backward",
+        right_cols=["last_signup_ts"],
+    )
+    return joined.select("event_id", "user_id", "last_signup_ts")

@@ -1,0 +1,120 @@
+"""Lakehouse writers: partition layout + file-size policy (SURVEY §2.1
+S3/S4/S6, §2.10 O5, §4).
+
+Policies encoded from the reference design notes:
+- snappy parquet, target file size 128-512 MB via a row cap
+  (`maxRecordsPerFile = 2_000_000`, links.txt:56-62,
+  all_from_gemini.txt:322-368);
+- run-indexed hive partitions `<col>=<yyyy-MM-dd>_<run>` appended per
+  run so reruns land in a NEW partition instead of overwriting
+  (pyspark_add_index_on_s3.py:31-57, all_from_gemini.txt:243-255);
+- when a single output file is required, `repartition(1)` (shuffle-
+  balanced) over `coalesce(1)` (single-worker OOM risk,
+  all_from_gemini.txt:356-361);
+- JSON document sink with a sha2 content-hash `id`
+  (PMT_KAL_5776815_1_New.json:346).
+
+At 100 TB you never write one file — `target_files` sizes the output by
+partition count instead, and `maxRecordsPerFile` bounds stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_RECORDS_PER_FILE = 2_000_000
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    target_files: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Hive-partitioned parquet append with bounded file sizes.
+
+    ``target_files``: optional exact output-file count per write —
+    implemented with `repartition(n)` (never `coalesce`, see module
+    docstring). Leave None at scale and let AQE + the row cap govern.
+    """
+    if target_files is not None:
+        keys = [F.col(c) for c in (partition_by or [])]
+        df = df.repartition(target_files, *keys) if keys else df.repartition(
+            target_files
+        )
+    writer = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_run_indexed(
+    df: DataFrame,
+    path: str,
+    date_value: str,
+    run_index: int,
+    date_col: str | None = None,
+    partition_col: str = "transactiondate_index",
+    in_fmt: str = "yyyyMMdd",
+    **kwargs,
+) -> str:
+    """Run-indexed partition write (O5): stamp or derive
+    `<yyyy-MM-dd>_<run_index>` and append.
+
+    Two variants from the reference: derive per-row from ``date_col``
+    (pyspark_add_index_on_s3.py:31-41), or — when the run covers ONE
+    logical date — precompute the literal on the driver (links.txt:22-50)
+    which both constant-folds and fails fast on a bad date. We default to
+    the driver-literal variant when ``date_col`` is None.
+
+    Returns the partition value written.
+    """
+    from ods_to_datalake_spark.functions.timefmt import run_index_key
+
+    if date_col is not None:
+        out = df.withColumn(
+            partition_col, run_index_key(date_col, run_index, in_fmt=in_fmt)
+        )
+        value = f"<derived per row from {date_col}>"
+    else:
+        # driver-side parse: ValueError here, not a task failure later
+        import datetime
+
+        parsed = datetime.datetime.strptime(date_value, "%Y%m%d").date()
+        value = f"{parsed.isoformat()}_{run_index}"
+        out = df.withColumn(partition_col, F.lit(value))
+    write_partitioned_parquet(
+        out, path, partition_by=[partition_col], **kwargs
+    )
+    return value
+
+
+def write_json_documents(
+    df: DataFrame,
+    path: str,
+    id_cols: list[str] | None = None,
+    mode: str = "append",
+    target_files: int | None = None,
+) -> None:
+    """Nested-document JSON sink (S6) with a sha2 content-hash `id`.
+
+    ``id_cols``: columns hashed into the document id (defaults to all
+    columns). Decimal/struct canonicalization comes from Spark's
+    `to_json`; ids are stable across runs for identical content.
+    """
+    if "id" not in df.columns:
+        cols = id_cols or df.columns
+        df = df.withColumn(
+            "id", F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+        )
+    if target_files is not None:
+        df = df.repartition(target_files)
+    df.write.mode(mode).json(path)

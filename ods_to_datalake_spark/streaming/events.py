@@ -1,0 +1,185 @@
+"""Event-stream operators: batch/stream-symmetric windowed aggregation.
+
+Design rule: every streaming transformation here is written against a
+plain DataFrame so the SAME function serves `spark.read` (backfill /
+oracle-checked batch) and `spark.readStream` (incremental) — the
+lambda-architecture killer Structured Streaming enables. Watermarks are
+applied only on streaming inputs (`df.isStreaming`).
+
+Scale: windowed aggs shuffle on (window, keys); state store size is
+bounded by the watermark horizon. Session windows use the built-in
+`session_window` on the stream path; the batch path uses the equivalent
+lag+cumsum formulation which also serves as the ANSI-SQL oracle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream over the testdata layout. The ts column
+    is TIMESTAMP(NANOS) parquet → read as long, converted to micros
+    (same convention as Catalog._fix_nanos)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, event_type) counts and value sums.
+
+    Streaming: watermark bounds state; late rows beyond it are dropped.
+    Batch: identical result via the same expression (no watermark).
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window_size).alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Batch sessionization: gaps-and-islands via lag + running sum —
+    one shuffle on user_id, windows reuse the partitioning. This exact
+    formulation is the SQL oracle for the streaming `session_window`
+    variant below."""
+    gap_sec = {"30 minutes": 1800}.get(gap)
+    if gap_sec is None:
+        raise ValueError(f"unsupported gap {gap!r}")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "__new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        + 1,
+    )
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization with the built-in session_window (state
+    merges windows closer than `gap`; watermark finalizes sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def running_user_stats(
+    events: DataFrame, timeout_mins: int | None = None
+) -> DataFrame:
+    """Custom stateful operator: per-user running counters via
+    applyInPandasWithState — the escape hatch for semantics windowed
+    aggs can't express (cross-batch custom state machines).
+
+    Arrow-batched; state is one small tuple per user. Pass
+    ``timeout_mins`` in long-running deployments to evict idle users and
+    bound state. NB: with a processing-time timeout the query schedules
+    timer batches forever, so `processAllAvailable()` never drains —
+    keep it None for finite/backfill runs and tests.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_mins is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if timeout_mins is not None and state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_mins is not None:
+            state.setTimeoutDuration(timeout_mins * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

@@ -1,0 +1,73 @@
+"""Structured Streaming tests: the stream faces must agree with their
+batch faces (which are oracle-checked in the parity suite)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.streaming.events import (
+    read_event_stream,
+    running_user_stats,
+    sessionize_stream,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = read_event_stream(spark, SF)
+    assert stream.isStreaming
+    _run_to_memory(tumbling_counts(stream), "tumbling_mem", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling_mem").collect()
+    }
+    batch = tumbling_counts(load_testdata(spark, SF).table("events"))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_stream_runs(spark):
+    stream = read_event_stream(spark, SF)
+    _run_to_memory(
+        sessionize_stream(stream, "30 minutes"), "sessions_mem", "append"
+    )
+    rows = spark.table("sessions_mem").collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+
+
+def test_stateful_user_stats(spark):
+    stream = read_event_stream(spark, SF)
+    _run_to_memory(running_user_stats(stream), "userstats_mem", "update")
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.table("userstats_mem").collect()
+    }
+    batch = (
+        load_testdata(spark, SF)
+        .table("events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+    )
+    want = {r.user_id: (r.n, round(r.t, 2)) for r in batch.collect()}
+    assert got == want

@@ -1,0 +1,99 @@
+"""Writer-layout tests (SURVEY §2.1 S3-S6, §2.10 O5): run-indexed
+partition append, file-count/row-cap policy, JSON doc sink with hash id,
+read-back verification (the S5 pattern made into real asserts)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.sources.writer import (
+    write_json_documents,
+    write_partitioned_parquet,
+    write_run_indexed,
+)
+
+
+@pytest.fixture()
+def products(spark):
+    # the reference demo table (pyspark_add_index_on_s3.py:20-25), with a
+    # mixed int/string transactiondate
+    return spark.createDataFrame(
+        [
+            (1, "widget", 10, "20260123"),
+            (2, "gadget", 20, "20260123"),
+            (3, "gizmo", 30, "20260124"),
+        ],
+        "id int, product string, amount int, transactiondate string",
+    )
+
+
+def test_run_indexed_append_new_partition_per_run(spark, products, tmp_path):
+    """Reruns append a NEW partition value instead of overwriting (O5)."""
+    path = str(tmp_path / "ds")
+    v1 = write_run_indexed(products, path, "20260123", 1)
+    v2 = write_run_indexed(products, path, "20260123", 2)
+    assert v1 == "2026-01-23_1" and v2 == "2026-01-23_2"
+    parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{path}/transactiondate_index=*")
+    )
+    assert parts == [
+        "transactiondate_index=2026-01-23_1",
+        "transactiondate_index=2026-01-23_2",
+    ]
+    back = spark.read.parquet(path)
+    assert back.count() == 6  # both runs present
+
+
+def test_run_indexed_derived_per_row(spark, products, tmp_path):
+    """Per-row derived partition key (pyspark_add_index_on_s3.py:31-41)."""
+    path = str(tmp_path / "ds2")
+    write_run_indexed(
+        products, path, "ignored", 1, date_col="transactiondate"
+    )
+    parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(f"{path}/transactiondate_index=*")
+    )
+    assert parts == [
+        "transactiondate_index=2026-01-23_1",
+        "transactiondate_index=2026-01-24_1",
+    ]
+
+
+def test_bad_date_fails_fast_on_driver(spark, products, tmp_path):
+    """Driver-literal variant fails fast on a malformed date — no Spark
+    job launched (links.txt rationale, all_from_gemini.txt:399-448)."""
+    with pytest.raises(ValueError):
+        write_run_indexed(products, str(tmp_path / "x"), "2026-01-23", 1)
+
+
+def test_max_records_per_file_splits_output(spark, tmp_path):
+    path = str(tmp_path / "cap")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    write_partitioned_parquet(
+        df, path, max_records_per_file=30, target_files=1
+    )
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == 4  # 100 rows / 30-row cap → 4 files
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_json_documents_with_hash_id(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "k int, payload string"
+    )
+    write_json_documents(df, path, target_files=1)
+    back = spark.read.json(path)
+    rows = {r.k: r for r in back.collect()}
+    assert len(rows[1].id) == 64
+    # content-addressed: same content → same id across writes
+    path2 = str(tmp_path / "docs2")
+    write_json_documents(df, path2, target_files=1)
+    back2 = {r.k: r for r in spark.read.json(path2).collect()}
+    assert rows[1].id == back2[1].id and rows[2].id == back2[2].id
