@@ -515,6 +515,44 @@ def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURE_DIM = 8
+_SQL_FEATURE = (
+    f"[CAST(concat('0x', substring(md5(text), (i % 32) + 1, 1)) AS INT)"
+    f" / 15.0 for i in range(0, {_FEATURE_DIM})]"
+)
+
+
+@register(
+    "x12_media_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           md5(text) AS content_md5,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           {_SQL_FEATURE} AS feature
+    FROM documents
+    """,
+    doc="Multimodal plumbing end-to-end: text bytes as an opaque binary "
+    "payload → Arrow-batched mapInPandas feature extraction "
+    "(operators/multimodal.py). The md5-based stand-in encoder makes "
+    "even the Python-side batch path oracle-checkable; a real image "
+    "model drops into the same plumbing.",
+)
+def x12_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.multimodal import (
+        attach_media,
+        extract_features,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    media = attach_media(
+        cat.table("documents"),
+        F.encode("text", "utf-8"),
+        "text/plain",
+        media_id=F.col("doc_id"),
+    )
+    return extract_features(media, dim=_FEATURE_DIM)
+
+
 @register(
     "x02_token_count",
     oracle="""

@@ -1,0 +1,102 @@
+"""Physical-plan assertions (the 100-TB design checks, SURVEY §4):
+pushdown reaches the scan, dims broadcast instead of shuffling the fact,
+per-group top-k uses WindowGroupLimit, global top-k avoids a full sort,
+and the whole relational suite stays off row-at-a-time Python."""
+
+from __future__ import annotations
+
+import pytest
+
+from ods_to_datalake_spark.plans.suite import load_all
+
+QUERIES = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_scan(spark):
+    p = plan(spark, "p01_projection_scan")
+    scan = p[p.index("Scan parquet"):]
+    assert "o_orderkey" in scan and "o_orderstatus" in scan
+    assert "o_totalprice" not in scan  # pruned column never read
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    p = plan(spark, "p06_range_filter")
+    assert "PushedFilters" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "o_orderdate" in pushed and "IsNotNull" in pushed
+
+
+def _shuffle_exchanges(p: str) -> int:
+    """Count shuffle Exchange nodes in the detail section (broadcast
+    exchanges excluded)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+
+
+def test_dim_decode_broadcasts(spark):
+    p = plan(spark, "j03_broadcast_dim_decode")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # fact side never shuffled for dims
+    assert _shuffle_exchanges(p) == 0  # zero shuffles end-to-end
+
+
+def test_semi_join_is_left_semi(spark):
+    p = plan(spark, "j01_semi_join")
+    assert "LeftSemi" in p
+
+
+def test_top_k_uses_partial_limits(spark):
+    assert "TakeOrderedAndProject" in plan(spark, "t01_top_k")
+    assert "WindowGroupLimit" in plan(spark, "t02_top_k_per_group")
+
+
+def test_flagship_fold_single_shuffle(spark):
+    """The document fold groups once; riders pre-folded before the join
+    (no rider cross-product through the wide aggregate)."""
+    p = plan(spark, "a02_document_fold")
+    assert "ObjectHashAggregate" in p  # collect_list fold
+    # ONE shuffle end-to-end: lineitem exchanges on l_orderkey for the
+    # fold; the orders join is broadcast (no fact re-shuffle)
+    assert _shuffle_exchanges(p) == 1
+
+
+def test_no_python_udfs_in_relational_suite(spark):
+    """Reference policy (SURVEY §2.9): zero Python in the hot path for
+    every relational/dedup/text query. (x12 uses mapInPandas by design.)"""
+    for name in QUERIES:
+        if name.startswith("x12"):
+            continue
+        p = plan(spark, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_whole_stage_codegen_covers_headline_scan(spark):
+    """AQE shows codegen spans only in the final plan — execute first."""
+    import contextlib
+    import io
+
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF)
+    df.collect()  # count() would plan a different query; collect
+    # executes THIS plan so AQE finalizes it
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # formatted mode marks codegen'd operators with '*' / 'codegen id'
+    assert "codegen id" in p
+    assert "* HashAggregate" in p  # scan→filter→partial-agg fused
+    assert "ObjectHashAggregate" not in p  # no object-hash fallback here

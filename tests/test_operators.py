@@ -1,0 +1,188 @@
+"""Unit tests per engine operator (SURVEY §5 plan: tiny inline frames,
+exact collect() comparisons, decimal-exact)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions import nulls
+from ods_to_datalake_spark.functions.decode import value_map_decode
+from ods_to_datalake_spark.functions.timefmt import (
+    clean_date,
+    iso_ts_string,
+    run_index_key,
+)
+from ods_to_datalake_spark.operators.agg import conditional_sum, pivot_sum
+from ods_to_datalake_spark.operators.joins import asof_join, range_join
+from ods_to_datalake_spark.operators.nest import fold_to_array
+from ods_to_datalake_spark.operators.windows import (
+    dedup_keep_first,
+    sequence,
+    surrogate_key,
+)
+
+
+def test_null_policy_req_opt(spark):
+    df = spark.createDataFrame(
+        [("5", "7.5"), (None, None)], "i string, d string"
+    )
+    r = df.select(
+        nulls.req("i", "int").alias("ri"),
+        nulls.req("d", "dec").alias("rd"),
+        nulls.req("i", "str").alias("rs"),
+        nulls.opt("i", "int").alias("oi"),
+    ).collect()
+    assert (r[0].ri, r[0].rd) == (5, Decimal("7.50"))
+    assert (r[1].ri, r[1].rd, r[1].rs, r[1].oi) == (0, Decimal("0.00"), "", None)
+
+
+def test_null_safe_add_all_cases(spark):
+    df = spark.createDataFrame(
+        [("1.10", "2.20"), ("1.10", None), (None, "2.20"), (None, None)],
+        "a string, b string",
+    )
+    got = [r.s for r in df.select(nulls.null_safe_add("a", "b").alias("s")).collect()]
+    assert got == [Decimal("3.30"), Decimal("1.10"), Decimal("2.20"), None]
+
+
+def test_guarded_int(spark):
+    df = spark.createDataFrame([("5",), ("  ",), ("",), (None,)], "x string")
+    got = [r.g for r in df.select(nulls.guarded_int("x").alias("g")).collect()]
+    assert got == [5, None, None, None]
+
+
+def test_value_map_decode_trims_and_defaults(spark):
+    df = spark.createDataFrame([(" A ",), ("B",), ("C",)], "c string")
+    got = [
+        r.d
+        for r in df.select(
+            value_map_decode("c", {"A": "1", "B": "2"}, default="99").alias("d")
+        ).collect()
+    ]
+    assert got == ["1", "2", "99"]
+
+
+def test_timefmt(spark):
+    df = spark.createDataFrame([("20260123", "2026-01-23")], "c string, d string")
+    r = df.select(
+        clean_date("c", "yyyyMMdd").alias("cd"),
+        iso_ts_string("d").alias("ts"),
+        run_index_key("c", 3).alias("rk"),
+    ).collect()[0]
+    assert r.cd == "2026-01-23"
+    assert r.ts == "2026-01-23T00:00:00+07:00"
+    assert r.rk == "2026-01-23_3"
+
+
+def test_sequence_and_surrogate(spark):
+    df = spark.createDataFrame(
+        [("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)], "g string, v int"
+    )
+    seq = {
+        (r.g, r.v): r.row_num
+        for r in sequence(df, ["g"], ["v"]).collect()
+    }
+    assert seq == {("g1", 1): 1, ("g1", 2): 2, ("g1", 3): 3, ("g2", 9): 1}
+    sk = {
+        (r.g, r.v): r.key
+        for r in surrogate_key(df, "K_", ["g"], ["v"], out_col="key").collect()
+    }
+    assert sk[("g1", 2)] == "K_g1_2" and sk[("g2", 9)] == "K_g2_1"
+    with pytest.raises(ValueError):
+        sequence(df, [], ["v"])
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "x"), ("a", 1, "y"), ("b", 5, "z")], "k string, o int, v string"
+    )
+    got = {r.k: r.v for r in dedup_keep_first(df, ["k"], ["o"]).collect()}
+    assert got == {"a": "y", "b": "z"}
+
+
+def test_fold_to_array_string_sort_gotcha(spark):
+    """sort_array on struct<string,...> sorts lexicographically:
+    '_1','_10','_2' — the golden-file order must be reproduced."""
+    df = spark.createDataFrame(
+        [("h", f"r_{i}", i) for i in (1, 2, 10)], "h string, n string, v int"
+    )
+    arr = fold_to_array(df, ["h"], ["n", "v"], out_col="a").collect()[0].a
+    assert [x.n for x in arr] == ["r_1", "r_10", "r_2"]
+
+
+def test_conditional_sum_reference_demo(spark):
+    """The pyspark_sum_function demo: P001 basic=1000, rider=500,
+    total=1500 with tax excluded (FIXTURES.md §5)."""
+    df = spark.createDataFrame(
+        [
+            ("P001", "basic", 1000), ("P001", "rider", 500),
+            ("P001", "tax", 50), ("P002", "basic", 2000),
+            ("P002", "rider", 0), ("P003", "rider", 300),
+        ],
+        "policy_id string, premium_level string, amount long",
+    )
+    lvl = F.col("premium_level")
+    out = {
+        r.policy_id: (r.basic, r.rider, r.total)
+        for r in df.groupBy("policy_id")
+        .agg(
+            conditional_sum("amount", lvl == "basic").alias("basic"),
+            conditional_sum("amount", lvl == "rider").alias("rider"),
+            conditional_sum("amount", lvl.isin("basic", "rider")).alias("total"),
+        )
+        .collect()
+    }
+    assert out["P001"] == (Decimal("1000.00"), Decimal("500.00"), Decimal("1500.00"))
+    assert out["P003"] == (Decimal("0.00"), Decimal("300.00"), Decimal("300.00"))
+
+
+def test_pivot_sum_pinned_values(spark):
+    df = spark.createDataFrame(
+        [("P1", "basic", 10), ("P1", "rider", 5), ("P2", "tax", 1)],
+        "k string, lvl string, v int",
+    )
+    out = {r.k: (r.basic, r.rider) for r in
+           pivot_sum(df, ["k"], "lvl", ["basic", "rider"], "v").collect()}
+    # P2 has neither pinned value → filled with 0; 'tax' never a column
+    assert out["P1"] == (Decimal("10.00"), Decimal("5.00"))
+    assert out["P2"] == (Decimal("0.00"), Decimal("0.00"))
+
+
+def test_range_join(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 150.0)], "id int, v double")
+    right = spark.createDataFrame(
+        [("lo", 0.0, 100.0), ("hi", 100.0, 1000.0)],
+        "name string, lo double, hi double",
+    )
+    got = {r.id: r.name for r in range_join(left, right, "v", "lo", "hi").collect()}
+    assert got == {1: "lo", 2: "hi"}
+
+
+def test_asof_join_directions(spark):
+    left = spark.createDataFrame(
+        [("u", 5, "e1"), ("u", 12, "e2"), ("v", 3, "e3")],
+        "k string, t int, name string",
+    )
+    right = spark.createDataFrame(
+        [("u", 4, "r_a"), ("u", 10, "r_b"), ("u", 20, "r_c")],
+        "k string, t int, tag string",
+    )
+    back = {
+        r.name: r.tag
+        for r in asof_join(left, right, ["k"], "t", "t", "backward").collect()
+    }
+    assert back == {"e1": "r_a", "e2": "r_b", "e3": None}
+    fwd = {
+        r.name: r.tag
+        for r in asof_join(left, right, ["k"], "t", "t", "forward").collect()
+    }
+    assert fwd == {"e1": "r_b", "e2": "r_c", "e3": None}
+    # tie: right row at exactly left's time matches in both directions
+    tie = spark.createDataFrame([("u", 10, "eq")], "k string, t int, name string")
+    assert (
+        asof_join(tie, right, ["k"], "t", "t", "backward").collect()[0].tag
+        == "r_b"
+    )
