@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 # Modulus for fingerprint arithmetic: 2^31-1 (Mersenne prime).
 FP_MOD = 2_147_483_647
+# Modulus for the MinHash Carter-Wegman family: 2^61-1 (Mersenne prime).
+# Operands stay within int64: a,b < 16^14 ≈ 7.2e16, a + 7b < 5.8e17.
+MINHASH_PRIME = (1 << 61) - 1
 # Knuth multiplicative constant for positional weights.
 FP_WEIGHT = 2_654_435_761
 
@@ -46,45 +49,6 @@ def shingles(tok: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(tok, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-
-
-def minhash_signature(sh: Column, k: int) -> Column:
-    """k-element MinHash signature over a shingle array.
-
-    Hash family: md5 of `"<seed>|<shingle>"` — k seeded variants of one
-    strong hash. min() over hex strings ≡ min over the 128-bit values
-    (fixed-width lowercase hex compares identically as string or int).
-    Returns array<string> of k minima; empty-shingle docs get k nulls.
-    """
-    def seeded(seed: int):
-        # NB: must stay a 1-arg lambda — transform() treats a 2-arg lambda
-        # as (element, index), which would shadow the captured seed.
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, seeded(seed))) for seed in range(k)]
-    )
-
-
-def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
-    """LSH banding: split a `bands*rows` signature into `bands` band keys,
-    each the md5 of its concatenated rows. Returns array<string> of length
-    `bands`; band i of two docs collides iff their signature rows agree
-    across the whole band."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(sig, b * rows + r + 1)
-                        for r in range(rows)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
 
 
 def simhash32(tok: Column) -> Column:

@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from ods_to_datalake_spark.functions import text as X
 
 
+def spread_small_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Repartition when the input has far fewer partitions than cores.
+
+    A tiny/unsplittable file (one parquet row group) scans as ONE task,
+    serializing any heavy per-row compute placed above it. At real scale
+    inputs arrive in many splits and this is a no-op; locally it costs a
+    shuffle of the raw rows — cheap next to hash/shingle work.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, content_col: str, id_col: str
 ) -> DataFrame:
@@ -40,17 +54,51 @@ def exact_dedup(
     )
 
 
-def with_minhash(
+def minhash_table(
     df: DataFrame,
+    id_col: str,
     text_col: str,
     shingle_n: int,
     k: int,
-    out_col: str = "minhash",
 ) -> DataFrame:
-    """Attach a k-element MinHash signature column (array<string>)."""
+    """(id, mh_0..mh_{k-1}) MinHash signature table.
+
+    Relational formulation: explode shingles → groupBy(id) with k min()
+    aggregates over seeded md5. This beats the per-row higher-order-
+    function variant (functions/text.py minhash_signature) by a wide
+    margin AND is the 100-TB shape: HOFs are interpreted expression
+    trees that Catalyst re-evaluates per reference (no CSE, and
+    CollapseProject re-inlines them), while min() aggregates get
+    whole-stage codegen and map-side partial aggregation — the shuffle
+    carries k hashes per doc, not the shingle set. Each md5 is computed
+    exactly once per (doc, shingle, seed).
+
+    Docs with zero shingles (fewer than `shingle_n` tokens) drop out,
+    matching the explicit emptiness filter of the HOF path.
+    """
     tok = X.tokens(text_col)
     sh = X.shingles(tok, shingle_n)
-    return df.withColumn(out_col, X.minhash_signature(sh, k))
+    exploded = spread_small_input(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(sh).alias("__shingle")
+    )
+    # Carter-Wegman hash family over ONE md5 per shingle: two 56-bit
+    # values (a, b) from the digest halves, h_s = (a + s*b) mod p.
+    # Standard MinHash practice (one strong hash + k affine maps) at a
+    # quarter of the hash cost of k seeded digests; codegen CSE computes
+    # the md5 once per row.
+    digest = F.md5(F.col("__shingle"))
+    a = F.conv(F.substring(digest, 1, 14), 16, 10).cast("long")
+    b = F.conv(F.substring(digest, 15, 14), 16, 10).cast("long")
+    hashed = exploded.select(
+        F.col(id_col), a.alias("__a"), b.alias("__b")
+    )
+    aggs = [
+        F.min(
+            (F.col("__a") + F.lit(s) * F.col("__b")) % F.lit(X.MINHASH_PRIME)
+        ).alias(f"mh_{s}")
+        for s in range(k)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -70,21 +118,20 @@ def minhash_lsh_candidates(
     docs) is the skew risk — empty-shingle docs are filtered out first.
     """
     assert bands * rows == k, "signature length must equal bands*rows"
-    tok = X.tokens(text_col)
-    sh = X.shingles(tok, shingle_n)
-    sig = (
-        df.select(F.col(id_col), sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select(
-            F.col(id_col),
-            X.lsh_band_keys(
-                X.minhash_signature(F.col("__sh"), k), bands, rows
-            ).alias("band_keys"),
-        )
+    sig = minhash_table(df, id_col, text_col, shingle_n, k)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
     )
-
     banded = sig.select(
-        id_col, F.posexplode("band_keys").alias("band_idx", "band_key")
+        id_col, F.posexplode(band_keys).alias("band_idx", "band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -119,7 +166,7 @@ def jaccard_pairs(
     pre-filter is what makes this viable at corpus scale.
     """
     tok = X.tokens(text_col)
-    sh_set = df.select(
+    sh_set = spread_small_input(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
     ).filter(F.size("sh") > 0)

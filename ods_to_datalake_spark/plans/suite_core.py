@@ -74,6 +74,33 @@ def p06_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p03_derive_drop_rename",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_orderstatus,
+           CONCAT(o_orderstatus, '/', o_orderpriority) AS status_detail
+    FROM orders
+    """,
+    doc="P3+P4+P5: withColumn derive, drop helper column, rename "
+    "(ibs_ordinary_payment_utilities.py:27-29 date_cleaned pattern, "
+    ":128-141 renames) — all collapse into one Project in the plan.",
+)
+def p03_derive_drop_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("orders")
+        .withColumn(
+            "status_detail",
+            F.concat(F.col("o_orderstatus"), F.lit("/"), F.col("o_orderpriority")),
+        )
+        .withColumn("helper", F.upper(F.col("o_orderpriority")))
+        .drop("helper", "o_totalprice", "o_orderdate", "o_custkey",
+              "o_orderpriority")
+        .withColumnRenamed("o_orderkey", "order_id")
+    )
+
+
+@register(
     "p07_isin_filter",
     oracle="""
     SELECT o_orderkey, o_orderpriority

@@ -45,16 +45,29 @@ def _sql_shingles(toks: str, n: int = SHINGLE_N) -> str:
     )
 
 
-def _sql_minhash(sh: str, seed: int) -> str:
-    return (
-        f"list_min(list_transform({sh}, "
-        f"x -> md5(concat('{seed}|', x))))"
-    )
-
-
 def _sql_band_key(band: int, rows: int = LSH_ROWS) -> str:
     cols = ", ".join(f"mh_{band * rows + r}" for r in range(rows))
     return f"md5(concat_ws(',', {cols}))"
+
+
+def _sql_minhash_ctes(sh_source: str = "sh_t") -> str:
+    """The exploded Carter-Wegman MinHash signature, mirroring
+    operators/dedup.py minhash_table: one md5 per shingle, two 56-bit
+    halves (a, b), mh_s = min((a + s*b) mod 2^61-1)."""
+    mins = ", ".join(
+        f"MIN((a + {s} * b) % {X.MINHASH_PRIME}) AS mh_{s}"
+        for s in range(MINHASH_K)
+    )
+    return f"""ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM {sh_source} WHERE len(sh) > 0
+    ), hv AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(s), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substring(md5(s), 15, 14)) AS BIGINT) AS b
+      FROM ex
+    ), sig AS (
+      SELECT doc_id, {mins} FROM hv GROUP BY doc_id
+    )"""
 
 
 SQL_WORD_VALUE = "CAST(concat('0x', substring(md5({w}), 1, 6)) AS BIGINT)"
@@ -85,44 +98,34 @@ def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(cat.table("documents"), "text", "doc_id")
 
 
-_MINHASH_COLS = ",\n           ".join(
-    f"{_sql_minhash('sh', s)} AS mh_{s}" for s in range(MINHASH_K)
-)
-
-
 @register(
     "x03_minhash_signature",
     oracle=f"""
     WITH sh_t AS (
       SELECT doc_id, {_sql_shingles(SQL_TOKENS)} AS sh FROM documents
-    ), sig AS (
-      SELECT doc_id,
-           {_MINHASH_COLS}
-      FROM sh_t WHERE len(sh) > 0
-    )
+    ), {_sql_minhash_ctes()}
     SELECT doc_id,
            concat_ws(',', {", ".join(f"mh_{s}" for s in range(MINHASH_K))})
              AS signature
     FROM sig
     """,
-    doc=f"MinHash signatures: k={MINHASH_K} seeded md5 minima over word "
-    f"{SHINGLE_N}-shingles — map-only, no shuffle; the md5 hash family "
-    "makes the signature bit-identical in the SQL oracle.",
+    doc=f"MinHash signatures: k={MINHASH_K} Carter-Wegman affine maps of "
+    f"one md5 per word {SHINGLE_N}-shingle, explode + min-aggregate "
+    "(codegen + map-side partials; shuffle carries k values per doc) — "
+    "bit-identical in the SQL oracle.",
 )
 def x03_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import minhash_table
+
     cat = load_testdata(spark, sf_dir)
-    docs = cat.table("documents")
-    tok = X.tokens("text")
-    sh = X.shingles(tok, SHINGLE_N)
-    return (
-        docs.select(F.col("doc_id"), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(
-            "doc_id",
-            F.array_join(
-                X.minhash_signature(F.col("sh"), MINHASH_K), ","
-            ).alias("signature"),
-        )
+    sig = minhash_table(
+        cat.table("documents"), "doc_id", "text", SHINGLE_N, MINHASH_K
+    )
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            ",", *[F.col(f"mh_{s}") for s in range(MINHASH_K)]
+        ).alias("signature"),
     )
 
 
@@ -140,11 +143,7 @@ _BAND_UNION = " UNION ALL ".join(
     oracle=f"""
     WITH sh_t AS (
       SELECT doc_id, {_sql_shingles(SQL_TOKENS)} AS sh FROM documents
-    ), sig AS (
-      SELECT doc_id,
-           {_MINHASH_COLS}
-      FROM sh_t WHERE len(sh) > 0
-    ), bands AS (
+    ), {_sql_minhash_ctes()}, bands AS (
       SELECT doc_id, {_BAND_SQL} FROM sig
     ), banded AS (
       {_BAND_UNION}
@@ -182,11 +181,7 @@ def x04_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), sh_ok AS (
       SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0
-    ), sig AS (
-      SELECT doc_id,
-           {_MINHASH_COLS}
-      FROM sh_ok
-    ), bands AS (
+    ), {_sql_minhash_ctes('sh_ok')}, bands AS (
       SELECT doc_id, {_BAND_SQL} FROM sig
     ), banded AS (
       {_BAND_UNION}
@@ -195,15 +190,15 @@ def x04_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded a JOIN banded b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    ), ex AS (
+    ), shx AS (
       SELECT doc_id, unnest(sh) AS shingle FROM sh_ok
     ), sizes AS (
       SELECT doc_id, len(sh) AS n_sh FROM sh_ok
     ), inter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
       FROM cand c
-      JOIN ex ea ON c.id_a = ea.doc_id
-      JOIN ex eb ON c.id_b = eb.doc_id AND ea.shingle = eb.shingle
+      JOIN shx ea ON c.id_a = ea.doc_id
+      JOIN shx eb ON c.id_b = eb.doc_id AND ea.shingle = eb.shingle
       GROUP BY c.id_a, c.id_b
     )
     SELECT c.id_a, c.id_b,
