@@ -63,6 +63,71 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries_local: list[tuple],
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Throughput variant of `brute_force_topk`: Arrow-batched mapInPandas
+    with a numpy matmul per batch (one BLAS call scores a whole corpus
+    batch against every query) — 10-100× the per-row expression fold at
+    wide dims. The exact HOF variant stays the oracle-checked baseline;
+    this is the path a production scorer takes (and where a GPU would
+    plug in).
+
+    `queries_local`: [(query_id, vector), ...] — small, shipped in the
+    closure (≡ broadcast). Map-only over the corpus; the final per-query
+    top-k reduction shuffles only |corpus-partitions| × |queries| × k
+    candidate rows.
+    """
+    import numpy as np
+
+    from ods_to_datalake_spark.operators.agg import top_k_per_group
+
+    qids = [int(q) for q, _ in queries_local]
+    qmat = np.asarray([v for _, v in queries_local], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    out_schema = f"query_id long, {id_col} long, cosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            sims = (cmat @ qmat.T) / (
+                np.linalg.norm(cmat, axis=1)[:, None] * qnorm[None, :]
+            )
+            n_q = len(qids)
+            # per-partition pre-cut: keep only each query's local top-k
+            frames = []
+            for j in range(n_q):
+                col = np.round(sims[:, j], 6)
+                keep = np.argsort(-col, kind="stable")[: k + 1]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            id_col: ids[keep],
+                            "cosine": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .filter(F.col("query_id") != F.col(id_col))
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col(id_col)], k
+    )
+
+
 def centroids(
     corpus: DataFrame, cluster_col: str, vec_col: str
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Similarity-search tests: the vectorized numpy path must agree with
+the exact expression-fold baseline (which is oracle-checked in the
+parity suite); IVF recall sanity against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_vectorized,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_testdata(spark, SF).table("embeddings")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_vectorized_matches_exact(spark, emb):
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in brute_force_topk(
+            emb, _queries(emb), "vec_id", "embedding", K
+        ).collect()
+    }
+    qlocal = [
+        (r.query_id, list(r.embedding)) for r in _queries(emb).collect()
+    ]
+    fast = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in brute_force_topk_vectorized(
+            emb, qlocal, "vec_id", "embedding", K
+        ).collect()
+    }
+    assert set(fast) == set(exact)
+    for key in exact:
+        assert fast[key] == pytest.approx(exact[key], abs=2e-6)
+
+
+def test_ivf_recall_scales_with_nprobe(spark, emb):
+    """IVF mechanics check: recall vs brute force grows with nprobe and
+    reaches 1.0 when every cell is probed. (The testdata labels are not
+    geometric clusters, so absolute recall at low nprobe is data-limited
+    — a real pipeline supplies k-means cells; the operator's probe/
+    search mechanics are what's validated here.)"""
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(
+        emb, _queries(emb), "vec_id", "embedding", 5
+    ).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(nprobe: int) -> float:
+        got: dict[int, set] = {}
+        for r in ivf_topk(
+            emb, _queries(emb), "vec_id", "embedding", "label", 5,
+            nprobe=nprobe,
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(truth[q] & got.get(q, set())) / 5 for q in truth
+        ) / len(truth)
+
+    r2, r6, r10 = recall(2), recall(6), recall(10)
+    assert r2 > 0.15  # well above the 1-cell floor
+    assert r2 < r6 < r10  # more probes → strictly better here
+    assert r10 == 1.0  # probing every cell IS brute force

@@ -97,3 +97,43 @@ def test_json_documents_with_hash_id(spark, tmp_path):
     write_json_documents(df, path2, target_files=1)
     back2 = {r.k: r for r in spark.read.json(path2).collect()}
     assert rows[1].id == back2[1].id and rows[2].id == back2[2].id
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Co-located bucketed tables join with zero Exchange nodes."""
+    import contextlib
+    import io
+    import re
+
+    from ods_to_datalake_spark.sources.writer import write_bucketed_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], 4,
+                         sort_by=["o_orderkey"])
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 4,
+                         sort_by=["l_orderkey"])
+
+    # at test scale the planner would broadcast (which also skips the
+    # shuffle but proves nothing about bucketing) — disable it so the
+    # plan shows the bucketed sort-merge join a 100-TB fact⋈fact gets
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jj = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem")["l_orderkey"]
+            == spark.table("b_orders")["o_orderkey"],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            jj.explain("formatted")
+        p = buf.getvalue()
+        assert len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M)) == 0
+        assert "SortMergeJoin" in p
+        assert "Bucketed: true" in p
+        assert jj.count() == 6000  # every lineitem matched
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
