@@ -1,0 +1,94 @@
+"""Skew mitigation: salting (charter scale requirement).
+
+AQE's skew-join splitting handles most cases at runtime; explicit
+salting remains the tool when (a) one join key dominates so hard that a
+single post-split partition still OOMs, or (b) a *group-by* key is
+skewed (AQE does not split aggregation groups).
+
+- `salted_join`: fact⋈medium-dim where the dim is too big to broadcast
+  and fact keys are skewed. The fact side gets a deterministic salt in
+  [0, n); the dim side is replicated n× with every salt value; the join
+  key becomes (key, salt), spreading each hot key over n tasks. Result
+  is row-identical to the unsalted join (oracle-checked in the suite).
+- `two_phase_agg`: skewed group-by. Phase 1 aggregates on
+  (key, salt) — the hot key's rows split across n partial groups —
+  phase 2 merges partials on the key alone. Works for any algebraic
+  aggregate (sum/count/min/max); shuffle 1 carries n rows per hot key
+  instead of every raw row landing on one task.
+
+Salts are `pmod(xxhash64(salt_src), n)` — deterministic (replayable,
+oracle-friendly), uniform, and computed from columns that vary within
+the hot key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence as Seq
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(salt_src: Seq[Column | str], n: int) -> Column:
+    cols = [F.col(c) if isinstance(c, str) else c for c in salt_src]
+    return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_src: Seq[Column | str],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join; result == the plain join (minus the helper
+    columns). `salt_src`: left columns that vary within a hot key."""
+    l_salted = left.withColumn("__salt", _salt(salt_src, n_salt))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    joined = l_salted.join(
+        r_salted,
+        (l_salted[left_key] == r_salted[right_key])
+        & (l_salted["__salt"] == r_salted["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    group_by: Seq[str],
+    sums: dict[str, Column] | None = None,
+    counts: Seq[str] = (),
+    salt_src: Seq[Column | str] = (),
+    n_salt: int = 8,
+) -> DataFrame:
+    """Salted two-phase aggregation for skewed group keys.
+
+    ``sums``: {out_name: value_expr} summed exactly through both phases.
+    ``counts``: out_names receiving row counts. Extend with min/max by
+    the same partial/merge pattern if needed.
+    """
+    sums = sums or {}
+    salted = df.withColumn("__salt", _salt(list(salt_src), n_salt))
+    partial = salted.groupBy(*group_by, "__salt").agg(
+        *[v.alias(f"__p_{name}") for name, v in _partials(sums, counts)]
+    )
+    final = partial.groupBy(*group_by).agg(
+        *[
+            F.sum(F.col(f"__p_{name}")).alias(name)
+            for name, _ in _partials(sums, counts)
+        ]
+    )
+    return final
+
+
+def _partials(
+    sums: dict[str, Column], counts: Seq[str]
+) -> list[tuple[str, Column]]:
+    out = [(name, F.sum(expr)) for name, expr in sums.items()]
+    out += [(name, F.count(F.lit(1))) for name in counts]
+    return out

@@ -789,6 +789,104 @@ def u01_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct().exceptAll(c.distinct())
 
 
+@register(
+    "j05_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="Skew-spread salted join (operators/skew.py): fact salt from "
+    "within-key-varying columns, dim replicated n_salt times, join on "
+    "(key, salt) — row-identical to the plain join (this oracle), with "
+    "each hot key spread over n tasks.",
+)
+def j05_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.skew import salted_join
+
+    cat = load_testdata(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    return salted_join(
+        li,
+        orders.select("o_orderkey", "o_orderstatus"),
+        "l_orderkey",
+        "o_orderkey",
+        salt_src=["l_linenumber", "l_partkey"],
+        n_salt=8,
+    ).select("l_orderkey", "l_linenumber", "o_orderstatus")
+
+
+@register(
+    "a08_two_phase_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation for skewed group keys "
+    "(operators/skew.py): partials on (key, salt), merge on key — "
+    "decimal-exact so phases compose losslessly; result equals the "
+    "direct group-by (this oracle).",
+)
+def a08_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.skew import two_phase_agg
+
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    out = two_phase_agg(
+        li,
+        ["l_returnflag"],
+        sums={"sum_qty": _dec("l_quantity")},
+        counts=["n_rows"],
+        salt_src=["l_orderkey", "l_linenumber"],
+        n_salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast(D182).alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "u02_intersect_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Set-op + grouping-set generalization: intersect feeding a cube "
+    "(SURVEY §2.4/§2.6 'not present' rows) — Expand-based, one shuffle.",
+)
+def u02_intersect_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    both = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(
+            orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
+    )
+    filtered = orders.join(
+        both, orders["o_custkey"] == both["o_custkey"], "left_semi"
+    )
+    return agg_ops.grouped(
+        filtered,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n")],
+        mode="cube",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship analytical queries (headline bench)
 # ---------------------------------------------------------------------------
