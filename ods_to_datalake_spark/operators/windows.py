@@ -66,6 +66,26 @@ def surrogate_key(
     return out.withColumn(out_col, F.concat(*parts)).drop(seq_col)
 
 
+def upsert_snapshot(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Seq[str],
+    order_by: Seq[Column | str],
+) -> DataFrame:
+    """SCD-1 snapshot upsert without a transactional table format:
+    union current + updates, keep the winning row per key under
+    ``order_by`` (descending recency first, with tiebreakers).
+
+    The ODS→lakehouse refresh primitive: write the result as a NEW
+    run-indexed partition (sources/writer.write_run_indexed) and read
+    back via read_latest_run — append-only storage, snapshot semantics,
+    no overwrite window. One shuffle on the keys; WindowGroupLimit
+    applies the rank-1 filter map-side.
+    """
+    combined = current.unionByName(updates)
+    return dedup_keep_first(combined, list(keys), list(order_by))
+
+
 def dedup_keep_first(
     df: DataFrame,
     keys: Seq[Column | str],

@@ -851,6 +851,52 @@ def a08_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u03_upsert_snapshot",
+    oracle="""
+    SELECT o_custkey, o_orderkey, src FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY src DESC, o_orderdate DESC, o_orderkey
+      ) AS rn FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, 'current' AS src
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_custkey, o_orderkey, o_orderdate, 'update' AS src
+        FROM orders WHERE o_orderkey % 3 = 0
+      )
+    ) WHERE rn = 1
+    """,
+    doc="SCD-1 snapshot upsert (operators/windows.py upsert_snapshot): "
+    "union current+updates, keep the winner per key (updates preferred, "
+    "then recency, then a unique tiebreaker) — the ODS refresh "
+    "primitive; pairs with run-indexed append + read_latest_run for "
+    "overwrite-free snapshots.",
+)
+def u03_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.windows import upsert_snapshot
+
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    current = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_custkey", "o_orderkey", "o_orderdate", F.lit("current").alias("src")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_custkey", "o_orderkey", "o_orderdate", F.lit("update").alias("src")
+    )
+    out = upsert_snapshot(
+        current,
+        updates,
+        keys=["o_custkey"],
+        order_by=[
+            F.col("src").desc(),
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey"),
+        ],
+    )
+    return out.select("o_custkey", "o_orderkey", "src")
+
+
+@register(
     "u02_intersect_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -1,0 +1,92 @@
+"""Schema-pinned readers (SURVEY §1.3: schemas inferred at the edges in
+the reference, explicitly pinned in the engine) + run-index dataset
+helpers (the read side of O5).
+
+Readers never infer on production paths: inference costs an extra pass
+at scale and silently drifts types. Every reader takes a DDL/StructType
+contract; `mode` picks the bad-record policy (FAILFAST for gated loads,
+PERMISSIVE + corrupt-record column for exploratory ones).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), mode=mode, **options)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "FAILFAST",
+    **options,
+) -> DataFrame:
+    return (
+        spark.read.schema(schema).options(mode=mode, **options).json(path)
+    )
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Parquet carries its own schema; an optional contract is enforced
+    by selection+cast (so surplus columns are pruned at the scan and
+    missing ones fail loudly)."""
+    df = spark.read.parquet(path)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema]
+        )
+    return df
+
+
+_RUN_PART = re.compile(r"^([\w.-]+)=(\d{4}-\d{2}-\d{2})_(\d+)$")
+
+
+def list_run_indexes(path: str) -> list[tuple[str, int]]:
+    """(date, run_index) pairs present in a run-indexed dataset, sorted."""
+    out = []
+    for name in os.listdir(path):
+        m = _RUN_PART.match(name)
+        if m:
+            out.append((m.group(2), int(m.group(3))))
+    return sorted(out)
+
+
+def read_latest_run(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "transactiondate_index",
+) -> DataFrame:
+    """Read ONLY the newest (date, run) partition — partition pruning
+    makes this a single-directory scan regardless of dataset size; the
+    rerun-appends-new-partition layout (O5) makes it the 'current
+    snapshot' read."""
+    runs = list_run_indexes(path)
+    if not runs:
+        raise FileNotFoundError(f"no run-indexed partitions under {path}")
+    date, idx = runs[-1]
+    return spark.read.parquet(path).filter(
+        F.col(partition_col) == f"{date}_{idx}"
+    )

@@ -137,3 +137,47 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         assert jj.count() == 6000  # every lineitem matched
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_schema_contract_readers(spark, tmp_path):
+    from ods_to_datalake_spark.sources.reader import read_csv, read_parquet
+
+    csv_path = str(tmp_path / "in.csv")
+    with open(csv_path, "w") as f:
+        f.write("id,amount,d\n1,10.50,2026-01-23\n2,bad,2026-01-24\n")
+    ok = read_csv(
+        spark, csv_path, "id int, amount double, d date", mode="PERMISSIVE"
+    )
+    rows = ok.collect()
+    assert rows[0].amount == 10.5 and rows[1].amount is None  # bad → null
+    import pytest as _pytest
+
+    strict = read_csv(spark, csv_path, "id int, amount double, d date")
+    with _pytest.raises(Exception):  # FAILFAST surfaces the bad record
+        strict.collect()
+
+    # parquet contract: prune surplus, pin types
+    pq = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(1, "x", 9.9)], "id long, extra string, v double"
+    ).write.parquet(pq)
+    out = read_parquet(spark, pq, "id int, v string")
+    assert out.columns == ["id", "v"]
+    assert out.collect()[0].v == "9.9"
+
+
+def test_read_latest_run_snapshot(spark, tmp_path):
+    from ods_to_datalake_spark.sources.reader import (
+        list_run_indexes,
+        read_latest_run,
+    )
+    from ods_to_datalake_spark.sources.writer import write_run_indexed
+
+    path = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "old")], "k int, v string")
+    df2 = spark.createDataFrame([(1, "new"), (2, "x")], "k int, v string")
+    write_run_indexed(df1, path, "20260123", 1)
+    write_run_indexed(df2, path, "20260123", 2)
+    assert list_run_indexes(path) == [("2026-01-23", 1), ("2026-01-23", 2)]
+    snap = {r.k: r.v for r in read_latest_run(spark, path).collect()}
+    assert snap == {1: "new", 2: "x"}  # only the newest run visible
