@@ -128,6 +128,71 @@ def brute_force_topk_vectorized(
     )
 
 
+def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5: component i of
+    plane j = nibble_i(md5(f"h{j}|{block}")) - 7.5. Zero-mean, exactly
+    representable halves, reproducible in ANSI SQL by inlining the
+    constants — no RNG state to ship."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        nibbles: list[int] = []
+        block = 0
+        while len(nibbles) < dim:
+            h = hashlib.md5(f"h{j}|{block}".encode()).hexdigest()
+            nibbles.extend(int(c, 16) for c in h)
+            block += 1
+        planes.append([n - 7.5 for n in nibbles[:dim]])
+    return planes
+
+
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH.
+
+    Bucket = sign bits of `n_planes` fixed hyperplane projections
+    (map-only); candidate pairs form within buckets only (one shuffle on
+    the bucket key — never the O(n²) cross product); candidates are
+    verified against the exact rounded cosine threshold. ANN by
+    construction: pairs straddling a hyperplane are missed — raise
+    `n_planes` probes/bands for recall, or run the exact variant on the
+    LSH-reduced candidate set.
+    """
+    from ods_to_datalake_spark.functions import vectors as V
+
+    planes = hyperplane_weights(dim, n_planes)
+    v = V.to_double(vec_col)
+    bucket = F.concat(
+        *[
+            F.when(
+                V.dot(v, F.array(*[F.lit(w) for w in plane])) > 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+    )
+    tagged = corpus.select(
+        F.col(id_col), v.alias("__v"), bucket.alias("__bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        V.cosine_rounded(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
 def centroids(
     corpus: DataFrame, cluster_col: str, vec_col: str
 ) -> DataFrame:

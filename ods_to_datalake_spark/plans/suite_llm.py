@@ -387,6 +387,104 @@ def x08_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cosine")
 
 
+NEAR_DUP_TAU = 0.35
+N_PLANES = 4
+
+
+@register(
+    "x13_cosine_near_dup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_TAU}
+    """,
+    doc=f"Embedding-cosine near-dup pairs, exact: all pairs ≥ {NEAR_DUP_TAU} "
+    "— the ground-truth face of x14; quadratic, so at corpus scale it "
+    "runs only on an LSH-reduced candidate set.",
+)
+def x13_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    c = emb.select(
+        F.col("vec_id"), V.to_double("embedding").alias("v")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            V.cosine_rounded(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+    )
+
+
+def _sql_planes(dim: int) -> list[str]:
+    from ods_to_datalake_spark.operators.similarity import hyperplane_weights
+
+    return [
+        "[" + ", ".join(str(w) for w in plane) + "]"
+        for plane in hyperplane_weights(dim, N_PLANES)
+    ]
+
+
+_EMB_DIM = 64
+_SQL_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN list_dot_product(v, {p}) > 0 THEN '1' ELSE '0' END"
+    for p in _sql_planes(_EMB_DIM)
+) + ")"
+
+
+@register(
+    "x14_hyperplane_lsh_near_dup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), tagged AS (
+      SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM tagged a JOIN tagged b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_TAU}
+    """,
+    doc=f"Embedding near-dup via random-hyperplane LSH ({N_PLANES} "
+    "deterministic md5-derived planes): bucket on projection sign bits, "
+    "pair within buckets, verify exact cosine — the scale path (one "
+    "shuffle on bucket keys, no O(n²) cross product); oracle runs the "
+    "identical algorithm.",
+)
+def x14_hyperplane_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    return hyperplane_lsh_pairs(
+        emb, "vec_id", "embedding", _EMB_DIM,
+        n_planes=N_PLANES, threshold=NEAR_DUP_TAU,
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
