@@ -222,6 +222,56 @@ def centroids(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means, Spark-idiomatic: centroids live on
+    the driver (k × dim floats — tiny), assignment is a map-only
+    expression (argmin over k broadcast centroids via a lexicographic
+    struct-min), means are decimal-exact aggregates. No MLlib
+    dependency, no RDDs, reproducible across runs (seeds = the k
+    lowest-id vectors).
+
+    Scale: per iteration one scan + one (k × dim)-sized aggregate —
+    the corpus is never shuffled for assignment. `iters` is fixed (not
+    convergence-tested) to keep runs deterministic and bounded.
+
+    Returns (id_col, cluster int) — feed to `ivf_topk` as cluster_col.
+    """
+    seeds = [
+        [float(x) for x in r[1]]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    cents: list[list[float]] = seeds
+
+    def assign_expr(cents_local: list[list[float]]):
+        v = V.to_double(vec_col)
+        choices = []
+        for j, c in enumerate(cents_local):
+            carr = F.array(*[F.lit(x) for x in c])
+            diff = F.zip_with(v, carr, lambda a, b: (a - b) * (a - b))
+            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+            choices.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+        return F.array_min(F.array(*choices)).getField("j").cast("int")
+
+    for _ in range(iters):
+        assigned = corpus.withColumn("__cluster", assign_expr(cents))
+        new_cents = {
+            r[0]: list(r[1])
+            for r in centroids(assigned, "__cluster", vec_col).collect()
+        }
+        # empty clusters keep their previous centroid
+        cents = [new_cents.get(j, cents[j]) for j in range(k)]
+
+    return corpus.select(
+        id_col, assign_expr(cents).alias("cluster")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -78,6 +78,29 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e04_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_value,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    """,
+    doc="Semi-structured extraction: JSON property column → typed "
+    "columns (get_json_object / from_json path) — scans stay columnar; "
+    "the JSON parse is per-row JVM-side, no Python.",
+)
+def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return cat.table("events").select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
     "e03_asof_join",
     oracle="""
     SELECT event_id, user_id,

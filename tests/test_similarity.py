@@ -77,3 +77,33 @@ def test_ivf_recall_scales_with_nprobe(spark, emb):
     assert r2 > 0.15  # well above the 1-cell floor
     assert r2 < r6 < r10  # more probes → strictly better here
     assert r10 == 1.0  # probing every cell IS brute force
+
+
+def test_kmeans_cells_beat_label_cells(spark, emb):
+    """Real clustered cells must give better IVF recall at the same
+    nprobe than the arbitrary label column — and be deterministic."""
+    from ods_to_datalake_spark.operators.similarity import kmeans_assign
+
+    cells = kmeans_assign(emb, "vec_id", "embedding", k=10, iters=3)
+    again = kmeans_assign(emb, "vec_id", "embedding", k=10, iters=3)
+    assert {(r.vec_id, r.cluster) for r in cells.collect()} == {
+        (r.vec_id, r.cluster) for r in again.collect()
+    }
+
+    corpus_km = emb.join(cells, on="vec_id")
+    truth: dict[int, set] = {}
+    for r in brute_force_topk(emb, _queries(emb), "vec_id", "embedding", 5).collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(corpus, col, nprobe=2):
+        got: dict[int, set] = {}
+        for r in ivf_topk(
+            corpus, _queries(emb), "vec_id", "embedding", col, 5,
+            nprobe=nprobe,
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(truth[q] & got.get(q, set())) / 5 for q in truth) / len(truth)
+
+    r_label = recall(emb, "label")
+    r_km = recall(corpus_km, "cluster")
+    assert r_km >= r_label  # geometry-aware cells can't be worse here
