@@ -133,6 +133,42 @@ def sessionize_stream(
     )
 
 
+def stream_to_lakehouse(
+    stream_df: DataFrame,
+    path: str,
+    date_value: str,
+    checkpoint: str,
+    partition_col: str = "transactiondate_index",
+) -> "StreamingQuery":
+    """Streaming → lakehouse sink: each micro-batch appends a
+    run-indexed partition `<date>_<batch_id>` via foreachBatch — the
+    same layout the batch writers produce (O5), so downstream readers
+    (`read_latest_run`, partition pruning) are agnostic to whether data
+    arrived by batch or by stream. Checkpointing makes delivery
+    exactly-once per batch id (a replayed batch rewrites the same
+    partition value, not a new one).
+    """
+    from ods_to_datalake_spark.sources.writer import write_run_indexed
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_run_indexed(
+            batch_df,
+            path,
+            date_value,
+            int(batch_id),
+            partition_col=partition_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def running_user_stats(
     events: DataFrame, timeout_mins: int | None = None
 ) -> DataFrame:

@@ -71,3 +71,26 @@ def test_stateful_user_stats(spark):
     )
     want = {r.user_id: (r.n, round(r.t, 2)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_to_lakehouse_run_indexed(spark, tmp_path):
+    """Stream → foreachBatch → run-indexed parquet: same layout as the
+    batch writer, one partition per micro-batch, exactly-once."""
+    from ods_to_datalake_spark.sources.reader import list_run_indexes
+    from ods_to_datalake_spark.streaming.events import stream_to_lakehouse
+
+    path = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, SF)
+    q = stream_to_lakehouse(stream, path, "20260123", ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    runs = list_run_indexes(path)
+    assert runs and all(d == "2026-01-23" for d, _ in runs)
+    back = spark.read.parquet(path)
+    src_count = load_testdata(spark, SF).table("events").count()
+    assert back.count() == src_count
+    assert "transactiondate_index" in back.columns

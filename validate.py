@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Standalone correctness gate: run EVERY suite query in Spark and its
+DuckDB oracle, compare row counts + column names + order-insensitive
+value multisets (the driver's CORRECTNESS check, runnable by hand).
+
+Usage: python validate.py [sf_dir]   (default /root/testdata/sf0.01)
+Exit code 0 iff every query matches. Prints one line per query.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    sys.path.insert(0, ".")
+    from tests.oracle_utils import compare, duckdb_conn
+
+    from ods_to_datalake_spark.plans.suite import load_all
+    from ods_to_datalake_spark.session import build_session
+
+    queries = load_all()
+    spark = build_session(app_name="validate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_conn(sf_dir)
+
+    failures = []
+    for name in sorted(queries):
+        q = queries[name]
+        if not q.oracle:
+            n = q.fn(spark, sf_dir).count()
+            print(f"  rows-only  {name}: {n} rows")
+            continue
+        report = compare(q.fn(spark, sf_dir), con, q.oracle)
+        status = "ok" if report["match"] else "MISMATCH"
+        print(
+            f"  {status:9s}  {name}: spark={report['spark_rows']} "
+            f"oracle={report['oracle_rows']}"
+        )
+        if not report["match"]:
+            failures.append((name, report))
+
+    print(
+        f"\n{len(queries) - len(failures)}/{len(queries)} queries match "
+        f"at {sf_dir}"
+    )
+    for name, report in failures:
+        print(f"FAIL {name}: {report}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
