@@ -646,6 +646,157 @@ def x12_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, dim=_FEATURE_DIM)
 
 
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+@register(
+    "x15_redact_text",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+           CAST(LEN(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails
+    FROM documents
+    """,
+    doc="PII/URL scrubbing: email, URL, and long-digit-run redaction via "
+    "JVM-side regexp_replace (the corpus-cleaning pre-step); counts "
+    "surfaced for audit.",
+)
+def x15_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    url = r"https?://[^ ]+"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+            url,
+            "<URL>",
+        ),
+        r"[0-9]{4,}",
+        "<NUM>",
+    )
+    return cat.table("documents").select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+        .cast("long")
+        .alias("n_emails"),
+    )
+
+
+@register(
+    "x16_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             [array_to_string(toks[(i - 1) * {_CHUNK_STEP} + 1 :
+                                   (i - 1) * {_CHUNK_STEP} + {CHUNK_SIZE}],
+                              ' ')
+              for i in range(1,
+                GREATEST(CAST(ceil((len(toks) - {CHUNK_OVERLAP})
+                              / {_CHUNK_STEP}) AS BIGINT), 1) + 1)]
+               AS chunk_list
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_id,
+           chunk_list[i] AS chunk_text
+    FROM chunks, range(1, 10000) r(i)
+    WHERE i <= len(chunk_list)
+    """,
+    doc=f"Document chunking for training pipelines: {CHUNK_SIZE}-token "
+    f"windows with {CHUNK_OVERLAP}-token overlap via token-slice + "
+    "posexplode — map-only, order-preserving, no UDF; chunk count = "
+    "ceil((n-overlap)/step).",
+)
+def x16_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    toks = X.tokens("text")
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.size(toks) - F.lit(CHUNK_OVERLAP)) / F.lit(_CHUNK_STEP)
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    chunk_list = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * _CHUNK_STEP + 1, CHUNK_SIZE), " "
+        ),
+    )
+    return (
+        cat.table("documents")
+        .select("doc_id", F.posexplode(chunk_list).alias("chunk_id", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            "chunk_text",
+        )
+    )
+
+
+@register(
+    "x17_profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    """,
+    doc="Column profiling (ODS landing QA): per-column row/null/distinct "
+    "counts and min/max in ONE pass over the table (single aggregate, "
+    "unpivoted to rows) — the ingest-gate health check.",
+)
+def x17_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    cols = ["o_custkey", "o_orderstatus"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_non_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(profile).alias("p")).select("p.*")
+
+
 @register(
     "x02_token_count",
     oracle="""
