@@ -589,6 +589,33 @@ def a06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a09_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group (linear interpolation, "
+    "bit-identical across engines). Scale note: exact percentile sorts "
+    "each group; at 100 TB switch to approx_percentile (t-digest, "
+    "mergeable map-side sketch) — same call shape, bounded error.",
+)
+def a09_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.90)).alias("p90"),
+        )
+    )
+
+
+@register(
     "a07_distinct_agg",
     oracle="""
     SELECT o_orderstatus,
