@@ -716,6 +716,53 @@ def w03_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w05_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS moving_avg_3
+    FROM orders
+    """,
+    doc="Aggregate-over-window generalization (SURVEY §2.5 'not present' "
+    "row): running decimal sum + 3-row moving average with explicit "
+    "rowsBetween frames — one shuffle on the partition key, frames "
+    "evaluated in a single WindowExec pass.",
+)
+def w05_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast(D182)
+    return cat.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(D182)
+        .alias("running_spend"),
+        # exact decimal sum ÷ count, divided as doubles: avg(decimal)
+        # would round its widened scale differently per engine
+        (
+            F.sum(price)
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, Window.currentRow))
+        ).alias("moving_avg_3"),
+    )
+
+
+@register(
     "w04_dedup_keep_first",
     oracle="""
     SELECT o_custkey, o_orderkey AS first_orderkey

@@ -101,6 +101,29 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e05_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    doc="Interval join (purchase→click attribution within 1h) — the "
+    "batch face of the watermarked stream-stream join "
+    "(streaming/events.py purchase_attribution); state bounded by "
+    "watermark + interval on the stream path.",
+)
+def e05_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.streaming.events import purchase_attribution
+
+    cat = load_testdata(spark, sf_dir)
+    return purchase_attribution(cat.table("events"), "1 hour")
+
+
+@register(
     "e03_asof_join",
     oracle="""
     SELECT event_id, user_id,

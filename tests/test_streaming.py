@@ -94,3 +94,23 @@ def test_stream_to_lakehouse_run_indexed(spark, tmp_path):
     src_count = load_testdata(spark, SF).table("events").count()
     assert back.count() == src_count
     assert "transactiondate_index" in back.columns
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join produces the same pairs
+    as the batch face (oracle-checked in the parity suite)."""
+    from ods_to_datalake_spark.streaming.events import purchase_attribution
+
+    stream = read_event_stream(spark, SF)
+    _run_to_memory(
+        purchase_attribution(stream), "attrib_mem", "append"
+    )
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.table("attrib_mem").collect()
+    }
+    batch = purchase_attribution(
+        load_testdata(spark, SF).table("events")
+    )
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
