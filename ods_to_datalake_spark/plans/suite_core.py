@@ -971,6 +971,100 @@ def u03_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u04_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, src FROM (
+      SELECT o_orderkey, o_orderstatus, 'a' AS src
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT 'b' AS src, o_orderstatus, o_orderkey
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="Schema-evolution append: unionByName aligns by column NAME not "
+    "position — the safe form for evolving ODS extracts (positional "
+    "union silently scrambles reordered columns).",
+)
+def u04_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", F.lit("a").alias("src")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("b").alias("src"), "o_orderstatus", "o_orderkey"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "f02_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 10, 5) AS name_mid,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+           CAST(length(c_name) AS BIGINT) AS name_len
+    FROM customer
+    """,
+    doc="String-function surface (SURVEY §2.7 F13 substring + the "
+    "generalized set): upper/substring/lpad/replace/instr/length — all "
+    "codegen'd JVM expressions.",
+)
+def f02_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return cat.table("customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(l.qty AS DECIMAL(18,2)) AS total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    ) l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="TPC-H Q18-shaped HAVING-subquery: pre-aggregate + having filter "
+    "BEFORE the join (the small filtered side drives the probe) — the "
+    "large-order detection shape.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 120)
+    )
+    return orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"]
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(D182).alias("total_price"),
+        F.col("qty").cast(D182).alias("total_qty"),
+    )
+
+
+@register(
     "u02_intersect_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
