@@ -387,6 +387,57 @@ def x08_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cosine")
 
 
+DECON_SHINGLE_N = 5
+DECON_BENCH_IDS = 10  # "benchmark set" = doc_id < 10
+
+
+@register(
+    "x18_decontaminate",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id,
+             list_distinct({_sql_shingles(SQL_TOKENS, DECON_SHINGLE_N)})
+               AS sh
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh_t
+      WHERE doc_id < {DECON_BENCH_IDS}
+    ), train AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh_t
+      WHERE doc_id >= {DECON_BENCH_IDS}
+    )
+    SELECT DISTINCT t.doc_id AS contaminated_doc_id
+    FROM train t JOIN bench b ON t.s = b.s
+    """,
+    doc=f"Benchmark decontamination: flag training docs sharing any "
+    f"{DECON_SHINGLE_N}-gram with the benchmark set — shingle explode + "
+    "semi-join on the (small, broadcastable) benchmark shingle set; the "
+    "standard eval-leakage gate for training corpora.",
+)
+def x18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import spread_small_input
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    sh = F.array_distinct(
+        X.shingles(X.tokens("text"), DECON_SHINGLE_N)
+    ).alias("sh")
+    exploded = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(sh).alias("s")
+    )
+    bench = (
+        exploded.filter(F.col("doc_id") < DECON_BENCH_IDS)
+        .select("s")
+        .distinct()
+    )
+    train = exploded.filter(F.col("doc_id") >= DECON_BENCH_IDS)
+    return (
+        train.join(F.broadcast(bench), on="s", how="left_semi")
+        .select(F.col("doc_id").alias("contaminated_doc_id"))
+        .distinct()
+    )
+
+
 NEAR_DUP_TAU = 0.35
 N_PLANES = 4
 

@@ -97,6 +97,64 @@ def write_run_indexed(
     return value
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    compression: str = "snappy",
+) -> None:
+    """Selective partition overwrite: replace ONLY the partitions
+    present in `df`, leave every other partition untouched (dynamic
+    partition-overwrite mode) — the reprocess-one-date primitive when a
+    true rewrite is wanted instead of the run-index append (O5).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_files_per_partition: int = 1,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> None:
+    """Small-file compaction: rewrite a dataset with consolidated files.
+
+    The reference's design notes quantify the small-file problem
+    (~0.5-1 MB files → slow scans, all_from_gemini.txt:479-492); this is
+    the maintenance job that fixes it: read → repartition per partition
+    value → dynamic-overwrite in place. Row cap still bounds the upper
+    end so compaction can't create unsplittable giants.
+    """
+    df = spark.read.parquet(path)
+    keys = [F.col(c) for c in (partition_by or [])]
+    if keys:
+        df = df.repartition(target_files_per_partition, *keys)
+        overwrite_partitions(
+            df, path, partition_by, max_records_per_file=max_records_per_file
+        )
+    else:
+        df = df.repartition(target_files_per_partition)
+        # no partition columns: full rewrite via a staging subdir would
+        # be needed for atomicity; local rewrite is acceptable here
+        df.write.mode("overwrite").option(
+            "maxRecordsPerFile", max_records_per_file
+        ).parquet(path + "_compacted")
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

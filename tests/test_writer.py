@@ -181,3 +181,40 @@ def test_read_latest_run_snapshot(spark, tmp_path):
     assert list_run_indexes(path) == [("2026-01-23", 1), ("2026-01-23", 2)]
     snap = {r.k: r.v for r in read_latest_run(spark, path).collect()}
     assert snap == {1: "new", 2: "x"}  # only the newest run visible
+
+
+def test_overwrite_partitions_selective(spark, tmp_path):
+    """Dynamic overwrite replaces only the partitions in the new frame."""
+    from ods_to_datalake_spark.sources.writer import (
+        overwrite_partitions,
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "d string, v int"
+    )
+    write_partitioned_parquet(base, path, partition_by=["d"], mode="overwrite")
+    fix = spark.createDataFrame([("d1", 99)], "d string, v int")
+    overwrite_partitions(fix, path, ["d"])
+    got = {(r.d, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 99), ("d2", 3)}  # d2 untouched, d1 replaced
+
+
+def test_compact_dataset_reduces_files(spark, tmp_path):
+    import glob
+
+    from ods_to_datalake_spark.sources.writer import compact_dataset
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn(
+        "d", (F.col("id") % 2).cast("string")
+    )
+    # fragment: 16 files per partition
+    df.repartition(16).write.partitionBy("d").parquet(path)
+    frag = len(glob.glob(f"{path}/d=*/part-*.parquet"))
+    assert frag >= 20
+    compact_dataset(spark, path, ["d"], target_files_per_partition=1)
+    compacted = len(glob.glob(f"{path}/d=*/part-*.parquet"))
+    assert compacted == 2  # one file per partition
+    assert spark.read.parquet(path).count() == 1000
