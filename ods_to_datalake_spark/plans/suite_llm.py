@@ -387,6 +387,86 @@ def x08_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cosine")
 
 
+@register(
+    "x19_hash_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by content-stable "
+    "hash bucket (md5 of the id, not rand()) — membership is "
+    "reproducible across runs, machines, and engines; THE way to cut "
+    "holdout sets in a distributed corpus.",
+)
+def x19_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return cat.table("documents").select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "x20_quality_topk_per_source",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(CAST(length(text) AS DOUBLE) /
+                   greatest(LEN(string_split_regex(TRIM(text), '\\s+')), 1),
+                   6) AS mean_token_len
+      FROM documents
+    )
+    SELECT source, doc_id, mean_token_len FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY mean_token_len DESC, doc_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Curation: keep the top-5 docs per source by a quality signal — "
+    "score map-side, WindowGroupLimit per-group cut (map-side limit "
+    "before the shuffle); the domain-balanced selection step of a "
+    "training-mix builder.",
+)
+def x20_quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.agg import top_k_per_group
+
+    cat = load_testdata(spark, sf_dir)
+    scored = cat.table("documents").select(
+        "doc_id",
+        "source",
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1)
+            ),
+            6,
+        ).alias("mean_token_len"),
+    )
+    return top_k_per_group(
+        scored,
+        ["source"],
+        [F.col("mean_token_len").desc(), F.col("doc_id")],
+        5,
+    ).select("source", "doc_id", "mean_token_len")
+
+
 DECON_SHINGLE_N = 5
 DECON_BENCH_IDS = 10  # "benchmark set" = doc_id < 10
 
