@@ -97,13 +97,18 @@ def fingerprint(tok: Column) -> Column:
     with weight(i) = (i * FP_WEIGHT) mod (2^31-1). Order-sensitive (unlike
     a bag-of-words hash) yet expressible as a plain sum in ANSI SQL — no
     sequential fold needed, so it parallelizes and has an exact oracle.
-    Max intermediate: 16^6 * 2^31 * len — safely inside int64 for docs
-    up to ~50k tokens.
+
+    Overflow discipline: each term is reduced mod 2^31-1 BEFORE the sum
+    (term < 2^31, so the long accumulator holds ~2^32 tokens); summing
+    raw products would overflow int64 past ~260 tokens. The SQL oracle
+    may sum raw terms (hugeint) — sums of residues are congruent mod
+    the prime, so results agree.
     """
     weighted = F.transform(
         tok,
         lambda t, i: hex_word_value(t)
-        * ((i + 1).cast("long") * F.lit(FP_WEIGHT) % F.lit(FP_MOD)),
+        * ((i + 1).cast("long") * F.lit(FP_WEIGHT) % F.lit(FP_MOD))
+        % F.lit(FP_MOD),
     )
     return F.aggregate(
         weighted, F.lit(0).cast("long"), lambda acc, x: acc + x

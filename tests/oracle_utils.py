@@ -40,11 +40,15 @@ def _norm(v):
 
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):  # spark writes directories; glob inside
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

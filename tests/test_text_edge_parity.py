@@ -1,0 +1,69 @@
+"""Edge-case oracle parity for the text/dedup suite: write adversarial
+documents (empty, whitespace-only, single-token, unicode, huge) as a
+documents.parquet and replay the SAME query↔oracle pairs over them —
+catching tokenizer/regex/hash divergences the synthetic corpus never
+exercises."""
+
+from __future__ import annotations
+
+import pytest
+
+from ods_to_datalake_spark.plans.suite import load_all
+from tests.oracle_utils import compare, duckdb_conn
+
+EDGE_DOCS = [
+    (0, "", "en", "edge", 0),
+    (1, "   ", "en", "edge", 3),
+    (2, "one", "en", "edge", 3),
+    (3, "two words", "en", "edge", 9),
+    (4, "a b c d e f", "en", "edge", 11),
+    (5, "héllo wörld ñandú", "es", "edge", 17),
+    (6, "tabs\tand\nnewlines\r\nmixed   spaces", "en", "edge", 33),
+    (7, "the the the the the", "en", "edge", 19),
+    (8, "punct!!! ... ??? ;;; :::", "en", "edge", 24),
+    (9, "x" * 500, "en", "edge", 500),
+    (10, " ".join(f"w{i}" for i in range(1200)), "en", "edge", 6000),
+    (11, "Email me at a.b@c.de or visit https://x.y/z?q=1 code 123456",
+     "en", "edge", 59),
+]
+
+# per-document text/dedup queries whose semantics the edge docs stress
+EDGE_QUERIES = [
+    "x01_exact_dedup",
+    "x02_token_count",
+    "x03_minhash_signature",
+    "x04_minhash_lsh_candidates",
+    "x06_simhash",
+    "x09_langid",
+    "x10_quality_score",
+    "x11_fingerprint",
+    "x15_redact_text",
+    "x16_chunk_documents",
+    "x18_decontaminate",
+    "x19_hash_split",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge")
+    df = spark.createDataFrame(
+        EDGE_DOCS, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edge_con(edge_dir):
+    con = duckdb_conn(edge_dir)  # only the documents view resolves; fine
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_doc_parity(spark, edge_dir, edge_con, name):
+    q = load_all()[name]
+    report = compare(q.fn(spark, edge_dir), edge_con, q.oracle)
+    assert report["match"], f"{name}: {report}"
