@@ -14,7 +14,12 @@ Cross-engine determinism rules used throughout:
   driver sorts columns by name before hashing);
 - nested folds are compared via their sorted, delimited string form
   (`fold_to_sorted_strings` ⟷ `string_agg(... order by ...)`);
-- top-k orderings always end in a unique key so ties are stable.
+- top-k orderings always end in a unique key so ties are stable;
+- every concat part is null-coalesced per the reference null policy
+  (Spark CONCAT nulls the whole result, SQL CONCAT skips the part);
+- ordering/partition columns are non-null by schema, or would need
+  explicit NULLS FIRST/LAST (Spark asc defaults nulls-first, DuckDB
+  nulls-last).
 """
 
 from __future__ import annotations

@@ -393,11 +393,12 @@ def j04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            STRING_AGG(
              CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
-                    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)),
-             '|' ORDER BY CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'),
-                                 ':',
-                                 CAST(CAST(l_quantity AS DECIMAL(18,2))
-                                      AS VARCHAR))
+                    CAST(CAST(COALESCE(l_quantity, 0) AS DECIMAL(18,2))
+                         AS VARCHAR)),
+             '|' ORDER BY
+               CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
+                      CAST(CAST(COALESCE(l_quantity, 0) AS DECIMAL(18,2))
+                           AS VARCHAR))
            ) AS items
     FROM lineitem
     GROUP BY l_orderkey
@@ -409,12 +410,17 @@ def j04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "behavior ('_1,_10,_2').",
 )
 def a01_fold_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions import nulls
+
     cat = load_testdata(spark, sf_dir)
     li = cat.table("lineitem")
+    # required-field null policy (reference :71-78): a null amount folds
+    # as 0.00 — and keeps concat semantics engine-independent (Spark
+    # nulls the whole element; SQL CONCAT skips the null part)
     element = F.concat(
         F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
         F.lit(":"),
-        _dec("l_quantity").cast("string"),
+        nulls.req("l_quantity", "dec").cast("string"),
     )
     return nest.fold_to_sorted_strings(
         li, ["l_orderkey"], element, out_col="items"
@@ -434,16 +440,20 @@ def a01_fold_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_periods,
              STRING_AGG(
                CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
-                      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-                      ':', l_returnflag, ':',
-                      STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m-%d'),
-                      'T00:00:00+07:00'),
+                      CAST(CAST(COALESCE(l_extendedprice, 0)
+                                AS DECIMAL(18,2)) AS VARCHAR),
+                      ':', COALESCE(l_returnflag, ''), ':',
+                      COALESCE(STRFTIME(CAST(l_shipdate AS DATE),
+                                        '%Y-%m-%d')
+                               || 'T00:00:00+07:00', '')),
                '|' ORDER BY
                  CONCAT(LPAD(CAST(l_linenumber AS VARCHAR), 2, '0'), ':',
-                        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-                        ':', l_returnflag, ':',
-                        STRFTIME(CAST(l_shipdate AS DATE), '%Y-%m-%d'),
-                        'T00:00:00+07:00')
+                        CAST(CAST(COALESCE(l_extendedprice, 0)
+                                  AS DECIMAL(18,2)) AS VARCHAR),
+                        ':', COALESCE(l_returnflag, ''), ':',
+                        COALESCE(STRFTIME(CAST(l_shipdate AS DATE),
+                                          '%Y-%m-%d')
+                                 || 'T00:00:00+07:00', ''))
              ) AS periods
       FROM lineitem GROUP BY l_orderkey
     ) l ON o.o_orderkey = l.l_orderkey
@@ -458,17 +468,25 @@ def a01_fold_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a02_document_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.functions.timefmt import iso_ts_string
 
+    from ods_to_datalake_spark.functions import nulls
+
     cat = load_testdata(spark, sf_dir)
     orders, li = cat.table("orders"), cat.table("lineitem")
     key = F.lpad(F.col("l_linenumber").cast("string"), 2, "0")
+    # required-field null policy on every concat part (see a01 note)
     element = F.concat(
         key,
         F.lit(":"),
-        _dec("l_extendedprice").cast("string"),
+        nulls.req("l_extendedprice", "dec").cast("string"),
         F.lit(":"),
-        F.col("l_returnflag"),
+        F.coalesce(F.col("l_returnflag"), F.lit("")),
         F.lit(":"),
-        iso_ts_string(F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")),
+        F.coalesce(
+            iso_ts_string(
+                F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd")
+            ),
+            F.lit(""),
+        ),
     )
     folded = li.groupBy("l_orderkey").agg(
         F.count("*").alias("n_periods"),
