@@ -19,6 +19,14 @@ skewed (AQE does not split aggregation groups).
 Salts are `pmod(xxhash64(salt_src), n)` — deterministic (replayable,
 oracle-friendly), uniform, and computed from columns that vary within
 the hot key.
+
+Measured (local[32], 20M rows, 85% of rows on ONE key, 1000-key dim):
+plain groupBy 1.06s vs two_phase_agg 0.74s; sort-merge join with AQE
+skew-split and broadcast disabled 11.2s vs salted_join 7.2s. On a real
+cluster the gap scales with the straggler: the hot key's 17M rows land
+on ONE task unsalted. Order of preference: broadcast > AQE skew-join >
+salting (joins); two_phase_agg whenever a group key is hot (AQE never
+splits aggregation groups).
 """
 
 from __future__ import annotations

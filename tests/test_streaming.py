@@ -114,3 +114,44 @@ def test_stream_stream_join_matches_batch(spark):
     )
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_incremental_multibatch_matches_batch(spark, tmp_path):
+    """True incremental processing: events split across 5 files, one
+    file per trigger → 5 micro-batches; the final windowed state must
+    equal the single-shot batch result."""
+    from ods_to_datalake_spark.streaming.events import EVENT_SCHEMA
+
+    src_dir = str(tmp_path / "evsrc")
+    cat = load_testdata(spark, SF)
+    events = cat.table("events")
+    events.repartition(5).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = tumbling_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_mem")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 5  # genuinely incremental, not one big batch
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("inc_mem").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_counts(events).collect()
+    }
+    assert got == want
