@@ -1,0 +1,47 @@
+"""Shuffle-order invariance: document folds and hash operators must
+produce IDENTICAL results under different parallelism (partition counts
+change collect_list arrival order — sort_array and min() must absorb
+it). This is the determinism claim behind the oracle strategy."""
+
+from __future__ import annotations
+
+import pytest
+
+from ods_to_datalake_spark.plans.suite import load_all
+
+QUERIES = load_all()
+SF = "/root/testdata/sf0.001"
+
+INVARIANCE_QUERIES = [
+    "a01_fold_sorted_array",
+    "a02_document_fold",
+    "x03_minhash_signature",
+    "x07_cosine_topk",
+    "w03_surrogate_key",
+]
+
+
+def _rows(spark, name):
+    df = QUERIES[name].fn(spark, SF)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_shuffle_partition_invariance(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high
+
+
+def test_entry_documents_stable_across_runs(spark):
+    import __spark_entry__ as e
+
+    a = {r.o_orderkey: r.id for r in e.entry(spark).collect()}
+    b = {r.o_orderkey: r.id for r in e.entry(spark).collect()}
+    assert a == b
