@@ -518,6 +518,104 @@ def x18_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_MAX_HAMMING = 6
+_SIMHASH_BANDS = [(1, 8), (9, 8), (17, 8), (25, 8)]  # (start, len) ×4
+
+
+@register(
+    "x21_simhash_near_dup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_transform({SQL_TOKENS}, tk -> md5(tk)) AS hs
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, concat({_SIMHASH_BITS_SQL}) AS simhash FROM t
+    ), banded AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_idx, "
+        f"substring(simhash, {s}, {l}) AS band FROM sig"
+        for i, (s, l) in enumerate(_SIMHASH_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+                      b.doc_id AS id_b, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band = b.band
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(list_transform(range(1, 33),
+                i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)),
+                x -> x)) AS INT) AS hamming
+    FROM cand
+    WHERE len(list_filter(list_transform(range(1, 33),
+          i -> substring(sh_a, i, 1) <> substring(sh_b, i, 1)),
+          x -> x)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    doc=f"SimHash near-dup search: band the 32-bit signature into 4×8-bit "
+    f"chunks (a pair within Hamming {SIMHASH_MAX_HAMMING} must agree on "
+    "≥1 band by pigeonhole when ≤3 bands differ... banding gives "
+    "candidates, exact Hamming verifies ≤ "
+    f"{SIMHASH_MAX_HAMMING}) — signature banding join, no cross "
+    "product; completes the SimHash dedup path started by x06.",
+)
+def x21_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        simhash_signatures,
+        spread_small_input,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    sig = simhash_signatures(
+        spread_small_input(cat.table("documents").select("doc_id", "text")),
+        "doc_id",
+        "text",
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", s, l)
+                    for s, l in _SIMHASH_BANDS
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh_a"), ""),
+                F.split(F.col("sh_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 NEAR_DUP_TAU = 0.35
 N_PLANES = 4
 

@@ -1,4 +1,9 @@
 """Regenerate QUERIES.md from the suite registry."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from ods_to_datalake_spark.plans.suite import load_all
 
 Q = load_all()
