@@ -73,6 +73,31 @@ def fold_to_sorted_strings(
     )
 
 
+def unnest_array(
+    df: DataFrame,
+    array_col: str,
+    keep: Seq[Column | str] = (),
+    with_position: bool = False,
+) -> DataFrame:
+    """Inverse of `fold_to_array`: explode an array-of-struct column back
+    to one row per element with the struct fields as top-level columns.
+
+    The lake-side read pattern — documents come OUT of the lake as
+    relational rows for analytics. `with_position` adds the 0-based
+    element index (the fold's sort order). Map-side only; no shuffle.
+    """
+    keep_cols = _cols(keep) if keep else [
+        F.col(c) for c in df.columns if c != array_col
+    ]
+    if with_position:
+        exploded = df.select(
+            *keep_cols, F.posexplode(array_col).alias("pos", "__elem")
+        )
+        return exploded.select(*[c for c in keep_cols], "pos", "__elem.*")
+    exploded = df.select(*keep_cols, F.explode(array_col).alias("__elem"))
+    return exploded.select(*[c for c in keep_cols], "__elem.*")
+
+
 def doc_id(*cols: Column | str, bits: int = 256) -> Column:
     """Content-hash document id (SURVEY §2.1 S6).
 

@@ -1,0 +1,63 @@
+"""Catalog + nest roundtrip tests: resolution precedence, nanos fixup,
+and fold→unnest returning the original rows exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import Catalog, load_testdata
+from ods_to_datalake_spark.operators.nest import fold_to_array, unnest_array
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_catalog_resolution_precedence(spark):
+    cat = Catalog(spark, base_dir=SF)
+    # parquet-dir resolution
+    assert cat.table("region").count() == 5
+    # explicit registration wins over the parquet file
+    override = spark.createDataFrame([(99, "X")], "r_regionkey int, r_name string")
+    cat.register("region", override)
+    assert cat.table("region").count() == 1
+
+
+def test_catalog_nanos_fixup(spark):
+    events = load_testdata(spark, SF).table("events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    # values are sane (year 2024, not 1970 — i.e. unit conversion right)
+    years = events.select(F.year("ts").alias("y")).distinct().collect()
+    assert {r.y for r in years} == {2024}
+
+
+def test_fold_unnest_roundtrip(spark):
+    li = load_testdata(spark, SF).table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    folded = fold_to_array(
+        li,
+        ["l_orderkey"],
+        [
+            F.col("l_linenumber").alias("l_linenumber"),
+            F.col("l_quantity").alias("l_quantity"),
+            F.col("l_returnflag").alias("l_returnflag"),
+        ],
+        out_col="items",
+    )
+    back = unnest_array(folded, "items")
+    orig = sorted(tuple(r) for r in li.collect())
+    round_tripped = sorted(
+        tuple(r) for r in back.select(*li.columns).collect()
+    )
+    assert round_tripped == orig  # fold → unnest is lossless
+
+
+def test_unnest_with_position_matches_sort_order(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 2), ("g", "a", 1), ("g", "c", 3)], "k string, s string, v int"
+    )
+    folded = fold_to_array(df, ["k"], ["s", "v"], out_col="arr")
+    rows = unnest_array(folded, "arr", with_position=True).collect()
+    assert [(r.pos, r.s) for r in sorted(rows, key=lambda r: r.pos)] == [
+        (0, "a"), (1, "b"), (2, "c")
+    ]
