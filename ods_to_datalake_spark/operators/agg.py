@@ -87,6 +87,34 @@ def grouped(
     return g.agg(*aggs)
 
 
+def approx_profile(
+    df: DataFrame,
+    group_by: Seq[Column | str],
+    distinct_col: str,
+    percentile_col: str,
+    percentiles: Seq[float] = (0.5, 0.95),
+    rsd: float = 0.05,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based aggregate profile: HyperLogLog distinct count +
+    t-digest percentiles in ONE pass.
+
+    The 100-TB form of a07/a09: both sketches are mergeable, so partial
+    aggregation happens map-side and the shuffle carries fixed-size
+    sketch state instead of values — exact distinct/percentile both
+    need the full value set per group. Error: ±rsd relative for the
+    count, rank error ~1/accuracy for percentiles.
+    """
+    return df.groupBy(*_cols(group_by)).agg(
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias(
+            f"approx_distinct_{distinct_col}"
+        ),
+        F.percentile_approx(
+            percentile_col, list(percentiles), accuracy
+        ).alias(f"approx_percentiles_{percentile_col}"),
+    )
+
+
 def top_k(
     df: DataFrame,
     order_by: Seq[Column | str],

@@ -186,3 +186,35 @@ def test_asof_join_directions(spark):
         asof_join(tie, right, ["k"], "t", "t", "backward").collect()[0].tag
         == "r_b"
     )
+
+
+def test_approx_profile_error_bounds(spark):
+    """Sketch aggregates stay within their advertised error bounds of
+    the exact answers (computed on the same data)."""
+    from ods_to_datalake_spark.operators.agg import approx_profile
+
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    approx = {
+        r.o_orderstatus: (
+            r.approx_distinct_o_custkey,
+            r.approx_percentiles_o_totalprice,
+        )
+        for r in approx_profile(
+            df, ["o_orderstatus"], "o_custkey", "o_totalprice"
+        ).collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.nd, r.p50, r.p95)
+        for r in df.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for status, (nd_e, p50_e, p95_e) in exact.items():
+        nd_a, (p50_a, p95_a) = approx[status]
+        assert abs(nd_a - nd_e) / nd_e < 0.15  # 3x the 5% rsd as slack
+        assert abs(p50_a - p50_e) / p50_e < 0.05
+        assert abs(p95_a - p95_e) / p95_e < 0.05
