@@ -51,17 +51,39 @@ class Catalog:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     @staticmethod
-    def _fix_nanos(df: DataFrame) -> DataFrame:
+    def _nanos_columns(path: str) -> list[str]:
+        """Columns stored as TIMESTAMP(NANOS) per the parquet footer —
+        the authoritative signal (a name/type heuristic would corrupt
+        ordinary epoch-valued long columns)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if path.endswith(".parquet") and not _glob.os.path.isdir(path)
+            else _glob.glob(f"{path}/*.parquet") or [path]
+        )
+        try:
+            schema = pq.read_schema(files[0])
+        except Exception:
+            return []
+        return [
+            f.name
+            for f in schema
+            if str(f.type) == "timestamp[ns]"
+        ]
+
+    def _fix_nanos(self, df: DataFrame, path: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        for f in df.schema.fields:
-            meta = f.metadata or {}
-            if meta.get("__is_nanos__") or (
-                f.name == "ts" and isinstance(f.dataType, T.LongType)
-            ):
+        for name in self._nanos_columns(path):
+            if isinstance(df.schema[name].dataType, T.LongType):
+                # integer div, not float division: ns-epoch magnitudes
+                # exceed double's 53-bit mantissa
                 df = df.withColumn(
-                    f.name, F.expr(f"timestamp_micros({f.name} div 1000)")
+                    name, F.expr(f"timestamp_micros({name} div 1000)")
                 )
         return df
 
@@ -74,7 +96,7 @@ class Catalog:
         if self.base_dir is not None:
             path = os.path.join(self.base_dir, f"{name}.parquet")
             if os.path.exists(path):
-                return self._fix_nanos(self.spark.read.parquet(path))
+                return self._fix_nanos(self.spark.read.parquet(path), path)
             # hive-partitioned dataset directory written by our writer
             dirpath = os.path.join(self.base_dir, name)
             if os.path.isdir(dirpath):

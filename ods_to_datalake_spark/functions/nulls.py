@@ -23,10 +23,12 @@ from pyspark.sql import types as T
 
 MONEY = T.DecimalType(18, 2)
 
-# sentinel values for *required* document fields, by field class
+# sentinel values for *required* document fields, by field class;
+# every castable kind MUST appear here (req() rejects unknown kinds)
 REQUIRED_SENTINELS: dict[str, object] = {
     "str": "",
     "int": 0,
+    "long": 0,
     "dec": Decimal("0.00"),
     "date": None,  # required dates still null when absent (reference :78)
 }
@@ -44,8 +46,8 @@ def req(col: Column | str, kind: str) -> Column:
     """Required-field cast: null → class sentinel, else pinned cast."""
     c = F.col(col) if isinstance(col, str) else col
     dtype = _CAST_TYPES[kind]
-    sentinel = REQUIRED_SENTINELS.get(kind)
-    if sentinel is None:
+    sentinel = REQUIRED_SENTINELS[kind]  # unknown kind → loud KeyError
+    if sentinel is None:  # the intentional dates-stay-null policy
         return c.cast(dtype)
     return F.when(c.isNotNull(), c.cast(dtype)).otherwise(
         F.lit(sentinel).cast(dtype)

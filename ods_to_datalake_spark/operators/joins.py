@@ -90,6 +90,12 @@ def asof_join(
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(on) and c != right_time
     ]
+    clash = sorted(set(rcols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output would duplicate column(s) {clash}: rename "
+            "them on the right side or pass right_cols explicitly"
+        )
     key = list(on)
 
     lt = F.col(left_time)

@@ -102,11 +102,16 @@ def brute_force_topk_vectorized(
                 np.linalg.norm(cmat, axis=1)[:, None] * qnorm[None, :]
             )
             n_q = len(qids)
-            # per-partition pre-cut: keep only each query's local top-k
             frames = []
+            # per-partition pre-cut: keep only each query's local top-k.
+            # Rounding must match Spark's F.round (HALF_UP — away from
+            # zero), not numpy's half-even, and the cut must use the SAME
+            # tiebreak as the final reducer (cosine desc, id asc) or a
+            # boundary tie could drop the row the reducer would pick.
             for j in range(n_q):
-                col = np.round(sims[:, j], 6)
-                keep = np.argsort(-col, kind="stable")[: k + 1]
+                raw = sims[:, j]
+                col = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+                keep = np.lexsort((ids, -col))[: k + 1]
                 frames.append(
                     pd.DataFrame(
                         {
@@ -246,6 +251,10 @@ def kmeans_assign(
         [float(x) for x in r[1]]
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     ]
+    if not seeds:
+        raise ValueError("kmeans_assign: corpus is empty")
+    if len(seeds) < k:
+        k = len(seeds)  # fewer rows than clusters → one row per cluster
     cents: list[list[float]] = seeds
 
     def assign_expr(cents_local: list[list[float]]):

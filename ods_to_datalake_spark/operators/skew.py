@@ -52,7 +52,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-spread equi-join; result == the plain join (minus the helper
-    columns). `salt_src`: left columns that vary within a hot key."""
+    columns). `salt_src`: left columns that vary within a hot key.
+
+    Only 'inner' and 'left' are row-identical to the plain join: the
+    right side is replicated n_salt times, so outer forms that preserve
+    unmatched RIGHT rows would emit each of them n_salt times.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would duplicate unmatched right rows "
+            "n_salt times"
+        )
     l_salted = left.withColumn("__salt", _salt(salt_src, n_salt))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

@@ -119,10 +119,21 @@ def fold_riders(premium: DataFrame) -> DataFrame:
     → per-header row_number by due_date → `<policy>_<n>` rider ids →
     sorted array-of-struct. Pre-folding BEFORE the header join keeps the
     wide document fold free of the rider cross-product."""
+    # NB: the reference orders by due_date alone (:84) — nondeterministic
+    # when two riders share a due date; we append tiebreakers (schedule
+    # `sequence` when present, then policy/amount) so rider numbering —
+    # and thus doc content hashes — is stable.
+    order_keys: list = ["due_date"]
+    if "sequence" in premium.columns:
+        order_keys.append("sequence")
+    order_keys += [
+        F.col("policy_number"),
+        F.col("regular_premium").cast(D182),  # numeric, not string, order
+    ]
     riders = windows.sequence(
         premium.filter(F.col("premium_level") == "Rider"),
         ["payment_header_seq"],
-        ["due_date"],
+        order_keys,
         out_col="row_num",
     ).select(
         "payment_header_seq",
@@ -309,11 +320,15 @@ def build_payment_documents(
         doc["prm_mode"] == dim_period["payment_period_ktaxa_code"],
         broadcast=True,
     )
+    # NB: the reference orders by 5 of the 7 group keys (:262-266);
+    # pmt_prm_term_year is appended so the suffix is deterministic when
+    # documents differ only in term year.
     doc = windows.surrogate_key(
         doc,
         "PMT_KAL_",
         ["pmt_seq"],
-        ["pol_no", "pmt_type", "pmt_premium_type", "pol_year", "prm_mode"],
+        ["pol_no", "pmt_type", "pmt_premium_type", "pol_year", "prm_mode",
+         "pmt_prm_term_year"],
         out_col="pmt_refer_code_of_company",
     )
 

@@ -39,6 +39,11 @@ DEFAULT_CONFIGS: dict[str, str] = {
     # ObjectHashAggregate; keep its sort-based fallback at default but make
     # sure it is enabled.
     "spark.sql.execution.useObjectHashAggregateExec": "true",
+    # FAIR scheduling so the orchestrator's concurrent driver threads
+    # (orchestrate/runner.py O4 lane) share executors instead of FIFO
+    # head-of-line blocking; pools are named per run via the local
+    # property spark.scheduler.pool.
+    "spark.scheduler.mode": "FAIR",
 }
 
 
