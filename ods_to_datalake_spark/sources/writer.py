@@ -174,7 +174,24 @@ def write_bucketed_table(
     one-time bucketing write pays for itself after the first join.
     `sort_by` additionally pre-sorts within buckets so sort-merge joins
     skip their sort.
+
+    On overwrite, an orphaned warehouse directory (location exists but
+    the table is gone from the metastore — e.g. a deleted
+    `metastore_db` with a surviving `spark-warehouse/`) is removed
+    first; Spark otherwise fails with LOCATION_ALREADY_EXISTS.
     """
+    if mode == "overwrite":
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if not spark.catalog.tableExists(table):
+            import shutil
+            from urllib.parse import urlparse
+
+            warehouse = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path
+            shutil.rmtree(f"{warehouse}/{table.split('.')[-1]}",
+                          ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .option("compression", compression)
