@@ -75,6 +75,7 @@ def load_all() -> dict[str, Query]:
         suite_core,
         suite_events,
         suite_llm,
+        suite_tpch,
     )
 
     return REGISTRY
