@@ -1054,3 +1054,196 @@ def x02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("bpe_ish_tokens"),
     )
+
+
+@register(
+    "x22_repetition_metrics",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(w) AS word FROM toks
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM t GROUP BY doc_id, word
+    ), wa AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM wc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                  ELSE [] END AS bigrams
+      FROM toks
+    ), ba AS (
+      SELECT doc_id, CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bigrams)) AS BIGINT)
+               AS n_distinct_bigrams
+      FROM bg
+    )
+    SELECT wa.doc_id, n_words,
+           ROUND(1 - CAST(n_distinct AS DOUBLE)
+                     / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+           ROUND(CAST(top_count AS DOUBLE)
+                 / CAST(n_words AS DOUBLE), 6) AS top_word_share,
+           CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(1 - CAST(n_distinct_bigrams AS DOUBLE)
+                           / CAST(n_bigrams AS DOUBLE), 6)
+           END AS dup_bigram_frac
+    FROM wa JOIN ba ON wa.doc_id = ba.doc_id
+    """,
+    doc="Gopher-style intra-document repetition metrics (duplicate-word "
+    "fraction, most-common-word share, duplicate-bigram fraction) — the "
+    "'repetitious documents' filter of a training-data pipeline. "
+    "Relational form: one explode + two codegen'd aggregations + a lead "
+    "window for bigrams (NOT nested higher-order functions — see the "
+    "measured 20x trap in operators/dedup.minhash_table). All ratios "
+    "are exact-count divisions rounded to 6; the zero-bigram case "
+    "(single-word doc) is guarded in both engines (ANSI div-by-zero).",
+)
+def x22_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    wa = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    ba = (
+        words.withColumn("nxt", F.lead("word").over(w_seq))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "word", "nxt").alias("bigram")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count_distinct("bigram").cast("long").alias(
+                "n_distinct_bigrams"
+            ),
+        )
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        wa.join(ba, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.lit(1) - dbl("n_distinct") / dbl("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(dbl("top_count") / dbl("n_words"), 6).alias(
+                "top_word_share"
+            ),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0,
+                F.lit(0.0),
+            )
+            .otherwise(
+                F.round(
+                    F.lit(1)
+                    - dbl("n_distinct_bigrams") / dbl("n_bigrams"),
+                    6,
+                )
+            )
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+@register(
+    "x23_tfidf_top_terms",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, word
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+      FROM wc GROUP BY doc_id
+    ), dfreq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      FROM wc GROUP BY word
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+      SELECT wc.doc_id, wc.word,
+             ROUND((CAST(wc.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE))
+                   * LN(CAST(n.n_docs AS DOUBLE)
+                        / CAST(dfreq.df AS DOUBLE)), 9) AS score
+      FROM wc
+      JOIN dl ON wc.doc_id = dl.doc_id
+      JOIN dfreq ON wc.word = dfreq.word
+      CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, word, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, word ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, word, score FROM ranked WHERE rn <= 3
+    """,
+    doc="Corpus TF-IDF with per-document top-3 terms: term frequencies "
+    "and document frequencies from ONE exploded pass (the (doc, word) "
+    "aggregate feeds doc-length, df, and the score join), the corpus "
+    "size as a 1-row broadcast, WindowGroupLimit top-k. Score doubles "
+    "are computed with identical cast/op order in both engines and "
+    "rounded to 9 BEFORE ranking; ties broken by word — cross-engine "
+    "deterministic top-k.",
+)
+def x23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators import agg as agg_ops
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "word"
+        ),
+    )
+    wc = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = wc.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len")
+    )
+    dfreq = wc.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        wc.join(dl, "doc_id")
+        .join(dfreq, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (dbl("tf") / dbl("doc_len"))
+                * F.log(dbl("n_docs") / dbl("df")),
+                9,
+            ).alias("score"),
+        )
+    )
+    return agg_ops.top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("score").desc(), F.col("word").asc()],
+        3,
+    )
