@@ -263,3 +263,29 @@ def running_user_stats(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event delivery over an at-least-once source: drop
+    duplicate events by key.
+
+    Streaming: `dropDuplicatesWithinWatermark` — the state store keeps
+    each key only within the watermark horizon, so state is bounded by
+    (arrival rate × horizon) instead of growing with the whole stream;
+    a replayed event whose twin has already been evicted is older than
+    the watermark and would be dropped by it anyway. At 100 TB/day this
+    is the difference between a fixed-size state store and an
+    unbounded one. Batch face: plain `dropDuplicates` (which row of a
+    duplicate group survives is nondeterministic in both faces — only
+    use with keys whose payload is identical across duplicates, the
+    redelivery case).
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))

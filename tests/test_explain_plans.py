@@ -100,3 +100,39 @@ def test_whole_stage_codegen_covers_headline_scan(spark):
     assert "codegen id" in p
     assert "* HashAggregate" in p  # scan→filter→partial-agg fused
     assert "ObjectHashAggregate" not in p  # no object-hash fallback here
+
+
+def test_q19_disjunction_derives_single_side_pushdown(spark):
+    """The OR-of-ANDs mixes columns from both join sides, yet Catalyst
+    must derive the per-side envelopes and push them into BOTH parquet
+    scans (otherwise a 100-TB lineitem is read in full)."""
+    p = plan(spark, "q19_disjunctive_predicates")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    li_pushed = [ln for ln in pushed if "l_quantity" in ln]
+    part_pushed = [ln for ln in pushed if "p_brand" in ln]
+    assert li_pushed and "Or(" in li_pushed[0]
+    assert part_pushed and "Or(" in part_pushed[0]
+
+
+def test_q21_exists_chain_is_semi_plus_anti(spark):
+    """EXISTS/NOT EXISTS self-joins must plan as semi/anti joins (row
+    preserving), never inner joins with dedup."""
+    p = plan(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_q02_correlation_reuses_agg_shuffle(spark):
+    """The correlated MIN is a window over the same l_partkey
+    partitioning the aggregate produced — at most 2 shuffles end-to-end
+    (pair agg + window repartition), not one per subquery."""
+    p = plan(spark, "q02_min_cost_supplier")
+    assert _shuffle_exchanges(p) <= 2
+
+
+def test_q09_dims_all_broadcast(spark):
+    """Five-way join: part/supplier/nation broadcast; facts shuffle at
+    most once each."""
+    p = plan(spark, "q09_product_profit")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert _shuffle_exchanges(p) <= 2

@@ -155,3 +155,28 @@ def test_incremental_multibatch_matches_batch(spark, tmp_path):
         for r in tumbling_counts(events).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    """At-least-once replay: the same event file delivered twice across
+    micro-batches must come out exactly once downstream
+    (dropDuplicatesWithinWatermark — state bounded by the horizon)."""
+    from ods_to_datalake_spark.streaming.events import dedup_events
+
+    src_dir = str(tmp_path / "dupsrc")
+    events = load_testdata(spark, SF).table("events")
+    events.coalesce(1).write.mode("append").parquet(src_dir)
+    events.coalesce(1).write.mode("append").parquet(src_dir)  # replay
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _run_to_memory(
+        dedup_events(stream).select("event_id"), "dedup_mem", "append"
+    )
+    got = [r.event_id for r in spark.table("dedup_mem").collect()]
+    want = {r.event_id for r in dedup_events(events).collect()}
+    assert len(got) == len(set(got)) == len(want)
+    assert set(got) == want
