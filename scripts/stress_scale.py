@@ -110,6 +110,69 @@ def main() -> int:
         lambda: minhash_lsh_candidates(docs, "doc_id", "text").count(),
     )
 
+    # q21 shape: EXISTS + NOT EXISTS self-joins on the fact key — the
+    # heaviest relational self-join; must stay ~n·log n (all three
+    # branches share the l_orderkey shuffle key)
+    from ods_to_datalake_spark.operators import joins as join_ops
+
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    same_order = F.col("l2.l_orderkey") == F.col("l1.l_orderkey")
+    other_supp = F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
+    base = join_ops.semi_join(l1, l2, same_order & other_supp)
+    sole = join_ops.anti_join(
+        base,
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+    )
+    bench("q21_semi_anti_self_join", lambda: sole.count())
+
+    # x23 shape: corpus TF-IDF — explode-heavy, one (doc,word) agg
+    # feeding three joins + window top-k
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = wc.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfreq = wc.groupBy("word").agg(F.count("*").alias("df"))
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        wc.join(dl, "doc_id")
+        .join(dfreq, "word")
+        .join(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf").cast("double") / F.col("doc_len").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    from ods_to_datalake_spark.operators.agg import top_k_per_group
+
+    bench(
+        "tfidf_topk",
+        lambda: top_k_per_group(
+            scored,
+            ["doc_id"],
+            [F.col("score").desc(), F.col("word").asc()],
+            3,
+        ).count(),
+    )
+
     print({"scale": scale, "timings": timings})
     shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
