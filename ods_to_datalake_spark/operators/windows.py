@@ -103,3 +103,47 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_date: str,
+    open_date: str = "1900-01-01",
+) -> DataFrame:
+    """SCD type-2 merge: full-history dimension versioning.
+
+    ``current`` holds one open row per key; ``updates`` (same schema)
+    carries new attribute values for a subset of keys. Changed keys get
+    their old row closed at ``effective_date`` plus a new open row
+    (version 2); unchanged keys pass through open. Complements
+    `upsert_snapshot` (SCD-1, last-write-wins) when history must be
+    queryable — the lakehouse pattern for dimension audit trails.
+
+    Plan shape: one semi-join + one anti-join on the key (both reuse
+    the same shuffle; broadcast when updates are small) + a union —
+    no window, no full-table rewrite of unchanged history.
+    """
+    eff = F.lit(effective_date).cast("date")
+    opened = F.lit(open_date).cast("date")
+    null_date = F.lit(None).cast("date")
+    upd_keys = updates.select(F.col(key).alias("__k"))
+    closed_old = (
+        current.join(upd_keys, current[key] == F.col("__k"), "left_semi")
+        .withColumn("version", F.lit(1))
+        .withColumn("valid_from", opened)
+        .withColumn("valid_to", eff)
+    )
+    unchanged = (
+        current.join(upd_keys, current[key] == F.col("__k"), "left_anti")
+        .withColumn("version", F.lit(1))
+        .withColumn("valid_from", opened)
+        .withColumn("valid_to", null_date)
+    )
+    new_open = (
+        updates.withColumn("version", F.lit(2))
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", null_date)
+    )
+    return closed_old.unionByName(unchanged).unionByName(new_open)

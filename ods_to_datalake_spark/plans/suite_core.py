@@ -1337,3 +1337,49 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(revenue).cast(D384).alias("revenue"))
         .select(F.col("n_name").alias("nation_name"), "revenue")
     )
+
+
+@register(
+    "u05_scd2_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           CAST(1 AS INT) AS version,
+           DATE '1900-01-01' AS valid_from,
+           DATE '2026-02-01' AS valid_to
+    FROM customer c
+    WHERE c.c_custkey IN (SELECT c_custkey FROM updates)
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(1 AS INT), DATE '1900-01-01', CAST(NULL AS DATE)
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(2 AS INT), DATE '2026-02-01', CAST(NULL AS DATE)
+    FROM updates
+    """,
+    doc="SCD type-2 dimension merge (operators/windows.scd2_apply): "
+    "changed keys (acctbal>5000 get a new segment) produce a closed "
+    "version-1 row + an open version-2 row; unchanged keys stay open. "
+    "Semi-join + anti-join + union — history versioning without "
+    "rewriting unchanged rows, the lakehouse dimension audit pattern.",
+)
+def u05_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cust = cat.table("customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    updates = (
+        cat.table("customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey", "c_name", F.lit("UPDATED").alias("c_mktsegment")
+        )
+    )
+    return windows.scd2_apply(
+        cust, updates, "c_custkey", effective_date="2026-02-01"
+    )

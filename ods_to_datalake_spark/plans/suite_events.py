@@ -159,3 +159,48 @@ def e03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["last_signup_ts"],
     )
     return joined.select("event_id", "user_id", "last_signup_ts")
+
+
+@register(
+    "e06_retention_cohorts",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                  // 7 AS INTEGER) AS wk
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_wk,
+           uw.wk - c.cohort_wk AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM uw JOIN cohorts c ON uw.user_id = c.user_id
+    GROUP BY c.cohort_wk, week_offset
+    """,
+    doc="Retention-cohort matrix: first-activity week per user (cohort) "
+    "x weeks-since-cohort, distinct active users per cell. Week index "
+    "is Monday-aligned integer (days since 1970-01-05 div 7) computed "
+    "identically in both engines — no date_trunc('week') semantics "
+    "dependence. Two aggregations share the user_id shuffle; the "
+    "distinct (user, week) pass bounds the join input.",
+)
+def e06_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    events = cat.table("events")
+    wk = F.floor(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")
+        )
+        / 7
+    ).cast("int")
+    uw = events.select("user_id", wk.alias("wk")).distinct()
+    cohorts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        uw.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

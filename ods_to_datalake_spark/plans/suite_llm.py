@@ -1247,3 +1247,38 @@ def x23_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("score").desc(), F.col("word").asc()],
         3,
     )
+
+
+@register(
+    "x24_stratified_sample",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000 AS bucket,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 3000
+                  WHEN source IN ('src5','src6','src7','src8','src9')
+                    THEN 6000
+                  ELSE 10000 END AS keep_per_10k
+      FROM documents
+    )
+    SELECT doc_id, source FROM hashed
+    WHERE bucket < keep_per_10k
+    """,
+    doc="Deterministic stratified downsampling (corpus rebalancing): "
+    "keep 30% of src0-4, 60% of src5-9, all of the rest — selected by "
+    "md5 hash bucket of the doc id, NOT df.sample(), so the kept set "
+    "is identical across runs, partitionings, and engines. Stateless "
+    "map, no shuffle (operators/sampling.stratified_sample).",
+)
+def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.sampling import stratified_sample
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    rates = {f"src{i}": 3000 for i in range(5)}
+    rates |= {f"src{i}": 6000 for i in range(5, 10)}
+    return stratified_sample(docs, "doc_id", "source", rates).select(
+        "doc_id", "source"
+    )

@@ -51,7 +51,20 @@ def read_parquet(
     """Parquet carries its own schema; an optional contract is enforced
     by selection+cast (so surplus columns are pruned at the scan and
     missing ones fail loudly)."""
-    df = spark.read.parquet(path)
+    return _enforce_contract(spark.read.parquet(path), schema)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC twin of `read_parquet` (self-describing columnar format with
+    stats-based pushdown) — same optional schema contract."""
+    return _enforce_contract(spark.read.orc(path), schema)
+
+
+def _enforce_contract(
+    df: DataFrame, schema: T.StructType | str | None
+) -> DataFrame:
     if schema is not None:
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)

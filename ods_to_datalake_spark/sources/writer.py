@@ -41,6 +41,52 @@ def write_partitioned_parquet(
     implemented with `repartition(n)` (never `coalesce`, see module
     docstring). Leave None at scale and let AQE + the row cap govern.
     """
+    _write_partitioned(
+        df,
+        path,
+        "parquet",
+        partition_by,
+        mode,
+        max_records_per_file,
+        target_files,
+        compression,
+    )
+
+
+def write_partitioned_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    target_files: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """ORC variant of `write_partitioned_parquet` — same layout and
+    file-size policy for consumers standardized on ORC (Hive/Trino
+    estates). Both formats carry column stats + predicate pushdown."""
+    _write_partitioned(
+        df,
+        path,
+        "orc",
+        partition_by,
+        mode,
+        max_records_per_file,
+        target_files,
+        compression,
+    )
+
+
+def _write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: list[str] | None,
+    mode: str,
+    max_records_per_file: int,
+    target_files: int | None,
+    compression: str,
+) -> None:
     if target_files is not None:
         keys = [F.col(c) for c in (partition_by or [])]
         df = df.repartition(target_files, *keys) if keys else df.repartition(
@@ -53,7 +99,7 @@ def write_partitioned_parquet(
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.format(fmt).save(path)
 
 
 def write_run_indexed(
