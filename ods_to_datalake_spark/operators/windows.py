@@ -105,45 +105,81 @@ def dedup_keep_first(
     )
 
 
+SCD2_COLS = ("version", "valid_from", "valid_to")
+
+
 def scd2_apply(
-    current: DataFrame,
+    history: DataFrame,
     updates: DataFrame,
     key: str,
     effective_date: str,
     open_date: str = "1900-01-01",
 ) -> DataFrame:
-    """SCD type-2 merge: full-history dimension versioning.
+    """SCD type-2 merge: full-history dimension versioning, idempotent
+    across repeated merges.
 
-    ``current`` holds one open row per key; ``updates`` (same schema)
-    carries new attribute values for a subset of keys. Changed keys get
-    their old row closed at ``effective_date`` plus a new open row
-    (version 2); unchanged keys pass through open. Complements
-    `upsert_snapshot` (SCD-1, last-write-wins) when history must be
-    queryable — the lakehouse pattern for dimension audit trails.
+    ``history`` is either a bare snapshot (no `version`/`valid_from`/
+    `valid_to` columns — they are bootstrapped as version 1 open since
+    ``open_date``) or the output of a previous `scd2_apply` call.
+    ``updates`` carries attribute values per key (bare schema: key +
+    attributes). Semantics per key:
 
-    Plan shape: one semi-join + one anti-join on the key (both reuse
-    the same shuffle; broadcast when updates are small) + a union —
-    no window, no full-table rewrite of unchanged history.
+    - already-closed history rows pass through untouched;
+    - an open row whose update carries DIFFERENT attribute values (any
+      null-safe inequality) is closed at ``effective_date`` and a new
+      open row with version+1 is appended;
+    - an open row whose update is value-identical is a no-op (no
+      spurious version);
+    - an update for an unseen key inserts version 1 open at
+      ``effective_date``.
+
+    Complements `upsert_snapshot` (SCD-1, last-write-wins) when history
+    must be queryable — the lakehouse dimension audit pattern. Plan
+    shape: one outer join of open rows vs updates on the key (broadcast
+    when updates are small) + a union with the untouched closed rows —
+    unchanged history is never rewritten.
     """
     eff = F.lit(effective_date).cast("date")
-    opened = F.lit(open_date).cast("date")
     null_date = F.lit(None).cast("date")
-    upd_keys = updates.select(F.col(key).alias("__k"))
-    closed_old = (
-        current.join(upd_keys, current[key] == F.col("__k"), "left_semi")
-        .withColumn("version", F.lit(1))
-        .withColumn("valid_from", opened)
-        .withColumn("valid_to", eff)
+    if "valid_to" not in history.columns:
+        history = (
+            history.withColumn("version", F.lit(1))
+            .withColumn("valid_from", F.lit(open_date).cast("date"))
+            .withColumn("valid_to", null_date)
+        )
+    attrs = [c for c in updates.columns if c != key]
+    closed = history.filter(F.col("valid_to").isNotNull())
+    open_rows = history.filter(F.col("valid_to").isNull()).alias("cur")
+    upd = updates.alias("upd")
+    joined = open_rows.join(
+        upd, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer"
     )
-    unchanged = (
-        current.join(upd_keys, current[key] == F.col("__k"), "left_anti")
-        .withColumn("version", F.lit(1))
-        .withColumn("valid_from", opened)
-        .withColumn("valid_to", null_date)
+    differs = F.lit(False)
+    for c in attrs:
+        differs = differs | ~F.col(f"cur.{c}").eqNullSafe(
+            F.col(f"upd.{c}")
+        )
+    has_cur = F.col(f"cur.{key}").isNotNull()
+    has_upd = F.col(f"upd.{key}").isNotNull()
+    # surviving open/closed forms of the current open row
+    kept_open = joined.filter(
+        has_cur & (~has_upd | ~differs)
+    ).select("cur.*")
+    closed_now = joined.filter(has_cur & has_upd & differs).select(
+        *[F.col(f"cur.{c}") for c in history.columns if c != "valid_to"],
+        eff.alias("valid_to"),
     )
-    new_open = (
-        updates.withColumn("version", F.lit(2))
-        .withColumn("valid_from", eff)
-        .withColumn("valid_to", null_date)
+    new_versions = joined.filter(has_upd & (~has_cur | differs)).select(
+        F.col(f"upd.{key}").alias(key),
+        *[F.col(f"upd.{c}").alias(c) for c in attrs],
+        F.when(has_cur, F.col("cur.version") + 1)
+        .otherwise(F.lit(1))
+        .alias("version"),
+        eff.alias("valid_from"),
+        null_date.alias("valid_to"),
     )
-    return closed_old.unionByName(unchanged).unionByName(new_open)
+    return (
+        closed.unionByName(kept_open)
+        .unionByName(closed_now)
+        .unionByName(new_versions)
+    )

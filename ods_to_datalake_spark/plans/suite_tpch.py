@@ -407,8 +407,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, CAST(part_value AS DECIMAL(38,4)) AS part_value
     FROM values_by_part
-    WHERE part_value > (
-      SELECT SUM(part_value) * 0.001 FROM values_by_part
+    WHERE 1000 * part_value > (
+      SELECT SUM(part_value) FROM values_by_part
     )
     """,
     doc="TPC-H Q11 shape (important stock values): per-key value sums "
@@ -434,12 +434,13 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = by_part.agg(
-        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
-    )
+    # 1000*value > total, NOT value > 0.001*total: the integer-scaled
+    # decimal comparison is exact in both engines (0.001 as a double
+    # literal can flip strict > at the exact-fraction boundary)
+    total = by_part.agg(F.sum("part_value").alias("grand_total"))
     return (
         by_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
+        .filter(F.lit(1000) * F.col("part_value") > F.col("grand_total"))
         .select("l_partkey", F.col("part_value").cast(D384).alias("part_value"))
     )
 
@@ -777,7 +778,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE q.l_partkey IN (
           SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
         )
-        AND q.qty_1995 > 0.3 * q.qty_all
+        AND 10 * q.qty_1995 > 3 * q.qty_all
       )
     """,
     doc="TPC-H Q20 shape (suppliers with excess availability of "
@@ -806,8 +807,12 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like("small%")
     ).select("p_partkey")
     qualifying = join_ops.semi_join(
+        # 10*q95 > 3*qall, NOT q95 > 0.3*qall: integer-scaled decimal
+        # comparison stays exact in both engines (0.3 is not binary-
+        # representable; a double threshold can flip strict > at exact
+        # 30% boundaries, which integer quantities hit routinely)
         pair_qty.filter(
-            F.col("qty_1995") > F.lit(0.3) * F.col("qty_all")
+            F.lit(10) * F.col("qty_1995") > F.lit(3) * F.col("qty_all")
         ),
         small_parts,
         F.col("l_partkey") == F.col("p_partkey"),
@@ -916,7 +921,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_acctbal > 0.0
       )
       AND NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = e.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
       )
     GROUP BY cntrycode
     """,
@@ -924,7 +931,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar-AVG subquery threshold (exact decimal-sum/count, broadcast "
     "1-row join) + NOT EXISTS anti-join against orders + group-by a "
     "derived code. Country code adapted from phone-prefix (absent) to "
-    "custkey mod 7.",
+    "custkey mod 7; 'has no orders' adapted to 'no orders since "
+    "2000-01-01' because every testdata customer has at least one "
+    "order (the verbatim predicate validates vacuously on 0 rows).",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
@@ -937,12 +946,18 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double") / F.count("*")
         ).alias("avg_bal")
     )
-    orders = cat.table("orders").select("o_custkey")
+    recent_orders = (
+        cat.table("orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
     rich = eligible.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
     )
     idle = join_ops.anti_join(
-        rich, orders, rich["c_custkey"] == orders["o_custkey"]
+        rich, recent_orders, rich["c_custkey"] == recent_orders["o_custkey"]
     )
     return idle.groupBy("cntrycode").agg(
         F.count("*").alias("numcust"),

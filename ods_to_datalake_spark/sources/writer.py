@@ -224,20 +224,16 @@ def write_bucketed_table(
     On overwrite, an orphaned warehouse directory (location exists but
     the table is gone from the metastore — e.g. a deleted
     `metastore_db` with a surviving `spark-warehouse/`) is removed
-    first; Spark otherwise fails with LOCATION_ALREADY_EXISTS.
+    first; Spark otherwise fails with LOCATION_ALREADY_EXISTS. The
+    cleanup resolves the table's real default location (database
+    subdirectory, lowercased name) and only acts on local-filesystem
+    warehouses — on hdfs://s3a:// an orphaned location still needs an
+    out-of-band cleanup.
     """
     if mode == "overwrite":
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if not spark.catalog.tableExists(table):
-            import shutil
-            from urllib.parse import urlparse
-
-            warehouse = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir")
-            ).path
-            shutil.rmtree(f"{warehouse}/{table.split('.')[-1]}",
-                          ignore_errors=True)
+        _remove_orphaned_location(spark, table)
     writer = (
         df.write.mode(mode)
         .option("compression", compression)
@@ -246,6 +242,31 @@ def write_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table, format="parquet")
+
+
+def _remove_orphaned_location(spark, table: str) -> None:
+    """Delete the managed-table directory a dropped `table` would own.
+
+    Layout (matching Spark's SessionCatalog defaults): the lowercased
+    table name under `<warehouse>` for the `default` database, else
+    under `<warehouse>/<db>.db/`. Only file:-scheme warehouses are
+    touched (shutil cannot reach object stores, and silently "cleaning"
+    nothing would mask the problem the caller is about to hit).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    parts = table.lower().split(".")
+    name = parts[-1]
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse.scheme not in ("", "file"):
+        return
+    base = warehouse.path
+    location = (
+        f"{base}/{name}" if db == "default" else f"{base}/{db}.db/{name}"
+    )
+    shutil.rmtree(location, ignore_errors=True)
 
 
 def write_json_documents(

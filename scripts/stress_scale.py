@@ -7,6 +7,11 @@ This is the "would the plan survive a scale-up" measurement loop —
 run with different SCALE values and check timings grow ~linearly (scan/
 map/fold) or ~n·log n (joins/aggs), not quadratically.
 
+The amplified directory uses the standard testdata layout
+(`<workdir>/<table>.parquet`), so the timed queries are the REGISTERED
+suite queries themselves (plans/suite*.py) — the same plans the oracle
+gate validates, not reimplementations that could drift.
+
 Usage: python scripts/stress_scale.py [SCALE=10] [WORKDIR=/tmp/stress]
 """
 
@@ -18,6 +23,22 @@ import time
 
 from pyspark.sql import functions as F
 
+AMPLIFIED = {  # table -> key columns shifted per replica
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "documents": ["doc_id"],
+}
+COPIED = ["region", "nation", "customer", "supplier", "part"]
+
+# registered queries to time (name -> why it's a stress shape)
+SUITE_QUERIES = [
+    "q01_pricing_summary",  # selective scan + decimal agg
+    "a02_document_fold",  # ObjectHashAggregate wide fold
+    "q21_waiting_suppliers",  # EXISTS + NOT EXISTS self-joins
+    "x04_minhash_lsh_candidates",  # shingle explode + band self-join
+    "x23_tfidf_top_terms",  # corpus explode + 3-way join + top-k
+]
+
 
 def main() -> int:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -25,38 +46,33 @@ def main() -> int:
     src = "/root/testdata/sf0.1"
 
     sys.path.insert(0, ".")
+    from ods_to_datalake_spark.plans.suite import load_all
     from ods_to_datalake_spark.session import build_session
 
+    queries = load_all()
     spark = build_session(app_name="stress")
     spark.sparkContext.setLogLevel("ERROR")
 
     shutil.rmtree(workdir, ignore_errors=True)
 
-    def amplify(table: str, key_cols: list[str]) -> str:
-        """Replicate `scale`× with shifted keys, written as many files."""
+    t0 = time.perf_counter()
+    for table, key_cols in AMPLIFIED.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
         rep = df.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(scale - 1)))
         )
         for c in key_cols:
-            rep = rep.withColumn(
-                c, F.col(c) * scale + F.col("__r")
-            )
-        out = f"{workdir}/{table}"
-        rep.drop("__r").repartition(32).write.parquet(out)
-        return out
-
-    t0 = time.perf_counter()
-    li_path = amplify("lineitem", ["l_orderkey"])
-    ord_path = amplify("orders", ["o_orderkey"])
-    doc_path = amplify("documents", ["doc_id"])
+            rep = rep.withColumn(c, F.col(c) * scale + F.col("__r"))
+        rep.drop("__r").repartition(32).write.parquet(
+            f"{workdir}/{table}.parquet"
+        )
+    for table in COPIED:
+        shutil.copy(f"{src}/{table}.parquet", f"{workdir}/{table}.parquet")
     print(f"amplify x{scale}: {time.perf_counter() - t0:.1f}s")
 
-    li = spark.read.parquet(li_path)
-    orders = spark.read.parquet(ord_path)
-    docs = spark.read.parquet(doc_path)
-    n_li, n_doc = li.count(), docs.count()
-    print(f"lineitem rows: {n_li:,}  documents: {n_doc:,}")
+    li = spark.read.parquet(f"{workdir}/lineitem.parquet")
+    docs = spark.read.parquet(f"{workdir}/documents.parquet")
+    print(f"lineitem rows: {li.count():,}  documents: {docs.count():,}")
 
     timings: dict[str, float] = {}
 
@@ -66,35 +82,9 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t, 2)
         print(f"{name}: {timings[name]}s ({n:,} rows)")
 
-    # q01 shape: selective scan + decimal agg
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    bench(
-        "q01_scan_agg",
-        lambda: li.filter(
-            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-        )
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).alias("sq"),
-            F.count("*").alias("n"),
-        )
-        .count(),
-    )
-
-    # a02 shape: document fold (ObjectHashAggregate memory behavior)
-    element = F.struct(
-        F.col("l_linenumber").cast("int"),
-        dec("l_extendedprice"),
-        F.col("l_returnflag"),
-    )
-    bench(
-        "a02_document_fold",
-        lambda: li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list(element)).alias("periods"))
-        .count(),
-    )
-
-    # fact ⋈ fact join at volume
+    # fact ⋈ fact join primitive at volume (not a suite query: both
+    # sides amplified, measures the raw shuffle-join path)
+    orders = spark.read.parquet(f"{workdir}/orders.parquet")
     bench(
         "fact_join",
         lambda: li.join(
@@ -102,76 +92,9 @@ def main() -> int:
         ).count(),
     )
 
-    # minhash LSH over the amplified corpus
-    from ods_to_datalake_spark.operators.dedup import minhash_lsh_candidates
-
-    bench(
-        "minhash_lsh",
-        lambda: minhash_lsh_candidates(docs, "doc_id", "text").count(),
-    )
-
-    # q21 shape: EXISTS + NOT EXISTS self-joins on the fact key — the
-    # heaviest relational self-join; must stay ~n·log n (all three
-    # branches share the l_orderkey shuffle key)
-    from ods_to_datalake_spark.operators import joins as join_ops
-
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .alias("l3")
-    )
-    same_order = F.col("l2.l_orderkey") == F.col("l1.l_orderkey")
-    other_supp = F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
-    base = join_ops.semi_join(l1, l2, same_order & other_supp)
-    sole = join_ops.anti_join(
-        base,
-        l3,
-        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
-    )
-    bench("q21_semi_anti_self_join", lambda: sole.count())
-
-    # x23 shape: corpus TF-IDF — explode-heavy, one (doc,word) agg
-    # feeding three joins + window top-k
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("word"),
-    )
-    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dl = wc.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    dfreq = wc.groupBy("word").agg(F.count("*").alias("df"))
-    nn = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        wc.join(dl, "doc_id")
-        .join(dfreq, "word")
-        .join(F.broadcast(nn))
-        .select(
-            "doc_id",
-            "word",
-            (
-                F.col("tf").cast("double") / F.col("doc_len").cast("double")
-                * F.log(
-                    F.col("n_docs").cast("double")
-                    / F.col("df").cast("double")
-                )
-            ).alias("score"),
-        )
-    )
-    from ods_to_datalake_spark.operators.agg import top_k_per_group
-
-    bench(
-        "tfidf_topk",
-        lambda: top_k_per_group(
-            scored,
-            ["doc_id"],
-            [F.col("score").desc(), F.col("word").asc()],
-            3,
-        ).count(),
-    )
+    for name in SUITE_QUERIES:
+        q = queries[name]
+        bench(name, lambda q=q: q.fn(spark, workdir).count())
 
     print({"scale": scale, "timings": timings})
     shutil.rmtree(workdir, ignore_errors=True)

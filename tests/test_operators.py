@@ -218,3 +218,60 @@ def test_approx_profile_error_bounds(spark):
         assert abs(nd_a - nd_e) / nd_e < 0.15  # 3x the 5% rsd as slack
         assert abs(p50_a - p50_e) / p50_e < 0.05
         assert abs(p95_a - p95_e) / p95_e < 0.05
+
+
+def test_scd2_apply_versioning_and_idempotence(spark):
+    """SCD-2 lifecycle: bootstrap, change, insert, no-op update, and a
+    second merge over the produced history (must not corrupt closed
+    rows or re-close open ones)."""
+    from ods_to_datalake_spark.operators.windows import scd2_apply
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, val string")
+    upd1 = spark.createDataFrame([(1, "a2"), (3, "c")], "k int, val string")
+
+    def snap(df):
+        return {
+            (r.k, r.version, r.val, str(r.valid_from), str(r.valid_to))
+            for r in df.collect()
+        }
+
+    h1 = scd2_apply(base, upd1, "k", "2026-02-01")
+    assert snap(h1) == {
+        (1, 1, "a", "1900-01-01", "2026-02-01"),
+        (1, 2, "a2", "2026-02-01", "None"),
+        (2, 1, "b", "1900-01-01", "None"),
+        (3, 1, "c", "2026-02-01", "None"),
+    }
+
+    # value-identical updates are no-ops: re-merging the same updates
+    # over the produced history changes nothing (idempotence)
+    h2 = scd2_apply(h1, upd1, "k", "2026-03-01")
+    assert snap(h2) == snap(h1)
+
+    # a later real change appends version 3 and closes only version 2
+    upd2 = spark.createDataFrame([(1, "a3")], "k int, val string")
+    h3 = scd2_apply(h2, upd2, "k", "2026-04-01")
+    assert snap(h3) == {
+        (1, 1, "a", "1900-01-01", "2026-02-01"),
+        (1, 2, "a2", "2026-02-01", "2026-04-01"),
+        (1, 3, "a3", "2026-04-01", "None"),
+        (2, 1, "b", "1900-01-01", "None"),
+        (3, 1, "c", "2026-02-01", "None"),
+    }
+
+
+def test_scd2_apply_null_safe_change_detection(spark):
+    """NULL→value and value→NULL are real changes; NULL→NULL is not."""
+    from ods_to_datalake_spark.operators.windows import scd2_apply
+
+    base = spark.createDataFrame(
+        [(1, None), (2, None)], "k int, val string"
+    )
+    upd = spark.createDataFrame([(1, "x"), (2, None)], "k int, val string")
+    out = scd2_apply(base, upd, "k", "2026-02-01")
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.k, []).append(r)
+    assert len(by_key[1]) == 2  # NULL→x: closed + new version
+    assert len(by_key[2]) == 1  # NULL→NULL: untouched
+    assert by_key[2][0].valid_to is None
