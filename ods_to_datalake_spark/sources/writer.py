@@ -86,8 +86,16 @@ def _write_partitioned(
     max_records_per_file: int,
     target_files: int | None,
     compression: str,
+    cluster_by: list[str] | None = None,
 ) -> None:
-    if target_files is not None:
+    if cluster_by is not None:
+        # range-partition + sort: each output file covers a disjoint
+        # key range, so its parquet/orc min-max stats actually prune
+        n = target_files or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(
+            n, *[F.col(c) for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
+    elif target_files is not None:
         keys = [F.col(c) for c in (partition_by or [])]
         df = df.repartition(target_files, *keys) if keys else df.repartition(
             target_files
@@ -100,6 +108,40 @@ def _write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    mode: str = "append",
+    target_files: int | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    compression: str = "snappy",
+) -> None:
+    """Clustered parquet: range-partition on `cluster_by` then sort
+    within each output task, so every data file covers a DISJOINT key
+    range and its row-group min/max statistics become selective.
+
+    A random-order write gives every row group min≈global-min,
+    max≈global-max — stats that prune nothing. Clustering is the
+    data-skipping primitive under a non-partition predicate column
+    (too high-cardinality to hive-partition by, e.g. timestamps or
+    customer ids): the reader skips whole row groups / files whose
+    range misses the filter. At 100 TB this is the second pruning
+    axis after partition pruning.
+    """
+    _write_partitioned(
+        df,
+        path,
+        "parquet",
+        None,
+        mode,
+        max_records_per_file,
+        target_files,
+        compression,
+        cluster_by=cluster_by,
+    )
 
 
 def write_run_indexed(
@@ -290,3 +332,55 @@ def write_json_documents(
     if target_files is not None:
         df = df.repartition(target_files)
     df.write.mode(mode).json(path)
+
+
+def delete_keys(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    partition_col: str,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+) -> int:
+    """Right-to-be-forgotten delete from a hive-partitioned dataset:
+    rewrite ONLY the partitions that contain the doomed keys.
+
+    Without a transactional table format, deletion is rewrite — the
+    scalable version prunes the rewrite to affected partitions:
+    1. semi-join the dataset against `keys` to find affected partition
+       values (a broadcast when the key list is small — the usual
+       GDPR case);
+    2. read back just those partitions (partition pruning), anti-join
+       out the doomed rows;
+    3. dynamic-partition-overwrite them in place.
+    A 100 TB lake with daily partitions rewrites only the days a user
+    actually appears in, not the lake.
+
+    Returns the number of partitions rewritten. Not atomic across
+    partitions (each partition swap is); run from the orchestrator's
+    sequential lane.
+    """
+    data = spark.read.parquet(path)
+    kdf = F.broadcast(keys.select(F.col(key_col).alias("__doomed")))
+    affected = [
+        r[0]
+        for r in data.join(
+            kdf, data[key_col] == F.col("__doomed"), "left_semi"
+        )
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    slice_df = data.filter(F.col(partition_col).isin(affected))
+    kept = slice_df.join(
+        kdf, slice_df[key_col] == F.col("__doomed"), "left_anti"
+    )
+    overwrite_partitions(
+        kept,
+        path,
+        [partition_col],
+        max_records_per_file=max_records_per_file,
+    )
+    return len(affected)
