@@ -1383,3 +1383,113 @@ def u05_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.scd2_apply(
         cust, updates, "c_custkey", effective_date="2026-02-01"
     )
+
+
+@register(
+    "w06_lag_lead_delta",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                - LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DECIMAL(18,2)) AS delta_prev,
+           CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                AS DECIMAL(18,2)) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="LAG/LEAD window navigation: order-over-order price delta per "
+    "customer (NULL on each partition edge). One shuffle on the "
+    "partition key; the ordering ends in the unique o_orderkey so tie "
+    "rows are deterministic cross-engine.",
+)
+def w06_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tp = _dec("o_totalprice")
+    return cat.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        tp.alias("total_price"),
+        (tp - F.lag(tp).over(w)).cast(D182).alias("delta_prev"),
+        F.lead(tp).over(w).cast(D182).alias("next_price"),
+    )
+
+
+@register(
+    "w07_ntile_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+               AS quartile
+      FROM orders
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(tp) AS min_price,
+           MAX(tp) AS max_price
+    FROM t GROUP BY quartile
+    """,
+    doc="NTILE equal-frequency binning + per-bin profile. The global "
+    "window is a single-partition sort — correct here, but the 100-TB "
+    "form of this operator is approx_percentile cutpoints + a "
+    "stateless bucket join (see a09_percentiles), which this query's "
+    "quartile bounds validate against. Unique o_orderkey tiebreaker "
+    "makes bin assignment deterministic.",
+)
+def w07_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = cat.table("orders").select(
+        _dec("o_totalprice").alias("tp"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return t.groupBy(F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count("*").alias("n"),
+        F.min("tp").alias("min_price"),
+        F.max("tp").alias("max_price"),
+    )
+
+
+@register(
+    "a10_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,4)) AS total
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+    )
+    """,
+    doc="Explicit GROUPING SETS (beyond rollup/cube: a custom lattice "
+    "subset) with a grouping_id disambiguating real NULLs from "
+    "subtotal rows — via the catalog's SQL facade (register_views + "
+    "spark.sql). One Expand + one shuffle, same as rollup.",
+)
+def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cat.register_views(("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4)) AS total
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        """
+    )

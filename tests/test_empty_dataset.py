@@ -39,7 +39,11 @@ def empty_con(empty_dir):
 # rollup/cube emit zero rows on empty input. Irrelevant on any non-empty
 # table (zero-row cells never materialize), so the correctness gate at
 # sf>0 is unaffected — documented here rather than papered over.
-GROUPING_SET_EMPTY_DIVERGENCE = {"a06_rollup", "u02_intersect_cube"}
+GROUPING_SET_EMPTY_DIVERGENCE = {
+    "a06_rollup",
+    "u02_intersect_cube",
+    "a10_grouping_sets",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

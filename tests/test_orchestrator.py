@@ -111,3 +111,18 @@ def test_property_group_order_and_isolation(spec):
     assert prios == sorted(prios)
     # failures are exactly the injected ones
     assert {r.job.table_id for r in report.failed} == fail_ids
+
+
+def test_ingest_metrics_single_pass(spark, tmp_path):
+    """observe()-based metrics come out of the write action itself —
+    verified against explicitly computed values, no second scan."""
+    from ods_to_datalake_spark.orchestrate.metrics import with_ingest_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "k int, v string"
+    )
+    observed, obs = with_ingest_metrics(df, null_cols=["v"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["null_v"] == 2
