@@ -224,3 +224,70 @@ def simhash_signatures(
     return df.select(
         F.col(id_col), X.simhash32(X.tokens(text_col)).alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: (id, cluster_id)
+    where cluster_id is the minimum id reachable through the pair
+    graph. The step after LSH+verify in the dedup funnel — keep one
+    representative per cluster (`id == cluster_id`) instead of
+    dropping one side of each pair (which over-deletes on chains
+    A~B, B~C).
+
+    Min-label propagation: each iteration joins labels across edges
+    and keeps the per-node minimum; converges in O(diameter)
+    iterations. Near-dup clusters are shallow (a handful of docs,
+    diameter ≲ 5), so 2-4 rounds in practice — the driver only runs
+    the loop, all data stays distributed. Each round localCheckpoints
+    to cut the growing plan lineage (iterative DataFrame loops
+    otherwise re-plan the full history each round). For web-scale
+    graphs with deep components, switch to the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log n) rounds.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .union(
+            pairs.select(
+                F.col(dst).alias("e_src"), F.col(src).alias("e_dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("e_src").alias("id"), F.col("e_src").alias("label")
+    ).distinct()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["e_dst"] == labels["id"])
+            .groupBy("e_src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["id"] == neighbor_min["e_src"], "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -1282,3 +1282,72 @@ def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "doc_id", "source", rates).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "x25_dedup_clusters",
+    oracle=None,  # assembled from x05's oracle below (single source of
+    # truth for what a "verified pair" is)
+    doc="Dedup-funnel clustering: verified near-dup pairs (the x05 "
+    "funnel, jaccard >= 0.5) grouped into connected components via "
+    "min-label propagation; keep one representative per cluster "
+    "(doc_id == cluster_id) instead of dropping one side per pair, "
+    "which over-deletes on chains A~B~C. Oracle: the same pair SQL "
+    "wrapped in a recursive min-reachable CTE.",
+)
+def x25_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cands = minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        rows=LSH_ROWS,
+    )
+    verified = jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    ).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components(verified, "id_a", "id_b")
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _assemble_x25_oracle() -> None:
+    """The x25 oracle embeds x05's full funnel SQL as the pair source,
+    then clusters with a recursive min-reachable CTE — guaranteeing the
+    two queries can never disagree about what a 'verified pair' is."""
+    from ods_to_datalake_spark.plans.suite import REGISTRY
+
+    x05 = REGISTRY["x05_lsh_jaccard_verify"].oracle
+    REGISTRY["x25_dedup_clusters"].oracle = f"""
+    WITH RECURSIVE dup_pairs AS (
+      SELECT id_a, id_b FROM ({x05}) v WHERE jaccard >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b, id_a FROM dup_pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.src, rc.r FROM edges e JOIN reach rc ON rc.id = e.dst
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """
+
+
+_assemble_x25_oracle()

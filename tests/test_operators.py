@@ -275,3 +275,23 @@ def test_scd2_apply_null_safe_change_detection(spark):
     assert len(by_key[1]) == 2  # NULL→x: closed + new version
     assert len(by_key[2]) == 1  # NULL→NULL: untouched
     assert by_key[2][0].valid_to is None
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain A-B-C collapses to one cluster (pairwise delete would
+    over-delete), islands stay separate, singletons absent."""
+    from ods_to_datalake_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
