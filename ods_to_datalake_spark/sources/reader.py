@@ -103,3 +103,24 @@ def read_latest_run(
     return spark.read.parquet(path).filter(
         F.col(partition_col) == f"{date}_{idx}"
     )
+
+
+def read_run(
+    spark: SparkSession,
+    path: str,
+    date: str,
+    run_index: int,
+    partition_col: str = "transactiondate_index",
+) -> DataFrame:
+    """Snapshot time travel: read one SPECIFIC historical (date, run)
+    partition. The run-index layout (O5) never overwrites, so every
+    past snapshot stays readable — table-format time travel without a
+    table format. Fails fast if the snapshot doesn't exist (a typo'd
+    date would otherwise return an empty frame and flow downstream)."""
+    if (date, run_index) not in list_run_indexes(path):
+        raise FileNotFoundError(
+            f"no partition {partition_col}={date}_{run_index} under {path}"
+        )
+    return spark.read.parquet(path).filter(
+        F.col(partition_col) == f"{date}_{run_index}"
+    )

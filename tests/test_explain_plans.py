@@ -136,3 +136,22 @@ def test_q09_dims_all_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert _shuffle_exchanges(p) <= 2
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """AQE must be live: after execution, the final plan coalesces the
+    32 configured shuffle partitions down to what the data needs —
+    the runtime re-planning a 100-TB job relies on (skew splitting,
+    dynamic broadcast) hangs off the same machinery."""
+    import contextlib
+    import io
+
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "AdaptiveSparkPlan" in p and "isFinalPlan=true" in p
+    assert "AQEShuffleRead" in p
+    assert "coalesced" in p.lower()

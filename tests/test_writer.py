@@ -360,3 +360,17 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     for d, files in before.items():
         if "5-LOW" not in d:
             assert set(_glob.glob(f"{d}/*.parquet")) == files
+
+
+def test_read_run_time_travel(spark, products, tmp_path):
+    """Every historical run stays readable; missing snapshots fail
+    fast instead of returning an empty frame."""
+    from ods_to_datalake_spark.sources.reader import read_run
+
+    path = str(tmp_path / "tt")
+    write_run_indexed(products, path, "20260123", 1)
+    write_run_indexed(products.limit(1), path, "20260123", 2)
+    assert read_run(spark, path, "2026-01-23", 1).count() == 3
+    assert read_run(spark, path, "2026-01-23", 2).count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_run(spark, path, "2026-01-24", 1)
