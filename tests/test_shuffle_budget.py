@@ -1,0 +1,148 @@
+"""Shuffle-budget regression guard: every suite query has a declared
+maximum number of shuffle Exchange nodes (measured at registration
+time); a plan regression — a lost broadcast, a join reordered into an
+extra exchange, a window no longer reusing an aggregation's
+partitioning — fails here before it ships. At 100 TB an accidental
+extra shuffle is the difference between a 10-minute and a 2-hour job.
+
+Budgets are ceilings, not exact counts (AQE may legitimately remove
+exchanges); queries without a budget fail loudly so every new
+registration declares its shuffle expectations.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from ods_to_datalake_spark.plans.suite import load_all
+
+QUERIES = load_all()
+SF = "/root/testdata/sf0.001"
+
+# ceilings measured on the sf0.001 plans (broadcast exchanges excluded)
+SHUFFLE_BUDGET = {
+    "a01_fold_sorted_array": 1,
+    "a02_document_fold": 1,
+    "a03_conditional_sum": 1,
+    "a04_pivot": 2,
+    "a06_rollup": 1,
+    "a07_distinct_agg": 2,
+    "a08_two_phase_agg": 2,
+    "a09_percentiles": 1,
+    "a10_grouping_sets": 1,
+    "e01_tumbling_window": 1,
+    "e02_sessionize": 1,
+    "e03_asof_join": 1,
+    "e04_json_extract": 0,
+    "e05_purchase_attribution": 0,
+    "e06_retention_cohorts": 3,
+    "f02_string_functions": 0,
+    "f08_case_decode": 0,
+    "f_scalar_functions": 0,
+    "j01_semi_join": 0,
+    "j01b_anti_join": 0,
+    "j02_left_attach_preagg": 1,
+    "j03_broadcast_dim_decode": 0,
+    "j04_range_join": 0,
+    "j05_salted_join": 0,
+    "p01_projection_scan": 0,
+    "p03_derive_drop_rename": 0,
+    "p06_range_filter": 0,
+    "p07_isin_filter": 0,
+    "p08_not_isin_filter": 0,
+    "p10_trim_compound_filter": 0,
+    "q01_pricing_summary": 1,
+    "q02_min_cost_supplier": 2,
+    "q03_shipping_priority": 1,
+    "q04_order_priority": 1,
+    "q05_region_revenue": 1,
+    "q06_revenue_forecast": 1,
+    "q07_volume_shipping": 1,
+    "q08_market_share": 1,
+    "q09_product_profit": 1,
+    "q10_returned_items": 1,
+    "q11_important_values": 3,
+    "q12_late_shipment_priority": 1,
+    "q13_customer_distribution": 2,
+    "q14_promo_revenue": 1,
+    "q15_top_supplier": 3,
+    "q16_supplier_part_counts": 3,
+    "q17_small_quantity_revenue": 2,
+    "q18_large_orders": 1,
+    "q19_disjunctive_predicates": 1,
+    "q20_part_promotion": 1,
+    "q21_waiting_suppliers": 1,
+    "q22_global_sales_opportunity": 2,
+    "t01_top_k": 0,
+    "t02_top_k_per_group": 1,
+    "u01_set_ops": 2,
+    "u02_intersect_cube": 2,
+    "u03_upsert_snapshot": 1,
+    "u04_union_by_name": 0,
+    "u05_scd2_merge": 0,
+    "w01_sequence": 1,
+    "w02_multikey_sequence": 1,
+    "w03_surrogate_key": 1,
+    "w04_dedup_keep_first": 1,
+    "w05_running_total": 1,
+    "w06_lag_lead_delta": 1,
+    "w07_ntile_quartiles": 1,
+    "x01_exact_dedup": 1,
+    "x02_token_count": 0,
+    "x03_minhash_signature": 2,
+    "x04_minhash_lsh_candidates": 4,
+    "x05_lsh_jaccard_verify": 14,
+    "x06_simhash": 0,
+    "x07_cosine_topk": 1,
+    "x08_ivf_ann": 4,
+    "x09_langid": 0,
+    "x10_quality_score": 0,
+    "x11_fingerprint": 0,
+    "x12_media_features": 0,
+    "x13_cosine_near_dup": 0,
+    "x14_hyperplane_lsh_near_dup": 0,
+    "x15_redact_text": 0,
+    "x16_chunk_documents": 0,
+    "x17_profile_table": 2,
+    "x18_decontaminate": 4,
+    "x19_hash_split": 0,
+    "x20_quality_topk_per_source": 1,
+    "x21_simhash_near_dup": 3,
+    "x22_repetition_metrics": 3,
+    "x23_tfidf_top_terms": 7,
+    "x24_stratified_sample": 0,
+    "x25_dedup_clusters": 0,  # iterative CC checkpoints per round
+}
+
+
+def _shuffles(spark, name: str) -> int:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return len(re.findall(r"^\(\d+\) Exchange$", buf.getvalue(), flags=re.M))
+
+
+def test_every_query_has_a_shuffle_budget():
+    missing = sorted(set(QUERIES) - set(SHUFFLE_BUDGET))
+    assert not missing, (
+        f"new queries need a declared shuffle budget: {missing} "
+        "(measure with explain('formatted') at sf0.001)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_shuffle_budget(spark, name):
+    budget = SHUFFLE_BUDGET.get(name)
+    if budget is None:
+        pytest.skip("covered by test_every_query_has_a_shuffle_budget")
+    actual = _shuffles(spark, name)
+    assert actual <= budget, (
+        f"{name}: {actual} shuffle exchanges, budget {budget} — a plan "
+        "regression (lost broadcast / extra repartition / window not "
+        "reusing the agg partitioning)?"
+    )
