@@ -149,3 +149,32 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str = "bin",
+    relative_error: float = 0.0001,
+) -> DataFrame:
+    """Equal-frequency binning at scale: the distributed form of
+    NTILE(n) OVER (ORDER BY col).
+
+    A global NTILE window sorts the entire dataset into ONE partition —
+    a non-starter at 100 TB. This computes approximate quantile
+    cutpoints in a single aggregate pass (`approxQuantile`,
+    Greenwald-Khanna sketch, mergeable across partitions), then assigns
+    bins with a stateless O(log n_bins) comparison — no global sort, no
+    shuffle beyond the sketch's tree aggregation. Bin populations are
+    equal to within `relative_error`; `w07_ntile_quartiles` (exact
+    NTILE) is the small-data oracle this validates against in tests.
+    """
+    cuts = df.approxQuantile(
+        col, [i / n_bins for i in range(1, n_bins)], relative_error
+    )
+    expr = F.lit(n_bins)
+    # descending CASE chain: first cutpoint the value is <= wins
+    for i in range(n_bins - 2, -1, -1):
+        expr = F.when(F.col(col) <= F.lit(cuts[i]), i + 1).otherwise(expr)
+    return df.withColumn(out_col, expr.cast("int"))

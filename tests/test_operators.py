@@ -295,3 +295,38 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_quantile_bins_matches_exact_ntile(spark):
+    """The scalable binning (sketch cutpoints + stateless CASE) must
+    agree with exact NTILE on ~all rows, with equal-ish bin sizes and
+    no global single-partition sort in the plan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+
+    from ods_to_datalake_spark.catalog import load_testdata
+    from ods_to_datalake_spark.operators.agg import quantile_bins
+
+    orders = load_testdata(spark, "/root/testdata/sf0.01").table("orders")
+    binned = quantile_bins(orders, "o_totalprice", 4)
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    exact = orders.withColumn("ntile", F.ntile(4).over(w))
+    joined = binned.join(exact, "o_orderkey")
+    n = joined.count()
+    agree = joined.filter(F.col("bin") == F.col("ntile")).count()
+    assert agree / n > 0.99  # sketch error only at bin boundaries
+
+    sizes = [
+        r.n for r in binned.groupBy("bin").agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 4
+    assert max(sizes) - min(sizes) < n * 0.02
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        binned.explain("formatted")
+    assert "Window" not in buf.getvalue()  # stateless map, no sort
