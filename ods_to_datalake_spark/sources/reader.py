@@ -46,20 +46,31 @@ def read_json(
 
 
 def read_parquet(
-    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
 ) -> DataFrame:
     """Parquet carries its own schema; an optional contract is enforced
     by selection+cast (so surplus columns are pruned at the scan and
-    missing ones fail loudly)."""
-    return _enforce_contract(spark.read.parquet(path), schema)
+    missing ones fail loudly). Reader options pass through — e.g.
+    ``mergeSchema="true"`` for datasets with additive schema evolution,
+    where a plain read resolves columns from whichever file footer wins
+    and can silently miss late-added columns."""
+    return _enforce_contract(
+        spark.read.options(**options).parquet(path), schema
+    )
 
 
 def read_orc(
-    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
 ) -> DataFrame:
     """ORC twin of `read_parquet` (self-describing columnar format with
     stats-based pushdown) — same optional schema contract."""
-    return _enforce_contract(spark.read.orc(path), schema)
+    return _enforce_contract(spark.read.options(**options).orc(path), schema)
 
 
 def _enforce_contract(

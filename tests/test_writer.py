@@ -374,3 +374,59 @@ def test_read_run_time_travel(spark, products, tmp_path):
     assert read_run(spark, path, "2026-01-23", 2).count() == 1
     with pytest.raises(FileNotFoundError):
         read_run(spark, path, "2026-01-24", 1)
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE JSON ingestion quarantines malformed lines into the
+    corrupt-record column instead of failing the batch — the ingest-QA
+    pattern for semi-trusted feeds (count them via observe/metrics,
+    route them to a dead-letter sink)."""
+    from ods_to_datalake_spark.sources.reader import read_json
+
+    path = str(tmp_path / "feed.jsonl")
+    with open(path, "w") as f:
+        f.write('{"k": 1, "v": "good"}\n')
+        f.write('{"k": 2, "v": BROKEN}\n')
+        f.write('{"k": 3, "v": "also good"}\n')
+    df = read_json(
+        spark,
+        path,
+        "k int, v string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.k for r in good} == {1, 3}
+    assert len(bad) == 1 and "BROKEN" in bad[0]._corrupt_record
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution: later appends carry a new column;
+    mergeSchema reads the union (old rows null-filled), and the
+    schema-contract reader pins the final shape."""
+    from ods_to_datalake_spark.sources.reader import read_parquet
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame(
+        [(2, "b", "extra")], "k int, v string, w string"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "v", "w"}
+    by_k = {r.k: r for r in merged.collect()}
+    assert by_k[1].w is None and by_k[2].w == "extra"
+
+    # contract read pins the evolved shape for downstream consumers —
+    # a plain (non-merged) read resolves from whichever footer wins and
+    # can miss `w` entirely, which is exactly why the contract read
+    # must merge footers first
+    pinned = read_parquet(
+        spark, path, "k int, v string, w string", mergeSchema="true"
+    )
+    assert pinned.columns == ["k", "v", "w"]
+    assert pinned.count() == 2
