@@ -108,6 +108,25 @@ class Catalog:
         for name in names:
             self.table(name).createOrReplaceTempView(name)
 
+    def persist_external(self, name: str, path: str) -> None:
+        """Register a parquet dataset as an EXTERNAL metastore table so
+        any session (and non-engine consumers of the metastore) can
+        `spark.table(name)` it — the lakehouse publication step after a
+        writer lays the files down. External = the metastore holds only
+        schema + location; dropping the table never touches the data
+        (unlike managed `saveAsTable`). Partition columns are discovered
+        from the hive layout by `MSCK REPAIR` when present."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.spark.sql(
+            f"CREATE TABLE {name} USING parquet LOCATION '{path}'"
+        )
+        # hive-partitioned layouts register with ZERO visible partitions
+        # until the metastore discovers them (a silent-empty-table trap)
+        if any(
+            c.isPartition for c in self.spark.catalog.listColumns(name)
+        ):
+            self.spark.sql(f"MSCK REPAIR TABLE {name}")
+
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> Catalog:
     """Catalog over a driver-generated scale-factor directory."""

@@ -61,3 +61,30 @@ def test_unnest_with_position_matches_sort_order(spark):
     assert [(r.pos, r.s) for r in sorted(rows, key=lambda r: r.pos)] == [
         (0, "a"), (1, "b"), (2, "c")
     ]
+
+
+def test_persist_external_table(spark, tmp_path):
+    """persist_external publishes a written dataset to the metastore:
+    plain spark.table() sees it (partition metadata repaired — a
+    partitioned external table is silently EMPTY otherwise), and
+    dropping it never deletes the data files."""
+    import glob
+
+    from ods_to_datalake_spark.catalog import Catalog
+    from ods_to_datalake_spark.sources.writer import (
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "pub")
+    df = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "d string, v int"
+    )
+    write_partitioned_parquet(df, path, partition_by=["d"])
+    cat = Catalog(spark)
+    cat.persist_external("published_t", path)
+    t = spark.table("published_t")
+    assert t.count() == 3  # MSCK ran: partitions visible
+    assert t.filter(F.col("d") == "d1").count() == 2
+    n_files = len(glob.glob(f"{path}/*/*.parquet"))
+    spark.sql("DROP TABLE published_t")
+    assert len(glob.glob(f"{path}/*/*.parquet")) == n_files  # data kept
