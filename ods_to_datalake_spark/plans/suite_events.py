@@ -204,3 +204,125 @@ def e06_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "e07_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+             AS n_clicked_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+             AS n_purchased_after_click
+    """,
+    doc="Ordered conversion funnel (view → click-after-view → "
+    "purchase-after-click): each stage anchors on the PREVIOUS stage's "
+    "first-event time, so out-of-order events don't count — the "
+    "product-analytics staple. All three stage anchors are consecutive "
+    "windows over the same user_id partitioning, so the whole funnel "
+    "costs ONE shuffle of events (the naive groupBy-per-stage plus "
+    "join-back formulation costs 8 exchanges — measured).",
+)
+def e07_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    ev = cat.table("events")
+    # three stage anchors as consecutive windows over the SAME user
+    # partitioning — Spark reuses one shuffle for all of them (vs the
+    # naive per-stage groupBy+join-back, which costs 8 exchanges)
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn(
+            "first_view", F.min(F.when(is_("view"), F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    is_("click") & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.agg(
+        F.count_distinct(
+            F.when(F.col("first_view").isNotNull(), F.col("user_id"))
+        ).alias("n_viewed"),
+        F.count_distinct(
+            F.when(F.col("first_click").isNotNull(), F.col("user_id"))
+        ).alias("n_clicked_after_view"),
+        F.count_distinct(
+            F.when(F.col("first_purchase").isNotNull(), F.col("user_id"))
+        ).alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "e08_trailing_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_sec
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,4)) AS trailing_7d_value
+    FROM (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_sec
+      FROM events WHERE event_type = 'purchase'
+    ) t
+    """,
+    doc="Trailing-interval aggregate: 7-day rolling purchase value per "
+    "user via a RANGE frame over epoch seconds (value-based frame — "
+    "peers at the same timestamp are always all included, unlike a "
+    "ROWS frame, so the result is tie-insensitive and cross-engine "
+    "deterministic). Complements w05's ROWS frames; one shuffle on "
+    "the partition key.",
+)
+def e08_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    purchases = (
+        cat.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+            F.unix_timestamp("ts").alias("epoch_sec"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-604800, 0)
+    )
+    return purchases.select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w).cast("decimal(38,4)").alias("trailing_7d_value"),
+    )

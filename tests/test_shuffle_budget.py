@@ -40,6 +40,8 @@ SHUFFLE_BUDGET = {
     "e04_json_extract": 0,
     "e05_purchase_attribution": 0,
     "e06_retention_cohorts": 3,
+    "e07_event_funnel": 3,  # one events shuffle + count-distinct expand
+    "e08_trailing_window": 1,
     "f02_string_functions": 0,
     "f08_case_decode": 0,
     "f_scalar_functions": 0,
