@@ -130,6 +130,61 @@ def decode_images(
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", every_ms: int = 1000
 ) -> DataFrame:
-    """STUB — video frame sampling (needs an ffmpeg binding)."""
+    """STUB — real video frame decoding (needs an ffmpeg binding).
+    The Spark-side plumbing is `sample_frames_fake` below; swap its
+    per-row extractor for PyAV frame iteration."""
     _require("av", "video frame sampling")
     raise NotImplementedError("wire PyAV frame iteration into mapInPandas")
+
+
+def sample_frames_fake(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 4,
+    frame_ms: int = 1000,
+) -> DataFrame:
+    """Frame sampling with REAL Spark plumbing and a deterministic
+    stand-in decoder (no ffmpeg in this environment — `sample_frames`
+    is the real-decoder hook).
+
+    Row explosion inside mapInPandas: one video row → `n_frames` frame
+    rows (frame_idx, ts_ms, frame payload), the shape a
+    frame-level training pipeline consumes. The fake "frame" is the
+    md5 digest of (payload, frame index) — deterministic, so tests pin
+    exact bytes. Map-only (no shuffle); frame rows are written
+    partition-local. A real decoder changes ONLY the two marked lines.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * frame_ms)
+                    # real decoder: seek to ts, decode, encode the frame
+                    frames.append(
+                        hashlib.md5(bytes(p) + bytes([i])).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
