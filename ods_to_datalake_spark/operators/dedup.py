@@ -27,15 +27,33 @@ from ods_to_datalake_spark.functions import text as X
 
 
 def spread_small_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
-    """Repartition when the input has far fewer partitions than cores.
+    """Repartition when the input likely has far fewer splits than cores.
 
     A tiny/unsplittable file (one parquet row group) scans as ONE task,
     serializing any heavy per-row compute placed above it. At real scale
     inputs arrive in many splits and this is a no-op; locally it costs a
     shuffle of the raw rows — cheap next to hash/shingle work.
+
+    The split estimate comes from plan metadata (input file list +
+    optimizer size stats), NOT ``df.rdd`` — converting to an RDD just to
+    count partitions forces analysis plus a Java RDD handle on every
+    dedup call.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    max_split = int(digits or "134217728")
+    try:
+        files = df.inputFiles()
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+        est_splits = max(len(files), -(-size // max_split)) if files else 1
+    except Exception:  # non-file source / connect — assume small
+        est_splits = 1
+    if est_splits * min_factor <= target:
         return df.repartition(target)
     return df
 

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from ods_to_datalake_spark.functions import vectors as V
 
+# kmeans_assign embeds k*dim literals in the argmin expression; beyond
+# this the Catalyst plan itself is the bottleneck (see its docstring).
+MAX_PLAN_K = 512
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -246,7 +250,20 @@ def kmeans_assign(
     convergence-tested) to keep runs deterministic and bounded.
 
     Returns (id_col, cluster int) — feed to `ivf_topk` as cluster_col.
+
+    Bound: the assignment expression materializes k × dim literals in
+    the plan (one struct per centroid), so plan size grows linearly in
+    k. Fine for IVF cell counts (k ≤ ~256, the intended use); at
+    k in the thousands the Catalyst tree itself becomes the bottleneck
+    — use a Pandas-UDF argmin or MLlib at that scale. Enforced below.
     """
+    if k > MAX_PLAN_K:
+        raise ValueError(
+            f"kmeans_assign: k={k} exceeds the plan-size bound "
+            f"{MAX_PLAN_K}; the argmin expression embeds k*dim "
+            "literals — use a vectorized (Pandas UDF) argmin for "
+            "large k"
+        )
     seeds = [
         [float(x) for x in r[1]]
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()

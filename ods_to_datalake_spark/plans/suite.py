@@ -32,6 +32,31 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def finalize_output(df: DataFrame) -> DataFrame:
+    """Cast DECIMAL-typed output columns to DOUBLE in the final projection.
+
+    Decimal stays the internal summation type (exactness / order
+    independence), but as an *output* type it hash-mismatches across
+    engines: Spark renders trailing-zero scale digits ("253942.00")
+    while shortest-repr normalizers emit "253942.0", so bit-identical
+    values hash apart. Every oracle mirrors this with an outer
+    CAST(... AS DOUBLE); the cast is exact for money magnitudes
+    (< 2**53 in cents).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = [
+        F.col(f.name).cast("double").alias(f.name)
+        if isinstance(f.dataType, T.DecimalType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    if any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+        return df.select(*cols)
+    return df
+
+
 @dataclass
 class Query:
     name: str
@@ -49,9 +74,27 @@ def register(
     oracle: str | None,
     doc: str = "",
     headline: bool = False,
+    double_cols: list[str] | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
+    """Register a suite query.
+
+    ``double_cols`` lists output columns the query computes through
+    Decimal internally (exact, order-independent summation) but must
+    emit as DOUBLE: the Spark side is auto-cast by ``finalize_output``;
+    the oracle is wrapped here with the matching ``SELECT * REPLACE``
+    so both engines hash the same IEEE doubles.
+    """
+    if oracle is not None and double_cols:
+        repl = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in double_cols)
+        oracle = f"SELECT * REPLACE ({repl}) FROM (\n{oracle}\n) AS _final_cast"
+
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = Query(name, fn, oracle, doc, headline)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return finalize_output(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, wrapped, oracle, doc, headline)
         return fn
 
     return deco
@@ -69,13 +112,17 @@ def headline_queries() -> dict[str, QueryFn]:
     return {q.name: q.fn for q in REGISTRY.values() if q.headline}
 
 
-# importing the suite modules populates REGISTRY
+# importing the suite modules populates REGISTRY.
+# Registration order matters: the driver's correctness gate checks the
+# first 50 registered queries, so the suites least-covered by prior
+# rounds register first (llm + tpch + events were never driver-checked
+# in round 1; core is green there and stays guarded by validate.py).
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
-        suite_core,
-        suite_events,
-        suite_llm,
-        suite_tpch,
+        suite_llm,  # 25 queries, zero driver evidence in r01
+        suite_tpch,  # 16 queries, zero driver evidence in r01
+        suite_events,  # 8 queries; e01 fixed, e07/e08 never checked
+        suite_core,  # 44 queries, driver-green in r01 (modulo decimal fix)
     )
 
     return REGISTRY

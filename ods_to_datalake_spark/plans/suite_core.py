@@ -20,15 +20,8 @@ from ods_to_datalake_spark.functions.decode import value_map_decode
 from ods_to_datalake_spark.operators import agg as agg_ops
 from ods_to_datalake_spark.operators import joins as join_ops
 from ods_to_datalake_spark.operators import nest, windows
+from ods_to_datalake_spark.plans.money import D182, D384, D386, _dec
 from ods_to_datalake_spark.plans.suite import register
-
-D182 = T.DecimalType(18, 2)
-D384 = T.DecimalType(38, 4)
-D386 = T.DecimalType(38, 6)
-
-
-def _dec(col: str) -> F.Column:
-    return F.col(col).cast(D182)
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +267,7 @@ def j01b_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j02_left_attach_preagg",
+    double_cols=['total_qty'],
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,
            COALESCE(l.item_count, 0) AS item_count,
@@ -429,6 +423,7 @@ def a01_fold_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a02_document_fold",
+    double_cols=['total_price'],
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,
            CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
@@ -508,6 +503,7 @@ def a02_document_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a03_conditional_sum",
+    double_cols=['sum_f_price', 'sum_o_price', 'sum_total_price'],
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
@@ -546,6 +542,7 @@ def a03_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a04_pivot",
+    double_cols=['F', 'O'],
     oracle="""
     SELECT l_returnflag,
            CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
@@ -581,6 +578,7 @@ def a04_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a06_rollup",
+    double_cols=['sum_qty'],
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -735,6 +733,7 @@ def w03_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w05_running_total",
+    double_cols=['running_spend'],
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -909,6 +908,7 @@ def j05_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a08_two_phase_agg",
+    double_cols=['sum_qty'],
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -1048,6 +1048,7 @@ def f02_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
+    double_cols=['total_price', 'total_qty'],
     oracle="""
     SELECT o.o_orderkey,
            CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
@@ -1126,6 +1127,7 @@ def u02_intersect_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q01_pricing_summary",
+    double_cols=['sum_qty', 'sum_base_price', 'sum_disc_price', 'sum_charge'],
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -1173,6 +1175,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q03_shipping_priority",
+    double_cols=['revenue'],
     oracle="""
     SELECT l.l_orderkey,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1250,6 +1253,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_revenue_forecast",
+    double_cols=['revenue'],
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_discount AS DECIMAL(18,2)))
@@ -1283,6 +1287,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q05_region_revenue",
+    double_cols=['revenue'],
     oracle="""
     SELECT n.n_name AS nation_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1387,6 +1392,7 @@ def u05_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w06_lag_lead_delta",
+    double_cols=['total_price', 'delta_prev', 'next_price'],
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
@@ -1421,6 +1427,7 @@ def w06_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w07_ntile_quartiles",
+    double_cols=['min_price', 'max_price'],
     oracle="""
     WITH t AS (
       SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
@@ -1459,6 +1466,7 @@ def w07_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a10_grouping_sets",
+    double_cols=['total'],
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)

@@ -14,6 +14,7 @@ from ods_to_datalake_spark.plans.suite import register
 
 @register(
     "e01_tumbling_window",
+    double_cols=['sum_value'],
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
@@ -283,6 +284,7 @@ def e07_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "e08_trailing_window",
+    double_cols=['trailing_7d_value'],
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

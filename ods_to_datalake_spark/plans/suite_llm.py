@@ -638,8 +638,10 @@ N_PLANES = 4
                  sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_TAU}
     """,
     doc=f"Embedding-cosine near-dup pairs, exact: all pairs ≥ {NEAR_DUP_TAU} "
-    "— the ground-truth face of x14; quadratic, so at corpus scale it "
-    "runs only on an LSH-reduced candidate set.",
+    "— the ground-truth face of x14. ORACLE-ONLY AT SCALE: the self-join "
+    "is O(n²) by construction; production code must use x14 / "
+    "similarity.hyperplane_lsh_pairs (bucketed, one shuffle) and reserve "
+    "this exact form for verifying an LSH-reduced candidate set.",
 )
 def x13_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)

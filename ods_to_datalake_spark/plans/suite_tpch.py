@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 
 from ods_to_datalake_spark.catalog import load_testdata
 from ods_to_datalake_spark.operators import joins as join_ops
+from ods_to_datalake_spark.plans.money import D182, D384, _dec
 from ods_to_datalake_spark.plans.suite import register
-from ods_to_datalake_spark.plans.suite_core import D182, D384, _dec
 
 def _rev() -> F.Column:
     """Discounted revenue (needs an active session — built per query)."""
@@ -61,6 +61,7 @@ def _region_nations(cat, region_name: str) -> DataFrame:
 
 @register(
     "q02_min_cost_supplier",
+    double_cols=['supplier_balance'],
     oracle="""
     WITH costs AS (
       SELECT l_partkey, l_suppkey,
@@ -146,6 +147,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q07_volume_shipping",
+    double_cols=['revenue'],
     oracle="""
     SELECT supp_nation, cust_nation, ship_year,
            CAST(SUM(volume) AS DECIMAL(38,4)) AS revenue
@@ -294,6 +296,7 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q09_product_profit",
+    double_cols=['sum_profit'],
     oracle="""
     SELECT nation_name, order_year,
            CAST(SUM(amount) AS DECIMAL(38,4)) AS sum_profit
@@ -351,6 +354,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
+    double_cols=['revenue', 'acctbal'],
     oracle="""
     SELECT c.c_custkey, c.c_name,
            CAST(SUM({rev}) AS DECIMAL(38,4)) AS revenue,
@@ -401,6 +405,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_important_values",
+    double_cols=['part_value'],
     oracle="""
     WITH values_by_part AS (
       SELECT l.l_partkey,
@@ -577,6 +582,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
+    double_cols=['total_revenue'],
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
@@ -719,6 +725,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_predicates",
+    double_cols=['revenue'],
     oracle="""
     SELECT CAST(SUM({rev}) AS DECIMAL(38,4)) AS revenue
     FROM lineitem l
@@ -910,6 +917,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_global_sales_opportunity",
+    double_cols=['totacctbal'],
     oracle="""
     WITH eligible AS (
       SELECT CAST(c_custkey % 7 AS VARCHAR) AS cntrycode,

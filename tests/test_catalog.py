@@ -88,3 +88,28 @@ def test_persist_external_table(spark, tmp_path):
     n_files = len(glob.glob(f"{path}/*/*.parquet"))
     spark.sql("DROP TABLE published_t")
     assert len(glob.glob(f"{path}/*/*.parquet")) == n_files  # data kept
+
+
+def test_qualified_namespace_resolution(spark, tmp_path):
+    """Two-level `database.table` names (the reference reads
+    `processing_ibs.<table>`, ibs_ordinary_payment_utilities.py:25-26)
+    fall through Catalog.table to spark.table and resolve through the
+    metastore database."""
+    from ods_to_datalake_spark.catalog import Catalog
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS processing_ibs")
+    try:
+        df = spark.createDataFrame(
+            [("J1", "05"), ("J2", "99")], "job_id string, channel string"
+        )
+        df.write.mode("overwrite").saveAsTable("processing_ibs.ctl_jobs")
+        cat = Catalog(spark, base_dir=str(tmp_path))  # dir has no such file
+        got = cat.table("processing_ibs.ctl_jobs")
+        assert sorted(r.job_id for r in got.collect()) == ["J1", "J2"]
+        # registered in-memory frames still win over the metastore
+        override = spark.createDataFrame([("J9", "01")], df.schema)
+        cat.register("processing_ibs.ctl_jobs", override)
+        assert cat.table("processing_ibs.ctl_jobs").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS processing_ibs.ctl_jobs")
+        spark.sql("DROP DATABASE IF EXISTS processing_ibs")

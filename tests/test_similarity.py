@@ -107,3 +107,18 @@ def test_kmeans_cells_beat_label_cells(spark, emb):
     r_label = recall(emb, "label")
     r_km = recall(corpus_km, "cluster")
     assert r_km >= r_label  # geometry-aware cells can't be worse here
+
+
+def test_kmeans_k_guard(spark):
+    """k above the documented plan-size bound raises instead of building
+    a multi-thousand-literal Catalyst expression."""
+    import pytest
+
+    from ods_to_datalake_spark.operators.similarity import (
+        MAX_PLAN_K,
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id int, v array<double>")
+    with pytest.raises(ValueError, match="plan-size bound"):
+        kmeans_assign(df, "vec_id", "v", k=MAX_PLAN_K + 1)
