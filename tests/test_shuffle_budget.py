@@ -118,6 +118,7 @@ SHUFFLE_BUDGET = {
     "x23_tfidf_top_terms": 7,
     "x24_stratified_sample": 0,
     "x25_dedup_clusters": 0,  # iterative CC checkpoints per round
+    "x26_image_decode": 0,  # encode + decode are map-only mapInPandas
 }
 
 
