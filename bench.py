@@ -32,12 +32,17 @@ def main() -> int:
 
     queries = headline_queries()
 
-    # warmup: touch every table + JIT the common operators
+    # Warmup: touch every table, then run each headline query once
+    # untimed. First execution pays whole-stage-codegen JIT + shuffle
+    # infra startup (~4s on this JVM) that a long-running cluster job
+    # amortizes to zero; steady-state timings are the comparable metric.
     from ods_to_datalake_spark.catalog import TESTDATA_TABLES, load_testdata
 
     cat = load_testdata(spark, sf_dir)
     for t in TESTDATA_TABLES:
         cat.table(t).count()
+    for name, fn in queries.items():
+        fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():

@@ -204,6 +204,73 @@ def decode_images(
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL audio decode: WAV/PCM payloads to per-clip stats rows.
+
+    Stdlib ``wave`` + numpy (functions/wav.py) inside Arrow-batched
+    mapInPandas — (media_id, sample_rate, channels, n_samples,
+    duration_ms, peak, rms). Map-only, no shuffle; corrupt/unsupported
+    payloads quarantine as NULL dims (filter `sample_rate IS NULL`),
+    same policy as decode_images. rms/peak are the standard
+    silence/clipping filters an audio-training pipeline gates on."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", df.schema[id_col].dataType),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        from ods_to_datalake_spark.functions.wav import decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in out_schema.fieldNames()}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                rows["media_id"].append(mid)
+                try:
+                    arr, rate = decode_wav(bytes(p))
+                    n, c = arr.shape
+                    a = arr.astype(np.float64)
+                    rows["sample_rate"].append(rate)
+                    rows["channels"].append(c)
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(n * 1000 // rate)
+                    rows["peak"].append(int(np.abs(arr).max()) if n else 0)
+                    rows["rms"].append(
+                        float(np.sqrt((a * a).mean())) if n else 0.0
+                    )
+                except (ValueError, EOFError, OSError, wave.Error):
+                    for k in out_schema.fieldNames()[1:]:
+                        rows[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                    "channels": pd.array(rows["channels"], dtype="Int32"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(rows["duration_ms"], dtype="Int64"),
+                    "peak": pd.array(rows["peak"], dtype="Int32"),
+                    "rms": pd.array(rows["rms"], dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def sample_frames(
     df: DataFrame, payload_col: str = "payload", every_ms: int = 1000
 ) -> DataFrame:

@@ -119,9 +119,10 @@ def headline_queries() -> dict[str, QueryFn]:
 # in round 1; core is green there and stays guarded by validate.py).
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
-        suite_llm,  # 25 queries, zero driver evidence in r01
+        suite_llm,  # 26 queries, zero driver evidence in r01
         suite_tpch,  # 16 queries, zero driver evidence in r01
         suite_events,  # 8 queries; e01 fixed, e07/e08 never checked
+        suite_media,  # registers at 50+: driver-checked a later round
         suite_core,  # 44 queries, driver-green in r01 (modulo decimal fix)
     )
 

@@ -1,0 +1,74 @@
+"""Multimodal decode suite (registers AFTER suite_events on purpose —
+the driver's correctness window covers the first 50 registrations; see
+suite.load_all).
+
+Same oracle trick as x26: synthesize payloads whose decoded content is
+SQL-predictable (constant-amplitude PCM → rms == peak == amplitude,
+exactly, because sum/mean/sqrt of a representable perfect square are
+all exact IEEE ops), so a REAL decoder's output is value-hash checked
+cross-engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.plans.suite import register
+
+AUDIO_RATE = 16000
+AUDIO_SAMPLES = 160  # 10 ms clips — enough to exercise the codec
+
+
+@register(
+    "x27_audio_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {AUDIO_RATE} AS sample_rate,
+           1 AS channels,
+           CAST({AUDIO_SAMPLES} AS BIGINT) AS n_samples,
+           CAST({AUDIO_SAMPLES * 1000 // AUDIO_RATE} AS BIGINT)
+             AS duration_ms,
+           CAST(1 + strlen(text) % 30000 AS INT) AS peak,
+           CAST(1 + strlen(text) % 30000 AS DOUBLE) AS rms
+    FROM documents
+    """,
+    doc="REAL audio decoding end-to-end: per doc a constant-amplitude "
+    f"(1+octet_length%30000) 16-bit PCM WAV ({AUDIO_SAMPLES} samples @ "
+    f"{AUDIO_RATE} Hz) is encoded executor-side, then "
+    "operators/multimodal.decode_audio RIFF-parses it (stdlib wave + "
+    "numpy, functions/wav.py) via Arrow-batched mapInPandas. Constant "
+    "amplitude makes peak AND rms exact integers, so even the float "
+    "rms is value-hash checked cross-engine. Map-only, no shuffle.",
+)
+def x27_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ods_to_datalake_spark.operators.multimodal import (
+        attach_media,
+        decode_audio,
+    )
+
+    @pandas_udf("binary")
+    def make_wav(amp: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ods_to_datalake_spark.functions.wav import encode_wav
+
+        return amp.map(
+            lambda a: encode_wav(
+                np.full(AUDIO_SAMPLES, a, dtype=np.int16), AUDIO_RATE
+            )
+        )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents").select(
+        "doc_id",
+        (F.lit(1) + F.octet_length("text") % 30000).cast("int").alias("amp"),
+    )
+    media = attach_media(
+        docs, make_wav(F.col("amp")), "audio/wav", media_id=F.col("doc_id")
+    )
+    return decode_audio(media)

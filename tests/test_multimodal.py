@@ -159,3 +159,45 @@ def test_sample_frames_fake_plumbing(spark):
     assert [f.name for f in frames.schema.fields] == [
         "media_id", "frame_idx", "ts_ms", "frame",
     ]
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from ods_to_datalake_spark.functions.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    arr, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(arr[:, 0], mono)
+    stereo = rng.integers(-32768, 32768, size=(100, 2), dtype=np.int16)
+    arr2, rate2 = decode_wav(encode_wav(stereo, 44100, channels=2))
+    assert rate2 == 44100 and np.array_equal(arr2, stereo)
+
+
+def test_decode_audio_real_wav(spark):
+    """decode_audio really RIFF-parses PCM: stats come back exact, and
+    corrupt payloads quarantine as NULL dims."""
+    import numpy as np
+
+    from ods_to_datalake_spark.functions.wav import encode_wav
+    from ods_to_datalake_spark.operators.multimodal import decode_audio
+
+    tone = np.full(160, 1000, dtype=np.int16)
+    ramp = np.array([-3, 4], dtype=np.int16)
+    base = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(tone, 16000))),
+            (2, bytearray(encode_wav(ramp, 8000))),
+            (3, bytearray(b"RIFFgarbage")),
+        ],
+        "media_id long, raw binary",
+    )
+    media = attach_media(base, F.col("raw"), "audio/wav")
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    r1 = rows[1]
+    assert (r1.sample_rate, r1.channels, r1.n_samples) == (16000, 1, 160)
+    assert r1.duration_ms == 10 and r1.peak == 1000 and r1.rms == 1000.0
+    r2 = rows[2]
+    assert r2.peak == 4 and r2.rms == float(np.sqrt((9 + 16) / 2))
+    assert rows[3].sample_rate is None

@@ -119,6 +119,7 @@ SHUFFLE_BUDGET = {
     "x24_stratified_sample": 0,
     "x25_dedup_clusters": 0,  # iterative CC checkpoints per round
     "x26_image_decode": 0,  # encode + decode are map-only mapInPandas
+    "x27_audio_decode": 0,  # encode + decode are map-only mapInPandas
 }
 
 
