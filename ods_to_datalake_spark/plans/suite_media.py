@@ -72,3 +72,51 @@ def x27_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, make_wav(F.col("amp")), "audio/wav", media_id=F.col("doc_id")
     )
     return decode_audio(media)
+
+
+PACK_TARGET = 512
+PACK_SHARDS = 8
+
+
+@register(
+    "x28_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT)
+                  % {PACK_SHARDS} AS INT) AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_before // {PACK_TARGET} AS seq_idx,
+           cum_before % {PACK_TARGET} AS offset
+    FROM c
+    """,
+    doc=f"Sequence packing (pretraining batch prep): whitespace token "
+    f"counts concatenated per md5-shard in doc_id order and cut every "
+    f"{PACK_TARGET} tokens — each doc's (seq_idx, offset) start "
+    "position via ONE shuffle on the shard key + an in-shard running "
+    "sum (operators/packing.py). No token materialization; sequences "
+    "never span shards, so shard count scales the window state down.",
+)
+def x28_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.packing import pack_sequences
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tok", PACK_TARGET, n_shards=PACK_SHARDS
+    )

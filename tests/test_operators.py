@@ -330,3 +330,32 @@ def test_quantile_bins_matches_exact_ntile(spark):
     with contextlib.redirect_stdout(buf):
         binned.explain("formatted")
     assert "Window" not in buf.getvalue()  # stateless map, no sort
+
+
+def test_pack_sequences_semantics(spark):
+    """Contiguous-fill packing: in-shard running offsets, boundary
+    straddle lands the next doc in the right window, shards isolated."""
+    from ods_to_datalake_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 100), (4, 50)],
+        "doc_id long, n_tok long",
+    )
+    # one shard -> one global stream: offsets are the running sums
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, "doc_id", "n_tok", target_len=512, n_shards=1
+        ).collect()
+    }
+    assert (rows[1].seq_idx, rows[1].offset) == (0, 0)
+    assert (rows[2].seq_idx, rows[2].offset) == (0, 300)  # straddles 512
+    assert (rows[3].seq_idx, rows[3].offset) == (1, 88)  # 600 -> window 1
+    assert (rows[4].seq_idx, rows[4].offset) == (1, 188)
+    assert all(r.shard == 0 for r in rows.values())
+    # many shards: offsets restart per shard, never exceed target
+    sharded = pack_sequences(
+        df, "doc_id", "n_tok", target_len=512, n_shards=4
+    ).collect()
+    assert {r.doc_id for r in sharded} == {1, 2, 3, 4}
+    assert all(0 <= r.offset < 512 for r in sharded)

@@ -120,6 +120,7 @@ SHUFFLE_BUDGET = {
     "x25_dedup_clusters": 0,  # iterative CC checkpoints per round
     "x26_image_decode": 0,  # encode + decode are map-only mapInPandas
     "x27_audio_decode": 0,  # encode + decode are map-only mapInPandas
+    "x28_sequence_pack": 1,  # one shuffle on the shard key
 }
 
 
