@@ -40,3 +40,27 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     """Cosine rounded for cross-engine-stable ranking/thresholding."""
     return F.round(cosine(a, b), digits)
+
+
+def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization: (scale, quantized array).
+
+    scale = max |vᵢ|; qᵢ = floor(vᵢ/scale·127 + 0.5) ∈ [-127, 127]
+    (floor(x+0.5) instead of round() — Spark rounds HALF_UP, DuckDB
+    half-to-even, so round() would diverge exactly at midpoints; floor
+    on identical IEEE doubles is engine-independent). Zero vectors
+    quantize to zeros (scale 0 guarded — ANSI mode throws on x/0).
+
+    The ANN memory lever: 4× smaller vectors for IVF/LSH candidate
+    scans, full-precision re-rank on the shortlist. Pure map-side
+    expression — no shuffle, no UDF.
+    """
+    v = to_double(vec)
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(F.floor(x / scale * 127.0 + F.lit(0.5)))
+        .cast("int"),
+    )
+    return scale, q

@@ -1361,7 +1361,8 @@ _assemble_x25_oracle()
     oracle="""
     SELECT doc_id AS media_id,
            8 AS width, 8 AS height, 1 AS channels,
-           CAST(1 + strlen(text) % 255 AS INT) AS pixel_value,
+           CAST(1 + strlen(COALESCE(text, '')) % 255 AS INT)
+             AS pixel_value,
            TRUE AS solid
     FROM documents
     """,
@@ -1395,7 +1396,9 @@ def x26_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents").select(
         "doc_id",
-        (F.lit(1) + F.octet_length("text") % 255).cast("int").alias("v"),
+        (F.lit(1) + F.octet_length(F.coalesce("text", F.lit(""))) % 255)
+        .cast("int")
+        .alias("v"),
     )
     media = attach_media(
         docs, make_png(F.col("v")), "image/png", media_id=F.col("doc_id")

@@ -31,8 +31,8 @@ AUDIO_SAMPLES = 160  # 10 ms clips — enough to exercise the codec
            CAST({AUDIO_SAMPLES} AS BIGINT) AS n_samples,
            CAST({AUDIO_SAMPLES * 1000 // AUDIO_RATE} AS BIGINT)
              AS duration_ms,
-           CAST(1 + strlen(text) % 30000 AS INT) AS peak,
-           CAST(1 + strlen(text) % 30000 AS DOUBLE) AS rms
+           CAST(1 + strlen(COALESCE(text, '')) % 30000 AS INT) AS peak,
+           CAST(1 + strlen(COALESCE(text, '')) % 30000 AS DOUBLE) AS rms
     FROM documents
     """,
     doc="REAL audio decoding end-to-end: per doc a constant-amplitude "
@@ -66,7 +66,9 @@ def x27_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents").select(
         "doc_id",
-        (F.lit(1) + F.octet_length("text") % 30000).cast("int").alias("amp"),
+        (F.lit(1) + F.octet_length(F.coalesce("text", F.lit(""))) % 30000)
+        .cast("int")
+        .alias("amp"),
     )
     media = attach_media(
         docs, make_wav(F.col("amp")), "audio/wav", media_id=F.col("doc_id")
@@ -83,7 +85,8 @@ PACK_SHARDS = 8
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS BIGINT)
+             CAST(LEN(string_split_regex(TRIM(COALESCE(text, '')),
+                                         '\\s+')) AS BIGINT)
                AS n_tokens,
              CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
                                               1, 8)) AS BIGINT)
@@ -115,8 +118,51 @@ def x28_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents").select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.size(
+            F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+")
+        ).alias("n_tok"),
     )
     return pack_sequences(
         docs, "doc_id", "n_tok", PACK_TARGET, n_shards=PACK_SHARDS
+    )
+
+
+@register(
+    "x29_quantize_embeddings",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    )
+    SELECT vec_id, scale,
+           array_to_string(list_transform(v, x ->
+             CAST(CASE WHEN scale = 0 THEN 0
+                  ELSE FLOOR(x / scale * 127.0 + 0.5) END AS INT)),
+             ',') AS q
+    FROM s
+    """,
+    doc="Symmetric int8 embedding quantization (functions/vectors."
+    "quantize_int8): scale = max|v|, q = floor(v/scale*127 + 0.5) — "
+    "floor(x+.5) not round() because Spark rounds HALF_UP and DuckDB "
+    "half-to-even at midpoints. The ANN memory lever (4x smaller "
+    "candidate scans, full-precision re-rank on the shortlist); pure "
+    "map-side Catalyst, no shuffle, exact int parity in the oracle.",
+)
+def x29_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions import vectors as V
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    scale, q = V.quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.concat_ws(
+            ",", F.transform(q, lambda x: x.cast("string"))
+        ).alias("q"),
     )

@@ -121,6 +121,7 @@ SHUFFLE_BUDGET = {
     "x26_image_decode": 0,  # encode + decode are map-only mapInPandas
     "x27_audio_decode": 0,  # encode + decode are map-only mapInPandas
     "x28_sequence_pack": 1,  # one shuffle on the shard key
+    "x29_quantize_embeddings": 0,  # pure map-side expression
 }
 
 

@@ -122,3 +122,34 @@ def test_kmeans_k_guard(spark):
     df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id int, v array<double>")
     with pytest.raises(ValueError, match="plan-size bound"):
         kmeans_assign(df, "vec_id", "v", k=MAX_PLAN_K + 1)
+
+
+def test_quantize_int8_reconstruction(spark):
+    """int8 quantization: values bounded to [-127,127], max|v| maps to
+    +/-127, dequantized error <= scale/254 per element, zero vectors
+    stay zero (no ANSI division error)."""
+    from ods_to_datalake_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [3.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    scale, q = quantize_int8("embedding")
+    rows = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id", "embedding", scale.alias("s"), q.alias("q")
+        ).collect()
+    }
+    assert rows[1].s == 1.0 and rows[1].q == [64, -127, 32]
+    assert rows[2].s == 0.0 and rows[2].q == [0, 0, 0]
+    assert rows[3].q == [127]
+    for r in rows.values():
+        if r.s == 0:
+            continue
+        for orig, qi in zip(r.embedding, r.q):
+            assert abs(qi * r.s / 127.0 - orig) <= r.s / 127.0 / 2 + 1e-12
