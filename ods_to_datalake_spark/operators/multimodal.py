@@ -93,16 +93,28 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            payloads = pdf[payload_col]
+            # NULL payloads quarantine as NULL feature rows (same
+            # corrupt-data policy as the decoders below) instead of
+            # TypeError-ing the whole batch.
+            payloads = [
+                None if p is None else bytes(p) for p in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "content_md5": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                        None if p is None else hashlib.md5(p).hexdigest()
+                        for p in payloads
                     ],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="Int64",
+                    ),
                     "feature": [
-                        _fake_feature_vector(bytes(p), dim) for p in payloads
+                        None
+                        if p is None
+                        else _fake_feature_vector(p, dim)
+                        for p in payloads
                     ],
                 }
             )
@@ -179,6 +191,8 @@ def decode_images(
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(mid)
                 try:
+                    if p is None:
+                        raise ValueError("NULL payload")
                     arr = _decode_image_bytes(bytes(p), size)
                     h, w = arr.shape[:2]
                     c = 1 if arr.ndim == 2 else arr.shape[2]
@@ -242,6 +256,8 @@ def decode_audio(
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 rows["media_id"].append(mid)
                 try:
+                    if p is None:
+                        raise ValueError("NULL payload")
                     arr, rate = decode_wav(bytes(p))
                     n, c = arr.shape
                     a = arr.astype(np.float64)

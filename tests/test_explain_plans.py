@@ -73,11 +73,24 @@ def test_flagship_fold_single_shuffle(spark):
     assert _shuffle_exchanges(p) == 1
 
 
+# The ONLY queries allowed to show Python in their plans: the media
+# decode family, whose whole point is the Arrow-batched Python decode
+# boundary (mapInPandas decoders + pandas_udf payload synthesizers).
+# Everything relational/dedup/text stays 100% JVM-side.
+DECODE_BOUNDARY = {
+    "x12_media_features",
+    "x26_image_decode",
+    "x27_audio_decode",
+}
+
+
 def test_no_python_udfs_in_relational_suite(spark):
     """Reference policy (SURVEY §2.9): zero Python in the hot path for
-    every relational/dedup/text query. (x12 uses mapInPandas by design.)"""
+    every relational/dedup/text query. Only the DECODE_BOUNDARY media
+    queries may evaluate Python (by design: SURVEY §2.9's 'Arrow only
+    at the decode boundary')."""
     for name in QUERIES:
-        if name.startswith("x12"):
+        if name in DECODE_BOUNDARY:
             continue
         p = plan(spark, name)
         assert "BatchEvalPython" not in p, name
