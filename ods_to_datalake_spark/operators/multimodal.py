@@ -62,10 +62,13 @@ def attach_media(
 
 def _fake_feature_vector(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real encoder: md5-nibble projection
-    scaled to [0,1]. Replace with a model in production; kept md5-based
-    so the SQL oracle can replicate it exactly."""
+    scaled to [0,1). Replace with a model in production; kept md5-based
+    so the SQL oracle can replicate it exactly. Divisor is 16 (not 15)
+    so every element is k/16 — an exactly-representable double whose
+    decimal repr terminates, making the vector safe to serialize as a
+    delimited string identically in any engine."""
     hexd = hashlib.md5(payload).hexdigest()
-    return [int(hexd[i % 32], 16) / 15.0 for i in range(dim)]
+    return [int(hexd[i % 32], 16) / 16.0 for i in range(dim)]
 
 
 def extract_features(

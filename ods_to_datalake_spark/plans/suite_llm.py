@@ -11,7 +11,6 @@ constants the Spark operators use, keeping both sides in lockstep.
 
 from __future__ import annotations
 
-import pandas as pd  # noqa: F401 - resolves pandas_udf type hints (x26)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -840,44 +839,6 @@ def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FEATURE_DIM = 8
-_SQL_FEATURE = (
-    f"[CAST(concat('0x', substring(md5(text), (i % 32) + 1, 1)) AS INT)"
-    f" / 15.0 for i in range(0, {_FEATURE_DIM})]"
-)
-
-
-@register(
-    "x12_media_features",
-    oracle=f"""
-    SELECT doc_id AS media_id,
-           md5(text) AS content_md5,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           {_SQL_FEATURE} AS feature
-    FROM documents
-    """,
-    doc="Multimodal plumbing end-to-end: text bytes as an opaque binary "
-    "payload → Arrow-batched mapInPandas feature extraction "
-    "(operators/multimodal.py). The md5-based stand-in encoder makes "
-    "even the Python-side batch path oracle-checkable; a real image "
-    "model drops into the same plumbing.",
-)
-def x12_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ods_to_datalake_spark.operators.multimodal import (
-        attach_media,
-        extract_features,
-    )
-
-    cat = load_testdata(spark, sf_dir)
-    media = attach_media(
-        cat.table("documents"),
-        F.encode("text", "utf-8"),
-        "text/plain",
-        media_id=F.col("doc_id"),
-    )
-    return extract_features(media, dim=_FEATURE_DIM)
-
-
 CHUNK_SIZE = 32
 CHUNK_OVERLAP = 8
 _CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
@@ -1354,62 +1315,3 @@ def _assemble_x25_oracle() -> None:
 
 
 _assemble_x25_oracle()
-
-
-@register(
-    "x26_image_decode",
-    oracle="""
-    SELECT doc_id AS media_id,
-           8 AS width, 8 AS height, 1 AS channels,
-           CAST(1 + strlen(COALESCE(text, '')) % 255 AS INT)
-             AS pixel_value,
-           TRUE AS solid
-    FROM documents
-    """,
-    doc="REAL image decoding end-to-end: per doc a solid 16x16 grey PNG "
-    "(value 1+octet_length%255) is encoded executor-side, then "
-    "operators/multimodal.decode_images zlib-inflates + unfilters + "
-    "nearest-resizes it to 8x8 via Arrow-batched mapInPandas (the "
-    "functions/png stdlib codec — no PIL in this env). Solid input "
-    "makes the decoded tensor SQL-predictable, so even the pixel "
-    "bytes are oracle-checked: first-byte value and all-64-bytes-equal "
-    "both recomputed engine-side. Map-only, no shuffle.",
-)
-def x26_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-
-    from ods_to_datalake_spark.operators.multimodal import (
-        attach_media,
-        decode_images,
-    )
-
-    @pandas_udf("binary")
-    def make_png(v: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from ods_to_datalake_spark.functions.png import encode_png
-
-        return v.map(
-            lambda x: encode_png(np.full((16, 16), x, dtype=np.uint8))
-        )
-
-    cat = load_testdata(spark, sf_dir)
-    docs = cat.table("documents").select(
-        "doc_id",
-        (F.lit(1) + F.octet_length(F.coalesce("text", F.lit(""))) % 255)
-        .cast("int")
-        .alias("v"),
-    )
-    media = attach_media(
-        docs, make_png(F.col("v")), "image/png", media_id=F.col("doc_id")
-    )
-    decoded = decode_images(media, size=(8, 8))
-    pix_str = F.decode("pixels", "ISO-8859-1")
-    return decoded.select(
-        "media_id",
-        "width",
-        "height",
-        "channels",
-        F.ascii(pix_str).alias("pixel_value"),
-        (pix_str == F.repeat(F.substring(pix_str, 1, 1), 64)).alias("solid"),
-    )

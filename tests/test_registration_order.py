@@ -2,9 +2,14 @@
 
 The driver's correctness gate records evidence for the FIRST 50
 registered queries only, so `load_all()`'s import order is load-bearing
-(see the comment there). This pins the round-2 window — the suites with
-zero round-1 driver evidence — so an innocent import reshuffle can't
-silently push them back out of the gate.
+(see the comment there). This pins the round-3 window — every query
+with no driver-green row across CORRECTNESS_r01/r02 (the 12 suite_core
+decimal-fixers plus all of suite_media) — so an innocent import
+reshuffle can't silently push them back out of the gate.
+
+`scripts/window_plan.py` recomputes the never-green set from the
+accumulated CORRECTNESS_r*.json files; NEVER_GREEN below is its output
+at the time of the round-3 reorder.
 """
 
 from __future__ import annotations
@@ -13,21 +18,54 @@ from ods_to_datalake_spark.plans.suite import load_all
 
 DRIVER_WINDOW = 50
 
+# scripts/window_plan.py output after r02 (plus queries added in r03,
+# which by construction have no driver row yet).
+NEVER_GREEN = {
+    # suite_core decimal-fixers: failed r01 on the decimal hash, fixed
+    # by finalize_output, never re-checked by the driver
+    "j02_left_attach_preagg",
+    "a02_document_fold",
+    "a04_pivot",
+    "a06_rollup",
+    "a08_two_phase_agg",
+    "a10_grouping_sets",
+    "w05_running_total",
+    "w06_lag_lead_delta",
+    "w07_ntile_quartiles",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q18_large_orders",
+    # suite_media: x12 errored r02 (array output), x27-x29 registered
+    # past the window, x30 is new in r03
+    "x12_media_features",
+    "x27_audio_decode",
+    "x28_sequence_pack",
+    "x29_quantize_embeddings",
+    "x30_video_frames",
+}
+
 
 def test_driver_window_composition():
     names = list(load_all())
-    window = names[:DRIVER_WINDOW]
-    # every LLM-pipeline query (the graded section) is in the window,
-    # except suite_media's, which register at 50+ by design (they get
-    # driver evidence in a later round's reorder)
-    media_suite = {"x27_audio_decode", "x28_sequence_pack", "x29_quantize_embeddings"}
-    xs = [n for n in names if n.startswith("x") and n not in media_suite]
-    assert set(xs) <= set(window), sorted(set(xs) - set(window))
-    # every TPC-H shape registered in suite_tpch is in the window
-    assert {"q02_min_cost_supplier", "q22_global_sales_opportunity"} <= set(
-        window
-    )
-    # the full events suite fits, ending exactly at the window edge
-    es = [n for n in names if n.startswith("e0")]
-    assert set(es) <= set(window)
-    assert names[DRIVER_WINDOW - 1] == "e08_trailing_window"
+    window = set(names[:DRIVER_WINDOW])
+    missing = NEVER_GREEN - window
+    assert not missing, sorted(missing)
+    # the window is exactly suite_core (44) + suite_media (6): media
+    # registers second so new media queries can't slide past the edge
+    media = {n for n in names if n.startswith(("x12", "x26", "x27", "x28", "x29", "x30"))}
+    assert media <= window, sorted(media - window)
+    assert len(names[:DRIVER_WINDOW]) == DRIVER_WINDOW
+
+
+def test_registry_names_unique_and_complete():
+    names = list(load_all())
+    assert len(names) == len(set(names))
+    # every suite is loaded (spot keys from each module)
+    for probe in (
+        "x01_exact_dedup",
+        "q02_min_cost_supplier",
+        "e08_trailing_window",
+        "x12_media_features",
+        "a02_document_fold",
+    ):
+        assert probe in names, probe
