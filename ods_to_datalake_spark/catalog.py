@@ -44,10 +44,16 @@ class Catalog:
         self.spark = spark
         self.base_dir = base_dir
         self._registered: dict[str, DataFrame] = {}
-        # The testdata `events` table stores TIMESTAMP(NANOS) parquet,
-        # which Spark only reads via the nanos-as-long legacy mode; the
-        # catalog converts back to TimestampType below (truncation to
-        # micros — the same thing DuckDB does reading the file).
+        # Timestamp-physicality policy: the lake may hand us ANY parquet
+        # timestamp flavor — TIMESTAMP(NANOS) (only readable via the
+        # nanos-as-long legacy mode), micros/millis NTZ (surfaces as
+        # TIMESTAMP_NTZ, which Spark 4 refuses to cast to numerics), or
+        # instant-adjusted micros (plain TimestampType). The catalog
+        # normalizes all of them to session-TZ TimestampType at read —
+        # the same permissive-ingest policy the reference applies to
+        # int-or-string dates (pyspark_add_index_on_s3.py:36,
+        # all_from_gemini.txt:104-108). Producers change parquet writers;
+        # the engine must not care.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     @staticmethod
@@ -74,17 +80,35 @@ class Catalog:
             if str(f.type) == "timestamp[ns]"
         ]
 
-    def _fix_nanos(self, df: DataFrame, path: str) -> DataFrame:
+    def _fix_timestamps(self, df: DataFrame, path: str | None) -> DataFrame:
+        """Normalize every timestamp flavor to session-TZ TimestampType.
+
+        - TIMESTAMP(NANOS) parquet (footer says ``timestamp[ns]``) is read
+          as long under the legacy conf → integer-div to micros (integer
+          div, not float: ns-epoch magnitudes exceed double's 53-bit
+          mantissa). Truncation to micros is what DuckDB does too.
+        - TIMESTAMP_NTZ (naive micros/millis parquet) → CAST to
+          TimestampType, which reinterprets the wall-clock in the session
+          TZ (UTC, session.py) — value-identical to DuckDB's naive read.
+        """
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        for name in self._nanos_columns(path):
-            if isinstance(df.schema[name].dataType, T.LongType):
-                # integer div, not float division: ns-epoch magnitudes
-                # exceed double's 53-bit mantissa
-                df = df.withColumn(
-                    name, F.expr(f"timestamp_micros({name} div 1000)")
-                )
+        if path is not None:
+            for name in self._nanos_columns(path):
+                if isinstance(df.schema[name].dataType, T.LongType):
+                    df = df.withColumn(
+                        name, F.expr(f"timestamp_micros({name} div 1000)")
+                    )
+        ntz = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.TimestampNTZType)
+        ]
+        if ntz:
+            df = df.withColumns(
+                {n: F.col(n).cast("timestamp") for n in ntz}
+            )
         return df
 
     def register(self, name: str, df: DataFrame) -> None:
@@ -96,12 +120,16 @@ class Catalog:
         if self.base_dir is not None:
             path = os.path.join(self.base_dir, f"{name}.parquet")
             if os.path.exists(path):
-                return self._fix_nanos(self.spark.read.parquet(path), path)
+                return self._fix_timestamps(
+                    self.spark.read.parquet(path), path
+                )
             # hive-partitioned dataset directory written by our writer
             dirpath = os.path.join(self.base_dir, name)
             if os.path.isdir(dirpath):
-                return self.spark.read.parquet(dirpath)
-        return self.spark.table(name)
+                return self._fix_timestamps(
+                    self.spark.read.parquet(dirpath), None
+                )
+        return self._fix_timestamps(self.spark.table(name), None)
 
     def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
         """Expose tables as temp views so `spark.sql` queries can use them."""

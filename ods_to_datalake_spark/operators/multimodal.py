@@ -9,10 +9,13 @@ never per-row UDFs).
 Image decode is REAL: `decode_images` prefers PIL when installed and
 otherwise uses the repo's pure-stdlib PNG codec (`functions.png` —
 zlib inflate + scanline unfiltering), so PNG payloads decode to pixel
-tensors with zero external codecs. Video frame sampling still needs an
-ffmpeg binding that is NOT in this environment — `sample_frames` is a
-STUB raising NotImplementedError, with `sample_frames_fake` carrying
-the real Spark plumbing. The md5-based fake feature extractor stands
+tensors with zero external codecs. Video decode is REAL over the PNGV
+container (`functions.video` — concatenated PNG frames, the MJPEG
+shape): `sample_frames` keyframe-step samples and inflates only the
+selected frames; an ffmpeg binding swaps in at its
+`decode_video_frames` call site for compressed codecs.
+`sample_frames_fake` remains the decoder-free plumbing used where
+tests want pinned bytes. The md5-based fake feature extractor stands
 in for a model so feature plumbing is oracle-checkable end-to-end.
 
 Scale: payload columns ride parquet; column pruning means metadata-only
@@ -123,17 +126,6 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
-
-
-def _require(module: str, purpose: str):
-    try:
-        return __import__(module)
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            f"STUB: {purpose} requires {module!r}, which is not available "
-            "in this environment. The Spark plumbing (schema/batching) is "
-            "real; install the codec library and replace this stub."
-        ) from exc
 
 
 def _decode_image_bytes(payload: bytes, size: tuple[int, int]):
@@ -291,13 +283,84 @@ def decode_audio(
 
 
 def sample_frames(
-    df: DataFrame, payload_col: str = "payload", every_ms: int = 1000
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int | None = None,
+    size: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """STUB — real video frame decoding (needs an ffmpeg binding).
-    The Spark-side plumbing is `sample_frames_fake` below; swap its
-    per-row extractor for PyAV frame iteration."""
-    _require("av", "video frame sampling")
-    raise NotImplementedError("wire PyAV frame iteration into mapInPandas")
+    """REAL video frame sampling: PNGV containers (functions/video.py —
+    concatenated PNG frames + per-frame duration, the MJPEG shape) to
+    per-frame pixel rows via Arrow-batched mapInPandas.
+
+    One video row explodes to its sampled frames (frame_idx, ts_ms,
+    width, height, channels, pixels) — the layout a frame-level
+    training pipeline consumes. ``every_ms=None`` decodes every frame;
+    otherwise keyframe-step sampling decodes ONLY the selected frames
+    (skipped frames cost a container-table walk, no inflate). Corrupt
+    payloads quarantine as a single NULL-dims row (filter
+    `width IS NULL`), same policy as decode_images. Map-only, no
+    shuffle; an ffmpeg binding swaps in at the decode_video_frames
+    call site without touching this plumbing."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from ods_to_datalake_spark.functions.png import resize_nearest
+        from ods_to_datalake_spark.functions.video import (
+            decode_video_frames,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k in out_schema.fieldNames()}
+
+            def emit(mid, idx, ts, w, h, c, px):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["ts_ms"].append(ts)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(c)
+                rows["pixels"].append(px)
+
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if p is None:
+                        raise ValueError("NULL payload")
+                    frames = decode_video_frames(bytes(p), every_ms)
+                except (ValueError, OSError):
+                    emit(mid, None, None, None, None, None, b"")
+                    continue
+                for idx, ts, arr in frames:
+                    if size is not None:
+                        arr = resize_nearest(arr, size)
+                    h, w = arr.shape[:2]
+                    c = 1 if arr.ndim == 2 else arr.shape[2]
+                    emit(mid, idx, ts, w, h, c, arr.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "ts_ms": pd.array(rows["ts_ms"], dtype="Int64"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "channels": pd.array(rows["channels"], dtype="Int32"),
+                    "pixels": rows["pixels"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
 def sample_frames_fake(

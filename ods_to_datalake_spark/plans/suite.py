@@ -114,21 +114,24 @@ def headline_queries() -> dict[str, QueryFn]:
 
 # importing the suite modules populates REGISTRY.
 # Registration order matters: the driver's correctness gate checks the
-# first 50 registered queries each round, so the queries with no
-# driver-green row yet register first (scripts/window_plan.py prints
-# the never-green set from the accumulated CORRECTNESS_r*.json, and
-# tests/test_registration_order.py pins that the window covers it).
-# Round-3 window: suite_core's 44 (12 decimal-fixed queries never
-# re-checked since r01) + suite_media's 6 (x12 reshaped scalar, x27-x30
-# registered after r02's window) fill 50; llm/tpch/events are all
-# driver-green from r01+r02 and stay guarded by validate.py's 98/98.
+# first 50 registered queries each round, so never-green queries MUST
+# register inside that window (scripts/window_plan.py derives the
+# never-green/stale sets from the accumulated CORRECTNESS_r*.json, and
+# tests/test_registration_order.py imports it so the pin can't drift).
+# Round-4 window: suite_media's 6 (x28 red in r03 — oracle HUGEINT
+# drift, now cast; x30 new this round) + suite_events' 8 (green rows
+# all predate the round-3 events.parquet regeneration to micros-NTZ,
+# and e02 crashed on it — re-confirm on the new physicality) + the
+# first 36 of suite_core (all 44 re-proven green in r03). Everything
+# outside the window is r03-green and stays guarded by validate.py
+# (98/98 after x30).
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
-        suite_core,  # 44 queries; 12 decimal-fixers driver-unproven
-        suite_media,  # 6 queries (x12, x26-x30); x12/x27-x30 never green
+        suite_media,  # 6 queries (x12, x26-x30); x28/x30 need evidence
+        suite_events,  # 8 queries; green rows predate NTZ testdata
+        suite_core,  # 44 queries, all driver-green in r03
         suite_llm,  # 25 queries, driver-green in r02
         suite_tpch,  # 16 queries, driver-green in r02
-        suite_events,  # 8 queries, driver-green in r02
     )
 
     return REGISTRY

@@ -1,9 +1,9 @@
 """Multimodal suite: every media-boundary query (x12 feature plumbing,
 x26 image / x27 audio / x30 video decode, x28 packing, x29 quantize).
 
-Registers directly after suite_core so the round-3 driver window (the
-first 50 registrations) covers the queries with no driver-green row yet
-— see suite.load_all and scripts/window_plan.py.
+Registers FIRST so the round-4 driver window (the first 50
+registrations) covers x28 (red r03: oracle HUGEINT drift, since cast)
+and x30 (new) — see suite.load_all and scripts/window_plan.py.
 
 Oracle trick shared by the decode queries: synthesize payloads whose
 decoded content is SQL-predictable (constant-amplitude PCM → rms ==
@@ -158,8 +158,8 @@ PACK_SHARDS = 8
       FROM t
     )
     SELECT doc_id, shard, n_tokens,
-           cum_before // {PACK_TARGET} AS seq_idx,
-           cum_before % {PACK_TARGET} AS offset
+           CAST(cum_before // {PACK_TARGET} AS BIGINT) AS seq_idx,
+           CAST(cum_before % {PACK_TARGET} AS BIGINT) AS offset
     FROM c
     """,
     doc=f"Sequence packing (pretraining batch prep): whitespace token "
@@ -181,6 +181,82 @@ def x28_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_sequences(
         docs, "doc_id", "n_tok", PACK_TARGET, n_shards=PACK_SHARDS
+    )
+
+
+VIDEO_FRAMES = 3
+VIDEO_FRAME_MS = 500
+
+
+@register(
+    "x30_video_frames",
+    oracle=f"""
+    SELECT d.doc_id AS media_id,
+           CAST(t.i AS INT) AS frame_idx,
+           CAST(t.i * {VIDEO_FRAME_MS} AS BIGINT) AS ts_ms,
+           8 AS width, 8 AS height, 1 AS channels,
+           CAST(1 + (strlen(COALESCE(d.text, '')) + 7 * t.i) % 255 AS INT)
+             AS pixel_value,
+           TRUE AS solid
+    FROM documents d, range({VIDEO_FRAMES}) t(i)
+    """,
+    doc="REAL video frame sampling end-to-end: per doc a PNGV container "
+    f"({VIDEO_FRAMES} solid 16x16 grey PNG frames, frame i value "
+    "1+(octet_length+7i)%255, functions/video.py) is encoded "
+    "executor-side, then operators/multimodal.sample_frames container-"
+    "walks it, zlib-inflates each selected frame (functions/png codec) "
+    "and nearest-resizes to 8x8 via Arrow-batched mapInPandas — one "
+    "video row explodes to its frame rows. Solid frames make the "
+    "decoded tensors SQL-predictable, so pixel bytes are oracle-checked "
+    "per frame. Map-only, no shuffle; sampled (not selected) frames "
+    "are never inflated.",
+)
+def x30_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ods_to_datalake_spark.operators.multimodal import (
+        attach_media,
+        sample_frames,
+    )
+
+    @pandas_udf("binary")
+    def make_video(base: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ods_to_datalake_spark.functions.video import encode_video
+
+        return base.map(
+            lambda b: encode_video(
+                [
+                    np.full((16, 16), 1 + (b + 7 * i) % 255, dtype=np.uint8)
+                    for i in range(VIDEO_FRAMES)
+                ],
+                VIDEO_FRAME_MS,
+            )
+        )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents").select(
+        "doc_id",
+        F.octet_length(F.coalesce("text", F.lit("")))
+        .cast("int")
+        .alias("base"),
+    )
+    media = attach_media(
+        docs, make_video(F.col("base")), "video/x-pngv",
+        media_id=F.col("doc_id"),
+    )
+    frames = sample_frames(media, size=(8, 8))
+    pix_str = F.decode("pixels", "ISO-8859-1")
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        "width",
+        "height",
+        "channels",
+        F.ascii(pix_str).alias("pixel_value"),
+        (pix_str == F.repeat(F.substring(pix_str, 1, 1), 64)).alias("solid"),
     )
 
 

@@ -18,32 +18,71 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see catalog)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Back-compat export (nanos-as-long layout); read_event_stream now
+# detects the actual physicality from the parquet footer instead.
+EVENT_SCHEMA = _event_schema(T.LongType())
+
+
+def _ts_physicality(sf_dir: str) -> str:
+    """'ns' | 'ntz' | 'ltz' per the events.parquet footer — the same
+    authoritative signal Catalog uses (a readStream needs an explicit
+    schema, so we must know how Spark will surface the column)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        t = str(
+            pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+            .field("ts")
+            .type
+        )
+    except Exception:
+        return "ltz"
+    if t == "timestamp[ns]":
+        return "ns"
+    return "ltz" if "tz=" in t else "ntz"
 
 
 def read_event_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source event stream over the testdata layout. The ts column
-    is TIMESTAMP(NANOS) parquet → read as long, converted to micros
-    (same convention as Catalog._fix_nanos)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source event stream over the testdata layout, normalized to
+    the SAME session-TZ TimestampType the batch face (Catalog.table)
+    produces — whatever physicality the lake wrote: TIMESTAMP(NANOS)
+    (read as long under the legacy conf, integer-div to micros),
+    naive micros/millis (TIMESTAMP_NTZ → cast, legal and wall-clock
+    preserving in the UTC session), or instant-adjusted micros
+    (passthrough)."""
+    kind = _ts_physicality(sf_dir)
+    if kind == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema, fix = EVENT_SCHEMA, F.expr("timestamp_micros(ts div 1000)")
+    elif kind == "ntz":
+        schema = _event_schema(T.TimestampNTZType())
+        fix = F.col("ts").cast("timestamp")
+    else:
+        schema, fix = _event_schema(T.TimestampType()), F.col("ts")
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", fix)
 
 
 def tumbling_counts(
@@ -89,12 +128,14 @@ def sessionize_batch(
     if gap_sec is None:
         raise ValueError(f"unsupported gap {gap!r}")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp, not cast-to-long: Spark 4 forbids TIMESTAMP_NTZ →
+    # BIGINT casts, and unix_timestamp works on every timestamp flavor
+    # with identical (floor-to-second) semantics.
+    epoch = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
     marked = events.withColumn(
         "__new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            > gap_sec,
+            epoch("ts") - F.lag(epoch("ts")).over(w) > gap_sec,
             1,
         )
         .otherwise(0)

@@ -81,6 +81,7 @@ DECODE_BOUNDARY = {
     "x12_media_features",
     "x26_image_decode",
     "x27_audio_decode",
+    "x30_video_frames",
 }
 
 

@@ -2,59 +2,56 @@
 
 The driver's correctness gate records evidence for the FIRST 50
 registered queries only, so `load_all()`'s import order is load-bearing
-(see the comment there). This pins the round-3 window — every query
-with no driver-green row across CORRECTNESS_r01/r02 (the 12 suite_core
-decimal-fixers plus all of suite_media) — so an innocent import
-reshuffle can't silently push them back out of the gate.
-
-`scripts/window_plan.py` recomputes the never-green set from the
-accumulated CORRECTNESS_r*.json files; NEVER_GREEN below is its output
-at the time of the round-3 reorder.
+(see the comment there). The never-green set is DERIVED from the
+accumulated CORRECTNESS_r*.json evidence via scripts/window_plan.py —
+not hand-pinned (round 3 hand-pinned a phantom query and the gate went
+red on its own artifact).
 """
 
 from __future__ import annotations
+
+from scripts.window_plan import latest_status, load_rounds, never_green
 
 from ods_to_datalake_spark.plans.suite import load_all
 
 DRIVER_WINDOW = 50
 
-# scripts/window_plan.py output after r02 (plus queries added in r03,
-# which by construction have no driver row yet).
-NEVER_GREEN = {
-    # suite_core decimal-fixers: failed r01 on the decimal hash, fixed
-    # by finalize_output, never re-checked by the driver
-    "j02_left_attach_preagg",
-    "a02_document_fold",
-    "a04_pivot",
-    "a06_rollup",
-    "a08_two_phase_agg",
-    "a10_grouping_sets",
-    "w05_running_total",
-    "w06_lag_lead_delta",
-    "w07_ntile_quartiles",
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q18_large_orders",
-    # suite_media: x12 errored r02 (array output), x27-x29 registered
-    # past the window, x30 is new in r03
-    "x12_media_features",
-    "x27_audio_decode",
-    "x28_sequence_pack",
-    "x29_quantize_embeddings",
-    "x30_video_frames",
-}
+
+def test_driver_window_covers_never_green():
+    """Every registered query with no driver-green row ever must sit
+    inside the evidence window, else it can never earn one."""
+    names = list(load_all())
+    window = set(names[:DRIVER_WINDOW])
+    missing = never_green(names) - window
+    assert not missing, sorted(missing)
+
+
+def test_driver_window_covers_currently_red():
+    """Queries whose LATEST driver row is red/error (e.g. x28's r03
+    hash fail) must be re-checked, so they belong in the window too."""
+    names = list(load_all())
+    window = set(names[:DRIVER_WINDOW])
+    red = {
+        n
+        for n, (_, status) in latest_status(load_rounds()).items()
+        if status in ("red", "error") and n in set(names)
+    }
+    assert red <= window, sorted(red - window)
 
 
 def test_driver_window_composition():
+    """Round-4 plan: suite_media (6) + suite_events (8) register first
+    — x28/x30 need evidence, and every events-family green row predates
+    the round-3 events.parquet NTZ regeneration — then suite_core fills
+    the window. Pin the window EDGE identity so an innocent import
+    reshuffle can't silently shift who gets checked."""
     names = list(load_all())
     window = set(names[:DRIVER_WINDOW])
-    missing = NEVER_GREEN - window
-    assert not missing, sorted(missing)
-    # the window is exactly suite_core (44) + suite_media (6): media
-    # registers second so new media queries can't slide past the edge
     media = {n for n in names if n.startswith(("x12", "x26", "x27", "x28", "x29", "x30"))}
+    events = {n for n in names if n.startswith("e0")}
     assert media <= window, sorted(media - window)
-    assert len(names[:DRIVER_WINDOW]) == DRIVER_WINDOW
+    assert events <= window, sorted(events - window)
+    assert names[DRIVER_WINDOW - 1] == "q01_pricing_summary"
 
 
 def test_registry_names_unique_and_complete():
@@ -66,6 +63,7 @@ def test_registry_names_unique_and_complete():
         "q02_min_cost_supplier",
         "e08_trailing_window",
         "x12_media_features",
+        "x30_video_frames",
         "a02_document_fold",
     ):
         assert probe in names, probe

@@ -122,6 +122,7 @@ SHUFFLE_BUDGET = {
     "x27_audio_decode": 0,  # encode + decode are map-only mapInPandas
     "x28_sequence_pack": 1,  # one shuffle on the shard key
     "x29_quantize_embeddings": 0,  # pure map-side expression
+    "x30_video_frames": 0,  # encode + container walk + decode, map-only
 }
 
 
