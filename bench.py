@@ -8,13 +8,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed over a full action (count of the result — forces the
 complete plan without driver-side collect overhead). A warmup query runs
-first so JVM/codegen startup isn't billed to the first headline query.
+first so JVM/codegen startup isn't billed to the first headline query,
+and each query is then timed over ``$SPARK_GRAFT_BENCH_REPS`` (default
+5) repetitions reporting the MEDIAN — single-shot timings moved ±40%
+round-over-round on first-touch JIT/IO order alone (BENCH_r03 q01/q03).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,13 +48,21 @@ def main() -> int:
     for name, fn in queries.items():
         fn(spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(

@@ -49,6 +49,17 @@ def _norm(v):
     if isinstance(v, (bytes, bytearray)):
         return f"bytes:{bytes(v).hex()}"
     if isinstance(v, datetime.datetime):  # covers pd.Timestamp
+        # pandas has no date dtype: a DuckDB DATE arrives as a midnight
+        # datetime64 while Spark's DateType stays datetime.date — the
+        # driver's green rows on date-output queries (p06/q03/u05,
+        # r01-r03) prove it folds the two, so fold midnight naive
+        # timestamps to their date form here too
+        if (
+            v.tzinfo is None
+            and v.hour == v.minute == v.second == 0
+            and v.microsecond == 0
+        ):
+            return f"d:{v.date().isoformat()}"
         return f"ts:{v.isoformat()}"
     if isinstance(v, datetime.date):
         return f"d:{v.isoformat()}"

@@ -113,3 +113,36 @@ def test_qualified_namespace_resolution(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS processing_ibs.ctl_jobs")
         spark.sql("DROP DATABASE IF EXISTS processing_ibs")
+
+
+@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "ms_ntz"])
+def test_catalog_timestamp_physicality_matrix(spark, tmp_path, flavor):
+    """Whatever parquet timestamp flavor a producer writes — NANOS,
+    naive micros/millis (NTZ), or instant-adjusted micros — the catalog
+    surfaces the SAME session-TZ TimestampType with the same values.
+    (Round 3 broke when the testdata regenerated from nanos to
+    micros-NTZ; this pins the whole matrix so the next writer change is
+    a no-op.)"""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = [
+        datetime.datetime(2024, 3, 1, 12, 0, 5),
+        datetime.datetime(2024, 3, 2, 23, 59, 59),
+    ]
+    typ = {
+        "ns": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_ltz": pa.timestamp("us", tz="UTC"),
+        "ms_ntz": pa.timestamp("ms"),
+    }[flavor]
+    table = pa.table({"id": [1, 2], "ts": pa.array(want, type=typ)})
+    path = str(tmp_path / "tbl.parquet")
+    pq.write_table(table, path, version="2.6", coerce_timestamps=None)
+
+    got = Catalog(spark, base_dir=str(tmp_path)).table("tbl")
+    assert dict(got.dtypes)["ts"] == "timestamp", flavor
+    vals = sorted(r.ts for r in got.collect())
+    assert vals == want, flavor

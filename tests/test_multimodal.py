@@ -201,3 +201,86 @@ def test_decode_audio_real_wav(spark):
     r2 = rows[2]
     assert r2.peak == 4 and r2.rms == float(np.sqrt((9 + 16) / 2))
     assert rows[3].sample_rate is None
+
+
+def test_video_codec_roundtrip_and_sampling():
+    """PNGV container: encode → parse/decode round-trips exactly;
+    keyframe-step sampling selects the at-or-before frame per step and
+    truncated containers raise (→ quarantine upstream)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.functions.video import (
+        decode_video_frames,
+        encode_video,
+        parse_video,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    blob = encode_video(frames, frame_ms=250)
+    pngs, frame_ms = parse_video(blob)
+    assert len(pngs) == 4 and frame_ms == 250
+
+    out = decode_video_frames(blob)  # every frame
+    assert [(i, ts) for i, ts, _ in out] == [
+        (0, 0), (1, 250), (2, 500), (3, 750),
+    ]
+    for (_, _, arr), want in zip(out, frames):
+        assert np.array_equal(arr, want)
+
+    # sample every 600ms over a 1000ms clip: t=0 → frame 0, t=600 → 2
+    sampled = decode_video_frames(blob, every_ms=600)
+    assert [i for i, _, _ in sampled] == [0, 2]
+
+    with _pytest.raises(ValueError):
+        parse_video(b"nope")
+    with _pytest.raises(ValueError):
+        parse_video(blob[: len(blob) - 5])  # truncated payload
+
+
+def test_sample_frames_real_pngv(spark):
+    """sample_frames REALLY decodes PNGV video: frames come back as
+    resized pixel tensors with container timestamps; corrupt payloads
+    quarantine as NULL dims."""
+    import numpy as np
+
+    from ods_to_datalake_spark.functions.video import encode_video
+    from ods_to_datalake_spark.operators.multimodal import sample_frames
+
+    vids = {
+        1: [np.full((16, 16), v, dtype=np.uint8) for v in (10, 20, 30)],
+        2: [np.full((4, 4, 3), 7, dtype=np.uint8)],
+    }
+    base = spark.createDataFrame(
+        [(k, bytearray(encode_video(f, 500))) for k, f in vids.items()]
+        + [(3, bytearray(b"not-a-video"))],
+        "media_id long, raw binary",
+    )
+    media = attach_media(base, F.col("raw"), "video/x-pngv")
+    rows = sample_frames(media, size=(8, 8)).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+
+    v1 = sorted(by_media[1], key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.ts_ms) for r in v1] == [(0, 0), (1, 500), (2, 1000)]
+    assert all((r.width, r.height, r.channels) == (8, 8, 1) for r in v1)
+    assert [set(bytes(r.pixels)) for r in v1] == [{10}, {20}, {30}]
+
+    (v2,) = by_media[2]
+    assert (v2.width, v2.height, v2.channels) == (8, 8, 3)
+    assert set(bytes(v2.pixels)) == {7}
+
+    (v3,) = by_media[3]
+    assert v3.width is None and bytes(v3.pixels) == b""
+
+    # every_ms sampling drops frames without decoding them
+    stepped = sample_frames(media, every_ms=1000, size=(8, 8))
+    idxs = sorted(
+        r.frame_idx for r in stepped.collect() if r.media_id == 1
+    )
+    assert idxs == [0, 2]

@@ -1,0 +1,94 @@
+"""Property tests for sequence packing (operators/packing.py) — the
+newest operator had example coverage only (VERDICT r03 item 8).
+
+Invariants checked against an independent Python reimplementation of
+the concat-and-cut semantics, plus physical-layout independence (the
+answer must not depend on how the input happens to be partitioned —
+the thing that actually varies on a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ods_to_datalake_spark.operators.packing import pack_sequences
+
+TARGET = 16
+SHARDS = 4
+
+
+def _expected(rows: list[tuple[str, int]]) -> dict[str, tuple[int, int, int]]:
+    """Reference packer: group by the SAME md5 shard, concat in id
+    order, cut every TARGET tokens."""
+    import hashlib
+
+    def shard(doc_id: str) -> int:
+        return int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) % SHARDS
+
+    out: dict[str, tuple[int, int, int]] = {}
+    by_shard: dict[int, list[tuple[str, int]]] = {}
+    for doc_id, n in rows:
+        by_shard.setdefault(shard(doc_id), []).append((doc_id, n))
+    for s, docs in by_shard.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            out[doc_id] = (s, cum // TARGET, cum % TARGET)
+            cum += n
+    return out
+
+
+docs_strategy = st.dictionaries(
+    st.text(alphabet="abcdefgh0123", min_size=1, max_size=6),
+    st.integers(min_value=0, max_value=3 * TARGET + 1),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=docs_strategy)
+def test_pack_sequences_matches_reference(spark, docs):
+    rows = sorted(docs.items())
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = {
+        r.doc_id: (r.shard, r.seq_idx, r.offset)
+        for r in pack_sequences(df, "doc_id", "n_tok", TARGET, SHARDS).collect()
+    }
+    assert got == _expected(rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy, n_parts=st.integers(min_value=1, max_value=7))
+def test_pack_sequences_partitioning_invariant(spark, docs, n_parts):
+    """Same answer whatever the input's physical partitioning — the
+    shard shuffle + in-shard ordering fully determines the result."""
+    rows = sorted(docs.items())
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    base = {
+        tuple(r)
+        for r in pack_sequences(df, "doc_id", "n_tok", TARGET, SHARDS).collect()
+    }
+    reparted = {
+        tuple(r)
+        for r in pack_sequences(
+            df.repartition(n_parts), "doc_id", "n_tok", TARGET, SHARDS
+        ).collect()
+    }
+    assert reparted == base
+
+
+def test_pack_sequences_boundary_straddle(spark):
+    """Docs may straddle window boundaries: offset stays < target and
+    the NEXT doc starts exactly at cum+n (concat-and-cut, no padding)."""
+    rows = [("a", 10), ("b", 10), ("c", 10)]  # all same shard? force it
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(df, "doc_id", "n_tok", 16, 1).collect()
+    }
+    # single shard: a@0, b@10 (straddles 16 into window 1), c@20
+    assert (got["a"].seq_idx, got["a"].offset) == (0, 0)
+    assert (got["b"].seq_idx, got["b"].offset) == (0, 10)
+    assert (got["c"].seq_idx, got["c"].offset) == (1, 4)
+    assert all(0 <= r.offset < 16 for r in got.values())
