@@ -180,3 +180,50 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     want = {r.event_id for r in dedup_events(events).collect()}
     assert len(got) == len(set(got)) == len(want)
     assert set(got) == want
+
+
+@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz"])
+def test_read_event_stream_physicality_matrix(spark, tmp_path, flavor):
+    """The stream face must agree with the batch face for EVERY parquet
+    timestamp flavor a producer might write (the round-3 regeneration
+    flipped nanos→micros-NTZ and broke the pinned stream schema; the
+    schema is now footer-derived)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = load_testdata(spark, SF).table("events").limit(200)
+    pdf = src.toPandas()
+    typ = {
+        "ns": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_ltz": pa.timestamp("us", tz="UTC"),
+    }[flavor]
+    table = pa.Table.from_pandas(pdf)
+    idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        idx, pa.field("ts", typ), table.column("ts").cast(typ)
+    )
+    pq.write_table(
+        table,
+        str(tmp_path / "events.parquet"),
+        version="2.6",
+        coerce_timestamps=None,
+    )
+
+    stream = read_event_stream(spark, str(tmp_path))
+    assert dict(stream.dtypes)["ts"] == "timestamp", flavor
+    _run_to_memory(
+        tumbling_counts(stream), f"phys_{flavor}_mem", "complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(f"phys_{flavor}_mem").collect()
+    }
+    batch = tumbling_counts(
+        load_testdata(spark, str(tmp_path)).table("events")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0, flavor
