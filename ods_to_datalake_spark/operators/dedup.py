@@ -119,6 +119,38 @@ def minhash_table(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def lsh_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band table: MinHash signature →
+    md5 of each band's row group. The shared indexing step of the
+    self-join (`minhash_lsh_candidates`) and the cross-corpus
+    (`incremental_dedup`) paths; zero-shingle docs drop out with the
+    signature."""
+    assert bands * rows == k, "signature length must equal bands*rows"
+    sig = minhash_table(df, id_col, text_col, shingle_n, k)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        id_col, F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -135,22 +167,7 @@ def minhash_lsh_candidates(
     A bucket with B docs emits B², so a degenerate key (e.g. all-empty
     docs) is the skew risk — empty-shingle docs are filtered out first.
     """
-    assert bands * rows == k, "signature length must equal bands*rows"
-    sig = minhash_table(df, id_col, text_col, shingle_n, k)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        id_col, F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    banded = lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -165,6 +182,61 @@ def minhash_lsh_candidates(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+) -> DataFrame:
+    """Admit only the rows of a NEW snapshot that duplicate nothing in
+    the already-ingested corpus — the "corpus v2 arrives after v1 was
+    trained on" step every continuously-collected training set needs.
+
+    Two rejection tiers, cheapest first (same funnel as the batch
+    dedup operators, but cross-corpus instead of self-join):
+
+    1. exact: content hash (over null-coalesced text, so null and
+       empty documents behave identically cross-engine) anti-joined
+       against the seen corpus's distinct hashes;
+    2. near: any shared LSH band key with a seen document rejects the
+       newcomer (candidate-level, deliberately conservative — chain a
+       `jaccard_pairs` verify on the rejected set where borderline
+       recall matters).
+
+    Returns the admitted new rows as (id, content_hash).
+
+    Scale: the seen side reduces to its distinct hash set and band
+    table — at 100 TB both are materialized incrementally (append each
+    admitted batch's hashes/bands) instead of recomputed, and both
+    joins shuffle on the hash/band key only; the new batch is never
+    cross-joined against the corpus. Within-batch duplicates are
+    x01/x04's job — run them on the admitted set.
+    """
+    content = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    seen_hashes = seen_df.select(content.alias("__h")).distinct()
+    fresh = (
+        new_df.select(F.col(id_col), F.col(text_col), content.alias("__h"))
+        .join(seen_hashes, "__h", "left_anti")
+    )
+    near_ids = (
+        lsh_banded(fresh, id_col, text_col, shingle_n, k, bands, rows)
+        .join(
+            lsh_banded(seen_df, id_col, text_col, shingle_n, k, bands, rows),
+            ["band_idx", "band_key"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return fresh.join(near_ids, id_col, "left_anti").select(
+        id_col, F.col("__h").alias("content_hash")
     )
 
 

@@ -19,58 +19,25 @@ from ods_to_datalake_spark.functions import text as X
 from ods_to_datalake_spark.functions import vectors as V
 from ods_to_datalake_spark.plans.suite import register
 
-# shared tuning constants (Spark operators AND SQL oracles)
-SHINGLE_N = 3
-MINHASH_K = 8
-LSH_BANDS = 4
-LSH_ROWS = 2
+# shared fragments/constants live in sql_fragments (import-side-effect
+# free, so suite_ingest can reuse them without triggering this module's
+# registrations out of load_all()'s window order)
+from ods_to_datalake_spark.plans.sql_fragments import (  # noqa: E402
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SHINGLE_N,
+    SQL_TOKENS,
+    SQL_WORD_VALUE,
+    sql_band_key as _sql_band_key,
+    sql_minhash_ctes as _sql_minhash_ctes,
+    sql_shingles as _sql_shingles,
+)
+
 ANN_TOPK = 10
 IVF_TOPK = 5
 IVF_NPROBE = 2
 N_QUERY_VECS = 8  # queries = vec_id < 8
-
-# ---------------------------------------------------------------------------
-# shared DuckDB SQL fragments (must mirror functions/text.py exactly)
-# ---------------------------------------------------------------------------
-
-SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
-
-
-def _sql_shingles(toks: str, n: int = SHINGLE_N) -> str:
-    return (
-        f"CASE WHEN len({toks}) >= {n} THEN "
-        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
-        f"for i in range(1, len({toks}) - {n - 2})] "
-        f"ELSE [] END"
-    )
-
-
-def _sql_band_key(band: int, rows: int = LSH_ROWS) -> str:
-    cols = ", ".join(f"mh_{band * rows + r}" for r in range(rows))
-    return f"md5(concat_ws(',', {cols}))"
-
-
-def _sql_minhash_ctes(sh_source: str = "sh_t") -> str:
-    """The exploded Carter-Wegman MinHash signature, mirroring
-    operators/dedup.py minhash_table: one md5 per shingle, two 56-bit
-    halves (a, b), mh_s = min((a + s*b) mod 2^61-1)."""
-    mins = ", ".join(
-        f"MIN((a + {s} * b) % {X.MINHASH_PRIME}) AS mh_{s}"
-        for s in range(MINHASH_K)
-    )
-    return f"""ex AS (
-      SELECT doc_id, unnest(sh) AS s FROM {sh_source} WHERE len(sh) > 0
-    ), hv AS (
-      SELECT doc_id,
-             CAST(concat('0x', substring(md5(s), 1, 14)) AS BIGINT) AS a,
-             CAST(concat('0x', substring(md5(s), 15, 14)) AS BIGINT) AS b
-      FROM ex
-    ), sig AS (
-      SELECT doc_id, {mins} FROM hv GROUP BY doc_id
-    )"""
-
-
-SQL_WORD_VALUE = "CAST(concat('0x', substring(md5({w}), 1, 6)) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------

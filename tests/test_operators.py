@@ -359,3 +359,39 @@ def test_pack_sequences_semantics(spark):
     ).collect()
     assert {r.doc_id for r in sharded} == {1, 2, 3, 4}
     assert all(0 <= r.offset < 512 for r in sharded)
+
+
+def test_incremental_dedup_tiers(spark):
+    """Cross-corpus admission: exact duplicates of the seen corpus are
+    rejected by content hash, token-identical (whitespace-differing)
+    docs by shared LSH bands, unique and too-short-for-shingles docs
+    are admitted, and null text behaves like empty text."""
+    from ods_to_datalake_spark.operators.dedup import incremental_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on "
+        "running far away"
+    )
+    seen = spark.createDataFrame(
+        [
+            (2, base),
+            (4, "completely different content about spark engines"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),  # exact copy -> tier-1 reject
+            # same tokens, different raw bytes (double spaces): not an
+            # exact dup, but the shingle set is identical -> every band
+            # key matches -> tier-2 reject
+            (3, base.replace(" ", "  ")),
+            (5, "entirely novel words nobody wrote before today here"),
+            (7, "hi there"),  # < shingle_n tokens: no bands, admitted
+            (9, None),  # null text == seen null/empty -> tier-1 reject
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(new, seen, "doc_id", "text")
+    assert sorted(r.doc_id for r in out.collect()) == [5, 7]

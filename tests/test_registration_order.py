@@ -40,18 +40,20 @@ def test_driver_window_covers_currently_red():
 
 
 def test_driver_window_composition():
-    """Round-4 plan: suite_media (6) + suite_events (8) register first
-    — x28/x30 need evidence, and every events-family green row predates
-    the round-3 events.parquet NTZ regeneration — then suite_core fills
-    the window. Pin the window EDGE identity so an innocent import
-    reshuffle can't silently shift who gets checked."""
+    """Round-4 plan: suite_media (6) + suite_events (8) + suite_ingest
+    (x31, new) register first — x28/x30/x31 need evidence, and every
+    events-family green row predates the round-3 events.parquet NTZ
+    regeneration — then suite_core fills the window. Pin the window
+    EDGE identity so an innocent import reshuffle can't silently shift
+    who gets checked."""
     names = list(load_all())
     window = set(names[:DRIVER_WINDOW])
     media = {n for n in names if n.startswith(("x12", "x26", "x27", "x28", "x29", "x30"))}
     events = {n for n in names if n.startswith("e0")}
     assert media <= window, sorted(media - window)
     assert events <= window, sorted(events - window)
-    assert names[DRIVER_WINDOW - 1] == "q01_pricing_summary"
+    assert "x31_incremental_dedup" in window
+    assert names[DRIVER_WINDOW - 1] == "u02_intersect_cube"
 
 
 def test_registry_names_unique_and_complete():
