@@ -131,7 +131,7 @@ def load_all() -> dict[str, Query]:
         suite_events,  # 8 queries; green rows predate NTZ testdata
         suite_ingest,  # 1 query (x31), new in r04
         suite_core,  # 44 queries, all driver-green in r03
-        suite_llm,  # 25 queries, driver-green in r02
+        suite_llm,  # 24 queries, driver-green in r02
         suite_tpch,  # 16 queries, driver-green in r02
     )
 

@@ -120,8 +120,6 @@ def test_incremental_multibatch_matches_batch(spark, tmp_path):
     """True incremental processing: events split across 5 files, one
     file per trigger → 5 micro-batches; the final windowed state must
     equal the single-shot batch result."""
-    from ods_to_datalake_spark.streaming.events import EVENT_SCHEMA
-
     src_dir = str(tmp_path / "evsrc")
     cat = load_testdata(spark, SF)
     events = cat.table("events")
