@@ -37,6 +37,7 @@ SUITE_QUERIES = [
     "q21_waiting_suppliers",  # EXISTS + NOT EXISTS self-joins
     "x04_minhash_lsh_candidates",  # shingle explode + band self-join
     "x23_tfidf_top_terms",  # corpus explode + 3-way join + top-k
+    "x31_incremental_dedup",  # cross-corpus hash + band anti-joins
 ]
 
 
