@@ -395,3 +395,17 @@ def test_incremental_dedup_tiers(spark):
     )
     out = incremental_dedup(new, seen, "doc_id", "text")
     assert sorted(r.doc_id for r in out.collect()) == [5, 7]
+
+
+def test_incremental_dedup_cold_start(spark):
+    """Empty seen corpus (first-ever snapshot): everything is admitted
+    and the band join against an empty table doesn't error."""
+    from ods_to_datalake_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(1, "some words repeated here some words"), (2, None)],
+        "doc_id long, text string",
+    )
+    seen = spark.createDataFrame([], "doc_id long, text string")
+    out = incremental_dedup(new, seen, "doc_id", "text")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
