@@ -156,6 +156,79 @@ def hyperplane_weights(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
+def _tag_hyperplane_buckets(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+) -> DataFrame:
+    """(id, __v, __bucket): sign-bit bucket of the fixed hyperplane
+    projections — map-only, the shared indexing step of the self-join
+    and cross-corpus near-dup paths."""
+    from ods_to_datalake_spark.functions import vectors as V
+
+    planes = hyperplane_weights(dim, n_planes)
+    v = V.to_double(vec_col)
+    bucket = F.concat(
+        *[
+            F.when(
+                V.dot(v, F.array(*[F.lit(w) for w in plane])) > 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+    )
+    return corpus.select(
+        F.col(id_col), v.alias("__v"), bucket.alias("__bucket")
+    )
+
+
+def incremental_embedding_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Admit only the new vectors with NO near-duplicate (rounded
+    cosine >= threshold) in the already-ingested corpus — the embedding
+    face of `dedup.incremental_dedup`, for pipelines that dedup on
+    semantic similarity instead of text.
+
+    Both corpora bucket map-side on the same hyperplane sign bits;
+    candidates form only where a new vector shares a bucket with a seen
+    vector (one shuffle on the bucket key — the new batch is never
+    cross-joined against the corpus), then verify the exact cosine.
+    Exact duplicates project identically, land in the same bucket at
+    cosine 1.0, and are always rejected — no separate hash tier needed.
+    ANN caveat as in `hyperplane_lsh_pairs`: a near-dup straddling a
+    hyperplane is missed; raise `n_planes` bands for recall. At scale
+    the seen side's (id, bucket, vector) table is materialized
+    incrementally, not recomputed.
+    """
+    from ods_to_datalake_spark.functions import vectors as V
+
+    new_t = _tag_hyperplane_buckets(new_df, id_col, vec_col, dim, n_planes)
+    seen_t = _tag_hyperplane_buckets(
+        seen_df, id_col, vec_col, dim, n_planes
+    )
+    near_ids = (
+        new_t.alias("n")
+        .join(
+            seen_t.alias("s"),
+            F.col("n.__bucket") == F.col("s.__bucket"),
+        )
+        .filter(
+            V.cosine_rounded(F.col("n.__v"), F.col("s.__v")) >= threshold
+        )
+        .select(F.col(f"n.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return new_df.select(id_col).join(near_ids, id_col, "left_anti")
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -174,21 +247,7 @@ def hyperplane_lsh_pairs(
     `n_planes` probes/bands for recall, or run the exact variant on the
     LSH-reduced candidate set.
     """
-    from ods_to_datalake_spark.functions import vectors as V
-
-    planes = hyperplane_weights(dim, n_planes)
-    v = V.to_double(vec_col)
-    bucket = F.concat(
-        *[
-            F.when(
-                V.dot(v, F.array(*[F.lit(w) for w in plane])) > 0, F.lit("1")
-            ).otherwise(F.lit("0"))
-            for plane in planes
-        ]
-    )
-    tagged = corpus.select(
-        F.col(id_col), v.alias("__v"), bucket.alias("__bucket")
-    )
+    tagged = _tag_hyperplane_buckets(corpus, id_col, vec_col, dim, n_planes)
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = a.join(
         b,

@@ -23,6 +23,36 @@ SQL_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
 
 SQL_WORD_VALUE = "CAST(concat('0x', substring(md5({w}), 1, 6)) AS BIGINT)"
 
+# embedding near-dup constants (suite_llm x13/x14, suite_ingest x32)
+NEAR_DUP_TAU = 0.35
+N_PLANES = 4
+EMB_DIM = 64
+
+
+def sql_planes(dim: int = EMB_DIM, n_planes: int = N_PLANES) -> list[str]:
+    """Inline the deterministic md5-derived hyperplanes as SQL list
+    literals — exactly the constants operators/similarity.py uses."""
+    from ods_to_datalake_spark.operators.similarity import (
+        hyperplane_weights,
+    )
+
+    return [
+        "[" + ", ".join(str(w) for w in plane) + "]"
+        for plane in hyperplane_weights(dim, n_planes)
+    ]
+
+
+def sql_hyperplane_bucket(dim: int = EMB_DIM) -> str:
+    """Sign-bit bucket string over column ``v`` (list of DOUBLE)."""
+    return (
+        "concat("
+        + ", ".join(
+            f"CASE WHEN list_dot_product(v, {p}) > 0 THEN '1' ELSE '0' END"
+            for p in sql_planes(dim)
+        )
+        + ")"
+    )
+
 
 def sql_shingles(toks: str, n: int = SHINGLE_N) -> str:
     return (

@@ -122,14 +122,14 @@ def headline_queries() -> dict[str, QueryFn]:
 # drift, now cast; x30 new this round) + suite_events' 8 (green rows
 # all predate the round-3 events.parquet regeneration to micros-NTZ,
 # and e02 crashed on it — re-confirm on the new physicality) +
-# suite_ingest's x31 (new) + the first 35 of suite_core (all 44
+# suite_ingest's x31/x32 (new) + the first 34 of suite_core (all 44
 # re-proven green in r03). Everything outside the window has a green
-# row (r02/r03) and stays guarded by validate.py (99/99).
+# row (r02/r03) and stays guarded by validate.py (100/100).
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
         suite_media,  # 6 queries (x12, x26-x30); x28/x30 need evidence
         suite_events,  # 8 queries; green rows predate NTZ testdata
-        suite_ingest,  # 1 query (x31), new in r04
+        suite_ingest,  # 2 queries (x31, x32), new in r04
         suite_core,  # 44 queries, all driver-green in r03
         suite_llm,  # 24 queries, driver-green in r02
         suite_tpch,  # 16 queries, driver-green in r02

@@ -19,12 +19,16 @@ from pyspark.sql import functions as F
 from ods_to_datalake_spark.catalog import load_testdata
 from ods_to_datalake_spark.plans.suite import register
 from ods_to_datalake_spark.plans.sql_fragments import (
+    EMB_DIM,
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    N_PLANES,
+    NEAR_DUP_TAU,
     SHINGLE_N,
     SQL_TOKENS,
     sql_band_key as _sql_band_key,
+    sql_hyperplane_bucket,
     sql_minhash_ctes as _sql_minhash_ctes,
     sql_shingles as _sql_shingles,
 )
@@ -95,4 +99,55 @@ def x31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=MINHASH_K,
         bands=LSH_BANDS,
         rows=LSH_ROWS,
+    )
+
+
+@register(
+    "x32_incremental_embedding_dedup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), tagged AS (
+      SELECT vec_id, v, {sql_hyperplane_bucket(EMB_DIM)} AS bucket FROM c
+    ), near AS (
+      SELECT DISTINCT n.vec_id
+      FROM tagged n JOIN tagged s
+        ON n.bucket = s.bucket
+       AND n.vec_id % 2 = 1 AND s.vec_id % 2 = 0
+      WHERE ROUND(list_dot_product(n.v, s.v) /
+                  (sqrt(list_dot_product(n.v, n.v)) *
+                   sqrt(list_dot_product(s.v, s.v))), 6) >= {NEAR_DUP_TAU}
+    )
+    SELECT vec_id FROM c
+    WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM near)
+    """,
+    doc="Incremental cross-corpus dedup on the EMBEDDING modality "
+    "(operators/similarity.incremental_embedding_dedup): odd vec_ids "
+    "play the arriving snapshot, even the ingested corpus; both bucket "
+    f"map-side on {N_PLANES} hyperplane sign bits, candidates form only "
+    "in shared buckets (one shuffle on the bucket key, never a corpus "
+    f"cross-join) and verify exact rounded cosine >= {NEAR_DUP_TAU}. "
+    "Exact duplicates share buckets at cosine 1.0, so no separate hash "
+    "tier is needed; at 100 TB the seen bucket table is materialized "
+    "incrementally.",
+)
+def x32_incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    return incremental_embedding_dedup(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        emb.filter(F.col("vec_id") % 2 == 0),
+        "vec_id",
+        "embedding",
+        EMB_DIM,
+        n_planes=N_PLANES,
+        threshold=NEAR_DUP_TAU,
     )

@@ -583,8 +583,10 @@ def x21_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_TAU = 0.35
-N_PLANES = 4
+from ods_to_datalake_spark.plans.sql_fragments import (  # noqa: E402
+    N_PLANES,
+    NEAR_DUP_TAU,
+)
 
 
 @register(
@@ -628,20 +630,12 @@ def x13_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_planes(dim: int) -> list[str]:
-    from ods_to_datalake_spark.operators.similarity import hyperplane_weights
+from ods_to_datalake_spark.plans.sql_fragments import (  # noqa: E402
+    EMB_DIM as _EMB_DIM,
+    sql_hyperplane_bucket,
+)
 
-    return [
-        "[" + ", ".join(str(w) for w in plane) + "]"
-        for plane in hyperplane_weights(dim, N_PLANES)
-    ]
-
-
-_EMB_DIM = 64
-_SQL_BUCKET = "concat(" + ", ".join(
-    f"CASE WHEN list_dot_product(v, {p}) > 0 THEN '1' ELSE '0' END"
-    for p in _sql_planes(_EMB_DIM)
-) + ")"
+_SQL_BUCKET = sql_hyperplane_bucket(_EMB_DIM)
 
 
 @register(

@@ -53,7 +53,8 @@ def test_driver_window_composition():
     assert media <= window, sorted(media - window)
     assert events <= window, sorted(events - window)
     assert "x31_incremental_dedup" in window
-    assert names[DRIVER_WINDOW - 1] == "u02_intersect_cube"
+    assert "x32_incremental_embedding_dedup" in window
+    assert names[DRIVER_WINDOW - 1] == "q18_large_orders"
 
 
 def test_registry_names_unique_and_complete():

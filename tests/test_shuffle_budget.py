@@ -123,6 +123,8 @@ SHUFFLE_BUDGET = {
     "x28_sequence_pack": 1,  # one shuffle on the shard key
     "x29_quantize_embeddings": 0,  # pure map-side expression
     "x30_video_frames": 0,  # encode + container walk + decode, map-only
+    "x32_incremental_embedding_dedup": 2,  # bucket join + id anti-join;
+    # bucketing itself is map-only
     "x31_incremental_dedup": 6,  # hash anti-join (2) + two band tables
     # (2, one minhash agg each) + band semi-join / id anti-join (2);
     # every exchange is on a hash or band key, never the corpus

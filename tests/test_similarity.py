@@ -153,3 +153,38 @@ def test_quantize_int8_reconstruction(spark):
             continue
         for orig, qi in zip(r.embedding, r.q):
             assert abs(qi * r.s / 127.0 - orig) <= r.s / 127.0 / 2 + 1e-12
+
+
+def test_incremental_embedding_dedup(spark):
+    """Cross-corpus embedding admission: exact copies and scaled copies
+    (cosine 1.0, identical sign-bit bucket) of seen vectors are
+    rejected; orthogonal newcomers are admitted whatever bucket they
+    land in (cosine below threshold)."""
+    from ods_to_datalake_spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    dim = 4
+    seen = spark.createDataFrame(
+        [(2, [1.0, 2.0, 3.0, 4.0]), (4, [-1.0, 5.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0]),  # exact copy -> rejected
+            (3, [2.0, 4.0, 6.0, 8.0]),  # scaled copy, cosine 1 -> rejected
+            (5, [4.0, -3.0, -2.0, 1.5]),  # different direction -> admitted
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = incremental_embedding_dedup(
+        new, seen, "vec_id", "embedding", dim, n_planes=4, threshold=0.35
+    )
+    assert sorted(r.vec_id for r in out.collect()) == [5]
+
+    # cold start: empty seen corpus admits everything
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cold = incremental_embedding_dedup(
+        new, empty, "vec_id", "embedding", dim, n_planes=4, threshold=0.35
+    )
+    assert sorted(r.vec_id for r in cold.collect()) == [1, 3, 5]
