@@ -92,3 +92,88 @@ def test_pack_sequences_boundary_straddle(spark):
     assert (got["b"].seq_idx, got["b"].offset) == (0, 10)
     assert (got["c"].seq_idx, got["c"].offset) == (1, 4)
     assert all(0 <= r.offset < 16 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup properties (same reference-reimplementation style)
+# ---------------------------------------------------------------------------
+
+TEXT_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+def _ref_incremental(new_rows, seen_rows):
+    """Independent Python reimplementation of the two admission tiers
+    (content hash over coalesced text; shared MinHash LSH band)."""
+    import hashlib
+
+    from ods_to_datalake_spark.functions.text import MINHASH_PRIME
+
+    def tokens(t):
+        return (t or "").strip().lower().split()
+
+    def shingles(t, n=3):
+        tok = tokens(t)
+        return {" ".join(tok[i : i + n]) for i in range(len(tok) - n + 1)}
+
+    def bands(t, k=8, n_bands=4, rows=2):
+        sh = shingles(t)
+        if not sh:
+            return set()
+        sig = []
+        for s in range(k):
+            best = None
+            for x in sh:
+                d = hashlib.md5(x.encode()).hexdigest()
+                a, b = int(d[:14], 16), int(d[14:28], 16)
+                h = (a + s * b) % MINHASH_PRIME
+                best = h if best is None or h < best else best
+            sig.append(best)
+        return {
+            (bi, hashlib.md5(
+                ",".join(str(sig[bi * rows + r]) for r in range(rows)).encode()
+            ).hexdigest())
+            for bi in range(n_bands)
+        }
+
+    seen_hashes = {
+        hashlib.md5((t or "").encode()).hexdigest() for _, t in seen_rows
+    }
+    seen_bands = set().union(*(bands(t) for _, t in seen_rows)) if seen_rows else set()
+    admitted = []
+    for doc_id, t in new_rows:
+        if hashlib.md5((t or "").encode()).hexdigest() in seen_hashes:
+            continue
+        if bands(t) & seen_bands:
+            continue
+        admitted.append(doc_id)
+    return sorted(admitted)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    new_texts=st.lists(
+        st.lists(st.sampled_from(TEXT_WORDS), min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    seen_texts=st.lists(
+        st.lists(st.sampled_from(TEXT_WORDS), min_size=0, max_size=6).map(" ".join),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_incremental_dedup_matches_reference(spark, new_texts, seen_texts):
+    from ods_to_datalake_spark.operators.dedup import incremental_dedup
+
+    new_rows = [(2 * i + 1, t) for i, t in enumerate(new_texts)]
+    seen_rows = [(2 * i, t) for i, t in enumerate(seen_texts)]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    seen = (
+        spark.createDataFrame(seen_rows, "doc_id long, text string")
+        if seen_rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = sorted(
+        r.doc_id for r in incremental_dedup(new, seen, "doc_id", "text").collect()
+    )
+    assert got == _ref_incremental(new_rows, seen_rows)
