@@ -118,21 +118,89 @@ def headline_queries() -> dict[str, QueryFn]:
 # register inside that window (scripts/window_plan.py derives the
 # never-green/stale sets from the accumulated CORRECTNESS_r*.json, and
 # tests/test_registration_order.py imports it so the pin can't drift).
-# Round-4 window: suite_media's 6 (x28 red in r03 — oracle HUGEINT
-# drift, now cast; x30 new this round) + suite_events' 8 (green rows
-# all predate the round-3 events.parquet regeneration to micros-NTZ,
-# and e02 crashed on it — re-confirm on the new physicality) +
-# suite_ingest's x31/x32 (new) + the first 34 of suite_core (all 44
-# re-proven green in r03). Everything outside the window has a green
-# row (r02/r03) and stays guarded by validate.py (100/100).
+#
+# Round-5 window (the rotation VERDICT r4 item 1 asked for): after the
+# fully-green round 4, the 50 stale queries are exactly suite_llm (24,
+# r02 evidence) + suite_tpch (16, r02) + the 10 suite_core rows that
+# fell outside the r04 window (r03). `_WINDOW_PRIORITY` lists them
+# explicitly — r02-stale first, new round-5 queries next, r03-stale
+# fill last (new never-green queries displace the fill tail; displaced
+# rows slip one round and stay guarded by validate.py's 100/100).
+_WINDOW_PRIORITY: list[str] = [
+    # suite_llm — driver evidence r02 (module registration order)
+    "x01_exact_dedup",
+    "x03_minhash_signature",
+    "x04_minhash_lsh_candidates",
+    "x05_lsh_jaccard_verify",
+    "x06_simhash",
+    "x07_cosine_topk",
+    "x08_ivf_ann",
+    "x19_hash_split",
+    "x20_quality_topk_per_source",
+    "x18_decontaminate",
+    "x21_simhash_near_dup",
+    "x13_cosine_near_dup",
+    "x14_hyperplane_lsh_near_dup",
+    "x09_langid",
+    "x10_quality_score",
+    "x11_fingerprint",
+    "x15_redact_text",
+    "x16_chunk_documents",
+    "x17_profile_table",
+    "x02_token_count",
+    "x22_repetition_metrics",
+    "x23_tfidf_top_terms",
+    "x24_stratified_sample",
+    "x25_dedup_clusters",
+    # suite_tpch — driver evidence r02
+    "q02_min_cost_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q11_important_values",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # new round-5 queries go HERE (never-green → must be in window)
+    # r03-stale suite_core fill — tail rows displaced by new queries
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_region_revenue",
+    "q06_revenue_forecast",
+    "a10_grouping_sets",
+    "u05_scd2_merge",
+    "u02_intersect_cube",
+    "w06_lag_lead_delta",
+    "w07_ntile_quartiles",
+]
+
+
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
-        suite_media,  # 6 queries (x12, x26-x30); x28/x30 need evidence
-        suite_events,  # 8 queries; green rows predate NTZ testdata
-        suite_ingest,  # 2 queries (x31, x32), new in r04
-        suite_core,  # 44 queries, all driver-green in r03
-        suite_llm,  # 24 queries, driver-green in r02
-        suite_tpch,  # 16 queries, driver-green in r02
+        suite_media,  # 6 queries (x12, x26-x30); all driver-green r04
+        suite_events,  # 8 queries; all driver-green r04
+        suite_ingest,  # 2 queries (x31, x32); driver-green r04
+        suite_core,  # 44 queries; 34 green r04, 10 in the r05 window
+        suite_llm,  # 24 queries; r02 evidence → r05 window head
+        suite_tpch,  # 16 queries; r02 evidence → r05 window
     )
 
+    missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
+    if missing:  # typo in the priority list, not a registration gap
+        raise KeyError(f"_WINDOW_PRIORITY names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _WINDOW_PRIORITY}
+    ordered.update(
+        (n, q) for n, q in REGISTRY.items() if n not in ordered
+    )
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

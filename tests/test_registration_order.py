@@ -39,22 +39,57 @@ def test_driver_window_covers_currently_red():
     assert red <= window, sorted(red - window)
 
 
+# Queries whose driver evidence is allowed to slip one round because a
+# never-green (new) query displaced them from the window. Must stay
+# small and deliberate; everything here is still covered by validate.py.
+SLIPPED_THIS_ROUND: set[str] = set()
+
+
 def test_driver_window_composition():
-    """Round-4 plan: suite_media (6) + suite_events (8) + suite_ingest
-    (x31, new) register first — x28/x30/x31 need evidence, and every
-    events-family green row predates the round-3 events.parquet NTZ
-    regeneration — then suite_core fills the window. Pin the window
-    EDGE identity so an innocent import reshuffle can't silently shift
-    who gets checked."""
+    """Round-5 rotation plan (VERDICT r4 item 1): the 50 stale queries
+    — suite_llm (24, r02 evidence) + suite_tpch (16, r02) + the 10
+    suite_core rows outside the r04 window (r03) — fill the window,
+    r02-stale first. New never-green queries displace the fill tail
+    (tracked in SLIPPED_THIS_ROUND). Assert the composition by COUNT
+    and membership, not just the edge, so the test still constrains the
+    window when the evidence sets are empty (post-green-round)."""
     names = list(load_all())
     window = set(names[:DRIVER_WINDOW])
-    media = {n for n in names if n.startswith(("x12", "x26", "x27", "x28", "x29", "x30"))}
-    events = {n for n in names if n.startswith("e0")}
-    assert media <= window, sorted(media - window)
-    assert events <= window, sorted(events - window)
-    assert "x31_incremental_dedup" in window
-    assert "x32_incremental_embedding_dedup" in window
-    assert names[DRIVER_WINDOW - 1] == "q18_large_orders"
+    llm = {
+        n
+        for n in names
+        if n.startswith("x") and n[1:3].isdigit() and int(n[1:3]) <= 25
+        and not n.startswith("x12")
+    }
+    tpch = {n for n in names if n.startswith("q") and n != "q18_large_orders"}
+    assert len(llm) == 24, sorted(llm)
+    assert len(tpch) == 21, sorted(tpch)  # q01-q06 live in suite_core
+    assert llm <= window, sorted(llm - window)
+    assert tpch <= window, sorted(tpch - window)
+    r03_stale_core = {
+        "a10_grouping_sets",
+        "u05_scd2_merge",
+        "u02_intersect_cube",
+        "w06_lag_lead_delta",
+        "w07_ntile_quartiles",
+    }
+    assert (r03_stale_core - SLIPPED_THIS_ROUND) <= window, sorted(
+        (r03_stale_core - SLIPPED_THIS_ROUND) - window
+    )
+    assert names[DRIVER_WINDOW - 1] == "w07_ntile_quartiles"
+
+
+def test_window_covers_all_stale_except_slipped():
+    """Every stale-evidence query (green, but last driver row predates
+    the newest round) must be in the window unless deliberately
+    slipped — the rotation's whole point is refreshing them."""
+    from scripts.window_plan import stale
+
+    names = list(load_all())
+    window = set(names[:DRIVER_WINDOW])
+    must_cover = (stale() & set(names)) - SLIPPED_THIS_ROUND
+    missing = must_cover - window
+    assert not missing, sorted(missing)
 
 
 def test_registry_names_unique_and_complete():
