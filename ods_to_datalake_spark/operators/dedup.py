@@ -10,9 +10,10 @@ Four tiers, cheapest-first — the standard large-corpus dedup funnel:
 3. `jaccard_pairs` — exact n-gram Jaccard, computed ONLY for candidate
    pairs (shuffle on doc_id to attach shingle sets, then a per-pair
    intersect — bounded by candidate count).
-4. `simhash_signatures` — 32-bit SimHash for Hamming-style near-dup
-   bucketing (equal-signature grouping here; banded Hamming search is a
-   composition of `lsh` on signature chunks).
+4. `simhash_signatures` + `simhash_band_pairs` — 32-bit SimHash with
+   banded Hamming search: signature chunks bucket candidates (guaranteed
+   recall below `n_bands` differing bits by pigeonhole), exact bit-level
+   Hamming verifies the bound. Registered as x21.
 
 All operators are pure built-in expressions (md5-based hash family) so
 they have exact ANSI-SQL oracles and never leave the JVM.
@@ -326,6 +327,77 @@ def simhash_signatures(
     """(id, simhash32 bitstring) per document."""
     return df.select(
         F.col(id_col), X.simhash32(X.tokens(text_col)).alias("simhash")
+    )
+
+
+def simhash_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    n_bands: int = 4,
+    max_hamming: int = 6,
+    sig_bits: int = 32,
+) -> DataFrame:
+    """Banded Hamming near-dup search over SimHash bitstrings:
+    (id_a, id_b, hamming) for every candidate pair within
+    ``max_hamming``, found without an all-pairs comparison.
+
+    The signature splits into ``n_bands`` equal chunks; docs shuffle
+    once on (band_idx, band_value) and pair up only inside equal-band
+    buckets, then the exact bit-level Hamming distance verifies the
+    bound. Pigeonhole guarantee: a pair differing in h bits differs in
+    at most h bands, so every pair with h < n_bands shares at least one
+    identical band and is guaranteed found; for n_bands <= h <=
+    max_hamming recall is high but probabilistic (the differing bits
+    must spread across ALL bands to evade every bucket). Same
+    candidate-generation shape as `lsh_banded`, applied to signature
+    chunks — O(bucket²) work bounded by true near-dup density, never
+    O(n²).
+
+    Pure built-in expressions (substring bands, zip_with Hamming), so
+    the whole search has an exact ANSI oracle (see x21).
+    """
+    if sig_bits % n_bands:
+        raise ValueError(f"{n_bands} bands must divide {sig_bits} bits")
+    width = sig_bits // n_bands
+    spans = [(1 + i * width, width) for i in range(n_bands)]
+    banded = sig.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.posexplode(
+            F.array(*[F.substring(sig_col, s, l) for s, l in spans])
+        ).alias("band_idx", "band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{sig_col}").alias("sh_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{sig_col}").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sh_a"), ""),
+                F.split(F.col("sh_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

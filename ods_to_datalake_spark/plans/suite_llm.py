@@ -528,6 +528,7 @@ _SIMHASH_BANDS = [(1, 8), (9, 8), (17, 8), (25, 8)]  # (start, len) ×4
 )
 def x21_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.dedup import (
+        simhash_band_pairs,
         simhash_signatures,
         spread_small_input,
     )
@@ -538,48 +539,12 @@ def x21_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
     )
-    banded = sig.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("simhash", s, l)
-                    for s, l in _SIMHASH_BANDS
-                ]
-            )
-        ).alias("band_idx", "band"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("sh_a"), ""),
-                F.split(F.col("sh_b"), ""),
-                lambda x, y: x != y,
-            ),
-            lambda v: v,
-        )
-    )
-    return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .select("id_a", "id_b", "hamming")
+    return simhash_band_pairs(
+        sig,
+        id_col="doc_id",
+        sig_col="simhash",
+        n_bands=len(_SIMHASH_BANDS),
+        max_hamming=SIMHASH_MAX_HAMMING,
     )
 
 

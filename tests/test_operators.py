@@ -297,6 +297,65 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_simhash_band_pairs_vs_brute_force(spark):
+    """Banded Hamming search vs exhaustive comparison on random 32-bit
+    signatures: (a) every reported pair's distance is exact and within
+    the bound; (b) the pigeonhole guarantee holds — every pair with
+    fewer than n_bands differing bits IS reported (they must share a
+    band); (c) nothing outside the bound leaks through."""
+    import random
+
+    from ods_to_datalake_spark.operators.dedup import simhash_band_pairs
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(32) for _ in range(12)]
+    sigs = []
+    for i, b in enumerate(base):
+        sigs.append((i * 10, b))
+        # a few perturbed near-dups at controlled distances
+        for j, flips in enumerate((1, 3, 5, 7)):
+            v = b
+            for bit in rng.sample(range(32), flips):
+                v ^= 1 << bit
+            sigs.append((i * 10 + j + 1, v))
+
+    def bits(v: int) -> str:
+        return format(v, "032b")
+
+    n_bands, max_h = 4, 6
+    df = spark.createDataFrame(
+        [(i, bits(v)) for i, v in sigs], "doc_id long, simhash string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs(
+            df, n_bands=n_bands, max_hamming=max_h
+        ).collect()
+    }
+    width = 32 // n_bands
+    for ia, va in sigs:
+        for ib, vb in sigs:
+            if ia >= ib:
+                continue
+            h = bin(va ^ vb).count("1")
+            ba, bb = bits(va), bits(vb)
+            shares_band = any(
+                ba[k * width : (k + 1) * width]
+                == bb[k * width : (k + 1) * width]
+                for k in range(n_bands)
+            )
+            if (ia, ib) in got:
+                assert got[(ia, ib)] == h  # exact verify
+                assert h <= max_h  # bound respected
+            elif h <= max_h:
+                # only probabilistic misses: all bands must differ,
+                # impossible below n_bands differing bits
+                assert not shares_band
+                assert h >= n_bands
+            if h < n_bands:
+                assert (ia, ib) in got  # pigeonhole guarantee
+
+
 def test_quantile_bins_matches_exact_ntile(spark):
     """The scalable binning (sketch cutpoints + stateless CASE) must
     agree with exact NTILE on ~all rows, with equal-ish bin sizes and
