@@ -169,8 +169,10 @@ _WINDOW_PRIORITY: list[str] = [
     "q20_part_promotion",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
-    # new round-5 queries go HERE (never-green → must be in window)
+    # new round-5 queries (never-green → must be in window)
+    "x33_dedup_clusters_star",
     # r03-stale suite_core fill — tail rows displaced by new queries
+    # slip one round (w07 is slot 51 → round-6 window)
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q04_order_priority",

@@ -1213,10 +1213,53 @@ def x25_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x33_dedup_clusters_star",
+    oracle=None,  # assembled below: identical to x25's (same clustering
+    # semantics, different — O(log n)-round — algorithm)
+    doc="Dedup-funnel clustering via alternating large-star/small-star "
+    "rounds (Kiveris et al. 2014): same verified-pair funnel and the "
+    "same (id, min-reachable-id) output as x25, but convergence is "
+    "O(log n) rounds independent of component diameter — the loop "
+    "that survives templated corpora whose near-dup chains make "
+    "min-label propagation crawl. Oracle: x25's recursive "
+    "min-reachable CTE verbatim, so the two algorithms are "
+    "driver-checked to agree.",
+)
+def x33_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        connected_components_star,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cands = minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        rows=LSH_ROWS,
+    )
+    verified = jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    ).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components_star(verified, "id_a", "id_b")
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _assemble_x25_oracle() -> None:
     """The x25 oracle embeds x05's full funnel SQL as the pair source,
     then clusters with a recursive min-reachable CTE — guaranteeing the
-    two queries can never disagree about what a 'verified pair' is."""
+    two queries can never disagree about what a 'verified pair' is.
+    x33 (star-algorithm clustering) gets the SAME oracle: both must
+    produce the identical (id, min-reachable-id) labeling."""
     from ods_to_datalake_spark.plans.suite import REGISTRY
 
     x05 = REGISTRY["x05_lsh_jaccard_verify"].oracle
@@ -1238,6 +1281,9 @@ def _assemble_x25_oracle() -> None:
            CAST(MIN(r) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id
     """
+    REGISTRY["x33_dedup_clusters_star"].oracle = REGISTRY[
+        "x25_dedup_clusters"
+    ].oracle
 
 
 _assemble_x25_oracle()

@@ -297,6 +297,52 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_star_equals_min_label(spark):
+    """Large-star/small-star CC must label exactly like min-label
+    propagation on random graphs (islands, chains, cliques mixed)."""
+    import random
+
+    from ods_to_datalake_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r.id, r.cluster_id)
+            for r in connected_components(pairs, max_iter=100).collect()
+        }
+        got = {
+            (r.id, r.cluster_id)
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == want, f"seed={seed}"
+
+
+def test_connected_components_star_deep_chain_fast_convergence(spark):
+    """A 64-node path has diameter 63: min-label propagation needs ~63
+    rounds, the star algorithm must finish in O(log n) — well under
+    10 rounds — with the correct single cluster."""
+    from ods_to_datalake_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = connected_components_star(pairs, return_rounds=True)
+    got = {(r.id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 10, rounds
+
+
 def test_simhash_band_pairs_vs_brute_force(spark):
     """Banded Hamming search vs exhaustive comparison on random 32-bit
     signatures: (a) every reported pair's distance is exact and within

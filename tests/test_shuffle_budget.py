@@ -119,6 +119,9 @@ SHUFFLE_BUDGET = {
     "x23_tfidf_top_terms": 7,
     "x24_stratified_sample": 0,
     "x25_dedup_clusters": 0,  # iterative CC checkpoints per round
+    "x33_dedup_clusters_star": 2,  # star CC: final nodes⋈star-edges
+    # join over two checkpointed sides (the rounds themselves are
+    # checkpoint-truncated like x25)
     "x26_image_decode": 0,  # encode + decode are map-only mapInPandas
     "x27_audio_decode": 0,  # encode + decode are map-only mapInPandas
     "x28_sequence_pack": 1,  # one shuffle on the shard key
