@@ -60,10 +60,12 @@ class Catalog:
     def _nanos_columns(path: str) -> list[str]:
         """Columns stored as TIMESTAMP(NANOS) per the parquet footer —
         the authoritative signal (a name/type heuristic would corrupt
-        ordinary epoch-valued long columns)."""
+        ordinary epoch-valued long columns). Footer reads are cached on
+        the file's stat signature (parquet_meta) so repeated table
+        resolutions cost zero I/O until the file changes."""
         import glob as _glob
 
-        import pyarrow.parquet as pq
+        from ods_to_datalake_spark.parquet_meta import read_schema_cached
 
         files = (
             [path]
@@ -71,7 +73,7 @@ class Catalog:
             else _glob.glob(f"{path}/*.parquet") or [path]
         )
         try:
-            schema = pq.read_schema(files[0])
+            schema = read_schema_cached(files[0])
         except Exception:
             return []
         return [

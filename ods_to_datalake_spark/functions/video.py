@@ -73,7 +73,16 @@ def decode_video_frames(
     the frame at-or-before each sample time (standard keyframe-step
     sampling); only the SELECTED frames are inflated — skipped frames
     cost a container-table walk, nothing more.
+
+    Bad ``every_ms`` raises TypeError — deliberately NOT ValueError:
+    callers (operators/multimodal.sample_frames) quarantine
+    payload-shaped errors (ValueError/OSError) per row, and an invalid
+    sampling argument must surface, not silently mark every row corrupt.
     """
+    if every_ms is not None and (
+        isinstance(every_ms, bool) or not isinstance(every_ms, int) or every_ms <= 0
+    ):
+        raise TypeError(f"every_ms must be a positive int or None, got {every_ms!r}")
     pngs, frame_ms = parse_video(data)
     if not pngs:
         return []

@@ -261,8 +261,12 @@ def jaccard_pairs(
     and re-shingles the corpus per branch (no cross-branch CSE, no
     ReusedExchange — the branches differ). localCheckpoint computes it
     once (27% faster at sf0.1, measured; same pattern as
-    connected_components). At extreme scale persist the shingle table
-    to the lake instead and pass it in pre-computed.
+    connected_components) — lazily (eager=False), so plan-only paths
+    (explain, schema inspection) don't trigger a materialization job.
+    Caveat: checkpointed blocks have no lineage, so an executor loss
+    mid-query fails the query instead of recomputing — at extreme scale
+    persist the shingle table to the lake instead and pass it in
+    pre-computed.
     """
     tok = X.tokens(text_col)
     sh_set = (
@@ -272,7 +276,7 @@ def jaccard_pairs(
             F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
         )
         .filter(F.size("sh") > 0)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     sizes = sh_set.select(id_col, F.size("sh").alias("n_sh"))

@@ -302,6 +302,16 @@ def sample_frames(
     `width IS NULL`), same policy as decode_images. Map-only, no
     shuffle; an ffmpeg binding swaps in at the decode_video_frames
     call site without touching this plumbing."""
+    # fail fast on the driver: a bad sampling argument must not reach
+    # the per-row quarantine (which is scoped to payload-shaped errors)
+    if every_ms is not None and (
+        isinstance(every_ms, bool)
+        or not isinstance(every_ms, int)
+        or every_ms <= 0
+    ):
+        raise TypeError(
+            f"every_ms must be a positive int or None, got {every_ms!r}"
+        )
     out_schema = T.StructType(
         [
             T.StructField("media_id", df.schema[id_col].dataType),

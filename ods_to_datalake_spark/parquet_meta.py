@@ -1,0 +1,36 @@
+"""Cached parquet footer-schema reads.
+
+The timestamp-physicality normalization (Catalog._fix_timestamps,
+streaming.events._ts_physicality) needs the parquet footer's view of
+each timestamp column — per QUERY that is one tiny metadata read, but
+the engine resolves the same tables over and over (a suite run touches
+`events.parquet` dozens of times, a real deployment thousands), and at
+lake scale a footer read is a remote round-trip. Cache the arrow schema
+per (realpath, mtime_ns, size): a regenerated file (the driver rewrites
+testdata between rounds, producers rewrite partitions) changes the stat
+signature and misses the cache, so the answer is always current without
+ever re-reading an unchanged footer.
+
+Only successful reads are cached — errors must stay visible on every
+call (a transient storage failure should not pin a wrong answer).
+"""
+
+from __future__ import annotations
+
+import os
+
+_SCHEMA_CACHE: dict[tuple[str, int, int], "object"] = {}
+
+
+def read_schema_cached(path: str):
+    """`pyarrow.parquet.read_schema(path)`, cached on the file's stat
+    signature. Raises exactly what read_schema/os.stat raise."""
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = pq.read_schema(path)
+        _SCHEMA_CACHE[key] = schema
+    return schema

@@ -42,15 +42,19 @@ def _ts_physicality(sf_dir: str) -> str:
     schema, so we must know how Spark will surface the column)."""
     import os
 
-    import pyarrow.parquet as pq
+    from ods_to_datalake_spark.parquet_meta import read_schema_cached
 
     try:
         t = str(
-            pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+            read_schema_cached(os.path.join(sf_dir, "events.parquet"))
             .field("ts")
             .type
         )
-    except Exception:
+    except FileNotFoundError:
+        # only the missing-file case falls back (dir layouts the stream
+        # source resolves itself); any other footer-read failure must
+        # surface — guessing "ltz" over nanos data would silently read
+        # garbage instead of raising a clear error
         return "ltz"
     if t == "timestamp[ns]":
         return "ns"

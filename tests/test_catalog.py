@@ -146,3 +146,40 @@ def test_catalog_timestamp_physicality_matrix(spark, tmp_path, flavor):
     assert dict(got.dtypes)["ts"] == "timestamp", flavor
     vals = sorted(r.ts for r in got.collect())
     assert vals == want, flavor
+
+
+def test_parquet_footer_schema_cache(tmp_path, monkeypatch):
+    """Footer reads are cached on the file's stat signature: repeated
+    table resolutions cost zero I/O, a rewritten file (the driver
+    regenerates testdata between rounds) misses the cache and re-reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ods_to_datalake_spark import parquet_meta
+
+    path = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": [1, 2]}), str(path))
+
+    calls = {"n": 0}
+    real = pq.read_schema
+
+    def counting(p, *a, **k):
+        calls["n"] += 1
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(pq, "read_schema", counting)
+    s1 = parquet_meta.read_schema_cached(str(path))
+    s2 = parquet_meta.read_schema_cached(str(path))
+    assert calls["n"] == 1 and s1 is s2
+
+    # rewrite with a different schema → stat signature changes → re-read
+    import os
+    import time
+
+    pq.write_table(pa.table({"a": [1], "b": ["x"]}), str(path))
+    os.utime(path, ns=(time.time_ns(), time.time_ns()))
+    s3 = parquet_meta.read_schema_cached(str(path))
+    assert calls["n"] == 2 and "b" in s3.names
+
+    with pytest.raises(FileNotFoundError):
+        parquet_meta.read_schema_cached(str(tmp_path / "missing.parquet"))

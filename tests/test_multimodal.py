@@ -284,3 +284,30 @@ def test_sample_frames_real_pngv(spark):
         r.frame_idx for r in stepped.collect() if r.media_id == 1
     )
     assert idxs == [0, 2]
+
+
+def test_video_every_ms_validation(spark):
+    """A bad sampling step must surface as TypeError (ADVICE r4): the
+    per-row quarantine is scoped to payload-shaped ValueError/OSError,
+    so a ValueError from range(step=0) would silently mark every row
+    corrupt instead of reporting the bad argument."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.functions.video import (
+        decode_video_frames,
+        encode_video,
+    )
+    from ods_to_datalake_spark.operators.multimodal import sample_frames
+
+    blob = encode_video([np.zeros((2, 2), dtype=np.uint8)], frame_ms=100)
+    for bad in (0, -250, 1.5, True):
+        with _pytest.raises(TypeError):
+            decode_video_frames(blob, every_ms=bad)
+    # driver-side fail-fast: no job runs, the error is immediate
+    base = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, raw binary"
+    )
+    media = attach_media(base, F.col("raw"), "video/x-pngv")
+    with _pytest.raises(TypeError):
+        sample_frames(media, every_ms=0)

@@ -277,3 +277,16 @@ def test_streaming_ingest_admission_matches_batch(spark, tmp_path):
     # nothing admitted twice (in-stream dedup held across micro-batches)
     n_rows = spark.table("ingest_mem").count()
     assert n_rows == len(got)
+
+
+def test_ts_physicality_errors_propagate(tmp_path):
+    """Only a MISSING events.parquet falls back to 'ltz' (ADVICE r4);
+    a present-but-unreadable footer must raise, not silently guess a
+    physicality that could misread nanos-as-long data."""
+    from ods_to_datalake_spark.streaming.events import _ts_physicality
+
+    assert _ts_physicality(str(tmp_path)) == "ltz"  # no file → fallback
+    (tmp_path / "events.parquet").write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception) as exc:
+        _ts_physicality(str(tmp_path))
+    assert not isinstance(exc.value, FileNotFoundError)
