@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ods_to_datalake_spark.functions import vectors as V
 
 # kmeans_assign embeds k*dim literals in the argmin expression; beyond
-# this the Catalyst plan itself is the bottleneck (see its docstring).
+# this the Catalyst plan itself is the bottleneck and assignment
+# switches to the Arrow-batched numpy argmin (see _assign_pandas).
 MAX_PLAN_K = 512
 
 
@@ -290,6 +291,53 @@ def centroids(
     )
 
 
+def _assign_pandas(
+    tagged: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    out_col: str,
+) -> DataFrame:
+    """Arrow-batched argmin assignment for large k: centroids ship in
+    the closure (k × dim doubles), each batch computes all squared
+    distances vectorized and argmins — map-only, no shuffle, plan size
+    independent of k (the expression path embeds k×dim literals and the
+    Catalyst tree itself becomes the bottleneck past MAX_PLAN_K).
+
+    Bit-identical to `assign_expr`: distances accumulate dimension-by-
+    dimension in a left-to-right fold (one vectorized numpy op per dim,
+    NOT numpy's pairwise-summed `sum`) — the exact IEEE operation order
+    of F.aggregate's fold — and np.argmin breaks ties toward the lowest
+    index, matching the lexicographic struct-min. Identical inputs +
+    identical op order → identical floats → identical labels, which the
+    property tests assert.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(cents, dtype=np.float64)
+    out_schema = T.StructType(
+        list(tagged.schema.fields)
+        + [T.StructField(out_col, T.IntegerType(), False)]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: []})
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            acc = np.zeros((len(pdf), C.shape[0]))
+            for d in range(C.shape[1]):
+                diff = X[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            yield pdf.assign(
+                **{out_col: np.argmin(acc, axis=1).astype("int32")}
+            )
+
+    return tagged.mapInPandas(run, out_schema)
+
+
 def kmeans_assign(
     corpus: DataFrame,
     id_col: str,
@@ -312,17 +360,14 @@ def kmeans_assign(
 
     Bound: the assignment expression materializes k × dim literals in
     the plan (one struct per centroid), so plan size grows linearly in
-    k. Fine for IVF cell counts (k ≤ ~256, the intended use); at
-    k in the thousands the Catalyst tree itself becomes the bottleneck
-    — use a Pandas-UDF argmin or MLlib at that scale. Enforced below.
+    k. Fine for IVF cell counts (k ≤ ~256, the intended use); past
+    MAX_PLAN_K the Catalyst tree itself becomes the bottleneck, so
+    assignment switches automatically to `_assign_pandas` — the Arrow-
+    batched numpy argmin whose plan size is k-independent and whose
+    labels are bit-identical to the expression path (same IEEE fold
+    order; property-tested). A 100-TB IVF index wants thousands of
+    cells; both paths stay map-only over the corpus.
     """
-    if k > MAX_PLAN_K:
-        raise ValueError(
-            f"kmeans_assign: k={k} exceeds the plan-size bound "
-            f"{MAX_PLAN_K}; the argmin expression embeds k*dim "
-            "literals — use a vectorized (Pandas UDF) argmin for "
-            "large k"
-        )
     seeds = [
         [float(x) for x in r[1]]
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
@@ -343,17 +388,24 @@ def kmeans_assign(
             choices.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
         return F.array_min(F.array(*choices)).getField("j").cast("int")
 
+    def assign_df(cents_local: list[list[float]]) -> DataFrame:
+        src = corpus.select(id_col, vec_col)
+        if len(cents_local) > MAX_PLAN_K:
+            return _assign_pandas(src, vec_col, cents_local, "__cluster")
+        return src.withColumn("__cluster", assign_expr(cents_local))
+
     for _ in range(iters):
-        assigned = corpus.withColumn("__cluster", assign_expr(cents))
         new_cents = {
             r[0]: list(r[1])
-            for r in centroids(assigned, "__cluster", vec_col).collect()
+            for r in centroids(
+                assign_df(cents), "__cluster", vec_col
+            ).collect()
         }
         # empty clusters keep their previous centroid
         cents = [new_cents.get(j, cents[j]) for j in range(k)]
 
-    return corpus.select(
-        id_col, assign_expr(cents).alias("cluster")
+    return assign_df(cents).select(
+        id_col, F.col("__cluster").alias("cluster")
     )
 
 

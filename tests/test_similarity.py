@@ -109,19 +109,86 @@ def test_kmeans_cells_beat_label_cells(spark, emb):
     assert r_km >= r_label  # geometry-aware cells can't be worse here
 
 
-def test_kmeans_k_guard(spark):
-    """k above the documented plan-size bound raises instead of building
-    a multi-thousand-literal Catalyst expression."""
-    import pytest
+def test_kmeans_pandas_argmin_equals_expression(spark, monkeypatch):
+    """Past MAX_PLAN_K assignment switches to the Arrow-batched numpy
+    argmin; its labels must be BIT-identical to the expression path —
+    same IEEE fold order, same lowest-index tie-break. Lowering the
+    bound forces the pandas path at small k so the two full kmeans runs
+    (seeds, iterations, final assignment) can be compared exactly.
+    Duplicate rows make two seed centroids identical, so index
+    tie-breaking is genuinely exercised."""
+    import numpy as np
 
-    from ods_to_datalake_spark.operators.similarity import (
-        MAX_PLAN_K,
-        kmeans_assign,
-    )
+    from ods_to_datalake_spark.operators import similarity as S
 
-    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id int, v array<double>")
-    with pytest.raises(ValueError, match="plan-size bound"):
-        kmeans_assign(df, "vec_id", "v", k=MAX_PLAN_K + 1)
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.uniform(-1, 1, size=5)])
+        for i in range(80)
+    ]
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # exact duplicates
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    expr_labels = {
+        (r.vec_id, r.cluster)
+        for r in S.kmeans_assign(df, "vec_id", "v", k=7, iters=2).collect()
+    }
+    monkeypatch.setattr(S, "MAX_PLAN_K", 3)  # k=7 > 3 → pandas argmin
+    pandas_labels = {
+        (r.vec_id, r.cluster)
+        for r in S.kmeans_assign(df, "vec_id", "v", k=7, iters=2).collect()
+    }
+    assert pandas_labels == expr_labels
+
+
+def test_assign_pandas_direct_bit_identity(spark):
+    """_assign_pandas vs the inline expression argmin on one fixed
+    centroid set: identical labels row-for-row, including a point
+    exactly equidistant from two centroids (lowest index wins)."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators import similarity as S
+    from ods_to_datalake_spark.functions import vectors as V
+
+    cents = [[0.0, 0.0], [1.0, 1.0], [1.0, 1.0], [0.5, 0.5]]
+    pts = [
+        (1, [0.25, 0.25]),   # equidistant from c0 and c3 → c0
+        (2, [0.75, 0.75]),   # equidistant c1/c2/c3 → c1
+        (3, [10.0, -3.0]),
+        (4, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, v array<double>")
+
+    got = {
+        (r["vec_id"], r["__cluster"])
+        for r in S._assign_pandas(df, "v", cents, "__cluster").collect()
+    }
+
+    v = V.to_double("v")
+    choices = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(j).alias("j"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    want = {
+        (r.vec_id, r.c)
+        for r in df.select(
+            "vec_id",
+            F.array_min(F.array(*choices)).getField("j").cast("int").alias("c"),
+        ).collect()
+    }
+    assert got == want
+    assert dict(got)[1] == 0 and dict(got)[2] == 1
 
 
 def test_quantize_int8_reconstruction(spark):
