@@ -152,6 +152,46 @@ def lsh_banded(
     )
 
 
+def oversized_buckets(
+    banded: DataFrame,
+    max_bucket: int,
+    keys: tuple[str, ...] = ("band_idx", "band_key"),
+) -> DataFrame:
+    """(keys..., n_docs) for every candidate bucket wider than
+    ``max_bucket`` — the skew report that accompanies `cap_bucket_width`.
+    A bucket with B members emits B² candidate pairs, so one degenerate
+    key (templated boilerplate hashing every doc into the same band)
+    turns a bounded LSH join quadratic; at scale this report is what a
+    pipeline logs/alerts on instead of silently stalling a stage."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def cap_bucket_width(
+    banded: DataFrame,
+    max_bucket: int,
+    keys: tuple[str, ...] = ("band_idx", "band_key"),
+) -> DataFrame:
+    """Drop every row belonging to a bucket wider than ``max_bucket``
+    BEFORE the candidate self-join, bounding its output at
+    max_bucket² per bucket. One aggregation + one semi-join, both on
+    the same keys the self-join shuffles on. Docs in an overflowing
+    bucket usually share their OTHER bands with the same near-dups, so
+    recall loss is confined to pairs similar in only the degenerate
+    band; use `oversized_buckets` on the same frame to report what was
+    spilled (a capped pipeline must say so, not read as full coverage).
+    """
+    counts = banded.groupBy(*keys).agg(F.count("*").alias("__n"))
+    return banded.join(
+        counts.filter(F.col("__n") <= max_bucket).drop("__n"),
+        list(keys),
+        "left_semi",
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -160,15 +200,21 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     rows: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     Plan shape: map (signature) → explode bands → shuffle on
     (band_idx, band_key) → per-bucket self-join → distinct pairs.
     A bucket with B docs emits B², so a degenerate key (e.g. all-empty
-    docs) is the skew risk — empty-shingle docs are filtered out first.
+    docs) is the skew risk — empty-shingle docs are filtered out first,
+    and ``max_bucket`` bounds any residual degenerate key (boilerplate
+    corpora): oversized buckets are excluded from pairing — report them
+    via `oversized_buckets(lsh_banded(...), max_bucket)`.
     """
     banded = lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
+    if max_bucket is not None:
+        banded = cap_bucket_width(banded, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -237,6 +237,7 @@ def hyperplane_lsh_pairs(
     dim: int,
     n_planes: int = 4,
     threshold: float = 0.35,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH.
 
@@ -247,8 +248,18 @@ def hyperplane_lsh_pairs(
     construction: pairs straddling a hyperplane are missed — raise
     `n_planes` probes/bands for recall, or run the exact variant on the
     LSH-reduced candidate set.
+
+    ``max_bucket`` bounds the B² blowup of a degenerate sign bucket
+    (e.g. a mass of near-zero vectors landing in one cell): wider
+    buckets are excluded from pairing — report them with
+    `dedup.oversized_buckets(_tag_hyperplane_buckets(...), max_bucket,
+    keys=("__bucket",))` so the spill is visible, never silent.
     """
     tagged = _tag_hyperplane_buckets(corpus, id_col, vec_col, dim, n_planes)
+    if max_bucket is not None:
+        from ods_to_datalake_spark.operators.dedup import cap_bucket_width
+
+        tagged = cap_bucket_width(tagged, max_bucket, keys=("__bucket",))
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = a.join(
         b,

@@ -514,3 +514,75 @@ def test_incremental_dedup_cold_start(spark):
     seen = spark.createDataFrame([], "doc_id long, text string")
     out = incremental_dedup(new, seen, "doc_id", "text")
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """1k identical docs hash every band into one bucket — uncapped
+    that is ~500k candidate pairs per band. With max_bucket the join
+    completes with ZERO pairs from the degenerate key, the spill is
+    reported (not silent), and distinct sub-cap near-dup groups are
+    still found."""
+    from ods_to_datalake_spark.operators.dedup import (
+        lsh_banded,
+        minhash_lsh_candidates,
+        oversized_buckets,
+    )
+
+    boiler = [(i, "the same boilerplate text repeated verbatim here")
+              for i in range(1000)]
+    # a small genuine near-dup group, below the cap
+    group = [
+        (2000, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2001, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(
+        boiler + group, "doc_id long, text string"
+    )
+
+    capped = minhash_lsh_candidates(df, "doc_id", "text", max_bucket=50)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert all(a >= 2000 and b >= 2000 for a, b in pairs), (
+        "degenerate boilerplate bucket leaked pairs"
+    )
+    assert (2000, 2001) in pairs  # sub-cap group still found
+
+    report = oversized_buckets(
+        lsh_banded(df, "doc_id", "text"), max_bucket=50
+    ).collect()
+    assert len(report) == 4  # all 4 bands of the boilerplate overflow
+    assert all(r.n_docs == 1000 for r in report)
+
+    # uncapped on the small group alone is unaffected by the cap param
+    small = spark.createDataFrame(group, "doc_id long, text string")
+    assert minhash_lsh_candidates(
+        small, "doc_id", "text", max_bucket=50
+    ).count() == minhash_lsh_candidates(small, "doc_id", "text").count()
+
+
+def test_hyperplane_bucket_cap(spark):
+    """Same guard on the embedding face: a degenerate sign bucket (many
+    identical vectors) is excluded and reported; a distinct sub-cap
+    near-dup pair elsewhere survives."""
+    from ods_to_datalake_spark.operators.dedup import oversized_buckets
+    from ods_to_datalake_spark.operators.similarity import (
+        _tag_hyperplane_buckets,
+        hyperplane_lsh_pairs,
+    )
+
+    dup = [(i, [1.0, 0.5, -0.25, 0.75]) for i in range(200)]
+    pair = [(900, [-1.0, -0.5, 0.25, -0.75]),
+            (901, [-1.0, -0.5, 0.25, -0.74])]
+    df = spark.createDataFrame(dup + pair, "vec_id long, v array<double>")
+
+    got = hyperplane_lsh_pairs(
+        df, "vec_id", "v", dim=4, threshold=0.9, max_bucket=50
+    )
+    ids = {(r.id_a, r.id_b) for r in got.collect()}
+    assert ids == {(900, 901)}
+
+    report = oversized_buckets(
+        _tag_hyperplane_buckets(df, "vec_id", "v", 4, 4),
+        max_bucket=50,
+        keys=("__bucket",),
+    ).collect()
+    assert len(report) == 1 and report[0].n_docs == 200
