@@ -68,3 +68,80 @@ def admit_new_stream(
     return deduped.join(
         seen_hashes, CONTENT_HASH_COL, "left_anti"
     ).drop(CONTENT_HASH_COL)
+
+
+def ingest_with_near_dup_tier(
+    new_stream: DataFrame,
+    seen_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+) -> "StreamingQuery":
+    """Both admission tiers end-to-end: tier 1 (exact content) runs
+    in-stream via `admit_new_stream`; tier 2 (LSH near-dup) runs per
+    micro-batch via ``foreachBatch`` — the multi-stage band aggregation
+    Structured Streaming can't express in append mode, exactly as the
+    module docstring prescribes.
+
+    State is the seen corpus's band table, seeded once from ``seen_df``
+    into ``state_dir`` and APPENDED with each admitted batch's bands —
+    so a near-dup of a document admitted three batches ago is rejected
+    too (incremental across the stream, not just against the initial
+    corpus). Admitted rows append to ``out_dir``. Within one batch the
+    semantics match `dedup.incremental_dedup`: rejection is against the
+    seen side only; intra-batch near-dup pairs are the batch dedup
+    suite's job on the admitted set.
+
+    Scale: both per-batch joins shuffle on the band key only; the state
+    table is append-only (id, band_idx, band_key) — the same artifact
+    the batch face materializes incrementally. Caveat: parquet append
+    is not transactional, so a batch REPLAYED after a crash between the
+    two writes would re-append state; production targets a table format
+    with atomic commits (the writer-side contract, not this operator's).
+    """
+    from ods_to_datalake_spark.operators.dedup import lsh_banded
+
+    def banded(df: DataFrame) -> DataFrame:
+        return lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
+
+    banded(seen_df).write.mode("overwrite").parquet(state_dir)
+    tier1 = admit_new_stream(
+        new_stream,
+        seen_content_hashes(seen_df, text_col),
+        text_col,
+        ts_col,
+        watermark,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        near_ids = (
+            banded(batch_df)
+            .join(
+                spark.read.parquet(state_dir),
+                ["band_idx", "band_key"],
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        admitted = batch_df.join(near_ids, id_col, "left_anti")
+        admitted.write.mode("append").parquet(out_dir)
+        banded(admitted).write.mode("append").parquet(state_dir)
+
+    return (
+        tier1.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -12,12 +12,20 @@ The amplified directory uses the standard testdata layout
 suite queries themselves (plans/suite*.py) — the same plans the oracle
 gate validates, not reimplementations that could drift.
 
+Each cell is the MEDIAN of ``$SPARK_GRAFT_BENCH_REPS`` (default 3 here
+— these queries run seconds-to-minutes at 100×) timed repetitions after
+one untimed warmup, the same treatment bench.py got in r04: single-shot
+cells swung enough on first-touch JIT/IO order to fake a regression
+(x23's r04 19.6s cell — VERDICT r4 item 2).
+
 Usage: python scripts/stress_scale.py [SCALE=10] [WORKDIR=/tmp/stress]
 """
 
 from __future__ import annotations
 
+import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -76,12 +84,20 @@ def main() -> int:
     print(f"lineitem rows: {li.count():,}  documents: {docs.count():,}")
 
     timings: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def bench(name, fn):
-        t = time.perf_counter()
-        n = fn()
-        timings[name] = round(time.perf_counter() - t, 2)
-        print(f"{name}: {timings[name]}s ({n:,} rows)")
+        fn()  # warmup: JIT/shuffle-infra startup isn't the measurement
+        samples = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            n = fn()
+            samples.append(time.perf_counter() - t)
+        timings[name] = round(statistics.median(samples), 2)
+        print(
+            f"{name}: median {timings[name]}s of "
+            f"{[round(s, 2) for s in samples]} ({n:,} rows)"
+        )
 
     # fact ⋈ fact join primitive at volume (not a suite query: both
     # sides amplified, measures the raw shuffle-join path)
