@@ -387,6 +387,7 @@ def simhash_band_pairs(
     n_bands: int = 4,
     max_hamming: int = 6,
     sig_bits: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-dup search over SimHash bitstrings:
     (id_a, id_b, hamming) for every candidate pair within
@@ -405,7 +406,10 @@ def simhash_band_pairs(
     O(n²).
 
     Pure built-in expressions (substring bands, zip_with Hamming), so
-    the whole search has an exact ANSI oracle (see x21).
+    the whole search has an exact ANSI oracle (see x21). ``max_bucket``
+    bounds a degenerate band value's B² candidate blowup exactly like
+    the MinHash face — report spills with
+    `oversized_buckets(..., keys=("band_idx", "band"))`.
     """
     if sig_bits % n_bands:
         raise ValueError(f"{n_bands} bands must divide {sig_bits} bits")
@@ -418,6 +422,10 @@ def simhash_band_pairs(
             F.array(*[F.substring(sig_col, s, l) for s, l in spans])
         ).alias("band_idx", "band"),
     )
+    if max_bucket is not None:
+        banded = cap_bucket_width(
+            banded, max_bucket, keys=("band_idx", "band")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -586,3 +586,41 @@ def test_hyperplane_bucket_cap(spark):
         keys=("__bucket",),
     ).collect()
     assert len(report) == 1 and report[0].n_docs == 200
+
+
+def test_simhash_band_pairs_bucket_cap(spark):
+    """The SimHash face gets the same width guard: identical docs
+    collapse into one signature bucket per band — capped, they emit no
+    pairs and the spill is reportable; a distinct near-dup pair below
+    the cap survives."""
+    from ods_to_datalake_spark.operators.dedup import (
+        oversized_buckets,
+        simhash_band_pairs,
+        simhash_signatures,
+    )
+
+    boiler = [(i, "the same boilerplate text repeated verbatim here")
+              for i in range(300)]
+    pair = [
+        (900, "alpha beta gamma delta epsilon zeta eta theta"),
+        (901, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    sig = simhash_signatures(df, "doc_id", "text")
+
+    got = simhash_band_pairs(sig, max_hamming=16, max_bucket=50)
+    assert all(
+        r.id_a >= 900 for r in got.collect()
+    ), "degenerate signature bucket leaked pairs"
+
+    report = oversized_buckets(
+        sig.selectExpr(
+            "doc_id",
+            "posexplode(array(substring(simhash,1,8), substring(simhash,9,8),"
+            " substring(simhash,17,8), substring(simhash,25,8)))"
+            " AS (band_idx, band)",
+        ),
+        max_bucket=50,
+        keys=("band_idx", "band"),
+    )
+    assert report.count() == 4
