@@ -287,6 +287,29 @@ def incremental_dedup(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh array<string>) distinct-shingle sets per document —
+    the side artifact `jaccard_pairs` verifies against. At corpus scale
+    persist this once to the lake (it's pure map work, one pass) and
+    hand it to every downstream verify via ``shingle_table=`` instead
+    of re-shingling per query. Empty-shingle docs drop out, matching
+    the candidate generators."""
+    tok = X.tokens(text_col)
+    return (
+        spread_small_input(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
@@ -294,6 +317,7 @@ def jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate (id_a, id_b) pairs.
 
@@ -311,18 +335,18 @@ def jaccard_pairs(
     (explain, schema inspection) don't trigger a materialization job.
     Caveat: checkpointed blocks have no lineage, so an executor loss
     mid-query fails the query instead of recomputing — at extreme scale
-    persist the shingle table to the lake instead and pass it in
-    pre-computed.
+    pass ``shingle_table`` instead: a persisted `shingle_sets` frame
+    (read from the lake) that skips both the re-shingling and the
+    checkpoint, and is shared by every verify query over the corpus.
     """
-    tok = X.tokens(text_col)
     sh_set = (
-        spread_small_input(df.select(id_col, text_col))
-        .select(
-            F.col(id_col),
-            F.array_distinct(X.shingles(tok, shingle_n)).alias("sh"),
+        shingle_sets(df, id_col, text_col, shingle_n).localCheckpoint(
+            eager=False
         )
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=False)
+        if shingle_table is None
+        else shingle_table.select(
+            F.col(id_col), F.col("sh")
+        )
     )
 
     sizes = sh_set.select(id_col, F.size("sh").alias("n_sh"))

@@ -420,41 +420,49 @@ def kmeans_assign(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str,
-    vec_col: str,
+def _probe_clusters(
+    q: DataFrame,
+    cents: DataFrame,
     cluster_col: str,
-    k: int,
-    nprobe: int = 2,
-    query_id: str = "query_id",
+    nprobe: int,
+    query_id: str,
 ) -> DataFrame:
-    """IVF ANN: probe the `nprobe` clusters whose centroids are nearest
-    each query (by rounded cosine), then exact top-k within those
-    clusters only."""
+    """(query_id, cluster) — the `nprobe` clusters whose centroids are
+    nearest each query by rounded cosine; centroids are broadcast
+    (k × dim, tiny), tie-broken on cluster id."""
     from ods_to_datalake_spark.operators.agg import top_k_per_group
-
-    cents = centroids(corpus, cluster_col, vec_col)
-    q = queries.select(F.col(query_id), V.to_double(vec_col).alias("__qv"))
 
     probe_scores = q.crossJoin(F.broadcast(cents)).select(
         query_id,
         cluster_col,
         V.cosine_rounded(F.col("__qv"), F.col("centroid")).alias("c_cos"),
     )
-    probes = top_k_per_group(
+    return top_k_per_group(
         probe_scores,
         [query_id],
         [F.col("c_cos").desc(), F.col(cluster_col)],
         nprobe,
     ).select(query_id, cluster_col)
 
+
+def _score_probed(
+    corpus: DataFrame,
+    probes: DataFrame,
+    q: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    k: int,
+    query_id: str,
+) -> DataFrame:
+    """Exact top-k over the probed clusters only. Probes and queries
+    broadcast; corpus rows join only against queries probing their
+    cluster — the corpus is never shuffled."""
+    from ods_to_datalake_spark.operators.agg import top_k_per_group
+
     c = corpus.select(
         F.col(id_col), F.col(cluster_col), V.to_double(vec_col).alias("__cv")
     )
-    # broadcast the (query, probed-cluster) list; corpus rows join only
-    # against queries probing their cluster — corpus is never shuffled.
     scored = (
         c.join(F.broadcast(probes), on=cluster_col)
         .filter(F.col(query_id) != F.col(id_col))
@@ -470,4 +478,88 @@ def ivf_topk(
         [query_id],
         [F.col("cosine").desc(), F.col(id_col)],
         k,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    k: int,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: probe the `nprobe` clusters whose centroids are nearest
+    each query (by rounded cosine), then exact top-k within those
+    clusters only."""
+    cents = centroids(corpus, cluster_col, vec_col)
+    q = queries.select(F.col(query_id), V.to_double(vec_col).alias("__qv"))
+    probes = _probe_clusters(q, cents, cluster_col, nprobe, query_id)
+    return _score_probed(
+        corpus, probes, q, id_col, vec_col, cluster_col, k, query_id
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    path: str,
+    iters: int = 3,
+) -> None:
+    """Build and persist an IVF index to the lake:
+
+    - ``<path>/corpus`` — the corpus rewritten hive-partitioned by its
+      k-means cluster id, so probe-time reads PRUNE to the nprobe
+      probed partitions (partition pruning at the scan, the physical
+      trick that makes IVF an index rather than a filter);
+    - ``<path>/centroids`` — the (cluster, centroid) table, tiny.
+
+    Build cost: the k-means passes (map-only per iteration) + ONE
+    shuffle to attach labels and one clustered write — paid once; every
+    subsequent `ivf_topk_indexed` query scans only probed cells. This
+    is the 100-TB shape: the embedding store lives clustered on disk,
+    queries touch nprobe/k of it, and re-clustering is an offline
+    rebuild, not a query-time cost.
+    """
+    assignment = kmeans_assign(corpus, id_col, vec_col, k, iters)
+    tagged = corpus.select(id_col, vec_col).join(assignment, id_col)
+    tagged.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/corpus"
+    )
+    centroids(tagged, "cluster", vec_col).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF ANN against a `build_ivf_index` layout: centroids load from
+    the index (no per-query centroid recompute), probed cluster ids —
+    at most |queries| × nprobe, driver-sized by construction — prune
+    the partitioned corpus scan to the probed cells only. Results equal
+    `ivf_topk` over the same assignment (tested); only the I/O shape
+    differs: unprobed cells are never read at all."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(F.col(query_id), V.to_double(vec_col).alias("__qv"))
+    probes = _probe_clusters(q, cents, "cluster", nprobe, query_id)
+    probed = [
+        r.cluster for r in probes.select("cluster").distinct().collect()
+    ]
+    corpus = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("cluster").isin(probed)
+    )
+    return _score_probed(
+        corpus, probes, q, id_col, vec_col, "cluster", k, query_id
     )

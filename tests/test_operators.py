@@ -624,3 +624,43 @@ def test_simhash_band_pairs_bucket_cap(spark):
         keys=("band_idx", "band"),
     )
     assert report.count() == 4
+
+
+def test_jaccard_pairs_precomputed_shingle_table(spark, tmp_path):
+    """The extreme-scale path: shingle_sets persisted to the lake and
+    handed to jaccard_pairs skips re-shingling (and the checkpoint) and
+    produces the identical verify output."""
+    from ods_to_datalake_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        shingle_sets,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three four five six seven eight ten"),
+        (5, "completely different text about the weather today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_lsh_candidates(df, "doc_id", "text")
+
+    inline = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(df, cands, "doc_id", "text").collect()
+    }
+
+    lake = str(tmp_path / "shingles")
+    shingle_sets(df, "doc_id", "text").write.parquet(lake)
+    precomputed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_pairs(
+            df,
+            cands,
+            "doc_id",
+            "text",
+            shingle_table=spark.read.parquet(lake),
+        ).collect()
+    }
+    assert precomputed == inline and len(inline) > 0

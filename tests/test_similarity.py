@@ -255,3 +255,42 @@ def test_incremental_embedding_dedup(spark):
         new, empty, "vec_id", "embedding", dim, n_planes=4, threshold=0.35
     )
     assert sorted(r.vec_id for r in cold.collect()) == [1, 3, 5]
+
+
+def test_ivf_index_persist_prune_and_equal(spark, emb, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: results equal ivf_topk over
+    the same persisted assignment, and the probe-time corpus scan is
+    PARTITION-PRUNED to the probed cells (the physical property that
+    makes IVF an index at 100 TB, not a filter)."""
+    from ods_to_datalake_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "embedding", k=8, path=idx)
+
+    got = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in ivf_topk_indexed(
+            spark, idx, _queries(emb), "vec_id", "embedding", K, nprobe=2
+        ).collect()
+    }
+    tagged = spark.read.parquet(f"{idx}/corpus")
+    want = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in ivf_topk(
+            tagged, _queries(emb), "vec_id", "embedding", "cluster", K,
+            nprobe=2,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # physical pruning: a single-cluster filter on the index layout
+    # reads strictly fewer files than the full corpus
+    base = spark.read.parquet(f"{idx}/corpus")
+    one = base.filter(F.col("cluster") == base.select(
+        F.min("cluster")).collect()[0][0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters", 1)[1][:200]
