@@ -145,3 +145,73 @@ def ingest_with_near_dup_tier(
         .outputMode("append")
         .start()
     )
+
+
+def ingest_embeddings_stream(
+    new_stream: DataFrame,
+    seen_df: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    threshold: float = 0.35,
+) -> "StreamingQuery":
+    """Embedding face of streaming admission — the stream counterpart
+    of `similarity.incremental_embedding_dedup`, completing the
+    text/embedding × batch/stream matrix.
+
+    Per micro-batch (foreachBatch — bucket + verify is a multi-stage
+    join Structured Streaming can't express in append mode): new
+    vectors hyperplane-bucket map-side, candidates form only against
+    seen vectors sharing a bucket, the exact rounded cosine verifies,
+    and admitted vectors append BOTH to ``out_dir`` and to the
+    ``state_dir`` (id, bucket, vector) table — so a vector semantically
+    duplicating one admitted two batches ago is rejected too. Exact
+    duplicates project to the same bucket at cosine 1.0, so no separate
+    hash tier is needed (same argument as the batch face). State is
+    append-only and joins shuffle on the bucket key only — the stream
+    is never cross-joined against the corpus. Same parquet-append
+    replay caveat as `ingest_with_near_dup_tier`.
+    """
+    from ods_to_datalake_spark.functions import vectors as V
+    from ods_to_datalake_spark.operators.similarity import (
+        _tag_hyperplane_buckets,
+    )
+
+    def tagged(df: DataFrame) -> DataFrame:
+        return _tag_hyperplane_buckets(df, id_col, vec_col, dim, n_planes)
+
+    tagged(seen_df).write.mode("overwrite").parquet(state_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        seen_t = spark.read.parquet(state_dir)
+        new_t = tagged(batch_df)
+        near_ids = (
+            new_t.alias("n")
+            .join(
+                seen_t.alias("s"),
+                F.col("n.__bucket") == F.col("s.__bucket"),
+            )
+            .filter(
+                V.cosine_rounded(F.col("n.__v"), F.col("s.__v"))
+                >= threshold
+            )
+            .select(F.col(f"n.{id_col}").alias(id_col))
+            .distinct()
+        )
+        admitted = batch_df.join(near_ids, id_col, "left_anti")
+        admitted.write.mode("append").parquet(out_dir)
+        tagged(admitted).write.mode("append").parquet(state_dir)
+
+    return (
+        new_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -369,3 +369,67 @@ def test_streaming_ingest_near_dup_tier_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "state")).collect()
     }
     assert state_ids == {1, 12, 14}
+
+
+def test_streaming_embedding_admission_end_to_end(spark, tmp_path):
+    """Embedding face of streaming admission: an exact duplicate of the
+    seen corpus is rejected (cosine 1.0 in the same bucket), a novel
+    vector is admitted, and a near-duplicate of a vector admitted in an
+    EARLIER micro-batch is rejected through the growing bucket-table
+    state. Hyperplanes are md5-derived, so bucketing is deterministic."""
+    import os
+    import time
+
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_embeddings_stream,
+    )
+
+    a = [1.0, 0.5, -0.25, 0.75]
+    b = [-1.0, -0.5, 0.25, -0.75]          # cosine(a, b) = -1 → novel
+    b_near = [-1.0, -0.5, 0.25, -0.74]     # ~b → rejected cross-batch
+    c = [0.1, -0.9, 0.8, 0.2]              # unrelated direction → novel
+    seen = spark.createDataFrame(
+        [(1, a)], "vec_id long, embedding array<double>"
+    )
+    batches = [[(10, a), (11, b)], [(12, b_near), (13, c)]]
+    src = tmp_path / "vecstream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = str(src / f"part-{i}.parquet")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    out_dir = str(tmp_path / "admitted_vecs")
+    q = ingest_embeddings_stream(
+        stream,
+        seen,
+        out_dir,
+        str(tmp_path / "vec_state"),
+        str(tmp_path / "vec_ckpt"),
+        dim=4,
+        threshold=0.9,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {11, 13}
+
+    state_ids = {
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "vec_state")).collect()
+    }
+    assert state_ids == {1, 11, 13}
