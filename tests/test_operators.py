@@ -664,3 +664,34 @@ def test_jaccard_pairs_precomputed_shingle_table(spark, tmp_path):
         ).collect()
     }
     assert precomputed == inline and len(inline) > 0
+
+
+def test_minhash_candidates_precomputed_band_table(spark, tmp_path):
+    """Cross-query band-table reuse: a persisted lsh_banded frame passed
+    via band_table= yields identical candidates to the inline path."""
+    from ods_to_datalake_spark.operators.dedup import (
+        lsh_banded,
+        minhash_lsh_candidates,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three four five six seven eight ten"),
+        (5, "completely different text about the weather today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(df, "doc_id", "text").collect()
+    }
+    lake = str(tmp_path / "bands")
+    lsh_banded(df, "doc_id", "text").write.parquet(lake)
+    precomputed = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "text", band_table=spark.read.parquet(lake)
+        ).collect()
+    }
+    assert precomputed == inline and len(inline) > 0
