@@ -294,3 +294,26 @@ def test_ivf_index_persist_prune_and_equal(spark, emb, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_kmeans_real_large_k_smoke(spark):
+    """k above MAX_PLAN_K for real (no monkeypatch): the Arrow argmin
+    path plans and runs — every row labeled, labels in range, plan size
+    independent of k (the expression path would embed 600×4 literals)."""
+    import numpy as np
+
+    from ods_to_datalake_spark.operators.similarity import (
+        MAX_PLAN_K,
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    n, k = 700, MAX_PLAN_K + 88
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(-1, 1, size=4)])
+         for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    out = kmeans_assign(df, "vec_id", "v", k=k, iters=1).collect()
+    assert len(out) == n
+    assert all(0 <= r.cluster < k for r in out)

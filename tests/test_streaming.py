@@ -433,3 +433,56 @@ def test_streaming_embedding_admission_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "vec_state")).collect()
     }
     assert state_ids == {1, 11, 13}
+
+
+def test_streaming_embedding_admission_cold_start(spark, tmp_path):
+    """Empty seen corpus: the first batch's vectors are all novel and
+    admitted; a near-dup arriving in the NEXT batch is still rejected
+    against the state grown from batch one."""
+    import os
+    import time
+
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_embeddings_stream,
+    )
+
+    b = [-1.0, -0.5, 0.25, -0.75]
+    seen = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    batches = [[(11, b)], [(12, [-1.0, -0.5, 0.25, -0.74])]]
+    src = tmp_path / "coldvecs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        f = str(src / f"part-{i}.parquet")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    out_dir = str(tmp_path / "cold_admitted")
+    q = ingest_embeddings_stream(
+        stream,
+        seen,
+        out_dir,
+        str(tmp_path / "cold_state"),
+        str(tmp_path / "cold_ckpt"),
+        dim=4,
+        threshold=0.9,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {11}
