@@ -349,6 +349,34 @@ def _assign_pandas(
     return tagged.mapInPandas(run, out_schema)
 
 
+def assign_to_centroids(
+    src: DataFrame,
+    vec_col: str,
+    cents: list[list[float]],
+    out_col: str = "__cluster",
+) -> DataFrame:
+    """src + (out_col int): nearest-centroid index against a FIXED
+    centroid list, by squared euclidean distance with lowest-index
+    tie-break. Map-only either way: a codegen expression argmin below
+    MAX_PLAN_K (k × dim literals in the plan), the Arrow-batched numpy
+    argmin above it (plan size k-independent, bit-identical labels —
+    see `_assign_pandas`). The shared assignment primitive of
+    `kmeans_assign` (per-iteration + final labeling) and
+    `ivf_index_append` (labeling new vectors against a frozen index)."""
+    if len(cents) > MAX_PLAN_K:
+        return _assign_pandas(src, vec_col, cents, out_col)
+    v = V.to_double(vec_col)
+    choices = []
+    for j, c in enumerate(cents):
+        carr = F.array(*[F.lit(x) for x in c])
+        diff = F.zip_with(v, carr, lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        choices.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
+    return src.withColumn(
+        out_col, F.array_min(F.array(*choices)).getField("j").cast("int")
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     id_col: str,
@@ -389,21 +417,10 @@ def kmeans_assign(
         k = len(seeds)  # fewer rows than clusters → one row per cluster
     cents: list[list[float]] = seeds
 
-    def assign_expr(cents_local: list[list[float]]):
-        v = V.to_double(vec_col)
-        choices = []
-        for j, c in enumerate(cents_local):
-            carr = F.array(*[F.lit(x) for x in c])
-            diff = F.zip_with(v, carr, lambda a, b: (a - b) * (a - b))
-            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-            choices.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
-        return F.array_min(F.array(*choices)).getField("j").cast("int")
-
     def assign_df(cents_local: list[list[float]]) -> DataFrame:
-        src = corpus.select(id_col, vec_col)
-        if len(cents_local) > MAX_PLAN_K:
-            return _assign_pandas(src, vec_col, cents_local, "__cluster")
-        return src.withColumn("__cluster", assign_expr(cents_local))
+        return assign_to_centroids(
+            corpus.select(id_col, vec_col), vec_col, cents_local
+        )
 
     for _ in range(iters):
         new_cents = {
@@ -562,4 +579,44 @@ def ivf_topk_indexed(
     )
     return _score_probed(
         corpus, probes, q, id_col, vec_col, "cluster", k, query_id
+    )
+
+
+def ivf_index_append(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Add new vectors to an existing `build_ivf_index` layout WITHOUT
+    a rebuild: each new vector is labeled with its nearest FROZEN
+    centroid (map-only — `assign_to_centroids`, k × dim centroids from
+    the driver) and appended to that cell's partition. Centroids are
+    deliberately not recomputed — standard IVF practice: cell means
+    drift slowly under appends, and re-clustering is an offline rebuild
+    decision, not an ingest-path cost. At 100 TB this is the difference
+    between touching |new batch| rows and rewriting the store.
+
+    Missing-cell note: centroids persist only for non-empty cells, so
+    labels map through the stored cluster ids (a flat k-int literal
+    array — plan-cheap even at large k).
+    """
+    rows = sorted(
+        (r.cluster, [float(x) for x in r.centroid])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    )
+    cluster_ids = [cid for cid, _ in rows]
+    cents = [c for _, c in rows]
+    tagged = assign_to_centroids(
+        new_df.select(id_col, vec_col), vec_col, cents
+    ).withColumn(
+        "cluster",
+        F.element_at(
+            F.array(*[F.lit(cid) for cid in cluster_ids]),
+            F.col("__cluster") + 1,
+        ),
+    ).drop("__cluster")
+    tagged.write.mode("append").partitionBy("cluster").parquet(
+        f"{index_path}/corpus"
     )

@@ -317,3 +317,64 @@ def test_kmeans_real_large_k_smoke(spark):
     out = kmeans_assign(df, "vec_id", "v", k=k, iters=1).collect()
     assert len(out) == n
     assert all(0 <= r.cluster < k for r in out)
+
+
+def test_ivf_index_append_no_rebuild(spark, emb, tmp_path):
+    """Appending a batch to a persisted index labels it against the
+    FROZEN centroids (that's the point — no rebuild, no centroid
+    drift) and extends the clustered layout: appended rows carry
+    exactly the labels assign_to_centroids gives against the stored
+    centroids, and probing EVERY cell of the grown index reproduces
+    brute force over the full corpus."""
+    from ods_to_datalake_spark.operators.similarity import (
+        assign_to_centroids,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+    )
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf_grow")
+    build_ivf_index(half_a, "vec_id", "embedding", k=6, path=idx)
+    ivf_index_append(spark, idx, half_b, "vec_id", "embedding")
+
+    grown = spark.read.parquet(f"{idx}/corpus")
+    assert grown.count() == emb.count()
+    assert grown.select("vec_id").distinct().count() == emb.count()
+
+    # appended rows are labeled by the FROZEN centroids, not new means
+    rows = sorted(
+        (r.cluster, [float(x) for x in r.centroid])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    )
+    expect = {
+        (r["vec_id"], rows[r["__cluster"]][0])
+        for r in assign_to_centroids(
+            half_b.select("vec_id", "embedding"),
+            "embedding",
+            [c for _, c in rows],
+        ).collect()
+    }
+    got_labels = {
+        (r.vec_id, r.cluster)
+        for r in grown.join(half_b.select("vec_id"), "vec_id").collect()
+    }
+    assert got_labels == expect
+
+    # probing every cell of the grown index IS brute force
+    n_cells = len(rows)
+    got = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in ivf_topk_indexed(
+            spark, idx, _queries(emb), "vec_id", "embedding", K,
+            nprobe=n_cells,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in brute_force_topk(
+            emb, _queries(emb), "vec_id", "embedding", K
+        ).collect()
+    }
+    assert got == want and len(got) > 0
