@@ -63,6 +63,22 @@ def parse_video(data: bytes) -> tuple[list[bytes], int]:
     return frames, frame_ms
 
 
+def validate_every_ms(every_ms: int | None) -> None:
+    """Shared sampling-step validation (here and in the Spark operator
+    `multimodal.sample_frames`, which fails fast on the driver).
+    TypeError deliberately — NOT ValueError: callers quarantine
+    payload-shaped errors (ValueError/OSError) per row, and an invalid
+    argument must surface, not silently mark every row corrupt."""
+    if every_ms is not None and (
+        isinstance(every_ms, bool)
+        or not isinstance(every_ms, int)
+        or every_ms <= 0
+    ):
+        raise TypeError(
+            f"every_ms must be a positive int or None, got {every_ms!r}"
+        )
+
+
 def decode_video_frames(
     data: bytes, every_ms: int | None = None
 ) -> list[tuple[int, int, np.ndarray]]:
@@ -74,15 +90,9 @@ def decode_video_frames(
     sampling); only the SELECTED frames are inflated — skipped frames
     cost a container-table walk, nothing more.
 
-    Bad ``every_ms`` raises TypeError — deliberately NOT ValueError:
-    callers (operators/multimodal.sample_frames) quarantine
-    payload-shaped errors (ValueError/OSError) per row, and an invalid
-    sampling argument must surface, not silently mark every row corrupt.
+    Bad ``every_ms`` raises TypeError (see `validate_every_ms`).
     """
-    if every_ms is not None and (
-        isinstance(every_ms, bool) or not isinstance(every_ms, int) or every_ms <= 0
-    ):
-        raise TypeError(f"every_ms must be a positive int or None, got {every_ms!r}")
+    validate_every_ms(every_ms)
     pngs, frame_ms = parse_video(data)
     if not pngs:
         return []

@@ -304,14 +304,9 @@ def sample_frames(
     call site without touching this plumbing."""
     # fail fast on the driver: a bad sampling argument must not reach
     # the per-row quarantine (which is scoped to payload-shaped errors)
-    if every_ms is not None and (
-        isinstance(every_ms, bool)
-        or not isinstance(every_ms, int)
-        or every_ms <= 0
-    ):
-        raise TypeError(
-            f"every_ms must be a positive int or None, got {every_ms!r}"
-        )
+    from ods_to_datalake_spark.functions.video import validate_every_ms
+
+    validate_every_ms(every_ms)
     out_schema = T.StructType(
         [
             T.StructField("media_id", df.schema[id_col].dataType),

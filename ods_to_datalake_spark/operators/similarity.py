@@ -547,9 +547,14 @@ def build_ivf_index(
     tagged.write.mode("overwrite").partitionBy("cluster").parquet(
         f"{path}/corpus"
     )
-    centroids(tagged, "cluster", vec_col).write.mode("overwrite").parquet(
-        f"{path}/centroids"
-    )
+    # centroids from the layout just WRITTEN, not from `tagged`: the
+    # latter would re-execute the assignment join over the whole corpus
+    # a second time — at index scale that's a full extra corpus pass
+    centroids(
+        corpus.sparkSession.read.parquet(f"{path}/corpus"),
+        "cluster",
+        vec_col,
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def ivf_topk_indexed(

@@ -13,6 +13,13 @@ ever re-reading an unchanged footer.
 
 Only successful reads are cached — errors must stay visible on every
 call (a transient storage failure should not pin a wrong answer).
+
+Granularity caveat: a file rewritten IN-PROCESS with identical size
+within one mtime tick would serve the old schema. mtime_ns is
+nanosecond-resolution on this platform, cross-round regenerations run
+in fresh processes (the cache is per-process), and a physicality flip
+changes encoded sizes — so the hole is theoretical; noted for
+completeness.
 """
 
 from __future__ import annotations

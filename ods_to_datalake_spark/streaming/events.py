@@ -40,21 +40,25 @@ def _ts_physicality(sf_dir: str) -> str:
     """'ns' | 'ntz' | 'ltz' per the events.parquet footer — the same
     authoritative signal Catalog uses (a readStream needs an explicit
     schema, so we must know how Spark will surface the column)."""
+    import glob
     import os
 
     from ods_to_datalake_spark.parquet_meta import read_schema_cached
 
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # directory layout (multi-file dataset, e.g. a writer output or
+        # amplified testdata): any part file's footer is authoritative
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return "ltz"
+        path = parts[0]
     try:
-        t = str(
-            read_schema_cached(os.path.join(sf_dir, "events.parquet"))
-            .field("ts")
-            .type
-        )
+        t = str(read_schema_cached(path).field("ts").type)
     except FileNotFoundError:
-        # only the missing-file case falls back (dir layouts the stream
-        # source resolves itself); any other footer-read failure must
-        # surface — guessing "ltz" over nanos data would silently read
-        # garbage instead of raising a clear error
+        # only the missing-file case falls back; any other footer-read
+        # failure must surface — guessing "ltz" over nanos data would
+        # silently read garbage instead of raising a clear error
         return "ltz"
     if t == "timestamp[ns]":
         return "ns"

@@ -91,14 +91,17 @@ def ingest_with_near_dup_tier(
     Structured Streaming can't express in append mode, exactly as the
     module docstring prescribes.
 
-    State is the seen corpus's band table, seeded once from ``seen_df``
-    into ``state_dir`` and APPENDED with each admitted batch's bands —
-    so a near-dup of a document admitted three batches ago is rejected
-    too (incremental across the stream, not just against the initial
-    corpus). Admitted rows append to ``out_dir``. Within one batch the
-    semantics match `dedup.incremental_dedup`: rejection is against the
-    seen side only; intra-batch near-dup pairs are the batch dedup
-    suite's job on the admitted set.
+    State is the seen corpus's band table, seeded into ``state_dir``
+    only when the table does not exist yet and APPENDED with each
+    admitted batch's bands — so a near-dup of a document admitted three
+    batches ago is rejected too (incremental across the stream, not
+    just against the initial corpus), and a RESTART from the checkpoint
+    resumes with the grown state instead of wiping it back to the seed
+    (the checkpoint skips replaying the batches that grew it). Admitted
+    rows append to ``out_dir``. Within one batch the semantics match
+    `dedup.incremental_dedup`: rejection is against the seen side only;
+    intra-batch near-dup pairs are the batch dedup suite's job on the
+    admitted set.
 
     Scale: both per-batch joins shuffle on the band key only; the state
     table is append-only (id, band_idx, band_key) — the same artifact
@@ -107,12 +110,15 @@ def ingest_with_near_dup_tier(
     two writes would re-append state; production targets a table format
     with atomic commits (the writer-side contract, not this operator's).
     """
+    import os
+
     from ods_to_datalake_spark.operators.dedup import lsh_banded
 
     def banded(df: DataFrame) -> DataFrame:
         return lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
 
-    banded(seen_df).write.mode("overwrite").parquet(state_dir)
+    if not os.path.exists(state_dir):
+        banded(seen_df).write.parquet(state_dir)
     tier1 = admit_new_stream(
         new_stream,
         seen_content_hashes(seen_df, text_col),
@@ -135,9 +141,15 @@ def ingest_with_near_dup_tier(
             .select(id_col)
             .distinct()
         )
-        admitted = batch_df.join(near_ids, id_col, "left_anti")
-        admitted.write.mode("append").parquet(out_dir)
-        banded(admitted).write.mode("append").parquet(state_dir)
+        # persist: `admitted` feeds two write actions (out_dir and the
+        # state append) — without it the whole band pipeline + state
+        # scan would run twice per micro-batch
+        admitted = batch_df.join(near_ids, id_col, "left_anti").persist()
+        try:
+            admitted.write.mode("append").parquet(out_dir)
+            banded(admitted).write.mode("append").parquet(state_dir)
+        finally:
+            admitted.unpersist()
 
     return (
         tier1.writeStream.foreachBatch(sink)
@@ -169,7 +181,9 @@ def ingest_embeddings_stream(
     seen vectors sharing a bucket, the exact rounded cosine verifies,
     and admitted vectors append BOTH to ``out_dir`` and to the
     ``state_dir`` (id, bucket, vector) table — so a vector semantically
-    duplicating one admitted two batches ago is rejected too. Exact
+    duplicating one admitted two batches ago is rejected too, and the
+    state table is seeded only when absent (a checkpoint restart
+    resumes with the grown state, it does not wipe it). Exact
     duplicates project to the same bucket at cosine 1.0, so no separate
     hash tier is needed (same argument as the batch face). State is
     append-only and joins shuffle on the bucket key only — the stream
@@ -181,10 +195,13 @@ def ingest_embeddings_stream(
         _tag_hyperplane_buckets,
     )
 
+    import os
+
     def tagged(df: DataFrame) -> DataFrame:
         return _tag_hyperplane_buckets(df, id_col, vec_col, dim, n_planes)
 
-    tagged(seen_df).write.mode("overwrite").parquet(state_dir)
+    if not os.path.exists(state_dir):
+        tagged(seen_df).write.parquet(state_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -205,9 +222,13 @@ def ingest_embeddings_stream(
             .select(F.col(f"n.{id_col}").alias(id_col))
             .distinct()
         )
-        admitted = batch_df.join(near_ids, id_col, "left_anti")
-        admitted.write.mode("append").parquet(out_dir)
-        tagged(admitted).write.mode("append").parquet(state_dir)
+        # persist: two write actions over `admitted` (see text face)
+        admitted = batch_df.join(near_ids, id_col, "left_anti").persist()
+        try:
+            admitted.write.mode("append").parquet(out_dir)
+            tagged(admitted).write.mode("append").parquet(state_dir)
+        finally:
+            admitted.unpersist()
 
     return (
         new_stream.writeStream.foreachBatch(sink)

@@ -486,3 +486,91 @@ def test_streaming_embedding_admission_cold_start(spark, tmp_path):
 
     admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
     assert admitted == {11}
+
+
+def test_ts_physicality_directory_layout(spark, tmp_path):
+    """events.parquet as a DIRECTORY of part files (writer output /
+    amplified testdata): the physicality comes from a part file's
+    footer — not a blind fallback, not an error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ods_to_datalake_spark.streaming.events import _ts_physicality
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    table = pa.table(
+        {"ts": pa.array([1, 2], type=pa.timestamp("ns"))}
+    )
+    pq.write_table(table, str(d / "part-000.parquet"))
+    assert _ts_physicality(str(tmp_path)) == "ns"
+
+    empty = tmp_path / "empty_case"
+    (empty / "events.parquet").mkdir(parents=True)
+    assert _ts_physicality(str(empty)) == "ltz"
+
+
+def test_streaming_embedding_admission_restart_keeps_state(spark, tmp_path):
+    """A checkpoint restart must RESUME with the grown state, not wipe
+    it back to the seed: batch 0 admits a novel vector in run one; run
+    two (same checkpoint + state dir) sees a near-dup of it in batch 1
+    and rejects it — which only happens if the state survived."""
+    import os
+    import time
+
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_embeddings_stream,
+    )
+
+    b = [-1.0, -0.5, 0.25, -0.75]
+    seen = spark.createDataFrame(
+        [(1, [1.0, 0.5, -0.25, 0.75])],
+        "vec_id long, embedding array<double>",
+    )
+    src = tmp_path / "restartvecs"
+    src.mkdir()
+
+    def write_batch(i, rows):
+        f = str(src / f"part-{i}.parquet")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+
+    out_dir = str(tmp_path / "restart_admitted")
+    args = dict(
+        out_dir=out_dir,
+        state_dir=str(tmp_path / "restart_state"),
+        checkpoint=str(tmp_path / "restart_ckpt"),
+        dim=4,
+        threshold=0.9,
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src / "*"))
+        )
+        q = ingest_embeddings_stream(stream, seen, **args)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch(0, [(11, b)])
+    run_once()
+    assert {
+        r.vec_id for r in spark.read.parquet(out_dir).collect()
+    } == {11}
+
+    write_batch(1, [(12, [-1.0, -0.5, 0.25, -0.74])])  # near-dup of 11
+    run_once()
+    admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {11}, "restart wiped the grown state"
