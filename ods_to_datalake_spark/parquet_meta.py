@@ -26,7 +26,17 @@ from __future__ import annotations
 
 import os
 
-_SCHEMA_CACHE: dict[tuple[str, int, int], "object"] = {}
+_SCHEMA_CACHE: dict[tuple[str, str, int, int], "object"] = {}
+
+
+def _cached(kind: str, path: str, loader):
+    st = os.stat(path)
+    key = (kind, os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    value = _SCHEMA_CACHE.get(key)
+    if value is None:
+        value = loader(path)
+        _SCHEMA_CACHE[key] = value
+    return value
 
 
 def read_schema_cached(path: str):
@@ -34,10 +44,15 @@ def read_schema_cached(path: str):
     signature. Raises exactly what read_schema/os.stat raise."""
     import pyarrow.parquet as pq
 
-    st = os.stat(path)
-    key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        schema = pq.read_schema(path)
-        _SCHEMA_CACHE[key] = schema
-    return schema
+    return _cached("schema", path, pq.read_schema)
+
+
+def read_metadata_cached(path: str):
+    """`pyarrow.parquet.read_metadata(path)`, cached the same way. The
+    parquet-level schema (vs the arrow view) is needed wherever the
+    PHYSICAL type matters: arrow reports both INT96 and INT64-nanos
+    timestamps as `timestamp[ns]`, but engines read them completely
+    differently."""
+    import pyarrow.parquet as pq
+
+    return _cached("metadata", path, pq.read_metadata)

@@ -39,11 +39,16 @@ EVENT_SCHEMA = _event_schema(T.LongType())
 def _ts_physicality(sf_dir: str) -> str:
     """'ns' | 'ntz' | 'ltz' per the events.parquet footer — the same
     authoritative signal Catalog uses (a readStream needs an explicit
-    schema, so we must know how Spark will surface the column)."""
+    schema, so we must know how Spark will surface the column).
+
+    Decides from the PARQUET schema, not the arrow view: arrow reports
+    both INT96 and INT64-nanos as `timestamp[ns]`, but Spark surfaces
+    INT96 as TimestampType while INT64-nanos is only readable as long
+    under the legacy conf — conflating them reads garbage."""
     import glob
     import os
 
-    from ods_to_datalake_spark.parquet_meta import read_schema_cached
+    from ods_to_datalake_spark.parquet_meta import read_metadata_cached
 
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(path):
@@ -54,15 +59,21 @@ def _ts_physicality(sf_dir: str) -> str:
             return "ltz"
         path = parts[0]
     try:
-        t = str(read_schema_cached(path).field("ts").type)
+        sch = read_metadata_cached(path).schema
     except FileNotFoundError:
         # only the missing-file case falls back; any other footer-read
         # failure must surface — guessing "ltz" over nanos data would
         # silently read garbage instead of raising a clear error
         return "ltz"
-    if t == "timestamp[ns]":
+    col = next(
+        sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts"
+    )
+    if col.physical_type == "INT96":
+        return "ltz"  # legacy impala/hive timestamps → TimestampType
+    lt = str(col.logical_type)
+    if "timeUnit=nanoseconds" in lt and "isAdjustedToUTC=false" in lt:
         return "ns"
-    return "ltz" if "tz=" in t else "ntz"
+    return "ltz" if "isAdjustedToUTC=true" in lt else "ntz"
 
 
 def read_event_stream(
@@ -75,6 +86,8 @@ def read_event_stream(
     naive micros/millis (TIMESTAMP_NTZ → cast, legal and wall-clock
     preserving in the UTC session), or instant-adjusted micros
     (passthrough)."""
+    import os
+
     kind = _ts_physicality(sf_dir)
     if kind == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -84,12 +97,19 @@ def read_event_stream(
         fix = F.col("ts").cast("timestamp")
     else:
         schema, fix = _event_schema(T.TimestampType()), F.col("ts")
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # directory layout: stream the part files directly —
+        # pathGlobFilter matches LEAF file names, so filtering the
+        # parent dir for "events.parquet" would silently match nothing
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     return raw.withColumn("ts", fix)
 
 

@@ -574,3 +574,27 @@ def test_streaming_embedding_admission_restart_keeps_state(spark, tmp_path):
     run_once()
     admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
     assert admitted == {11}, "restart wiped the grown state"
+
+
+def test_read_event_stream_directory_layout(spark, tmp_path):
+    """events.parquet written as a DIRECTORY of part files must stream
+    its rows (pathGlobFilter matches leaf names, so the single-file
+    option would silently match nothing) and agree with the batch face."""
+    src = load_testdata(spark, SF).table("events").limit(300)
+    d = str(tmp_path / "events.parquet")
+    src.repartition(3).write.parquet(d)
+
+    stream = read_event_stream(spark, str(tmp_path))
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    _run_to_memory(tumbling_counts(stream), "dirlayout_mem", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("dirlayout_mem").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_counts(
+            load_testdata(spark, str(tmp_path)).table("events")
+        ).collect()
+    }
+    assert got == want and len(want) > 0
