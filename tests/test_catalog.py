@@ -115,7 +115,7 @@ def test_qualified_namespace_resolution(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS processing_ibs")
 
 
-@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "ms_ntz"])
+@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "ms_ntz", "int96"])
 def test_catalog_timestamp_physicality_matrix(spark, tmp_path, flavor):
     """Whatever parquet timestamp flavor a producer writes — NANOS,
     naive micros/millis (NTZ), or instant-adjusted micros — the catalog
@@ -137,10 +137,17 @@ def test_catalog_timestamp_physicality_matrix(spark, tmp_path, flavor):
         "us_ntz": pa.timestamp("us"),
         "us_ltz": pa.timestamp("us", tz="UTC"),
         "ms_ntz": pa.timestamp("ms"),
+        "int96": pa.timestamp("ns"),  # physical INT96, the Spark writer default
     }[flavor]
     table = pa.table({"id": [1, 2], "ts": pa.array(want, type=typ)})
     path = str(tmp_path / "tbl.parquet")
-    pq.write_table(table, path, version="2.6", coerce_timestamps=None)
+    pq.write_table(
+        table,
+        path,
+        version="2.6",
+        coerce_timestamps=None,
+        use_deprecated_int96_timestamps=(flavor == "int96"),
+    )
 
     got = Catalog(spark, base_dir=str(tmp_path)).table("tbl")
     assert dict(got.dtypes)["ts"] == "timestamp", flavor

@@ -180,7 +180,7 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     assert set(got) == want
 
 
-@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz"])
+@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "int96"])
 def test_read_event_stream_physicality_matrix(spark, tmp_path, flavor):
     """The stream face must agree with the batch face for EVERY parquet
     timestamp flavor a producer might write (the round-3 regeneration
@@ -195,6 +195,7 @@ def test_read_event_stream_physicality_matrix(spark, tmp_path, flavor):
         "ns": pa.timestamp("ns"),
         "us_ntz": pa.timestamp("us"),
         "us_ltz": pa.timestamp("us", tz="UTC"),
+        "int96": pa.timestamp("ns"),  # physical INT96 (Spark writer default)
     }[flavor]
     table = pa.Table.from_pandas(pdf)
     idx = table.schema.get_field_index("ts")
@@ -206,6 +207,7 @@ def test_read_event_stream_physicality_matrix(spark, tmp_path, flavor):
         str(tmp_path / "events.parquet"),
         version="2.6",
         coerce_timestamps=None,
+        use_deprecated_int96_timestamps=(flavor == "int96"),
     )
 
     stream = read_event_stream(spark, str(tmp_path))
