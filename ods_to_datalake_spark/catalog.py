@@ -76,10 +76,15 @@ class Catalog:
             schema = read_schema_cached(files[0])
         except Exception:
             return []
+        # both naive and tz-adjusted nanos ("timestamp[ns]" /
+        # "timestamp[ns, tz=UTC]"): the legacy conf longifies either
+        # INT64-nanos flavor. Physical INT96 also prints "timestamp[ns]"
+        # but Spark surfaces it as TimestampType — the LongType guard in
+        # _fix_timestamps keeps it untouched.
         return [
             f.name
             for f in schema
-            if str(f.type) == "timestamp[ns]"
+            if str(f.type).startswith("timestamp[ns")
         ]
 
     def _fix_timestamps(self, df: DataFrame, path: str | None) -> DataFrame:

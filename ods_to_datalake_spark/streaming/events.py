@@ -71,7 +71,9 @@ def _ts_physicality(sf_dir: str) -> str:
     if col.physical_type == "INT96":
         return "ltz"  # legacy impala/hive timestamps → TimestampType
     lt = str(col.logical_type)
-    if "timeUnit=nanoseconds" in lt and "isAdjustedToUTC=false" in lt:
+    if "timeUnit=nanoseconds" in lt:
+        # INT64 nanos — naive or UTC-adjusted, the legacy conf
+        # longifies both; values are ns epochs either way
         return "ns"
     return "ltz" if "isAdjustedToUTC=true" in lt else "ntz"
 

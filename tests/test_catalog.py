@@ -115,7 +115,7 @@ def test_qualified_namespace_resolution(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS processing_ibs")
 
 
-@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "ms_ntz", "int96"])
+@pytest.mark.parametrize("flavor", ["ns", "ns_ltz", "us_ntz", "us_ltz", "ms_ntz", "int96"])
 def test_catalog_timestamp_physicality_matrix(spark, tmp_path, flavor):
     """Whatever parquet timestamp flavor a producer writes — NANOS,
     naive micros/millis (NTZ), or instant-adjusted micros — the catalog
@@ -134,6 +134,7 @@ def test_catalog_timestamp_physicality_matrix(spark, tmp_path, flavor):
     ]
     typ = {
         "ns": pa.timestamp("ns"),
+        "ns_ltz": pa.timestamp("ns", tz="UTC"),  # adjusted nanos: longified too
         "us_ntz": pa.timestamp("us"),
         "us_ltz": pa.timestamp("us", tz="UTC"),
         "ms_ntz": pa.timestamp("ms"),

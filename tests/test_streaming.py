@@ -180,7 +180,7 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     assert set(got) == want
 
 
-@pytest.mark.parametrize("flavor", ["ns", "us_ntz", "us_ltz", "int96"])
+@pytest.mark.parametrize("flavor", ["ns", "ns_ltz", "us_ntz", "us_ltz", "int96"])
 def test_read_event_stream_physicality_matrix(spark, tmp_path, flavor):
     """The stream face must agree with the batch face for EVERY parquet
     timestamp flavor a producer might write (the round-3 regeneration
@@ -193,6 +193,7 @@ def test_read_event_stream_physicality_matrix(spark, tmp_path, flavor):
     pdf = src.toPandas()
     typ = {
         "ns": pa.timestamp("ns"),
+        "ns_ltz": pa.timestamp("ns", tz="UTC"),  # adjusted nanos: longified too
         "us_ntz": pa.timestamp("us"),
         "us_ltz": pa.timestamp("us", tz="UTC"),
         "int96": pa.timestamp("ns"),  # physical INT96 (Spark writer default)
