@@ -601,3 +601,67 @@ def test_read_event_stream_directory_layout(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_ingest_text_restart_keeps_state(spark, tmp_path):
+    """Text-face mirror of the embedding restart test: run one admits a
+    novel doc; run two over the same checkpoint sees a near-dup of it
+    and rejects it — proof the band-table state survived the restart."""
+    import os
+    import time
+
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_with_near_dup_tier,
+    )
+
+    base_n = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    seen = spark.createDataFrame(
+        [(1, "completely different seed corpus text about weather")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "restartdocs"
+    src.mkdir()
+
+    def write_batch(i, rows):
+        f = str(src / f"part-{i}.parquet")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+
+    out_dir = str(tmp_path / "restart_docs_admitted")
+    args = dict(
+        out_dir=out_dir,
+        state_dir=str(tmp_path / "restart_docs_state"),
+        checkpoint=str(tmp_path / "restart_docs_ckpt"),
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(str(src / "*"))
+        )
+        q = ingest_with_near_dup_tier(stream, seen, **args)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch(0, [(12, base_n)])
+    run_once()
+    assert {
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    } == {12}
+
+    write_batch(1, [(13, base_n.replace("eighteen", "nineteen"))])
+    run_once()
+    admitted = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {12}, "restart wiped the grown band state"
