@@ -62,19 +62,18 @@ class Catalog:
         the authoritative signal (a name/type heuristic would corrupt
         ordinary epoch-valued long columns). Footer reads are cached on
         the file's stat signature (parquet_meta) so repeated table
-        resolutions cost zero I/O until the file changes."""
-        import glob as _glob
-
-        from ods_to_datalake_spark.parquet_meta import read_schema_cached
-
-        files = (
-            [path]
-            if path.endswith(".parquet") and not _glob.os.path.isdir(path)
-            else _glob.glob(f"{path}/*.parquet") or [path]
+        resolutions cost zero I/O until the file changes; the part-file
+        resolution is shared with the stream face (batch and stream
+        must agree on physicality). Only the no-parquet-exists case
+        returns empty; a present-but-unreadable footer propagates."""
+        from ods_to_datalake_spark.parquet_meta import (
+            first_part_file,
+            read_schema_cached,
         )
+
         try:
-            schema = read_schema_cached(files[0])
-        except Exception:
+            schema = read_schema_cached(first_part_file(path))
+        except FileNotFoundError:
             return []
         # both naive and tz-adjusted nanos ("timestamp[ns]" /
         # "timestamp[ns, tz=UTC]"): the legacy conf longifies either

@@ -47,6 +47,29 @@ def read_schema_cached(path: str):
     return _cached("schema", path, pq.read_schema)
 
 
+def first_part_file(path: str) -> str:
+    """Resolve a parquet dataset path — a single file, a flat
+    directory, or a nested/hive-partitioned directory — to ONE part
+    file whose footer is authoritative for the dataset's schema. The
+    shared resolver for every footer-sniffing site (batch and stream
+    faces must agree on physicality, so they must resolve the same
+    way). Raises FileNotFoundError when no parquet file exists — the
+    only condition callers may treat as a silent fallback."""
+    import glob
+
+    if os.path.isfile(path):
+        return path
+    if os.path.isdir(path):
+        parts = sorted(
+            glob.glob(os.path.join(path, "*.parquet"))
+        ) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if parts:
+            return parts[0]
+    raise FileNotFoundError(path)
+
+
 def read_metadata_cached(path: str):
     """`pyarrow.parquet.read_metadata(path)`, cached the same way. The
     parquet-level schema (vs the arrow view) is needed wherever the

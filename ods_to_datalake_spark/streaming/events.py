@@ -45,37 +45,43 @@ def _ts_physicality(sf_dir: str) -> str:
     both INT96 and INT64-nanos as `timestamp[ns]`, but Spark surfaces
     INT96 as TimestampType while INT64-nanos is only readable as long
     under the legacy conf — conflating them reads garbage."""
-    import glob
+    import json
     import os
 
-    from ods_to_datalake_spark.parquet_meta import read_metadata_cached
+    from ods_to_datalake_spark.parquet_meta import (
+        first_part_file,
+        read_metadata_cached,
+    )
 
-    path = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(path):
-        # directory layout (multi-file dataset, e.g. a writer output or
-        # amplified testdata): any part file's footer is authoritative
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-        if not parts:
-            return "ltz"
-        path = parts[0]
     try:
+        # file, flat directory, or nested/hive layout — the shared
+        # resolver keeps the stream face agreeing with the batch face
+        path = first_part_file(os.path.join(sf_dir, "events.parquet"))
         sch = read_metadata_cached(path).schema
     except FileNotFoundError:
-        # only the missing-file case falls back; any other footer-read
-        # failure must surface — guessing "ltz" over nanos data would
-        # silently read garbage instead of raising a clear error
+        # only the no-parquet-exists case falls back; any other
+        # footer-read failure must surface — guessing "ltz" over nanos
+        # data would silently read garbage instead of raising clearly
         return "ltz"
     col = next(
-        sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts"
+        (
+            sch.column(i)
+            for i in range(len(sch))
+            if sch.column(i).name == "ts"
+        ),
+        None,
     )
+    if col is None:
+        raise ValueError(f"{path}: no 'ts' column in the parquet schema")
     if col.physical_type == "INT96":
         return "ltz"  # legacy impala/hive timestamps → TimestampType
-    lt = str(col.logical_type)
-    if "timeUnit=nanoseconds" in lt:
+    # structured logical-type fields, not the debug repr (unstable API)
+    lt = json.loads(col.logical_type.to_json())
+    if lt.get("timeUnit") == "nanoseconds":
         # INT64 nanos — naive or UTC-adjusted, the legacy conf
         # longifies both; values are ns epochs either way
         return "ns"
-    return "ltz" if "isAdjustedToUTC=true" in lt else "ntz"
+    return "ltz" if lt.get("isAdjustedToUTC") else "ntz"
 
 
 def read_event_stream(

@@ -24,6 +24,31 @@ from pyspark.sql import functions as F
 CONTENT_HASH_COL = "__content_hash"
 
 
+def _seed_state_if_absent(seed_df: DataFrame, state_dir: str) -> None:
+    """Write the admission state table unless a COMMITTED one exists.
+
+    "Committed" = the ``_SUCCESS`` marker is present (a crashed or
+    partial seed write leaves files but no marker — reseeding with
+    overwrite self-heals it; a bare driver-side exists() check would
+    permanently disable seeding after such a crash and then fail or
+    silently under-reject). Checked through the Hadoop FileSystem API,
+    so HDFS/S3 state dirs work the same as local paths. After the
+    first commit the state belongs to the stream (appends grow it); a
+    restart resumes it instead of wiping it back to the seed.
+    Requires success markers on (the default); and the state dir is
+    bound to ONE seed corpus — if the seen snapshot changes, point the
+    job at a fresh state dir so tier-1 hashes and tier-2 state can't
+    desynchronize.
+    """
+    spark = seed_df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(jpath, "_SUCCESS")):
+        return
+    seed_df.write.mode("overwrite").parquet(state_dir)
+
+
 def seen_content_hashes(
     seen_df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -92,12 +117,14 @@ def ingest_with_near_dup_tier(
     module docstring prescribes.
 
     State is the seen corpus's band table, seeded into ``state_dir``
-    only when the table does not exist yet and APPENDED with each
-    admitted batch's bands — so a near-dup of a document admitted three
-    batches ago is rejected too (incremental across the stream, not
-    just against the initial corpus), and a RESTART from the checkpoint
-    resumes with the grown state instead of wiping it back to the seed
-    (the checkpoint skips replaying the batches that grew it). Admitted
+    only when no COMMITTED table exists there (``_seed_state_if_absent``
+    — a crashed partial seed self-heals, a finished one is never
+    overwritten) and APPENDED with each admitted batch's bands — so a
+    near-dup of a document admitted three batches ago is rejected too
+    (incremental across the stream, not just against the initial
+    corpus), and a RESTART from the checkpoint resumes with the grown
+    state instead of wiping it back to the seed (the checkpoint skips
+    replaying the batches that grew it). Admitted
     rows append to ``out_dir``. Within one batch the semantics match
     `dedup.incremental_dedup`: rejection is against the seen side only;
     intra-batch near-dup pairs are the batch dedup suite's job on the
@@ -110,15 +137,12 @@ def ingest_with_near_dup_tier(
     two writes would re-append state; production targets a table format
     with atomic commits (the writer-side contract, not this operator's).
     """
-    import os
-
     from ods_to_datalake_spark.operators.dedup import lsh_banded
 
     def banded(df: DataFrame) -> DataFrame:
         return lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
 
-    if not os.path.exists(state_dir):
-        banded(seen_df).write.parquet(state_dir)
+    _seed_state_if_absent(banded(seen_df), state_dir)
     tier1 = admit_new_stream(
         new_stream,
         seen_content_hashes(seen_df, text_col),
@@ -182,8 +206,9 @@ def ingest_embeddings_stream(
     and admitted vectors append BOTH to ``out_dir`` and to the
     ``state_dir`` (id, bucket, vector) table — so a vector semantically
     duplicating one admitted two batches ago is rejected too, and the
-    state table is seeded only when absent (a checkpoint restart
-    resumes with the grown state, it does not wipe it). Exact
+    state table is seeded only when no committed one exists (a
+    checkpoint restart resumes with the grown state, it does not wipe
+    it — see `_seed_state_if_absent`). Exact
     duplicates project to the same bucket at cosine 1.0, so no separate
     hash tier is needed (same argument as the batch face). State is
     append-only and joins shuffle on the bucket key only — the stream
@@ -195,13 +220,10 @@ def ingest_embeddings_stream(
         _tag_hyperplane_buckets,
     )
 
-    import os
-
     def tagged(df: DataFrame) -> DataFrame:
         return _tag_hyperplane_buckets(df, id_col, vec_col, dim, n_planes)
 
-    if not os.path.exists(state_dir):
-        tagged(seen_df).write.parquet(state_dir)
+    _seed_state_if_absent(tagged(seen_df), state_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

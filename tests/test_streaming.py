@@ -665,3 +665,77 @@ def test_streaming_ingest_text_restart_keeps_state(spark, tmp_path):
     run_once()
     admitted = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert admitted == {12}, "restart wiped the grown band state"
+
+
+def test_ts_physicality_nested_directory(spark, tmp_path):
+    """A hive-partitioned events.parquet directory (part files nested
+    under partition dirs) still resolves its physicality from a part
+    file's footer — never a blind fallback over nanos data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ods_to_datalake_spark.streaming.events import _ts_physicality
+
+    d = tmp_path / "events.parquet" / "date=2024-01-01"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))}),
+        str(d / "part-000.parquet"),
+    )
+    assert _ts_physicality(str(tmp_path)) == "ns"
+
+
+def test_ingest_state_partial_seed_self_heals(spark, tmp_path):
+    """A state dir left behind by a CRASHED seed write (files but no
+    _SUCCESS marker) must not disable seeding: the next run reseeds
+    with overwrite and the stream admits/rejects correctly."""
+    import os
+    import time
+
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_embeddings_stream,
+    )
+
+    state_dir = tmp_path / "healed_state"
+    state_dir.mkdir()
+    # simulate a torn write: stray part file, no _SUCCESS
+    (state_dir / "part-junk.parquet").write_bytes(b"torn")
+
+    a = [1.0, 0.5, -0.25, 0.75]
+    seen = spark.createDataFrame(
+        [(1, a)], "vec_id long, embedding array<double>"
+    )
+    src = tmp_path / "healvecs"
+    src.mkdir()
+    f = str(src / "part-0.parquet")
+    spark.createDataFrame(
+        [(10, a), (11, [-1.0, -0.5, 0.25, -0.75])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(f)
+    t = time.time()
+    for root, _, files in os.walk(f):
+        for name in files:
+            os.utime(os.path.join(root, name), (t, t))
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_dir = str(tmp_path / "healed_admitted")
+    q = ingest_embeddings_stream(
+        stream,
+        seen,
+        out_dir,
+        str(state_dir),
+        str(tmp_path / "healed_ckpt"),
+        dim=4,
+        threshold=0.9,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {11}  # exact dup of seen rejected → state seeded
