@@ -667,3 +667,186 @@ def connected_components_star(
         F.coalesce(F.col("cluster_id"), F.col("u")).alias("cluster_id"),
     )
     return (out, rounds) if return_rounds else out
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022) + keep-first block rewrite
+# ---------------------------------------------------------------------------
+
+
+def span_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int,
+) -> DataFrame:
+    """(id, n_spans, n_dup_spans, dup_ratio): per-document duplicated
+    exact-substring coverage — the curation signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    removes verbatim n-token spans that repeat anywhere in the corpus.
+    A span instance counts as duplicated when its token n-gram occurs
+    more than once corpus-wide (cross-doc or within-doc).
+
+    Plan: tokenize → n-gram explode (map-side) → partial-aggregated
+    groupBy (id, span-hash) → window count over the hash partition for
+    the corpus-wide occurrence total → per-doc rollup → left join back
+    so span-less docs (< n tokens) report zeros. Two shuffles on the
+    span hash + one map-side join; the explode never materializes the
+    span *text* past the md5, so shuffle rows are (id, 16-byte hash,
+    count). At 100 TB this is the suffix-array workload's relational
+    approximation: O(total tokens) rows, uniformly hash-partitioned —
+    no suffix sort, no driver state.
+    """
+    from pyspark.sql import Window
+
+    sp = docs.select(
+        F.col(id_col),
+        F.explode(X.shingles(X.tokens(text_col), span_n)).alias("__s"),
+    )
+    per = sp.groupBy(
+        F.col(id_col), F.md5("__s").alias("__h")
+    ).agg(F.count("*").alias("__c"))
+    tot = per.withColumn(
+        "__g", F.sum("__c").over(Window.partitionBy("__h"))
+    )
+    st = tot.groupBy(id_col).agg(
+        F.sum("__c").alias("n_spans"),
+        F.sum(F.when(F.col("__g") > 1, F.col("__c")).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+    )
+    return docs.select(id_col).join(st, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_dup_spans").cast("double") / F.col("n_spans")
+        )
+        .alias("dup_ratio"),
+    )
+
+
+def block_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int,
+) -> DataFrame:
+    """(id, n_blocks, n_kept, clean_text): corpus-wide keep-first block
+    dedup — the paragraph-dedup shape of CCNet (Wenzek et al. 2020)
+    applied to disjoint ``block_tokens``-token blocks: every block's
+    first occurrence (ordered by (doc id, block position)) survives,
+    every later verbatim repeat — in the same doc or any other — is
+    dropped, and each document is re-assembled from its surviving
+    blocks in order. Boilerplate (headers, license banners, navigation
+    chrome) collapses to a single corpus-wide copy.
+
+    Plan: token-slice blocks (map-side, same chunker as x16) → one
+    shuffle on the block hash for the keep-first row_number → per-doc
+    re-fold (shuffle on id) → left join back so fully-deduped docs
+    emit ''. The re-fold collects (position, block) structs — bounded
+    by the document length, the same footprint as the flagship
+    document fold. For newline-structured corpora split on the real
+    paragraph delimiter instead via ``paragraph_dedup``.
+    """
+    from pyspark.sql import Window
+
+    toks = X.tokens(text_col)
+    n_blocks = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("long")
+    block_list = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_blocks, F.lit(1))),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * block_tokens + 1, block_tokens), " "
+        ),
+    )
+    blocks = docs.select(
+        F.col(id_col),
+        F.posexplode(block_list).alias("block_idx", "__block"),
+    )
+    w = Window.partitionBy(F.md5("__block")).orderBy(
+        F.col(id_col), F.col("block_idx")
+    )
+    flagged = blocks.withColumn("__rn", F.row_number().over(w))
+    refold = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(
+                F.when(F.col("__rn") == 1, 1).otherwise(0)
+            ).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(
+                                    F.col("block_idx"), F.col("__block")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("__block"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return docs.select(id_col).join(refold, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n\n",
+) -> DataFrame:
+    """(id, n_blocks, n_kept, clean_text): `block_dedup` semantics over
+    REAL paragraph boundaries — split on ``delimiter`` instead of fixed
+    token blocks, keep each paragraph's first corpus-wide occurrence,
+    re-join survivors with the same delimiter. The form CCNet actually
+    runs on web text; the testdata corpus has no newlines, so the
+    registered query face (x37) uses the token-block variant and this
+    is exercised on synthetic newline docs in tests."""
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(delimiter).cast("string"))
+        ).alias("block_idx", "__block"),
+    )
+    w = Window.partitionBy(F.md5("__block")).orderBy(
+        F.col(id_col), F.col("block_idx")
+    )
+    flagged = paras.withColumn("__rn", F.row_number().over(w))
+    refold = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct(F.col("block_idx"), F.col("__block")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("__block"),
+            ),
+            delimiter,
+        ).alias("clean_text"),
+    )
+    return docs.select(id_col).join(refold, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -365,16 +365,29 @@ def assign_to_centroids(
     `ivf_index_append` (labeling new vectors against a frozen index)."""
     if len(cents) > MAX_PLAN_K:
         return _assign_pandas(src, vec_col, cents, out_col)
-    v = V.to_double(vec_col)
+    best = nearest_centroid(V.to_double(vec_col), cents)
+    return src.withColumn(out_col, best.getField("j").cast("int"))
+
+
+def nearest_centroid(v, cents: list[list[float]]):
+    """struct(d double, j int) of the nearest centroid to vector
+    expression ``v`` (array<double>) by squared euclidean distance,
+    lowest-index tie-break (lexicographic struct array_min).
+
+    The exact IEEE op order — ((0 + d0²) + d1²) + … sequential fold of
+    (a-b)·(a-b) — is load-bearing: `_assign_pandas` and the DuckDB
+    oracles (list_dot_product over an element-wise diff list) replay it
+    op-for-op, so identical inputs give bit-identical distances and
+    therefore identical argmins with no rounding epsilon. Changing this
+    expression requires changing both in lockstep (property-enforced).
+    """
     choices = []
     for j, c in enumerate(cents):
         carr = F.array(*[F.lit(x) for x in c])
         diff = F.zip_with(v, carr, lambda a, b: (a - b) * (a - b))
         d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
         choices.append(F.struct(d2.alias("d"), F.lit(j).alias("j")))
-    return src.withColumn(
-        out_col, F.array_min(F.array(*choices)).getField("j").cast("int")
-    )
+    return F.array_min(F.array(*choices))
 
 
 def kmeans_assign(
@@ -624,4 +637,280 @@ def ivf_index_append(
     ).drop("__cluster")
     tagged.write.mode("append").partitionBy("cluster").parquet(
         f"{index_path}/corpus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ compression tier)
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ks: int,
+) -> list[list[list[float]]]:
+    """Deterministic seed codebooks: the m sub-vectors of the ks
+    lowest-id corpus rows — codebooks[sub][code] is a (dim/m)-float
+    codeword. The oracle-replicable stand-in for `pq_train` (which
+    refines these by per-subspace k-means): seeding from data rows is
+    how Lloyd initializes anyway, and a fixed id-ordered seed makes the
+    whole encode reproducible across engines. Driver-sized collect:
+    ks rows × dim floats."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(ks).collect()
+    )
+    return [
+        [
+            [float(x) for x in r[vec_col][mm * sub : (mm + 1) * sub]]
+            for r in rows
+        ]
+        for mm in range(m)
+    ]
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int,
+    ks: int,
+    n_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd refinement of `pq_seed_codebooks` — the real
+    PQ training step (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): split every vector into m sub-vectors,
+    k-means each subspace independently to ks codewords.
+
+    Scale shape: each iteration is one map-only assignment (codeword
+    literals broadcast in the plan) + one decimal-exact `centroids`
+    agg over (ks × dim/m) cells — the corpus is scanned, never
+    shuffled on id. At 100 TB you train on a sample (PQ codebooks
+    converge on ~1e5-1e6 vectors); pass `corpus.sample(...)` or a
+    `limit` slice for that.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = V.to_double(vec_col)
+    books: list[list[list[float]]] = []
+    for mm in range(m):
+        piece = corpus.select(
+            F.slice(v, mm * sub + 1, sub).alias("__sv")
+        )
+        cents = [
+            [float(x) for x in r["__sv"]]
+            for r in piece.limit(ks).collect()
+        ]
+        for _ in range(n_iter):
+            tagged = assign_to_centroids(piece, "__sv", cents, "__c")
+            new = {
+                r["__c"]: [float(x) for x in r["centroid"]]
+                for r in centroids(tagged, "__c", "__sv").collect()
+            }
+            # empty cells keep their previous codeword (standard Lloyd)
+            cents = [new.get(j, cents[j]) for j in range(ks)]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    with_error: bool = True,
+) -> DataFrame:
+    """(id, code_0..code_{m-1} int, recon_d2 double): per-subspace
+    nearest-codeword indices — the PQ compressed representation, m×8
+    bits per vector instead of dim×32 — plus the total squared
+    reconstruction error (sum over subspaces of the chosen codeword's
+    distance, the quantization-quality signal).
+
+    Map-only: the codebooks ride in the plan as literals (m × ks ×
+    dim/m doubles; ks ≤ 256 by 8-bit-code construction, far under the
+    MAX_PLAN_K plan-size cliff), no shuffle, no UDF. Tie-break and
+    float determinism per `nearest_centroid`.
+    """
+    m = len(codebooks)
+    if not m or not codebooks[0]:
+        # empty-corpus seeding (no codewords) → nothing to encode;
+        # schema-stable empty result, kept lazy
+        out = [F.col(id_col)] + [
+            F.lit(0).cast("int").alias(f"code_{mm}") for mm in range(m)
+        ]
+        if with_error:
+            out.append(F.lit(0.0).alias("recon_d2"))
+        return df.select(*out).where(F.lit(False))
+    sub = len(codebooks[0][0])
+    v = V.to_double(vec_col)
+    picks = df.select(
+        F.col(id_col),
+        *[
+            nearest_centroid(
+                F.slice(v, mm * sub + 1, sub), codebooks[mm]
+            ).alias(f"__b{mm}")
+            for mm in range(m)
+        ],
+    )
+    out = [F.col(id_col)] + [
+        F.col(f"__b{mm}").getField("j").cast("int").alias(f"code_{mm}")
+        for mm in range(m)
+    ]
+    if with_error:
+        err = F.col("__b0").getField("d")
+        for mm in range(1, m):
+            err = err + F.col(f"__b{mm}").getField("d")
+        out.append(err.alias("recon_d2"))
+    return picks.select(*out)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over a PQ-encoded
+    corpus: for each query, distance ≈ Σ_m lut_m[code_m] where lut_m
+    holds the exact squared distances from the query's m-th sub-vector
+    to every codeword — the query stays full-precision, the corpus
+    stays 8-bit codes.
+
+    Plan: queries (small) broadcast-cross the encoded corpus; each
+    corpus row costs m array lookups instead of dim multiplies — the
+    whole point of PQ at 100 TB: the scan reads m bytes per vector,
+    not dim×4, and distance math drops ~dim/m×. One shuffle (query_id)
+    for the per-query top-k via WindowGroupLimit; compose with an IVF
+    cell filter (`ivf_topk_indexed`) to prune the scan itself.
+
+    Returns (query_id, id, approx_d2, rn) for rn ≤ k, ties broken by
+    corpus id. Exactness property: approx_d2 equals the true squared
+    distance to the *reconstructed* (codeword-concatenated) vector.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qv = V.to_double(query_vec_col)
+    luts = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(qv, mm * sub + 1, sub),
+                            F.array(*[F.lit(x) for x in code]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for code in codebooks[mm]
+                ]
+            ).alias(f"__lut{mm}")
+            for mm in range(m)
+        ],
+    )
+    d2 = F.element_at(F.col("__lut0"), F.col("code_0") + 1)
+    for mm in range(1, m):
+        d2 = d2 + F.element_at(
+            F.col(f"__lut{mm}"), F.col(f"code_{mm}") + 1
+        )
+    scored = encoded.crossJoin(F.broadcast(luts)).select(
+        "query_id", F.col(id_col), d2.alias("approx_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style clustered embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    threshold: float,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """(id, cluster int, kept int 0/1): SemDeDup-shaped semantic dedup
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): assign every embedding to its
+    nearest centroid, compare pairs ONLY within a cluster, and drop any
+    vector that has a lower-id neighbor at cosine ≥ threshold (lowest
+    id in each near-dup group survives — a deterministic stand-in for
+    the paper's keep-farthest-from-centroid policy).
+
+    Scale shape: the assignment is map-only (centroid literals or the
+    Arrow argmin past MAX_PLAN_K), the pair generation shuffles once on
+    cluster id and is O(Σ cluster²) instead of O(n²) — exactly the IVF
+    trick applied to dedup. With k sized so clusters hold ~√n vectors
+    the pair cost is ~n^1.5 spread over k buckets. ``max_cluster``
+    opts into the same width guard as the LSH joins (oversized
+    clusters contribute no pairs and should be re-clustered finer —
+    cap, don't quadratically explode).
+    """
+    if not cents:
+        # no centroids (empty-corpus seeding) → no assignments;
+        # schema-stable empty result, kept lazy
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(1).alias("kept"),
+        ).where(F.lit(False))
+    tagged = assign_to_centroids(
+        df.select(id_col, vec_col), vec_col, cents, "cluster"
+    ).select(
+        F.col(id_col), "cluster", V.to_double(vec_col).alias("__v")
+    )
+    if max_cluster is not None:
+        from ods_to_datalake_spark.operators.dedup import (
+            cap_bucket_width,
+        )
+
+        pair_src = cap_bucket_width(tagged, max_cluster, keys=("cluster",))
+    else:
+        pair_src = tagged
+    a, b = pair_src.alias("a"), pair_src.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            V.cosine_rounded(F.col("a.__v"), F.col("b.__v"))
+            >= threshold
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        tagged.join(
+            dropped.withColumn("__dropped", F.lit(1)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.when(F.col("__dropped").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("kept"),
+        )
     )

@@ -171,6 +171,10 @@ _WINDOW_PRIORITY: list[str] = [
     "q22_global_sales_opportunity",
     # new round-5 queries (never-green → must be in window)
     "x33_dedup_clusters_star",
+    "x34_duplicate_spans",
+    "x35_pq_encode",
+    "x36_semantic_dedup",
+    "x37_block_dedup",
     # r03-stale suite_core fill — tail rows displaced by new queries
     # slip one round (w07 is slot 51 → round-6 window)
     "q01_pricing_summary",
@@ -194,6 +198,7 @@ def load_all() -> dict[str, Query]:
         suite_core,  # 44 queries; 34 green r04, 10 in the r05 window
         suite_llm,  # 24 queries; r02 evidence → r05 window head
         suite_tpch,  # 16 queries; r02 evidence → r05 window
+        suite_curation,  # 4 new round-5 queries (x34-x37) → window
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

@@ -1,0 +1,268 @@
+"""Round-5 curation suite: the remaining large-corpus curation shapes —
+exact-substring span dedup (Lee et al. 2022), keep-first block dedup
+(CCNet-shaped), product quantization (Jégou et al. 2011), and
+SemDeDup-style clustered semantic dedup (Abbas et al. 2023).
+
+Determinism strategy for the embedding queries: "training" artifacts
+(PQ codebooks, semantic-dedup centroids) are seeded from the ks/k
+lowest-vec_id corpus rows — a deterministic choice both engines can
+derive — and the nearest-centroid argmin relies on the bit-identical
+IEEE fold documented at `similarity.nearest_centroid` (Spark's
+zip_with/aggregate vs DuckDB's list_dot_product over an element-wise
+diff list replay the same op order), so assignments match with no
+rounding epsilon. The real k-means path (`pq_train`, `kmeans_assign`)
+is property-tested in pytest; these oracles pin the seeded instance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.plans.sql_fragments import (
+    NEAR_DUP_TAU,
+    SQL_TOKENS,
+    sql_shingles as _sql_shingles,
+)
+from ods_to_datalake_spark.plans.suite import register
+
+# exact-substring span length (tokens). Lee et al. use 50-token spans on
+# web text; the synthetic corpus averages ~60 tokens per doc, so 5 keeps
+# the span/doc ratio comparable.
+SPAN_N = 5
+# disjoint block width for the keep-first rewrite
+BLOCK_TOKENS = 16
+# product quantization: 64-dim vectors → 4 subspaces × 16 dims, 4
+# codewords each (tiny ks for an exactly-pinned oracle; production uses
+# ks=256 → 8-bit codes, same plan shape)
+PQ_M = 4
+PQ_KS = 4
+PQ_SUB = 16
+# semantic dedup: 8 seed centroids, same cosine threshold as x13/x14
+SEM_K = 8
+
+
+@register(
+    "x34_duplicate_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_shingles(SQL_TOKENS, SPAN_N)} AS sh
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM t
+    ), per AS (
+      SELECT doc_id, md5(s) AS h, COUNT(*) AS c
+      FROM ex GROUP BY doc_id, md5(s)
+    ), tot AS (
+      SELECT doc_id, c,
+             CAST(SUM(c) OVER (PARTITION BY h) AS BIGINT) AS g
+      FROM per
+    ), st AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN g > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM tot GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+                ELSE CAST(n_dup_spans AS DOUBLE) / n_spans
+           END AS dup_ratio
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+    doc=f"Exact-substring dedup signal (Lee et al. 2022): per-doc count "
+    f"and ratio of {SPAN_N}-token spans whose verbatim n-gram repeats "
+    "anywhere in the corpus — shingle explode, groupBy (doc, span-hash), "
+    "window count over the hash partition for the corpus total; the "
+    "relational form of the suffix-array dedup workload.",
+)
+def x34_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import span_stats
+
+    cat = load_testdata(spark, sf_dir)
+    return span_stats(cat.table("documents"), "doc_id", "text", SPAN_N)
+
+
+@register(
+    "x37_block_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), bl AS (
+      SELECT doc_id,
+             [array_to_string(
+                toks[(i - 1) * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}],
+                ' ')
+              for i in range(1,
+                GREATEST(CAST(ceil(len(toks) / {BLOCK_TOKENS}.0)
+                              AS BIGINT), 1) + 1)]
+               AS block_list
+      FROM t
+    ), blocks AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
+             block_list[i] AS block
+      FROM bl, range(1, 10000) r(i)
+      WHERE i <= len(block_list)
+    ), flagged AS (
+      SELECT doc_id, block_idx, block,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(block) ORDER BY doc_id, block_idx
+             ) AS rn
+      FROM blocks
+    ), refold AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             COALESCE(string_agg(CASE WHEN rn = 1 THEN block END,
+                                 ' ' ORDER BY block_idx), '')
+               AS clean_text
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_blocks, 0) AS n_blocks,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN refold USING (doc_id)
+    """,
+    doc=f"Keep-first block dedup (CCNet paragraph-dedup shape over "
+    f"disjoint {BLOCK_TOKENS}-token blocks): every block's first "
+    "corpus-wide occurrence (by doc_id, position) survives, later "
+    "verbatim repeats are dropped, docs re-assemble from survivors — "
+    "one shuffle on the block hash, one re-fold on doc_id.",
+)
+def x37_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import block_dedup
+
+    cat = load_testdata(spark, sf_dir)
+    return block_dedup(cat.table("documents"), "doc_id", "text", BLOCK_TOKENS)
+
+
+_SQL_PQ_CB = f"""cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS code, v
+      FROM c ORDER BY vec_id LIMIT {PQ_KS}
+    ), sub AS (
+      SELECT code, m,
+             v[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS cw
+      FROM cb, (SELECT unnest(range(0, {PQ_M})) AS m)
+    )"""
+
+
+@register(
+    "x35_pq_encode",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), {_SQL_PQ_CB}, dpre AS (
+      SELECT c.vec_id, s.m, s.code,
+             list_transform(
+               list_zip(c.v[s.m * {PQ_SUB} + 1 : s.m * {PQ_SUB} + {PQ_SUB}],
+                        s.cw),
+               z -> z[1] - z[2]) AS dv
+      FROM c CROSS JOIN sub s
+    ), d AS (
+      SELECT vec_id, m, code, list_dot_product(dv, dv) AS d2 FROM dpre
+    ), best AS (
+      SELECT vec_id, m, code, d2 FROM (
+        SELECT vec_id, m, code, d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d2, code
+               ) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+           MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+           MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+           MAX(CASE WHEN m = 3 THEN code END) AS code_3,
+           MAX(CASE WHEN m = 0 THEN d2 END)
+             + MAX(CASE WHEN m = 1 THEN d2 END)
+             + MAX(CASE WHEN m = 2 THEN d2 END)
+             + MAX(CASE WHEN m = 3 THEN d2 END) AS recon_d2
+    FROM best GROUP BY vec_id
+    """,
+    doc=f"Product quantization encode (Jégou et al. 2011): {PQ_M} "
+    f"subspaces × {PQ_KS} seeded codewords, per-subspace nearest-"
+    "codeword argmin (bit-identical IEEE fold both engines) + total "
+    "squared reconstruction error — map-only, codebooks as plan "
+    "literals; the compression tier under IVF-PQ ANN (pq_topk).",
+)
+def x35_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    books = pq_seed_codebooks(
+        emb, "vec_id", "embedding", PQ_M * PQ_SUB, PQ_M, PQ_KS
+    )
+    return pq_encode(emb, "vec_id", "embedding", books)
+
+
+@register(
+    "x36_semantic_dedup",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cid, v AS cv
+      FROM c ORDER BY vec_id LIMIT {SEM_K}
+    ), dpre AS (
+      SELECT c.vec_id, cb.cid,
+             list_transform(list_zip(c.v, cb.cv), z -> z[1] - z[2]) AS dv
+      FROM c CROSS JOIN cb
+    ), d AS (
+      SELECT vec_id, cid, list_dot_product(dv, dv) AS d2 FROM dpre
+    ), assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cid
+               ) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), t AS (
+      SELECT c.vec_id, c.v, a.cluster FROM c JOIN assign a USING (vec_id)
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id FROM t a JOIN t b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 6)
+              >= {NEAR_DUP_TAU}
+    )
+    SELECT t.vec_id, t.cluster,
+           CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM t LEFT JOIN dropped dr ON t.vec_id = dr.vec_id
+    """,
+    doc=f"SemDeDup-shaped semantic dedup (Abbas et al. 2023): assign to "
+    f"{SEM_K} seeded centroids (bit-identical argmin), compare cosine "
+    f"≥ {NEAR_DUP_TAU} ONLY within a cluster (one shuffle, O(Σ cluster²) "
+    "not O(n²)), keep the lowest id of each near-dup group.",
+)
+def x36_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.similarity import semantic_dedup
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(SEM_K)
+        .collect()
+    ]
+    return semantic_dedup(
+        emb, "vec_id", "embedding", cents, NEAR_DUP_TAU
+    )

@@ -1,0 +1,240 @@
+"""Round-5 curation operators: exact-substring span stats, keep-first
+block/paragraph dedup, product quantization (encode + ADC search +
+k-means training), and SemDeDup-style clustered semantic dedup.
+
+The registered queries (x34-x37) pin the oracle-checked instances; the
+tests here cover the semantics the oracles can't — real paragraph
+delimiters, the ADC-distance exactness property, the trained-codebook
+path, and the cluster-width guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.dedup import (
+    block_dedup,
+    paragraph_dedup,
+    span_stats,
+)
+from ods_to_datalake_spark.operators.similarity import (
+    pq_encode,
+    pq_seed_codebooks,
+    pq_topk,
+    pq_train,
+    semantic_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# span stats
+# ---------------------------------------------------------------------------
+
+
+def test_span_stats_counts_cross_and_within_doc_repeats(spark):
+    docs = _docs(
+        spark,
+        [
+            # "a b c" appears in docs 1 and 2 (cross-doc dup)
+            (1, "a b c x y"),
+            (2, "z a b c w"),
+            # doc 3 repeats "p q r" internally twice
+            (3, "p q r s p q r"),
+            # doc 4: unique spans only
+            (4, "u v w x y z"),
+            # doc 5: too short for a 3-token span
+            (5, "hi"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+        for r in span_stats(docs, "doc_id", "text", 3).collect()
+    }
+    assert got[1] == (3, 1, pytest.approx(1 / 3))
+    assert got[2] == (3, 1, pytest.approx(1 / 3))
+    # doc 3: 5 spans, "p q r" twice → 2 dup instances
+    assert got[3] == (5, 2, pytest.approx(2 / 5))
+    assert got[4] == (4, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)  # span-less doc still reports a row
+
+
+# ---------------------------------------------------------------------------
+# block / paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_block_dedup_keeps_first_occurrence_only(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d"),  # blocks (2 tokens): "a b", "c d"
+            (2, "a b e f"),  # "a b" repeats → dropped here
+            (3, "c d a b"),  # both blocks repeats → fully deduped
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in block_dedup(docs, "doc_id", "text", 2).collect()
+    }
+    assert got[1] == (2, 2, "a b c d")
+    assert got[2] == (2, 1, "e f")
+    assert got[3] == (2, 0, "")
+
+
+def test_paragraph_dedup_on_newline_corpus(spark):
+    boiler = "all rights reserved"
+    docs = _docs(
+        spark,
+        [
+            (1, f"intro one\n\n{boiler}"),
+            (2, f"other text\n\n{boiler}\n\nmore"),
+            (3, boiler),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in paragraph_dedup(docs, "doc_id", "text").collect()
+    }
+    # the banner survives only in doc 1 (lowest doc_id)
+    assert got[1] == (2, f"intro one\n\n{boiler}")
+    assert got[2] == (2, "other text\n\nmore")
+    assert got[3] == (0, "")
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, n=40, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    dim, m, ks = 8, 2, 4
+    emb = _emb(spark, dim=dim)
+    books = pq_seed_codebooks(emb, "vec_id", "embedding", dim, m, ks)
+    enc = {
+        r["vec_id"]: (
+            [r[f"code_{j}"] for j in range(m)],
+            r["recon_d2"],
+        )
+        for r in pq_encode(emb, "vec_id", "embedding", books).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    sub = dim // m
+    for vid, v in vecs.items():
+        codes, err = enc[vid]
+        expect_err = 0.0
+        for j in range(m):
+            d2 = [
+                float(((v[j * sub : (j + 1) * sub] - np.array(c)) ** 2).sum())
+                for c in books[j]
+            ]
+            assert codes[j] == int(np.argmin(d2))
+            expect_err += min(d2)
+        assert err == pytest.approx(expect_err, rel=1e-9)
+
+
+def test_pq_topk_adc_equals_reconstructed_distance(spark):
+    """ADC property: approx_d2 is EXACTLY the squared distance from the
+    query to the codeword-reconstructed corpus vector."""
+    dim, m, ks, k = 8, 2, 4, 5
+    emb = _emb(spark, dim=dim)
+    books = pq_seed_codebooks(emb, "vec_id", "embedding", dim, m, ks)
+    enc = pq_encode(emb, "vec_id", "embedding", books, with_error=False)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = pq_topk(enc, queries, books, "vec_id", "qid", "embedding", k)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(r["rn"] <= k for r in rows)
+
+    codes = {
+        r["vec_id"]: [r["code_0"], r["code_1"]] for r in enc.collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    sub = dim // m
+    for r in rows:
+        recon = np.concatenate(
+            [np.array(books[j][codes[r["vec_id"]][j]]) for j in range(m)]
+        )
+        true_d2 = float(((vecs[r["query_id"]] - recon) ** 2).sum())
+        assert r["approx_d2"] == pytest.approx(true_d2, rel=1e-9)
+
+
+def test_pq_train_reduces_reconstruction_error(spark):
+    dim, m, ks = 8, 2, 4
+    emb = _emb(spark, n=60, dim=dim)
+
+    def total_err(books):
+        return (
+            pq_encode(emb, "vec_id", "embedding", books)
+            .agg(F.sum("recon_d2"))
+            .collect()[0][0]
+        )
+
+    seed_err = total_err(
+        pq_seed_codebooks(emb, "vec_id", "embedding", dim, m, ks)
+    )
+    trained_err = total_err(
+        pq_train(emb, "embedding", dim, m, ks, n_iter=3)
+    )
+    assert trained_err <= seed_err
+
+
+def test_pq_validates_dim_divisibility(spark):
+    emb = _emb(spark, dim=8)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_seed_codebooks(emb, "vec_id", "embedding", 8, 3, 4)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, "embedding", 8, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near-dup of 0 → dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.98, 0.2]),  # near-dup of 3 → dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", cents, 0.9
+        ).collect()
+    }
+    assert got == {0: 1, 1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_semantic_dedup_cluster_cap_skips_oversized(spark):
+    # every vector lands in centroid 0's cluster; cap excludes the whole
+    # cluster from pair generation → nothing dropped, rows all kept
+    rows = [(i, [1.0, float(i) * 1e-4]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    out = semantic_dedup(
+        df, "vec_id", "embedding", cents, 0.5, max_cluster=5
+    )
+    assert [r["kept"] for r in out.collect()] == [1] * 10
+    uncapped = semantic_dedup(df, "vec_id", "embedding", cents, 0.5)
+    assert sum(r["kept"] for r in uncapped.collect()) == 1

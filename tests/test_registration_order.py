@@ -43,8 +43,13 @@ def test_driver_window_covers_currently_red():
 # never-green (new) query displaced them from the window. Must stay
 # small and deliberate; everything here is still covered by validate.py.
 SLIPPED_THIS_ROUND: set[str] = {
-    # displaced by x33 (new, never-green); r03-green, validate-covered
+    # displaced by the five new never-green round-5 queries (x33-x37);
+    # all r03-green and validate-covered — round-6 window head
     "w07_ntile_quartiles",
+    "a10_grouping_sets",
+    "u05_scd2_merge",
+    "u02_intersect_cube",
+    "w06_lag_lead_delta",
 }
 
 
@@ -79,8 +84,15 @@ def test_driver_window_composition():
     assert (r03_stale_core - SLIPPED_THIS_ROUND) <= window, sorted(
         (r03_stale_core - SLIPPED_THIS_ROUND) - window
     )
-    assert "x33_dedup_clusters_star" in window
-    assert names[DRIVER_WINDOW - 1] == "w06_lag_lead_delta"
+    new_round5 = {
+        "x33_dedup_clusters_star",
+        "x34_duplicate_spans",
+        "x35_pq_encode",
+        "x36_semantic_dedup",
+        "x37_block_dedup",
+    }
+    assert new_round5 <= window, sorted(new_round5 - window)
+    assert names[DRIVER_WINDOW - 1] == "q06_revenue_forecast"
 
 
 def test_window_covers_all_stale_except_slipped():

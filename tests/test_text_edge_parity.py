@@ -41,6 +41,8 @@ EDGE_QUERIES = [
     "x16_chunk_documents",
     "x18_decontaminate",
     "x19_hash_split",
+    "x34_duplicate_spans",
+    "x37_block_dedup",
 ]
 
 
