@@ -726,8 +726,10 @@ def pq_encode(
     vec_col: str,
     codebooks: list[list[list[float]]],
     with_error: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, code_0..code_{m-1} int, recon_d2 double): per-subspace
+    """(id, passthrough..., code_0..code_{m-1} int, recon_d2 double):
+    per-subspace
     nearest-codeword indices — the PQ compressed representation, m×8
     bits per vector instead of dim×32 — plus the total squared
     reconstruction error (sum over subspaces of the chosen codeword's
@@ -742,9 +744,14 @@ def pq_encode(
     if not m or not codebooks[0]:
         # empty-corpus seeding (no codewords) → nothing to encode;
         # schema-stable empty result, kept lazy
-        out = [F.col(id_col)] + [
-            F.lit(0).cast("int").alias(f"code_{mm}") for mm in range(m)
-        ]
+        out = (
+            [F.col(id_col)]
+            + [F.col(c) for c in passthrough]
+            + [
+                F.lit(0).cast("int").alias(f"code_{mm}")
+                for mm in range(m)
+            ]
+        )
         if with_error:
             out.append(F.lit(0.0).alias("recon_d2"))
         return df.select(*out).where(F.lit(False))
@@ -752,6 +759,7 @@ def pq_encode(
     v = V.to_double(vec_col)
     picks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         *[
             nearest_centroid(
                 F.slice(v, mm * sub + 1, sub), codebooks[mm]
@@ -759,10 +767,14 @@ def pq_encode(
             for mm in range(m)
         ],
     )
-    out = [F.col(id_col)] + [
-        F.col(f"__b{mm}").getField("j").cast("int").alias(f"code_{mm}")
-        for mm in range(m)
-    ]
+    out = (
+        [F.col(id_col)]
+        + [F.col(c) for c in passthrough]
+        + [
+            F.col(f"__b{mm}").getField("j").cast("int").alias(f"code_{mm}")
+            for mm in range(m)
+        ]
+    )
     if with_error:
         err = F.col("__b0").getField("d")
         for mm in range(1, m):
@@ -913,4 +925,186 @@ def semantic_dedup(
             .otherwise(F.lit(1))
             .alias("kept"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-pruned scan over PQ codes + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    path: str,
+    dim: int,
+    m: int,
+    ks: int,
+    iters: int = 3,
+    pq_iters: int = 3,
+    train_rows: int | None = None,
+) -> None:
+    """IVF-PQ index (Jégou et al. 2011 composed with the IVF layout of
+    `build_ivf_index`): the corpus persists hive-partitioned by k-means
+    cell WITH its PQ codes alongside the full vector —
+
+    - ``<path>/corpus`` — (id, vec, code_0..code_{m-1}) partitioned by
+      ``cluster``;
+    - ``<path>/centroids`` — (cluster, centroid), tiny;
+    - ``<path>/codebooks`` — (m, code, codeword), m × ks rows.
+
+    The two approximations compose multiplicatively at query time:
+    partition pruning reads only nprobe/k of the store, and within the
+    probed cells the ADC stage reads ONLY the m code bytes per vector
+    (parquet column pruning skips the vec column entirely) — a 100-TB
+    embedding store answers a query by scanning a few GB of codes.
+    ``train_rows`` bounds the PQ training sample (codebooks converge on
+    ~1e5 vectors; never train on the full store).
+    """
+    spark = corpus.sparkSession
+    train_src = corpus.limit(train_rows) if train_rows else corpus
+    books = pq_train(train_src, vec_col, dim, m, ks, pq_iters)
+    assignment = kmeans_assign(corpus, id_col, vec_col, k, iters)
+    tagged = corpus.select(id_col, vec_col).join(assignment, id_col)
+    encoded = pq_encode(
+        tagged,
+        id_col,
+        vec_col,
+        books,
+        with_error=False,
+        passthrough=(vec_col, "cluster"),
+    )
+    encoded.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/corpus"
+    )
+    centroids(
+        spark.read.parquet(f"{path}/corpus"), "cluster", vec_col
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (mm, code, books[mm][code])
+        for mm in range(m)
+        for code in range(ks)
+    ]
+    spark.createDataFrame(
+        book_rows, "m int, code int, codeword array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """codebooks[m][code] from a `build_ivf_pq_index` layout —
+    driver-sized (m × ks × dim/m doubles)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["m"] for r in rows)
+    ks = 1 + max(r["code"] for r in rows)
+    books: list[list[list[float]]] = [[None] * ks for _ in range(m)]
+    for r in rows:
+        books[r["m"]][r["code"]] = [float(x) for x in r["codeword"]]
+    return books
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+    refine: int = 50,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN against a `build_ivf_pq_index` layout:
+
+    1. probe: nprobe cells per query by centroid cosine (broadcast);
+    2. ADC shortlist: scan ONLY the code columns of the probed cells
+       (partition pruning on cluster + parquet column pruning — the
+       full vectors in those cells are never read here), rank by the
+       ADC lookup-table distance, keep ``refine`` candidates/query;
+    3. exact re-rank: read the full vectors of the probed cells
+       semi-joined to the (broadcast, |queries| × refine) shortlist,
+       exact rounded cosine, top-k with the brute-force tiebreak.
+
+    With nprobe = k and refine ≥ cell sizes this degrades gracefully to
+    the exact `brute_force_topk` answer (tested); shrinking either knob
+    trades recall for scan bytes. ADC ranks by L2 while the re-rank
+    uses cosine — coherent when the store holds unit-normalized
+    vectors, which is how a cosine-ANN corpus should be stored anyway.
+    """
+    from pyspark.sql import Window
+
+    from ods_to_datalake_spark.operators.agg import top_k_per_group
+
+    books = load_pq_codebooks(spark, index_path)
+    m = len(books)
+    sub = len(books[0][0])
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(F.col(query_id), V.to_double(vec_col).alias("__qv"))
+    probes = _probe_clusters(q, cents, "cluster", nprobe, query_id)
+    probed = [
+        r.cluster for r in probes.select("cluster").distinct().collect()
+    ]
+
+    # stage 2: ADC over codes only — vec_col pruned out of the scan
+    luts = q.select(
+        query_id,
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__qv"), mm * sub + 1, sub),
+                            F.array(*[F.lit(x) for x in code]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for code in books[mm]
+                ]
+            ).alias(f"__lut{mm}")
+            for mm in range(m)
+        ],
+    )
+    codes = (
+        spark.read.parquet(f"{index_path}/corpus")
+        .filter(F.col("cluster").isin(probed))
+        .select(id_col, "cluster", *[f"code_{mm}" for mm in range(m)])
+    )
+    d2 = F.element_at(F.col("__lut0"), F.col("code_0") + 1)
+    for mm in range(1, m):
+        d2 = d2 + F.element_at(
+            F.col(f"__lut{mm}"), F.col(f"code_{mm}") + 1
+        )
+    adc = (
+        codes.join(F.broadcast(probes), on="cluster")
+        .join(F.broadcast(luts), on=query_id)
+        .filter(F.col(query_id) != F.col(id_col))
+        .select(query_id, id_col, d2.alias("approx_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy("approx_d2", id_col)
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= refine)
+        .select(query_id, id_col)
+    )
+
+    # stage 3: exact re-rank of the shortlist only
+    vecs = (
+        spark.read.parquet(f"{index_path}/corpus")
+        .filter(F.col("cluster").isin(probed))
+        .select(F.col(id_col), V.to_double(vec_col).alias("__cv"))
+        .join(F.broadcast(shortlist), on=id_col)
+    )
+    rescored = vecs.join(F.broadcast(q), on=query_id).select(
+        query_id,
+        id_col,
+        V.cosine_rounded(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    return top_k_per_group(
+        rescored,
+        [query_id],
+        [F.col("cosine").desc(), F.col(id_col)],
+        k,
     )

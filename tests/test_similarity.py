@@ -378,3 +378,84 @@ def test_ivf_index_append_no_rebuild(spark, emb, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ivf_pq_index_exact_at_full_probe_and_prunes_codes(spark, emb, tmp_path):
+    """build_ivf_pq_index + ivf_pq_topk_indexed: with every cell probed
+    and an unbounded refine the two-stage answer equals brute force
+    EXACTLY (the ADC shortlist can't lose the true top-k, and the
+    re-rank uses the same rounded cosine + tiebreak); and the ADC
+    stage's scan schema contains the code columns but NOT the vector
+    column (parquet column pruning — at 100 TB the shortlist pass reads
+    m bytes/vector, not dim×4)."""
+    from ods_to_datalake_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+        load_pq_codebooks,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    n = emb.count()
+    build_ivf_pq_index(
+        emb, "vec_id", "embedding", k=4, path=idx,
+        dim=64, m=4, ks=8, train_rows=64,
+    )
+    books = load_pq_codebooks(spark, idx)
+    assert len(books) == 4 and len(books[0]) == 8
+    assert all(len(cw) == 16 for book in books for cw in book)
+
+    got = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in ivf_pq_topk_indexed(
+            spark, idx, _queries(emb), "vec_id", "embedding", K,
+            nprobe=4, refine=n,
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in brute_force_topk(
+            emb, _queries(emb), "vec_id", "embedding", K
+        ).collect()
+    }
+    assert got == want and len(got) == 8 * K
+
+    # column pruning on the code-only scan
+    codes = spark.read.parquet(f"{idx}/corpus").select(
+        "vec_id", "cluster", "code_0", "code_1", "code_2", "code_3"
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "code_0" in read_schema and "embedding" not in read_schema
+
+
+def test_ivf_pq_narrow_knobs_trade_recall_not_correctness(spark, emb, tmp_path):
+    """Shrinking nprobe/refine returns k rows per query whose cosines
+    are ≤ the exact best (an approximation, never an inflation), and
+    recall grows with refine."""
+    from ods_to_datalake_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ivfpq2")
+    build_ivf_pq_index(
+        emb, "vec_id", "embedding", k=4, path=idx,
+        dim=64, m=4, ks=8, train_rows=64,
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(
+            emb, _queries(emb), "vec_id", "embedding", K
+        ).collect()
+    }
+
+    def recall(nprobe, refine):
+        rows = ivf_pq_topk_indexed(
+            spark, idx, _queries(emb), "vec_id", "embedding", K,
+            nprobe=nprobe, refine=refine,
+        ).collect()
+        assert len(rows) == 8 * K
+        return len({(r.query_id, r.vec_id) for r in rows} & exact) / len(exact)
+
+    assert recall(4, 20) <= recall(4, 200)
+    assert recall(4, 200) > 0.5
