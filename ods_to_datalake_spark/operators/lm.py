@@ -1,0 +1,87 @@
+"""Corpus n-gram language-model scoring (charter LLM extension).
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+KenLM 5-gram model; the distributable, oracle-checkable form of that
+signal is a corpus-trained add-α bigram model scored back over each
+document — high cross-entropy flags boilerplate-free but incoherent
+text, low cross-entropy flags repetitive/templated text, and the
+corpus itself is the training set (no external model artifact).
+
+Cross-engine determinism: every probability is a ratio of integer
+counts (identical doubles in both engines), but ln() is NOT
+bit-stable across engines — measured: JVM Math.log and DuckDB's libm
+log disagree by 1 ulp on ~6% of integer-ratio inputs. Each token's
+-ln(p) is therefore quantized by a cast to DECIMAL(28,6) (a 1-ulp
+input wiggle flips the 6-dp quantization only within ~1e-15 of a
+boundary — ~2e-9 per token), the decimals sum exactly
+(order-independent, unlike a float sum), and the per-doc mean is the
+RAW double quotient (sum ≤ ~1e3 with 6 dp ⇒ exact in double; same
+IEEE division both engines — never re-round a decimal quotient, see
+the q02 build note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions import text as X
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, n_bigrams, xent): per-document cross-entropy under the
+    corpus's own add-one-smoothed bigram model —
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1·) + V)
+
+    with c(w1·) the bigram-prefix total and V the corpus vocabulary
+    size. xent = Σ quantized(-ln P) / n_bigrams; docs with < 2 tokens
+    have no bigrams and score NULL.
+
+    Plan shape (all shuffles on n-gram/word keys, never on raw docs):
+    one pass explodes bigrams; counts aggregate with map-side partial
+    combine; the bigram-count join lands on the groupBy's own hash
+    partitioning; prefix counts derive from the (much smaller) bigram
+    count table, not a second corpus pass; V is a 1-row broadcast. At
+    100 TB the model tables are themselves large — they join (shuffle
+    on key), they are never collected or broadcast.
+    """
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg"),
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    w1c = (
+        bgc.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    vocab = (
+        docs.select(
+            F.explode(X.tokens(text_col)).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    p = (F.col("c_bg") + 1) / (F.col("c_w1") + F.col("v"))
+    scored = (
+        bg.join(bgc, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(w1c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (-F.log(p)).cast("decimal(28,6)").alias("nll"),
+        )
+    )
+    st = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("nll").cast("double") / F.count("*")).alias("xent"),
+    )
+    return docs.select(id_col).join(st, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.col("xent"),
+    )

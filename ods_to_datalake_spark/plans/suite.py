@@ -175,6 +175,7 @@ _WINDOW_PRIORITY: list[str] = [
     "x35_pq_encode",
     "x36_semantic_dedup",
     "x37_block_dedup",
+    "x38_lm_perplexity",
     # r03-stale suite_core fill — tail rows displaced by new queries
     # slip one round (w07 is slot 51 → round-6 window)
     "q01_pricing_summary",

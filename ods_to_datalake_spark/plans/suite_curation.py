@@ -266,3 +266,53 @@ def x36_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", cents, NEAR_DUP_TAU
     )
+
+
+@register(
+    "x38_lm_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_sql_shingles(SQL_TOKENS, 2)} AS sh FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(sh) AS bg FROM t
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg
+    ), w1c AS (
+      SELECT split_part(bg, ' ', 1) AS w1,
+             CAST(SUM(c_bg) AS BIGINT) AS c_w1
+      FROM bgc GROUP BY split_part(bg, ' ', 1)
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT unnest({SQL_TOKENS}) AS w FROM documents
+      )
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(-ln((c.c_bg + 1) / (w.c_w1 + vocab.v))
+                  AS DECIMAL(28,6)) AS nll
+      FROM bg b
+      JOIN bgc c USING (bg)
+      JOIN w1c w ON split_part(b.bg, ' ', 1) = w.w1
+      CROSS JOIN vocab
+    ), st AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS xent
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           xent
+    FROM documents d LEFT JOIN st USING (doc_id)
+    """,
+    doc="CCNet-shaped LM quality signal: per-doc cross-entropy under "
+    "the corpus's own add-one bigram model — bigram/prefix/vocab "
+    "counts shuffle on n-gram keys (model tables join, never "
+    "broadcast/collect); per-token -ln(p) quantized to DECIMAL(28,6) "
+    "(ln is NOT cross-engine bit-stable — measured 1-ulp divergence), "
+    "decimal-exact sum, raw-double mean.",
+)
+def x38_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.lm import bigram_lm_scores
+
+    cat = load_testdata(spark, sf_dir)
+    return bigram_lm_scores(cat.table("documents"), "doc_id", "text")

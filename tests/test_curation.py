@@ -238,3 +238,52 @@ def test_semantic_dedup_cluster_cap_skips_oversized(spark):
     assert [r["kept"] for r in out.collect()] == [1] * 10
     uncapped = semantic_dedup(df, "vec_id", "embedding", cents, 0.5)
     assert sum(r["kept"] for r in uncapped.collect()) == 1
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_scores_match_reference(spark):
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from ods_to_datalake_spark.operators.lm import bigram_lm_scores
+
+    corpus = {1: "a b a b c", 2: "a b a b a b", 3: "z", 4: ""}
+    docs = _docs(spark, sorted(corpus.items()))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in bigram_lm_scores(docs, "doc_id", "text").collect()
+    }
+
+    # reference model (tokenizer: lower/trim split; '' → [''])
+    toks = {d: t.lower().strip().split() if t.strip() else [""]
+            for d, t in corpus.items()}
+    bgs = {d: [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+           for d, w in toks.items()}
+    bgc = Counter(b for bl in bgs.values() for b in bl)
+    w1c = Counter(b.split(" ")[0] for bl in bgs.values() for b in bl
+                  for _ in range(1))
+    w1tot = Counter()
+    for b, c in bgc.items():
+        w1tot[b.split(" ")[0]] += c
+    vocab = len({w for wl in toks.values() for w in wl})
+    for d, bl in bgs.items():
+        if not bl:
+            assert got[d] == (0, None)
+            continue
+        q = [
+            Decimal(
+                str(round(-math.log((bgc[b] + 1) / (w1tot[b.split(' ')[0]] + vocab)), 6))
+            )
+            for b in bl
+        ]
+        want = float(sum(q)) / len(bl)
+        n, xent = got[d]
+        assert n == len(bl)
+        assert xent == pytest.approx(want, abs=2e-6)
+    # repetitive doc scores LOWER cross-entropy than the varied one
+    assert got[2][1] < got[1][1]

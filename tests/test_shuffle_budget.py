@@ -138,6 +138,9 @@ SHUFFLE_BUDGET = {
     "x36_semantic_dedup": 2,  # in-cluster pair join + dropped distinct;
     # centroid assignment is map-only
     "x37_block_dedup": 2,  # keep-first window on block hash + doc refold
+    "x38_lm_perplexity": 6,  # bigram explode → count, prefix count
+    # (from the count table), vocab agg, two model joins, doc rollup —
+    # every exchange on an n-gram/word key, model tables never collected
 }
 
 

@@ -43,6 +43,7 @@ EDGE_QUERIES = [
     "x19_hash_split",
     "x34_duplicate_spans",
     "x37_block_dedup",
+    "x38_lm_perplexity",
 ]
 
 
