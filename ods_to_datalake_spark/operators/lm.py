@@ -85,3 +85,89 @@ def bigram_lm_scores(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.col("xent"),
     )
+
+
+def build_lm(
+    docs: DataFrame,
+    text_col: str,
+    path: str,
+) -> None:
+    """Persist the add-one bigram model as a lake artifact —
+
+    - ``<path>/bigrams``  — (bg, c_bg), shuffled/written on the bigram
+      key (the table a 100-TB corpus produces is itself large);
+    - ``<path>/prefixes`` — (w1, c_w1);
+    - ``<path>/vocab``    — 1 row (v).
+
+    Train once over the reference corpus, then score every incoming
+    batch against the FROZEN model via `score_with_lm` — the CCNet
+    deployment shape (the quality bar must not drift with each batch),
+    and the same train-offline/apply-on-ingest split as
+    `build_ivf_index` + `ivf_index_append`.
+    """
+    bg = docs.select(
+        F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg")
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    bgc.write.mode("overwrite").parquet(f"{path}/bigrams")
+    spark = docs.sparkSession
+    (
+        spark.read.parquet(f"{path}/bigrams")
+        .groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/prefixes")
+    )
+    (
+        docs.select(F.explode(X.tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/vocab")
+    )
+
+
+def score_with_lm(
+    spark,
+    path: str,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, n_bigrams, xent): score a NEW batch against a frozen
+    `build_lm` artifact. Join semantics generalize the in-corpus
+    scorer to unseen text: a bigram missing from the model scores
+    c_bg = 0 (P = 1/(c_w1+V)), an unseen prefix scores c_w1 = 0
+    (P = 1/V) — exactly what add-one smoothing is for. On the training
+    corpus itself this reproduces `bigram_lm_scores` bit-for-bit
+    (tested). Scoring cost: two shuffles of the batch's bigrams
+    against the model tables + the per-doc rollup; the model is read,
+    never rebuilt."""
+    bgc = spark.read.parquet(f"{path}/bigrams")
+    w1c = spark.read.parquet(f"{path}/prefixes")
+    vocab = spark.read.parquet(f"{path}/vocab")
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg"),
+    )
+    p = (F.coalesce("c_bg", F.lit(0)) + 1) / (
+        F.coalesce("c_w1", F.lit(0)) + F.col("v")
+    )
+    scored = (
+        bg.join(bgc, "bg", "left")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(w1c, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (-F.log(p)).cast("decimal(28,6)").alias("nll"),
+        )
+    )
+    st = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("nll").cast("double") / F.count("*")).alias("xent"),
+    )
+    return docs.select(id_col).join(st, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.col("xent"),
+    )

@@ -135,3 +135,35 @@ def read_run(
     return spark.read.parquet(path).filter(
         F.col(partition_col) == f"{date}_{run_index}"
     )
+
+
+def read_text_documents(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = True,
+    **options,
+) -> DataFrame:
+    """(doc_path, text, doc_id): raw text files as a documents table —
+    the ingestion edge of the text-curation operators (one row per
+    FILE with ``whole_files``, one row per LINE without).
+
+    doc_id is the md5 of the content (same content-hash identity as
+    `nest.doc_id` / `dedup.exact_dedup`), so re-ingesting an identical
+    file is idempotent under the exact-dedup tier regardless of its
+    path; doc_path carries provenance via the scan-native
+    `input_file_name` (no directory listing round-trip).
+
+    Scale note: ``whole_files`` makes a file the unit of parallelism —
+    fine for web-page/document corpora (KB-MB files), wrong for
+    multi-GB archives, which should be split line-wise (the default
+    text source splits on newlines and parallelizes by block).
+    """
+    # NB: the whole-file switch only works as the .text() kwarg — the
+    # .option("wholetext", ...) string form is silently ignored in
+    # Spark 4 (measured: still splits on newlines)
+    df = spark.read.options(**options).text(path, wholetext=whole_files)
+    return df.select(
+        F.input_file_name().alias("doc_path"),
+        F.col("value").alias("text"),
+        F.md5(F.col("value")).alias("doc_id"),
+    )

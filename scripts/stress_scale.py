@@ -46,6 +46,8 @@ SUITE_QUERIES = [
     "x04_minhash_lsh_candidates",  # shingle explode + band self-join
     "x23_tfidf_top_terms",  # corpus explode + 3-way join + top-k
     "x31_incremental_dedup",  # cross-corpus hash + band anti-joins
+    "x34_duplicate_spans",  # span explode + window count on span hash
+    "x38_lm_perplexity",  # bigram model joins (model tables at scale)
 ]
 
 

@@ -287,3 +287,48 @@ def test_bigram_lm_scores_match_reference(spark):
         assert xent == pytest.approx(want, abs=2e-6)
     # repetitive doc scores LOWER cross-entropy than the varied one
     assert got[2][1] < got[1][1]
+
+
+def test_frozen_lm_reproduces_in_corpus_scores_and_handles_unseen(
+    spark, tmp_path
+):
+    from ods_to_datalake_spark.operators.lm import (
+        bigram_lm_scores,
+        build_lm,
+        score_with_lm,
+    )
+
+    corpus = _docs(
+        spark,
+        [(1, "a b a b c"), (2, "a b a b a b"), (3, "c a b")],
+    )
+    path = str(tmp_path / "lm")
+    build_lm(corpus, "text", path)
+
+    frozen = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in score_with_lm(spark, path, corpus, "doc_id", "text").collect()
+    }
+    inline = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in bigram_lm_scores(corpus, "doc_id", "text").collect()
+    }
+    assert frozen == inline
+
+    # unseen text: unknown bigram → P=1/(c_w1+V); unknown prefix → P=1/V
+    new = _docs(spark, [(9, "a zebra"), (10, "qq ww")])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent"])
+        for r in score_with_lm(spark, path, new, "doc_id", "text").collect()
+    }
+    import math
+
+    v = 3  # vocab: a, b, c
+    c_w1_a = 6  # bigrams starting with 'a' (2 + 3 + 1 across the docs)
+    assert got[9][0] == 1
+    assert got[9][1] == pytest.approx(
+        float(round(-math.log(1 / (c_w1_a + v)), 6)), abs=2e-6
+    )
+    assert got[10][1] == pytest.approx(
+        float(round(-math.log(1 / v), 6)), abs=2e-6
+    )

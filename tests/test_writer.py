@@ -430,3 +430,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     )
     assert pinned.columns == ["k", "v", "w"]
     assert pinned.count() == 2
+
+
+def test_read_text_documents_whole_and_lines(spark, tmp_path):
+    from ods_to_datalake_spark.sources.reader import read_text_documents
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nsecond line")
+    (d / "b.txt").write_text("hello world\nsecond line")  # exact dup file
+    (d / "c.txt").write_text("unique doc")
+
+    whole = read_text_documents(spark, str(d)).collect()
+    assert len(whole) == 3
+    assert {r.text for r in whole} == {
+        "hello world\nsecond line", "unique doc"
+    }
+    # content-hash identity: identical files share doc_id, paths differ
+    by_id = {}
+    for r in whole:
+        by_id.setdefault(r.doc_id, set()).add(r.doc_path)
+    dup_paths = next(v for k, v in by_id.items() if len(v) == 2)
+    assert len(by_id) == 2 and len(dup_paths) == 2
+    assert all(r.doc_path.endswith(".txt") for r in whole)
+
+    lines = read_text_documents(spark, str(d), whole_files=False).collect()
+    assert sorted(r.text for r in lines) == [
+        "hello world", "hello world", "second line", "second line",
+        "unique doc",
+    ]
