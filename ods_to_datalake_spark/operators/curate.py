@@ -1,0 +1,143 @@
+"""End-to-end corpus curation pipeline — the composition a user of the
+training-data operators actually runs: cheap tiers first, every
+expensive comparison bounded by a candidate generator, every removal
+accounted for.
+
+Tier order (the standard funnel, cheapest first):
+
+1. exact dedup        — keep the lowest id per content hash
+2. near-dup dedup     — MinHash/LSH candidates → exact Jaccard verify
+                        ≥ tau → drop the higher id of each pair
+3. quality gates      — minimum token count; optional corpus-LM
+                        cross-entropy band (too low = boilerplate/
+                        repetition, too high = garbage)
+4. block rewrite      — optional corpus-wide keep-first block dedup
+                        (drops docs whose every block was seen before)
+
+This operator is a pipeline DRIVER: it runs one Spark action per tier
+(the survivor count) over a lazily-materialized (`localCheckpoint
+(eager=False)`) intermediate, because each tier's output feeds both
+the report and the next tier — without materialization every tier
+would recompute the whole funnel above it. At 100 TB the same shape
+persists each tier to the lake instead (swap the checkpoint for a
+parquet write); the join/shuffle structure is identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions import text as X
+from ods_to_datalake_spark.operators.dedup import (
+    block_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
+
+
+@dataclass
+class CurationStage:
+    stage: str
+    docs_in: int
+    docs_out: int
+
+    @property
+    def removed(self) -> int:
+        return self.docs_in - self.docs_out
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    minhash_k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    max_bucket: int | None = None,
+    jaccard_tau: float = 0.5,
+    min_tokens: int = 0,
+    xent_band: tuple[float, float] | None = None,
+    block_tokens: int | None = None,
+) -> tuple[DataFrame, list[CurationStage]]:
+    """(curated docs, per-tier report). See module docstring.
+
+    Near-dup policy matches `similarity.semantic_dedup`: a document is
+    dropped when a LOWER-id document verifies as its near-duplicate —
+    deterministic, order-free, and one anti-join. The LM band (when
+    given) trains the bigram model on the docs that survived dedup —
+    scoring against duplicates would skew the model toward exactly the
+    text the earlier tiers removed.
+    """
+    report: list[CurationStage] = []
+    cur = docs
+    n_in = cur.count()
+
+    def advance(stage: str, nxt: DataFrame, n_before: int) -> int:
+        nonlocal cur
+        cur = nxt.localCheckpoint(eager=False)
+        n_after = cur.count()
+        report.append(CurationStage(stage, n_before, n_after))
+        return n_after
+
+    # 1. exact dedup (keep lowest id per content hash)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    exact = (
+        cur.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n_in = advance("exact_dedup", exact, n_in)
+
+    # 2. near-dup dedup (LSH candidates → Jaccard verify → drop id_b)
+    cands = minhash_lsh_candidates(
+        cur, id_col, text_col, shingle_n, minhash_k, bands, rows,
+        max_bucket=max_bucket,
+    )
+    verified = jaccard_pairs(
+        cur, cands, id_col, text_col, shingle_n, threshold=jaccard_tau
+    )
+    dropped = verified.select(F.col("id_b").alias(id_col)).distinct()
+    n_in = advance(
+        "near_dup_dedup", cur.join(dropped, id_col, "left_anti"), n_in
+    )
+
+    # 3. quality gates
+    if min_tokens > 0:
+        survivors = cur.filter(
+            F.size(X.tokens(text_col)) >= min_tokens
+        )
+        n_in = advance("min_tokens", survivors, n_in)
+    if xent_band is not None:
+        from ods_to_datalake_spark.operators.lm import bigram_lm_scores
+
+        lo, hi = xent_band
+        scores = bigram_lm_scores(cur, id_col, text_col)
+        keep = scores.filter(
+            F.col("xent").isNotNull()
+            & (F.col("xent") >= lo)
+            & (F.col("xent") <= hi)
+        ).select(id_col)
+        n_in = advance("lm_xent_band", cur.join(keep, id_col, "left_semi"), n_in)
+
+    # 4. optional corpus-wide keep-first block rewrite
+    if block_tokens is not None:
+        rewritten = (
+            block_dedup(cur, id_col, text_col, block_tokens)
+            .filter(F.col("n_kept") > 0)
+            .select(
+                F.col(id_col), F.col("clean_text").alias(text_col)
+            )
+        )
+        other_cols = [c for c in cur.columns if c not in (id_col, text_col)]
+        if other_cols:
+            rewritten = rewritten.join(
+                cur.select(id_col, *other_cols), id_col
+            )
+        n_in = advance("block_rewrite", rewritten, n_in)
+
+    return cur, report

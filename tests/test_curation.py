@@ -332,3 +332,59 @@ def test_frozen_lm_reproduces_in_corpus_scores_and_handles_unseen(
     assert got[10][1] == pytest.approx(
         float(round(-math.log(1 / v), 6)), abs=2e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curate_corpus_end_to_end(spark):
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),  # exact dup of 1 → exact tier
+            (3, base + " extra"),  # near-dup of 1 → jaccard tier
+            (4, "short"),  # < min_tokens → quality tier
+            (5, "completely different text about spark query engines "
+                "running large distributed scans"),
+        ],
+    )
+    curated, report = curate_corpus(
+        docs, "doc_id", "text",
+        jaccard_tau=0.5, min_tokens=3,
+    )
+    assert sorted(r.doc_id for r in curated.collect()) == [1, 5]
+    stages = {s.stage: (s.docs_in, s.docs_out) for s in report}
+    assert stages["exact_dedup"] == (5, 4)
+    assert stages["near_dup_dedup"] == (4, 3)
+    assert stages["min_tokens"] == (3, 2)
+    assert sum(s.removed for s in report) == 3
+
+
+def test_curate_corpus_block_rewrite_and_lm_band(spark):
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),  # first block repeats doc 1's
+            (3, "p q r s t u v w"),
+        ],
+    )
+    curated, report = curate_corpus(
+        docs, "doc_id", "text",
+        jaccard_tau=0.99, block_tokens=4, xent_band=(0.0, 100.0),
+    )
+    got = {r.doc_id: r.text for r in curated.collect()}
+    assert got[1] == "a b c d e f g h"
+    assert got[2] == "x y z w"  # duplicated leading block removed
+    assert got[3] == "p q r s t u v w"
+    assert [s.stage for s in report] == [
+        "exact_dedup", "near_dup_dedup", "lm_xent_band", "block_rewrite"
+    ]
