@@ -6,12 +6,19 @@ Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed over a full action (count of the result — forces the
-complete plan without driver-side collect overhead). A warmup query runs
-first so JVM/codegen startup isn't billed to the first headline query,
-and each query is then timed over ``$SPARK_GRAFT_BENCH_REPS`` (default
-5) repetitions reporting the MEDIAN — single-shot timings moved ±40%
-round-over-round on first-touch JIT/IO order alone (BENCH_r03 q01/q03).
+Each query is timed over a ``noop``-format write — the action that
+evaluates EVERY row of EVERY output column. It must not be .count():
+under a count Catalyst prunes unreferenced aggregate expressions and
+eliminates unique-key outer joins, so count() times a hollowed-out
+plan (measured at sf0.1: the flagship a02 fold "cost" 0.085s under
+count vs 2.23s for the real fold — the collect_list arrays were never
+built; q01 0.23s vs 0.71s). Rounds ≤ 4 used count() and therefore
+under-report agg-heavy queries; BENCH_r05 onward is the honest series
+(the round-over-round jump at r05 is this methodology fix, not a
+regression). A warmup pass runs first so JVM/codegen startup isn't
+billed to the first query, and each query reports the MEDIAN of
+``$SPARK_GRAFT_BENCH_REPS`` (default 5) repetitions — single-shot
+timings moved ±40% on first-touch JIT/IO order alone (BENCH_r03).
 """
 
 from __future__ import annotations
@@ -45,17 +52,20 @@ def main() -> int:
     cat = load_testdata(spark, sf_dir)
     for t in TESTDATA_TABLES:
         cat.table(t).count()
+    counts = {}
     for name, fn in queries.items():
-        fn(spark, sf_dir).count()
+        df = fn(spark, sf_dir)
+        counts[name] = df.count()
+        df.write.mode("overwrite").format("noop").save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        n = counts[name]
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(

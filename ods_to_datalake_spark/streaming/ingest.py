@@ -165,15 +165,16 @@ def ingest_with_near_dup_tier(
             .select(id_col)
             .distinct()
         )
-        # persist: `admitted` feeds two write actions (out_dir and the
-        # state append) — without it the whole band pipeline + state
-        # scan would run twice per micro-batch
-        admitted = batch_df.join(near_ids, id_col, "left_anti").persist()
-        try:
-            admitted.write.mode("append").parquet(out_dir)
-            banded(admitted).write.mode("append").parquet(state_dir)
-        finally:
-            admitted.unpersist()
+        # EAGER barrier (localCheckpoint, not lazy persist): `admitted`
+        # feeds two writes, and its plan READS the state table this
+        # sink APPENDS to — a lazily-cached partition that misses cache
+        # during the second write would recompute against the state as
+        # it exists mid-append (see ingest_with_quality_gate, where the
+        # third write made this fire). Materialize the admission
+        # decision once, against the pre-append state.
+        admitted = batch_df.join(near_ids, id_col, "left_anti").localCheckpoint()
+        admitted.write.mode("append").parquet(out_dir)
+        banded(admitted).write.mode("append").parquet(state_dir)
 
     return (
         tier1.writeStream.foreachBatch(sink)
@@ -244,16 +245,134 @@ def ingest_embeddings_stream(
             .select(F.col(f"n.{id_col}").alias(id_col))
             .distinct()
         )
-        # persist: two write actions over `admitted` (see text face)
-        admitted = batch_df.join(near_ids, id_col, "left_anti").persist()
-        try:
-            admitted.write.mode("append").parquet(out_dir)
-            tagged(admitted).write.mode("append").parquet(state_dir)
-        finally:
-            admitted.unpersist()
+        # eager barrier — same rationale as the text face: the plan
+        # reads the state table the second write appends to
+        admitted = batch_df.join(near_ids, id_col, "left_anti").localCheckpoint()
+        admitted.write.mode("append").parquet(out_dir)
+        tagged(admitted).write.mode("append").parquet(state_dir)
 
     return (
         new_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def ingest_with_quality_gate(
+    new_stream: DataFrame,
+    seen_df: DataFrame,
+    lm_path: str,
+    out_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    min_tokens: int = 0,
+    xent_band: tuple[float, float] | None = None,
+    reject_dir: str | None = None,
+) -> "StreamingQuery":
+    """The full streaming curation face: `ingest_with_near_dup_tier`'s
+    two dedup tiers PLUS the quality gates of `curate.curate_corpus`,
+    applied per micro-batch against a FROZEN `lm.build_lm` artifact —
+    the quality bar must not drift with each batch, so the model is
+    read, never retrained in-stream (refreshing it is an offline
+    rebuild + new path, like IVF centroids).
+
+    Per batch: LSH near-dup rejection against the growing band state →
+    token-count gate → LM cross-entropy band via `score_with_lm`
+    (stream-side bigrams join the static model tables — shuffles on
+    n-gram keys only). Admitted rows append to ``out_dir`` and grow
+    the band state; when ``reject_dir`` is given, rejected rows land
+    there with a ``reject_reason`` column (near_dup / min_tokens /
+    lm_xent) — curation at scale must account for what it removed, not
+    silently shrink the corpus.
+    """
+    from ods_to_datalake_spark.operators.dedup import lsh_banded
+    from ods_to_datalake_spark.operators.lm import score_with_lm
+
+    def banded(df: DataFrame) -> DataFrame:
+        return lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
+
+    _seed_state_if_absent(banded(seen_df), state_dir)
+    tier1 = admit_new_stream(
+        new_stream,
+        seen_content_hashes(seen_df, text_col),
+        text_col,
+        ts_col,
+        watermark,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ods_to_datalake_spark.functions import text as X
+
+        spark = batch_df.sparkSession
+        near_ids = (
+            banded(batch_df)
+            .join(
+                spark.read.parquet(state_dir),
+                ["band_idx", "band_key"],
+                "left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
+        staged = batch_df.join(
+            near_ids.withColumn("__near", F.lit(True)), id_col, "left"
+        ).withColumn(
+            "__n_tokens", F.size(X.tokens(text_col))
+        )
+        if xent_band is not None:
+            scores = score_with_lm(
+                spark, lm_path, batch_df, id_col, text_col
+            ).select(id_col, "xent")
+            staged = staged.join(scores, id_col, "left")
+            lo, hi = xent_band
+            xent_ok = (
+                F.col("xent").isNotNull()
+                & (F.col("xent") >= lo)
+                & (F.col("xent") <= hi)
+            )
+        else:
+            xent_ok = F.lit(True)
+        reason = (
+            F.when(F.col("__near"), F.lit("near_dup"))
+            .when(
+                F.col("__n_tokens") < min_tokens, F.lit("min_tokens")
+            )
+            .when(~xent_ok, F.lit("lm_xent"))
+        )
+        # EAGER materialization barrier, not a lazy persist: the staged
+        # plan reads the state table, and the state APPEND below would
+        # poison any later recomputation (a lazily-persisted partition
+        # that misses cache re-reads the grown state and re-flags the
+        # batch's own admitted docs as near-dups — observed: a doc
+        # admitted AND quarantined in the same batch). localCheckpoint
+        # computes the decisions against the pre-append state once,
+        # before any write.
+        staged = staged.withColumn("reject_reason", reason).localCheckpoint()
+        admitted = staged.filter(
+            F.col("reject_reason").isNull()
+        ).select(*batch_df.columns)
+        admitted.write.mode("append").parquet(out_dir)
+        banded(admitted).write.mode("append").parquet(state_dir)
+        if reject_dir is not None:
+            staged.filter(
+                F.col("reject_reason").isNotNull()
+            ).select(*batch_df.columns, "reject_reason").write.mode(
+                "append"
+            ).parquet(reject_dir)
+
+    return (
+        tier1.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .start()

@@ -88,12 +88,21 @@ def main() -> int:
     timings: dict[str, float] = {}
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
-    def bench(name, fn):
-        fn()  # warmup: JIT/shuffle-infra startup isn't the measurement
+    def bench(name, mk):
+        # The timed action is a `noop`-format write, NOT .count():
+        # count() lets Catalyst ELIMINATE a unique-key outer join and
+        # everything under it (measured: x34/x38's whole span/LM
+        # pipeline pruned away, 500k-doc "timings" of 0.25s), and
+        # prunes every non-count column from any plan. The noop sink
+        # evaluates every row of every column end-to-end — the honest
+        # full-query cost. The untimed first run doubles as warmup and
+        # supplies the row count for the report.
+        df = mk()
+        n = df.count()
         samples = []
         for _ in range(reps):
             t = time.perf_counter()
-            n = fn()
+            df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t)
         timings[name] = round(statistics.median(samples), 2)
         print(
@@ -108,12 +117,12 @@ def main() -> int:
         "fact_join",
         lambda: li.join(
             orders, li["l_orderkey"] == orders["o_orderkey"]
-        ).count(),
+        ),
     )
 
     for name in SUITE_QUERIES:
         q = queries[name]
-        bench(name, lambda q=q: q.fn(spark, workdir).count())
+        bench(name, lambda q=q: q.fn(spark, workdir))
 
     print({"scale": scale, "timings": timings})
     shutil.rmtree(workdir, ignore_errors=True)

@@ -739,3 +739,84 @@ def test_ingest_state_partial_seed_self_heals(spark, tmp_path):
 
     admitted = {r.vec_id for r in spark.read.parquet(out_dir).collect()}
     assert admitted == {11}  # exact dup of seen rejected → state seeded
+
+
+def test_streaming_quality_gate_end_to_end(spark, tmp_path):
+    """Full streaming curation face: tier-1 exact dup and tier-2
+    near-dup reject in-stream/per-batch, the token gate drops a
+    too-short doc, the frozen-LM band drops an out-of-distribution doc
+    (every bigram unseen → max cross-entropy = ln V), and every
+    rejected row lands in the quarantine dir with its reason."""
+    import math
+
+    from ods_to_datalake_spark.operators.lm import build_lm
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_with_quality_gate,
+    )
+
+    base_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    in_dist = (
+        "alpha beta gamma delta epsilon zeta beta gamma delta theta "
+        "alpha beta gamma epsilon zeta eta theta beta gamma delta"
+    )
+    seen = spark.createDataFrame(
+        [(1, base_a), (2, in_dist)], "doc_id long, text string"
+    )
+    lm_path = str(tmp_path / "lm")
+    build_lm(seen, "text", lm_path)
+    # the LM band: anything scoring above ~90% of the unseen-text
+    # ceiling ln(V) is out-of-distribution
+    v = spark.read.parquet(f"{lm_path}/vocab").collect()[0]["v"]
+    band = (0.0, 0.9 * math.log(v))
+
+    batch = [
+        (10, base_a),                       # exact dup → tier 1
+        (11, base_a.replace("upsilon", "phi")),  # near-dup → tier 2
+        (12, "too short"),                  # < min_tokens
+        (13, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"),  # OOD → lm_xent
+        # in-distribution novel: seen-bigram loop, but its 3-shingle
+        # set is distinct enough that no LSH band collides (measured)
+        (14, "alpha beta gamma alpha beta gamma alpha beta gamma "
+             "alpha beta gamma"),
+    ]
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        batch, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src / "*"))
+    )
+    out_dir = str(tmp_path / "q_admitted")
+    rej_dir = str(tmp_path / "q_rejected")
+    q = ingest_with_quality_gate(
+        stream,
+        seen,
+        lm_path,
+        out_dir,
+        str(tmp_path / "q_state"),
+        str(tmp_path / "q_ckpt"),
+        min_tokens=5,
+        xent_band=band,
+        reject_dir=rej_dir,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {14}
+    rejected = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(rej_dir).collect()
+    }
+    # doc 10 never reaches the batch tiers (tier 1 is in-stream)
+    assert rejected == {
+        11: "near_dup", 12: "min_tokens", 13: "lm_xent"
+    }
