@@ -44,11 +44,15 @@ def bigram_lm_scores(
 
     Plan shape (all shuffles on n-gram/word keys, never on raw docs):
     one pass explodes bigrams; counts aggregate with map-side partial
-    combine; the bigram-count join lands on the groupBy's own hash
-    partitioning; prefix counts derive from the (much smaller) bigram
-    count table, not a second corpus pass; V is a 1-row broadcast. At
-    100 TB the model tables are themselves large — they join (shuffle
-    on key), they are never collected or broadcast.
+    combine; prefix counts derive from the (much smaller) bigram count
+    table, not a second corpus pass; V is a 1-row broadcast. The key
+    cost lever: per-bigram NLL is finalized at the MODEL level (one
+    row per DISTINCT bigram — the bgc⋈w1c join moves model-sized
+    tables), so the instance-level bigram stream pays exactly ONE join
+    against the finished model (joining instances against bgc and w1c
+    separately doubled the corpus-sized shuffle work — 5.7s → see the
+    stress table). At 100 TB the model tables are themselves large —
+    they join (shuffle on key), they are never collected or broadcast.
     """
     bg = docs.select(
         F.col(id_col),
@@ -66,16 +70,15 @@ def bigram_lm_scores(
         .agg(F.countDistinct("w").alias("v"))
     )
     p = (F.col("c_bg") + 1) / (F.col("c_w1") + F.col("v"))
-    scored = (
-        bg.join(bgc, "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
+    model = (
+        bgc.withColumn("w1", F.substring_index("bg", " ", 1))
         .join(w1c, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            F.col(id_col),
-            (-F.log(p)).cast("decimal(28,6)").alias("nll"),
+            "bg", (-F.log(p)).cast("decimal(28,6)").alias("nll")
         )
     )
+    scored = bg.join(model, "bg").select(F.col(id_col), "nll")
     st = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         (F.sum("nll").cast("double") / F.count("*")).alias("xent"),
@@ -149,19 +152,38 @@ def score_with_lm(
         F.col(id_col),
         F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg"),
     )
-    p = (F.coalesce("c_bg", F.lit(0)) + 1) / (
-        F.coalesce("c_w1", F.lit(0)) + F.col("v")
+    # seen-bigram NLL is finalized at the model level (one row per
+    # distinct model bigram), so the instance stream joins the
+    # finished model once; only the MISSES — unseen bigrams, the
+    # minority on in-distribution ingest — take the prefix-fallback
+    # join (same split-by-hit shape as incremental_dedup's tiers)
+    model = (
+        bgc.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(w1c, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            (-F.log((F.col("c_bg") + 1) / (F.col("c_w1") + F.col("v"))))
+            .cast("decimal(28,6)")
+            .alias("nll"),
+        )
     )
-    scored = (
-        bg.join(bgc, "bg", "left")
+    inst = bg.join(model, "bg", "left")
+    hits = inst.filter(F.col("nll").isNotNull()).select(
+        F.col(id_col), "nll"
+    )
+    miss_p = 1 / (F.coalesce("c_w1", F.lit(0)) + F.col("v"))
+    misses = (
+        inst.filter(F.col("nll").isNull())
         .withColumn("w1", F.substring_index("bg", " ", 1))
         .join(w1c, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
-            (-F.log(p)).cast("decimal(28,6)").alias("nll"),
+            (-F.log(miss_p)).cast("decimal(28,6)").alias("nll"),
         )
     )
+    scored = hits.unionByName(misses)
     st = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         (F.sum("nll").cast("double") / F.count("*")).alias("xent"),

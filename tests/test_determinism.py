@@ -18,6 +18,14 @@ INVARIANCE_QUERIES = [
     "x03_minhash_signature",
     "x07_cosine_topk",
     "w03_surrogate_key",
+    # round-5 curation: span window counts, block keep-first rewrite,
+    # decimal-summed LM means, argmin assignments — all must be
+    # partitioning-independent
+    "x34_duplicate_spans",
+    "x35_pq_encode",
+    "x36_semantic_dedup",
+    "x37_block_dedup",
+    "x38_lm_perplexity",
 ]
 
 

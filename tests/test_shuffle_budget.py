@@ -138,9 +138,10 @@ SHUFFLE_BUDGET = {
     "x36_semantic_dedup": 2,  # in-cluster pair join + dropped distinct;
     # centroid assignment is map-only
     "x37_block_dedup": 2,  # keep-first window on block hash + doc refold
-    "x38_lm_perplexity": 6,  # bigram explode → count, prefix count
-    # (from the count table), vocab agg, two model joins, doc rollup —
-    # every exchange on an n-gram/word key, model tables never collected
+    "x38_lm_perplexity": 7,  # bigram explode → count, prefix count
+    # (from the count table), vocab agg, model-level bgc⋈w1c join,
+    # ONE instance-level model join, doc rollup — every exchange on an
+    # n-gram/word key; the corpus-sized stream joins the model once
 }
 
 
