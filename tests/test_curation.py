@@ -388,3 +388,46 @@ def test_curate_corpus_block_rewrite_and_lm_band(spark):
     assert [s.stage for s in report] == [
         "exact_dedup", "near_dup_dedup", "lm_xent_band", "block_rewrite"
     ]
+
+
+def test_shingles_zipwith_equals_slice_form(spark):
+    """X.shingles' zip_with chain (the 6-9× faster codegen-friendly
+    form) must produce EXACTLY the slice-and-join shingles — the md5
+    hash family, the LSH band keys, and both engines' oracles all key
+    off these strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.functions import text as X
+
+    random.seed(5)
+    texts = ["", "   ", "one", "a b", "a b c", "a b c d e", "x " * 50,
+             "tabs\tand\nnl mix"]
+    texts += [
+        " ".join(random.choice("abcdefg")
+                 for _ in range(random.randint(0, 12)))
+        for _ in range(100)
+    ]
+    df = _docs(spark, [(i, t) for i, t in enumerate(texts)])
+
+    def slice_form(tok, n):
+        return F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(tok, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    for n in (2, 3, 5):
+        t = X.tokens("text")
+        bad = (
+            df.select(
+                X.shingles(t, n).alias("new"),
+                slice_form(t, n).alias("old"),
+            )
+            .where(~F.col("new").eqNullSafe(F.col("old")))
+            .count()
+        )
+        assert bad == 0, f"n={n}: {bad} mismatches"
