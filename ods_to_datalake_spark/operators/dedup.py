@@ -688,17 +688,18 @@ def span_stats(
     more than once corpus-wide (cross-doc or within-doc).
 
     Plan: tokenize → n-gram explode (map-side) → partial-aggregated
-    groupBy (id, span-hash) → window count over the hash partition for
-    the corpus-wide occurrence total → per-doc rollup → left join back
-    so span-less docs (< n tokens) report zeros. Two shuffles on the
-    span hash + one map-side join; the explode never materializes the
-    span *text* past the md5, so shuffle rows are (id, 16-byte hash,
-    count). At 100 TB this is the suffix-array workload's relational
-    approximation: O(total tokens) rows, uniformly hash-partitioned —
-    no suffix sort, no driver state.
+    groupBy (id, span-hash) → corpus-wide totals per hash attached by
+    a JOIN, not a window (a window over the hash partition puts every
+    instance of a corpus-wide boilerplate span in ONE reducer and
+    cannot be split; the aggregate+join form gives AQE's skew-join a
+    seam, at the cost of one extra hash-keyed exchange of tiny
+    (id, 16-byte hash, count) rows) → per-doc rollup → left join back
+    so span-less docs (< n tokens) report zeros. The explode never
+    materializes the span *text* past the md5. At 100 TB this is the
+    suffix-array workload's relational approximation: O(total tokens)
+    rows, uniformly hash-partitioned — no suffix sort, no driver
+    state.
     """
-    from pyspark.sql import Window
-
     sp = docs.select(
         F.col(id_col),
         F.explode(X.shingles(X.tokens(text_col), span_n)).alias("__s"),
@@ -706,9 +707,8 @@ def span_stats(
     per = sp.groupBy(
         F.col(id_col), F.md5("__s").alias("__h")
     ).agg(F.count("*").alias("__c"))
-    tot = per.withColumn(
-        "__g", F.sum("__c").over(Window.partitionBy("__h"))
-    )
+    totals = per.groupBy("__h").agg(F.sum("__c").alias("__g"))
+    tot = per.join(totals, "__h")
     st = tot.groupBy(id_col).agg(
         F.sum("__c").alias("n_spans"),
         F.sum(F.when(F.col("__g") > 1, F.col("__c")).otherwise(0)).alias(

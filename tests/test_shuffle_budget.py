@@ -132,8 +132,10 @@ SHUFFLE_BUDGET = {
     "x31_incremental_dedup": 6,  # hash anti-join (2) + two band tables
     # (2, one minhash agg each) + band semi-join / id anti-join (2);
     # every exchange is on a hash or band key, never the corpus
-    "x34_duplicate_spans": 3,  # groupBy (doc, span-hash) → window on
-    # hash → per-doc rollup; all three move pre-aggregated hash rows
+    "x34_duplicate_spans": 4,  # groupBy (doc, span-hash) → per-hash
+    # totals agg → totals JOIN (skew-splittable, unlike a window over
+    # the hash partition) → per-doc rollup; all moving (id, hash,
+    # count) rows only
     "x35_pq_encode": 0,  # codebooks are plan literals — pure map
     "x36_semantic_dedup": 2,  # in-cluster pair join + dropped distinct;
     # centroid assignment is map-only
