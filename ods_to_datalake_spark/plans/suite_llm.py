@@ -219,12 +219,16 @@ _SIMHASH_BITS_SQL = ",\n        ".join(
       FROM documents
     )
     SELECT doc_id,
-           concat({_SIMHASH_BITS_SQL}) AS simhash
+           CASE WHEN hs IS NULL THEN NULL
+                ELSE concat({_SIMHASH_BITS_SQL}) END AS simhash
     FROM t
     """,
     doc="32-bit SimHash (nibble-MSB projection of per-token md5): "
     "map-only signature for Hamming-bucket near-dup grouping; one md5 "
-    "per token via array-accumulator aggregate.",
+    "per token via array-accumulator aggregate. NULL text → NULL "
+    "signature (the per-bit CASEs would otherwise fabricate an "
+    "all-zero signature on the SQL side — caught by the NULL edge "
+    "doc).",
 )
 def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.dedup import simhash_signatures
@@ -496,7 +500,10 @@ _SIMHASH_BANDS = [(1, 8), (9, 8), (17, 8), (25, 8)]  # (start, len) ×4
       SELECT doc_id, list_transform({SQL_TOKENS}, tk -> md5(tk)) AS hs
       FROM documents
     ), sig AS (
+      -- NULL text → no signature → no pairs (mirrors Spark's NULL
+      -- propagation; the per-bit CASEs would fabricate all-zeros)
       SELECT doc_id, concat({_SIMHASH_BITS_SQL}) AS simhash FROM t
+      WHERE hs IS NOT NULL
     ), banded AS (
       {" UNION ALL ".join(
         f"SELECT doc_id, simhash, {i} AS band_idx, "

@@ -25,6 +25,7 @@ EDGE_DOCS = [
     (10, " ".join(f"w{i}" for i in range(1200)), "en", "edge", 6000),
     (11, "Email me at a.b@c.de or visit https://x.y/z?q=1 code 123456",
      "en", "edge", 59),
+    (12, None, "en", "edge", 0),  # NULL text — every tokenizer path
 ]
 
 # per-document text/dedup queries whose semantics the edge docs stress
@@ -41,6 +42,7 @@ EDGE_QUERIES = [
     "x16_chunk_documents",
     "x18_decontaminate",
     "x19_hash_split",
+    "x21_simhash_near_dup",
     "x34_duplicate_spans",
     "x37_block_dedup",
     "x38_lm_perplexity",
