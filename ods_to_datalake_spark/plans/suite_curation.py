@@ -75,7 +75,7 @@ SEM_K = 8
     doc=f"Exact-substring dedup signal (Lee et al. 2022): per-doc count "
     f"and ratio of {SPAN_N}-token spans whose verbatim n-gram repeats "
     "anywhere in the corpus — shingle explode, groupBy (doc, span-hash), "
-    "window count over the hash partition for the corpus total; the "
+    "corpus totals attached by an AQE-skew-splittable join; the "
     "relational form of the suffix-array dedup workload.",
 )
 def x34_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

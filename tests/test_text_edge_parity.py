@@ -43,6 +43,14 @@ EDGE_QUERIES = [
     "x18_decontaminate",
     "x19_hash_split",
     "x21_simhash_near_dup",
+    "x05_lsh_jaccard_verify",
+    "x20_quality_topk_per_source",
+    "x22_repetition_metrics",
+    "x23_tfidf_top_terms",
+    "x24_stratified_sample",
+    "x25_dedup_clusters",
+    "x31_incremental_dedup",
+    "x33_dedup_clusters_star",
     "x34_duplicate_spans",
     "x37_block_dedup",
     "x38_lm_perplexity",
