@@ -34,7 +34,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL when either vector has zero norm — without the guard ANSI
+    mode (Spark 4 default) THROWS DIVIDE_BY_ZERO the moment a corpus
+    contains one zero/empty embedding, and with ANSI off the 0/0 NaN
+    compares GREATER than every threshold in Spark's NaN ordering
+    (a zero vector would "near-dup" everything). Oracles mirror the
+    guard with NULLIF on the denominator; NULL comparisons drop the
+    row identically in both engines."""
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:

@@ -281,6 +281,13 @@ def centroids(
     Plan: posexplode → groupBy (cluster, pos) decimal-sum → re-assemble
     ordered arrays. Two shuffles over (n_clusters × dim) rows — trivial
     relative to the corpus.
+
+    Domain: DECIMAL(28,10) bounds per-cell component sums to |Σx| <
+    1e18 — twenty orders of magnitude above real encoder outputs
+    (O(1) floats) but NOT the full float32 range; a corpus of
+    ~1e38-magnitude vectors overflows the exact sum (ANSI error, not
+    silent wrap). That is the price of order-independent bit-exact
+    means; normalize such a corpus first.
     """
     exploded = corpus.select(
         F.col(cluster_col),

@@ -238,8 +238,8 @@ def x35_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT b.vec_id FROM t a JOIN t b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       WHERE ROUND(list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) *
-                   sqrt(list_dot_product(b.v, b.v))), 6)
+                  NULLIF((sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))), 0), 6)
               >= {NEAR_DUP_TAU}
     )
     SELECT t.vec_id, t.cluster,

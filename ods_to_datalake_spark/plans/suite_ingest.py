@@ -117,8 +117,8 @@ def x31_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON n.bucket = s.bucket
        AND n.vec_id % 2 = 1 AND s.vec_id % 2 = 0
       WHERE ROUND(list_dot_product(n.v, s.v) /
-                  (sqrt(list_dot_product(n.v, n.v)) *
-                   sqrt(list_dot_product(s.v, s.v))), 6) >= {NEAR_DUP_TAU}
+                  NULLIF((sqrt(list_dot_product(n.v, n.v)) *
+                   sqrt(list_dot_product(s.v, s.v))), 0), 6) >= {NEAR_DUP_TAU}
     )
     SELECT vec_id FROM c
     WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT vec_id FROM near)

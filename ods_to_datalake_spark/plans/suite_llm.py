@@ -243,7 +243,7 @@ def x06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_COS = (
     "ROUND(list_dot_product(qv, cv) / "
-    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+    "NULLIF((sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 0), 6)"
 )
 
 
@@ -309,8 +309,8 @@ def x07_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), probe_scores AS (
       SELECT q.query_id, c.label,
              ROUND(list_dot_product(qv, centroid) /
-                   (sqrt(list_dot_product(qv, qv)) *
-                    sqrt(list_dot_product(centroid, centroid))), 6)
+                   NULLIF((sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(centroid, centroid))), 0), 6)
                AS c_cos
       FROM q, cents c
     ), probes AS (
@@ -571,12 +571,12 @@ from ods_to_datalake_spark.plans.sql_fragments import (  # noqa: E402
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) *
-                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                 NULLIF((sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 0), 6) AS cosine
     FROM c a JOIN c b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) *
-                 sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_TAU}
+                NULLIF((sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 0), 6) >= {NEAR_DUP_TAU}
     """,
     doc=f"Embedding-cosine near-dup pairs, exact: all pairs ≥ {NEAR_DUP_TAU} "
     "— the ground-truth face of x14. ORACLE-ONLY AT SCALE: the self-join "
@@ -622,13 +622,13 @@ _SQL_BUCKET = sql_hyperplane_bucket(_EMB_DIM)
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) *
-                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                 NULLIF((sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 0), 6) AS cosine
     FROM tagged a JOIN tagged b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.v, b.v) /
-                (sqrt(list_dot_product(a.v, a.v)) *
-                 sqrt(list_dot_product(b.v, b.v))), 6) >= {NEAR_DUP_TAU}
+                NULLIF((sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 0), 6) >= {NEAR_DUP_TAU}
     """,
     doc=f"Embedding near-dup via random-hyperplane LSH ({N_PLANES} "
     "deterministic md5-derived planes): bucket on projection sign bits, "
