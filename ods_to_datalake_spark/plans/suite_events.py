@@ -82,18 +82,26 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e04_json_extract",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k_value,
-           CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+           TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT)
+             AS k_value,
+           CASE WHEN TRY_CAST(json_extract(TRY_CAST(props AS JSON),
+                                           '$.k') AS INT) >= 50
                 THEN 'high' ELSE 'low' END AS k_band
     FROM events
     """,
     doc="Semi-structured extraction: JSON property column → typed "
     "columns (get_json_object / from_json path) — scans stay columnar; "
-    "the JSON parse is per-row JVM-side, no Python.",
+    "the JSON parse is per-row JVM-side, no Python. Malformed/NULL/"
+    "non-scalar props must NULL out, not throw: Spark's "
+    "get_json_object is lenient, so the oracle needs TRY_CAST at both "
+    "the parse and the int coercion (DuckDB json_extract throws on "
+    "garbage — caught by the events edge corpus).",
 )
 def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: a non-scalar/non-numeric $.k (nested object,
+    # string) must NULL out — ANSI cast throws INVALID_INPUT on it
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return cat.table("events").select(
         "event_id",
         k.alias("k_value"),
@@ -167,8 +175,12 @@ def e03_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH uw AS (
       SELECT DISTINCT user_id,
-             CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
-                  // 7 AS INTEGER) AS wk
+             -- floor(x/7.0), not x // 7: DuckDB's integer // truncates
+             -- toward zero while Spark's floor() floors — they differ
+             -- on pre-anchor (negative-day) timestamps (epoch-0 edge)
+             CAST(floor(date_diff('day', DATE '1970-01-05',
+                                  CAST(ts AS DATE)) / 7.0) AS INTEGER)
+               AS wk
       FROM events
     ), cohorts AS (
       SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id
