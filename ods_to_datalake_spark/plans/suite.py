@@ -85,7 +85,17 @@ def register(
     so both engines hash the same IEEE doubles.
     """
     if oracle is not None and double_cols:
-        repl = ", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in double_cols)
+        # VARCHAR round-trip, NOT a direct decimal→double cast:
+        # DuckDB's DECIMAL(38,x)→DOUBLE conversion is off by 1 ulp at
+        # ~1e13 magnitudes (measured: …833.30 → …833.299 while the
+        # string parse and Spark's BigDecimal.doubleValue are correctly
+        # rounded) — 1 ulp there is 0.002, a visible hash mismatch.
+        # The string parse is correctly rounded at every magnitude and
+        # identical for well-behaved values.
+        repl = ", ".join(
+            f"CAST(CAST({c} AS VARCHAR) AS DOUBLE) AS {c}"
+            for c in double_cols
+        )
         oracle = f"SELECT * REPLACE ({repl}) FROM (\n{oracle}\n) AS _final_cast"
 
     def deco(fn: QueryFn) -> QueryFn:

@@ -65,7 +65,8 @@ def _region_nations(cat, region_name: str) -> DataFrame:
     oracle="""
     WITH costs AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_cost
+             MIN(CASE WHEN l_quantity <> 0
+                 THEN l_extendedprice / l_quantity END) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), euro AS (
       SELECT n_nationkey, n_name FROM nation
@@ -107,10 +108,15 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.table("part"),
     )
     euro = _region_nations(cat, "EUROPE")
+    # zero-quantity lines (free samples, data glitches) must NULL out
+    # of the unit-cost MIN, not throw DIVIDE_BY_ZERO under ANSI — the
+    # oracle carries the same CASE guard
+    unit = F.when(
+        F.col("l_quantity") != 0,
+        F.col("l_extendedprice") / F.col("l_quantity"),
+    )
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-            "unit_cost"
-        )
+        F.min(unit).alias("unit_cost")
     )
     euro_costs = costs.join(
         F.broadcast(
