@@ -1,0 +1,72 @@
+"""Property-based cross-engine parity: hypothesis generates small
+random document corpora (including whitespace runs, unicode, NULLs,
+empties, duplicates) and a representative slice of the text suite must
+hash-match its oracle on every one — the generative generalization of
+the hand-picked edge tiers (those pin known divergence classes; this
+hunts unknown ones).
+
+derandomized + bounded examples: the value is breadth of shape, not
+volume — each example costs two engine runs, and failures shrink to a
+minimal corpus which then belongs in test_text_edge_parity.EDGE_DOCS.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from ods_to_datalake_spark.plans.suite import load_all
+from tests.oracle_utils import compare, duckdb_conn
+
+# words skew toward collisions (tiny alphabet) so dedup/LSH paths get
+# real shingle overlap, plus unicode and whitespace oddities
+_WORD = st.one_of(
+    st.sampled_from(["a", "b", "c", "ab", "the", "héllo", "ñ", "x" * 40]),
+    st.text(alphabet="abσπ", min_size=1, max_size=6),
+)
+_TEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.lists(_WORD, min_size=0, max_size=30).map(" ".join),
+    # literal tabs/newlines between words
+    st.lists(_WORD, min_size=1, max_size=10).map("\t".join),
+)
+_CORPUS = st.lists(_TEXT, min_size=1, max_size=12)
+
+# cheap, structurally diverse slice: tokenizer stats, langid scores,
+# the full minhash pipeline, span dedup, and the LM (joins + decimal)
+FUZZ_QUERIES = [
+    "x02_token_count",
+    "x03_minhash_signature",
+    "x34_duplicate_spans",
+    "x38_lm_perplexity",
+]
+
+
+@pytest.mark.parametrize("name", FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_fuzz_corpus_parity(spark, tmp_path_factory, name, texts):
+    d = tmp_path_factory.mktemp("fuzz")
+    rows = [
+        (i, t, "en", "fuzz", len(t) if t else 0)
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {texts!r}: {report}"
+    finally:
+        con.close()
