@@ -70,3 +70,46 @@ def test_fuzz_corpus_parity(spark, tmp_path_factory, name, texts):
         assert report["match"], f"{name} on {texts!r}: {report}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# embedding fuzz: tie-heavy vectors
+# ---------------------------------------------------------------------------
+
+# components from a tiny exact-value set: random floats never tie, but
+# real quantized/normalized embeddings do — this forces equal distances
+# and equal cosines, stressing the argmin and top-k TIE-BREAK paths
+# (struct array_min vs ROW_NUMBER ordering) in both engines
+_COMP = st.sampled_from([0.0, 1.0, -1.0, 0.5, -0.5, 2.0])
+_VEC = st.lists(_COMP, min_size=64, max_size=64)
+_EMB_CORPUS = st.lists(_VEC, min_size=2, max_size=10)
+
+EMB_FUZZ_QUERIES = [
+    "x13_cosine_near_dup",
+    "x35_pq_encode",
+    "x36_semantic_dedup",
+    "x29_quantize_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", EMB_FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=_EMB_CORPUS)
+def test_fuzz_embedding_parity(spark, tmp_path_factory, name, vecs):
+    d = tmp_path_factory.mktemp("efuzz")
+    rows = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {len(vecs)} vecs: {report}"
+    finally:
+        con.close()
