@@ -384,3 +384,34 @@ def delete_keys(
         max_records_per_file=max_records_per_file,
     )
     return len(affected)
+
+
+def prune_runs(
+    path: str,
+    keep_last: int,
+    partition_col: str = "transactiondate_index",
+) -> list[tuple[str, int]]:
+    """Retention for run-indexed datasets: delete every (date, run)
+    snapshot partition except the newest ``keep_last``; returns the
+    pruned (date, run) pairs. The run-index layout (O5) appends a new
+    partition per rerun and never overwrites — time travel for free,
+    but unbounded storage growth without this companion. Driver-side
+    directory removal only (each snapshot is one partition directory);
+    the data itself is never read. ``keep_last`` must be >= 1 — the
+    current snapshot is not deletable retention.
+    """
+    import shutil
+
+    from ods_to_datalake_spark.sources.reader import list_run_indexes
+
+    import os
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    runs = list_run_indexes(path)
+    doomed = runs[:-keep_last] if keep_last < len(runs) else []
+    for date, idx in doomed:
+        shutil.rmtree(
+            os.path.join(path, f"{partition_col}={date}_{idx}")
+        )
+    return doomed

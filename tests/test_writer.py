@@ -459,3 +459,35 @@ def test_read_text_documents_whole_and_lines(spark, tmp_path):
         "hello world", "hello world", "second line", "second line",
         "unique doc",
     ]
+
+
+def test_prune_runs_keeps_newest_snapshots(spark, tmp_path):
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.sources.reader import (
+        list_run_indexes,
+        read_latest_run,
+    )
+    from ods_to_datalake_spark.sources.writer import (
+        prune_runs,
+        write_run_indexed,
+    )
+
+    d = str(tmp_path / "runs")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    for date, idx in [("20240101", 1), ("20240101", 2), ("20240102", 1),
+                      ("20240103", 1)]:
+        write_run_indexed(df, d, date, idx)
+    assert len(list_run_indexes(d)) == 4
+
+    doomed = prune_runs(d, keep_last=2)
+    assert doomed == [("2024-01-01", 1), ("2024-01-01", 2)]
+    assert list_run_indexes(d) == [("2024-01-02", 1), ("2024-01-03", 1)]
+    # the surviving latest snapshot still reads
+    assert read_latest_run(spark, d).count() == 2
+
+    # pruning below one snapshot is refused; keep_last >= n is a no-op
+    with _pytest.raises(ValueError, match=">= 1"):
+        prune_runs(d, keep_last=0)
+    assert prune_runs(d, keep_last=10) == []
+    assert len(list_run_indexes(d)) == 2
