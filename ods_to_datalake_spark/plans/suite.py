@@ -129,87 +129,85 @@ def headline_queries() -> dict[str, QueryFn]:
 # never-green/stale sets from the accumulated CORRECTNESS_r*.json, and
 # tests/test_registration_order.py imports it so the pin can't drift).
 #
-# Round-5 window (the rotation VERDICT r4 item 1 asked for): after the
-# fully-green round 4, the 50 stale queries are exactly suite_llm (24,
-# r02 evidence) + suite_tpch (16, r02) + the 10 suite_core rows that
-# fell outside the r04 window (r03). `_WINDOW_PRIORITY` lists them
-# explicitly — r02-stale first, new round-5 queries next, r03-stale
-# fill last (new never-green queries displace the fill tail; displaced
-# rows slip one round and stay guarded by validate.py's 100/100).
+# Round-6 window (the rotation CLAUDE.md planned for a green r05):
+# the stale set is 56 queries — the 6 rows that slipped in round 5
+# (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
+# (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
+# 56 > 50, so the 6 lowest-priority r04 suite_core rows (simple
+# scalar/set queries, least drift-prone, all validate-covered) slip
+# one round: f02, f08, f_scalar_functions, t01, t02, u01 — they head
+# the round-7 window. Any new round-6 query displaces one more core
+# row into SLIPPED_THIS_ROUND (tests/test_registration_order.py).
 _WINDOW_PRIORITY: list[str] = [
-    # suite_llm — driver evidence r02 (module registration order)
-    "x01_exact_dedup",
-    "x03_minhash_signature",
-    "x04_minhash_lsh_candidates",
-    "x05_lsh_jaccard_verify",
-    "x06_simhash",
-    "x07_cosine_topk",
-    "x08_ivf_ann",
-    "x19_hash_split",
-    "x20_quality_topk_per_source",
-    "x18_decontaminate",
-    "x21_simhash_near_dup",
-    "x13_cosine_near_dup",
-    "x14_hyperplane_lsh_near_dup",
-    "x09_langid",
-    "x10_quality_score",
-    "x11_fingerprint",
-    "x15_redact_text",
-    "x16_chunk_documents",
-    "x17_profile_table",
-    "x02_token_count",
-    "x22_repetition_metrics",
-    "x23_tfidf_top_terms",
-    "x24_stratified_sample",
-    "x25_dedup_clusters",
-    # suite_tpch — driver evidence r02
-    "q02_min_cost_supplier",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q10_returned_items",
-    "q11_important_values",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # new round-5 queries (never-green → must be in window)
-    "x33_dedup_clusters_star",
-    "x34_duplicate_spans",
-    "x35_pq_encode",
-    "x36_semantic_dedup",
-    "x37_block_dedup",
-    "x38_lm_perplexity",
-    # r03-stale suite_core fill — tail rows displaced by new queries
-    # slip one round (w07 is slot 51 → round-6 window)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_region_revenue",
-    "q06_revenue_forecast",
+    # slipped in round 5 — oldest (r03) evidence, refresh first
+    "w07_ntile_quartiles",
     "a10_grouping_sets",
     "u05_scd2_merge",
     "u02_intersect_cube",
     "w06_lag_lead_delta",
-    "w07_ntile_quartiles",
+    "q06_revenue_forecast",
+    # suite_media — driver evidence r04
+    "x12_media_features",
+    "x26_image_decode",
+    "x27_audio_decode",
+    "x28_sequence_pack",
+    "x29_quantize_embeddings",
+    "x30_video_frames",
+    # suite_events — driver evidence r04 (timestamp-physicality
+    # sensitive: keep the whole family in-window every rotation)
+    "e01_tumbling_window",
+    "e02_sessionize",
+    "e03_asof_join",
+    "e04_json_extract",
+    "e05_purchase_attribution",
+    "e06_retention_cohorts",
+    "e07_event_funnel",
+    "e08_trailing_window",
+    # suite_ingest — driver evidence r04
+    "x31_incremental_dedup",
+    "x32_incremental_embedding_dedup",
+    # suite_core r04 rows (34 total; the 6 in SLIPPED_THIS_ROUND
+    # fall outside the window and head the round-7 rotation)
+    "a01_fold_sorted_array",
+    "a02_document_fold",
+    "a03_conditional_sum",
+    "a04_pivot",
+    "a06_rollup",
+    "a07_distinct_agg",
+    "a08_two_phase_agg",
+    "a09_percentiles",
+    "j01_semi_join",
+    "j01b_anti_join",
+    "j02_left_attach_preagg",
+    "j03_broadcast_dim_decode",
+    "j04_range_join",
+    "j05_salted_join",
+    "p01_projection_scan",
+    "p03_derive_drop_rename",
+    "p06_range_filter",
+    "p07_isin_filter",
+    "p08_not_isin_filter",
+    "p10_trim_compound_filter",
+    "q18_large_orders",
+    "u03_upsert_snapshot",
+    "u04_union_by_name",
+    "w01_sequence",
+    "w02_multikey_sequence",
+    "w03_surrogate_key",
+    "w04_dedup_keep_first",
+    "w05_running_total",
 ]
 
 
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
-        suite_media,  # 6 queries (x12, x26-x30); all driver-green r04
-        suite_events,  # 8 queries; all driver-green r04
-        suite_ingest,  # 2 queries (x31, x32); driver-green r04
-        suite_core,  # 44 queries; 34 green r04, 10 in the r05 window
-        suite_llm,  # 24 queries; r02 evidence → r05 window head
-        suite_tpch,  # 16 queries; r02 evidence → r05 window
-        suite_curation,  # 4 new round-5 queries (x34-x37) → window
+        suite_media,  # 6 queries (x12, x26-x30); r04 evidence → r06 window
+        suite_events,  # 8 queries; r04 evidence → r06 window
+        suite_ingest,  # 2 queries (x31, x32); r04 evidence → r06 window
+        suite_core,  # 44 queries; 6 slipped-r03 rows head the window
+        suite_llm,  # 24 queries; all driver-green r05
+        suite_tpch,  # 16 queries; all driver-green r05
+        suite_curation,  # 4 round-5 queries (x34-x37); driver-green r05
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

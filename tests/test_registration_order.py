@@ -39,64 +39,68 @@ def test_driver_window_covers_currently_red():
     assert red <= window, sorted(red - window)
 
 
-# Queries whose driver evidence is allowed to slip one round because a
-# never-green (new) query displaced them from the window. Must stay
-# small and deliberate; everything here is still covered by validate.py.
+# Queries whose driver evidence is allowed to slip one round because
+# the stale set (56) exceeds the 50-slot window. Must stay small and
+# deliberate; everything here is still covered by validate.py.
 SLIPPED_THIS_ROUND: set[str] = {
-    # displaced by the five new never-green round-5 queries (x33-x37);
-    # all r03-green and validate-covered — round-6 window head
-    "w07_ntile_quartiles",
-    "a10_grouping_sets",
-    "u05_scd2_merge",
-    "u02_intersect_cube",
-    "w06_lag_lead_delta",
-    "q06_revenue_forecast",
+    # the 6 lowest-priority r04-evidence suite_core rows (simple
+    # scalar/set queries, least drift-prone) — round-7 window head
+    "f02_string_functions",
+    "f08_case_decode",
+    "f_scalar_functions",
+    "t01_top_k",
+    "t02_top_k_per_group",
+    "u01_set_ops",
 }
 
 
 def test_driver_window_composition():
-    """Round-5 rotation plan (VERDICT r4 item 1): the 50 stale queries
-    — suite_llm (24, r02 evidence) + suite_tpch (16, r02) + the 10
-    suite_core rows outside the r04 window (r03) — fill the window,
-    r02-stale first. New never-green queries displace the fill tail
-    (tracked in SLIPPED_THIS_ROUND). Assert the composition by COUNT
-    and membership, not just the edge, so the test still constrains the
-    window when the evidence sets are empty (post-green-round)."""
+    """Round-6 rotation plan (CLAUDE.md / VERDICT r5 item 1): the 6
+    rows that slipped in round 5 (r03 evidence) head the window,
+    followed by the r04-evidence families — suite_media (6),
+    suite_events (8), suite_ingest (2), suite_core r04 rows (34, of
+    which the 6 in SLIPPED_THIS_ROUND fall outside). Assert the
+    composition by membership, not just the edge, so the test still
+    constrains the window when the evidence sets are empty."""
     names = list(load_all())
     window = set(names[:DRIVER_WINDOW])
-    llm = {
-        n
-        for n in names
-        if n.startswith("x") and n[1:3].isdigit() and int(n[1:3]) <= 25
-        and not n.startswith("x12")
-    }
-    tpch = {n for n in names if n.startswith("q") and n != "q18_large_orders"}
-    assert len(llm) == 24, sorted(llm)
-    assert len(tpch) == 21, sorted(tpch)  # q01-q06 live in suite_core
-    assert llm <= window, sorted(llm - window)
-    assert (tpch - SLIPPED_THIS_ROUND) <= window, sorted(
-        (tpch - SLIPPED_THIS_ROUND) - window
-    )
-    r03_stale_core = {
+    slipped_r5 = {
+        "w07_ntile_quartiles",
         "a10_grouping_sets",
         "u05_scd2_merge",
         "u02_intersect_cube",
         "w06_lag_lead_delta",
-        "w07_ntile_quartiles",
+        "q06_revenue_forecast",
     }
-    assert (r03_stale_core - SLIPPED_THIS_ROUND) <= window, sorted(
-        (r03_stale_core - SLIPPED_THIS_ROUND) - window
+    assert slipped_r5 <= set(names[:6]), sorted(slipped_r5 - set(names[:6]))
+    media = {n for n in ("x12_media_features", "x26_image_decode",
+                         "x27_audio_decode", "x28_sequence_pack",
+                         "x29_quantize_embeddings", "x30_video_frames")}
+    events = {n for n in names if n.startswith("e0")}
+    ingest = {"x31_incremental_dedup", "x32_incremental_embedding_dedup"}
+    assert len(events) == 8, sorted(events)
+    assert media <= window, sorted(media - window)
+    assert events <= window, sorted(events - window)
+    assert ingest <= window, sorted(ingest - window)
+    r04_core = {
+        "a01_fold_sorted_array", "a02_document_fold",
+        "a03_conditional_sum", "a04_pivot", "a06_rollup",
+        "a07_distinct_agg", "a08_two_phase_agg", "a09_percentiles",
+        "f02_string_functions", "f08_case_decode", "f_scalar_functions",
+        "j01_semi_join", "j01b_anti_join", "j02_left_attach_preagg",
+        "j03_broadcast_dim_decode", "j04_range_join", "j05_salted_join",
+        "p01_projection_scan", "p03_derive_drop_rename",
+        "p06_range_filter", "p07_isin_filter", "p08_not_isin_filter",
+        "p10_trim_compound_filter", "q18_large_orders", "t01_top_k",
+        "t02_top_k_per_group", "u01_set_ops", "u03_upsert_snapshot",
+        "u04_union_by_name", "w01_sequence", "w02_multikey_sequence",
+        "w03_surrogate_key", "w04_dedup_keep_first", "w05_running_total",
+    }
+    assert len(r04_core) == 34
+    assert (r04_core - SLIPPED_THIS_ROUND) <= window, sorted(
+        (r04_core - SLIPPED_THIS_ROUND) - window
     )
-    new_round5 = {
-        "x33_dedup_clusters_star",
-        "x34_duplicate_spans",
-        "x35_pq_encode",
-        "x36_semantic_dedup",
-        "x37_block_dedup",
-        "x38_lm_perplexity",
-    }
-    assert new_round5 <= window, sorted(new_round5 - window)
-    assert names[DRIVER_WINDOW - 1] == "q05_region_revenue"
+    assert names[DRIVER_WINDOW - 1] == "w05_running_total"
 
 
 def test_window_covers_all_stale_except_slipped():
