@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ods_to_datalake_spark.functions import text as X
@@ -84,13 +84,17 @@ def curate_corpus(
         report.append(CurationStage(stage, n_before, n_after))
         return n_after
 
-    # 1. exact dedup (keep lowest id per content hash)
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-    exact = (
-        cur.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # 1. exact dedup (keep lowest id per content hash). Skew-safe:
+    # groupBy(hash).agg(min(id)) partially aggregates map-side — a
+    # corpus-wide boilerplate document collapses before the exchange —
+    # and ids are unique, so a semi-join on id alone (uniform key)
+    # recovers the kept rows. A row_number window over md5(text) would
+    # put every copy of a hot document in one unsplittable reducer
+    # partition (VERDICT r5 item 2).
+    keep_ids = cur.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min(id_col).alias(id_col)
     )
+    exact = cur.join(keep_ids.select(id_col), id_col, "left_semi")
     n_in = advance("exact_dedup", exact, n_in)
 
     # 2. near-dup dedup (LSH candidates → Jaccard verify → drop id_b)

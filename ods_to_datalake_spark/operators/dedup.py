@@ -727,6 +727,40 @@ def span_stats(
     )
 
 
+def _keep_first_flag(blocks: DataFrame, id_col: str) -> DataFrame:
+    """Attach ``__kept`` (boolean) to an exploded
+    ``(id, block_idx, __block)`` frame: true iff this instance is the
+    corpus-wide first occurrence of its block, ordered by
+    (id, block_idx).
+
+    Skew-safe keep-first: ``groupBy(md5(block)).agg(min(struct(id,
+    idx)))`` partially aggregates map-side — a block repeated across
+    every document in the corpus collapses to one row per input
+    partition before the exchange — and the kept keys join back on
+    the unique (id, idx) composite, which is uniformly distributed by
+    construction. The equivalent `row_number` window over the block
+    hash funnels every instance of a hot block into a single reducer
+    partition that AQE cannot split (VERDICT r5 item 2).
+    """
+    kept_keys = (
+        blocks.groupBy(F.md5("__block").alias("__h"))
+        .agg(
+            F.min(
+                F.struct(F.col(id_col), F.col("block_idx"))
+            ).alias("__first")
+        )
+        .select(
+            F.col("__first")[id_col].alias(id_col),
+            F.col("__first")["block_idx"].alias("block_idx"),
+            F.lit(True).alias("__kept"),
+        )
+    )
+    return (
+        blocks.join(kept_keys, [id_col, "block_idx"], "left")
+        .withColumn("__kept", F.coalesce("__kept", F.lit(False)))
+    )
+
+
 def block_dedup(
     docs: DataFrame,
     id_col: str,
@@ -742,16 +776,24 @@ def block_dedup(
     blocks in order. Boilerplate (headers, license banners, navigation
     chrome) collapses to a single corpus-wide copy.
 
-    Plan: token-slice blocks (map-side, same chunker as x16) → one
-    shuffle on the block hash for the keep-first row_number → per-doc
-    re-fold (shuffle on id) → left join back so fully-deduped docs
-    emit ''. The re-fold collects (position, block) structs — bounded
-    by the document length, the same footprint as the flagship
-    document fold. For newline-structured corpora split on the real
-    paragraph delimiter instead via ``paragraph_dedup``.
+    Plan: token-slice blocks (map-side, same chunker as x16) →
+    keep-first via ``groupBy(md5(block)).agg(min(struct(id, idx)))``
+    — partially aggregated map-side, so a corpus-wide boilerplate
+    block (license banners across 10⁹ docs — the exact workload block
+    dedup exists for) collapses to one row per hash BEFORE the
+    exchange — → join the kept (id, idx) keys back on the UNIQUE,
+    uniform (id, idx) composite (no skew possible) → per-doc re-fold
+    (shuffle on id) → left join back so fully-deduped docs emit ''.
+    A `row_number over (partition by md5(block))` window would put
+    every instance of a hot block in ONE reducer partition that AQE
+    cannot split; the agg+join form is the same answer with a
+    skew-splittable plan (guarded by
+    tests/test_dedup.py::test_block_dedup_degenerate_corpus_plan).
+    The re-fold collects (position, block) structs — bounded by the
+    document length, the same footprint as the flagship document
+    fold. For newline-structured corpora split on the real paragraph
+    delimiter instead via ``paragraph_dedup``.
     """
-    from pyspark.sql import Window
-
     toks = X.tokens(text_col)
     n_blocks = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("long")
     block_list = F.transform(
@@ -764,23 +806,20 @@ def block_dedup(
         F.col(id_col),
         F.posexplode(block_list).alias("block_idx", "__block"),
     )
-    w = Window.partitionBy(F.md5("__block")).orderBy(
-        F.col(id_col), F.col("block_idx")
-    )
-    flagged = blocks.withColumn("__rn", F.row_number().over(w))
+    flagged = _keep_first_flag(blocks, id_col)
     refold = (
         flagged.groupBy(id_col)
         .agg(
             F.count("*").alias("n_blocks"),
             F.sum(
-                F.when(F.col("__rn") == 1, 1).otherwise(0)
+                F.when(F.col("__kept"), 1).otherwise(0)
             ).alias("n_kept"),
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__rn") == 1,
+                                F.col("__kept"),
                                 F.struct(
                                     F.col("block_idx"), F.col("__block")
                                 ),
@@ -813,28 +852,24 @@ def paragraph_dedup(
     re-join survivors with the same delimiter. The form CCNet actually
     runs on web text; the testdata corpus has no newlines, so the
     registered query face (x37) uses the token-block variant and this
-    is exercised on synthetic newline docs in tests."""
-    from pyspark.sql import Window
-
+    is exercised on synthetic newline docs in tests. Keep-first is the
+    same skew-safe agg+join as ``block_dedup`` (`_keep_first_flag`)."""
     paras = docs.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.col(text_col), F.lit(delimiter).cast("string"))
         ).alias("block_idx", "__block"),
     )
-    w = Window.partitionBy(F.md5("__block")).orderBy(
-        F.col(id_col), F.col("block_idx")
-    )
-    flagged = paras.withColumn("__rn", F.row_number().over(w))
+    flagged = _keep_first_flag(paras, id_col)
     refold = flagged.groupBy(id_col).agg(
         F.count("*").alias("n_blocks"),
-        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0)).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("__rn") == 1,
+                            F.col("__kept"),
                             F.struct(F.col("block_idx"), F.col("__block")),
                         )
                     )

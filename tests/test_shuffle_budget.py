@@ -139,7 +139,11 @@ SHUFFLE_BUDGET = {
     "x35_pq_encode": 0,  # codebooks are plan literals — pure map
     "x36_semantic_dedup": 2,  # in-cluster pair join + dropped distinct;
     # centroid assignment is map-only
-    "x37_block_dedup": 2,  # keep-first window on block hash + doc refold
+    # keep-first agg on block hash (map-side partial) + kept-key join
+    # on the uniform (id, idx) composite + doc refold — one exchange
+    # more than the old hash-partitioned window, but every exchange is
+    # skew-splittable (deliberate, VERDICT r5 item 2)
+    "x37_block_dedup": 3,
     "x38_lm_perplexity": 7,  # bigram explode → count, prefix count
     # (from the count table), vocab agg, model-level bgc⋈w1c join,
     # ONE instance-level model join, doc rollup — every exchange on an
