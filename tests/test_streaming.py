@@ -685,6 +685,72 @@ def test_ts_physicality_nested_directory(spark, tmp_path):
     assert _ts_physicality(str(tmp_path)) == "ns"
 
 
+def test_streaming_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivers the same batch_id after a crash between
+    the sink's two writes (parquet has no atomic multi-dir commit).
+    The per-batch ``ingest_batch=<id>`` overwrite layout must make the
+    replay a no-op: identical out/state contents, and the replayed
+    batch must NOT see its own previously-committed state (else it
+    would reject every one of its own docs as their own near-dups) —
+    VERDICT r5 item 3."""
+    from ods_to_datalake_spark.operators.dedup import lsh_banded
+    from ods_to_datalake_spark.streaming.ingest import (
+        _near_dup_sink,
+        _seed_state_if_absent,
+    )
+
+    def banded(df):
+        return lsh_banded(df, "doc_id", "text", 3, 8, 4, 2)
+
+    base_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    base_n = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    seen = spark.createDataFrame([(1, base_a)], "doc_id long, text string")
+    state_dir = str(tmp_path / "replay_state")
+    out_dir = str(tmp_path / "replay_out")
+    _seed_state_if_absent(banded(seen), state_dir)
+    sink = _near_dup_sink(banded, out_dir, state_dir, "doc_id")
+
+    batch0 = spark.createDataFrame(
+        [
+            (11, base_a.replace("upsilon", "phi")),  # near-dup of seen
+            (12, base_n),  # novel → admitted
+        ],
+        "doc_id long, text string",
+    )
+    sink(batch0, 0)
+
+    def snapshot():
+        out = sorted(
+            r.doc_id for r in spark.read.parquet(out_dir).collect()
+        )
+        state = sorted(
+            (r.doc_id, r.band_idx, r.band_key)
+            for r in spark.read.parquet(state_dir).collect()
+        )
+        return out, state
+
+    first = snapshot()
+    assert first[0] == [12]
+    # crash-replay: the SAME batch_id redelivered with the same rows
+    sink(batch0, 0)
+    assert snapshot() == first, "replay duplicated rows or flipped a decision"
+    # the grown state still rejects a later near-dup of the admitted doc
+    batch1 = spark.createDataFrame(
+        [(13, base_n.replace("eighteen", "nineteen"))],
+        "doc_id long, text string",
+    )
+    sink(batch1, 1)
+    out_ids, state_ids = snapshot()
+    assert out_ids == [12]
+    assert {s[0] for s in state_ids} == {1, 12}
+
+
 def test_ingest_state_partial_seed_self_heals(spark, tmp_path):
     """A state dir left behind by a CRASHED seed write (files but no
     _SUCCESS marker) must not disable seeding: the next run reseeds
@@ -697,9 +763,10 @@ def test_ingest_state_partial_seed_self_heals(spark, tmp_path):
     )
 
     state_dir = tmp_path / "healed_state"
-    state_dir.mkdir()
-    # simulate a torn write: stray part file, no _SUCCESS
-    (state_dir / "part-junk.parquet").write_bytes(b"torn")
+    seed_part = state_dir / "ingest_batch=seed"
+    seed_part.mkdir(parents=True)
+    # simulate a torn seed write: stray part file, no _SUCCESS
+    (seed_part / "part-junk.parquet").write_bytes(b"torn")
 
     a = [1.0, 0.5, -0.25, 0.75]
     seen = spark.createDataFrame(
