@@ -101,10 +101,13 @@ def x34_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS block_list
       FROM t
     ), blocks AS (
-      SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
-             block_list[i] AS block
-      FROM bl, range(1, 10000) r(i)
-      WHERE i <= len(block_list)
+      -- generate_subscripts + unnest: index-aligned, no arbitrary
+      -- range cap (range(1, 10000) silently diverged past 10k blocks)
+      SELECT doc_id,
+             CAST(generate_subscripts(block_list, 1) - 1 AS INT)
+               AS block_idx,
+             unnest(block_list) AS block
+      FROM bl
     ), flagged AS (
       SELECT doc_id, block_idx, block,
              ROW_NUMBER() OVER (

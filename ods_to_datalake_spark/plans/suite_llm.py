@@ -834,10 +834,10 @@ def x15_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           CAST(i - 1 AS INT) AS chunk_id,
-           chunk_list[i] AS chunk_text
-    FROM chunks, range(1, 10000) r(i)
-    WHERE i <= len(chunk_list)
+           CAST(generate_subscripts(chunk_list, 1) - 1 AS INT)
+             AS chunk_id,
+           unnest(chunk_list) AS chunk_text
+    FROM chunks
     """,
     doc=f"Document chunking for training pipelines: {CHUNK_SIZE}-token "
     f"windows with {CHUNK_OVERLAP}-token overlap via token-slice + "
