@@ -81,21 +81,34 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e04_json_extract",
     oracle="""
-    SELECT event_id,
-           TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS INT)
-             AS k_value,
-           CASE WHEN TRY_CAST(json_extract(TRY_CAST(props AS JSON),
-                                           '$.k') AS INT) >= 50
-                THEN 'high' ELSE 'low' END AS k_band
-    FROM events
+    WITH s AS (
+      SELECT event_id,
+             json_extract_string(TRY_CAST(props AS JSON), '$.k') AS kv
+      FROM events
+    ), typed AS (
+      -- mirror Spark's STRING-path semantics exactly: extract the
+      -- value's text form, cast only integral literals. DuckDB's
+      -- CAST(JSON AS INT) converts booleans (true→1) and its
+      -- VARCHAR→INT TRY_CAST rounds fractionals ('49.9'→50), both of
+      -- which Spark's get_json_object + try_cast NULL out — found by
+      -- the events fuzz tier on {"k": true}.
+      SELECT event_id,
+             CASE WHEN regexp_matches(trim(kv), '^[+-]?[0-9]+$')
+                  THEN TRY_CAST(kv AS INT) END AS k_value
+      FROM s
+    )
+    SELECT event_id, k_value,
+           CASE WHEN k_value >= 50 THEN 'high' ELSE 'low' END AS k_band
+    FROM typed
     """,
     doc="Semi-structured extraction: JSON property column → typed "
     "columns (get_json_object / from_json path) — scans stay columnar; "
     "the JSON parse is per-row JVM-side, no Python. Malformed/NULL/"
-    "non-scalar props must NULL out, not throw: Spark's "
-    "get_json_object is lenient, so the oracle needs TRY_CAST at both "
-    "the parse and the int coercion (DuckDB json_extract throws on "
-    "garbage — caught by the events edge corpus).",
+    "non-scalar/boolean/fractional props must NULL out, not throw: "
+    "Spark's get_json_object is lenient and its string→int cast takes "
+    "integral literals only, so the oracle extracts TEXT and gates the "
+    "cast on an integral regex (DuckDB's JSON→INT converts booleans "
+    "and its VARCHAR→INT rounds '49.9' — caught by the fuzz tier).",
 )
 def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)

@@ -47,6 +47,14 @@ EDGE_EVENTS = [
     (12, _ts("2024-01-02T00:30:00"), 4, "purchase", 9.0, '{"k": 8}'),
     (13, _ts("2024-01-08T00:00:00"), 4, "click", 1.0, '{"k": 9}'),
     (14, _ts("2024-01-03T00:00:00"), 5, "signup", 0.0, "[1, 2]"),
+    # fuzz-shrunk (2026-08, round 6): JSON booleans and fractionals —
+    # DuckDB's CAST(JSON AS INT) maps true→1 and its VARCHAR→INT
+    # rounds '49.9'→50 where Spark NULLs both; the e04 oracle gates
+    # the cast on an integral-literal regex
+    (15, _ts("2024-01-04T00:00:00"), 5, "view", 1.0, '{"k": true}'),
+    (16, _ts("2024-01-04T00:01:00"), 5, "view", 1.0, '{"k": false}'),
+    (17, _ts("2024-01-04T00:02:00"), 5, "view", 1.0, '{"k": 49.9}'),
+    (18, _ts("2024-01-04T00:03:00"), 5, "view", 1.0, '{"k": "+50"}'),
 ]
 
 EDGE_QUERIES = [

@@ -79,10 +79,19 @@ def test_fuzz_corpus_parity(spark, tmp_path_factory, name, texts):
 # components from a tiny exact-value set: random floats never tie, but
 # real quantized/normalized embeddings do — this forces equal distances
 # and equal cosines, stressing the argmin and top-k TIE-BREAK paths
-# (struct array_min vs ROW_NUMBER ordering) in both engines
-_COMP = st.sampled_from([0.0, 1.0, -1.0, 0.5, -0.5, 2.0])
+# (struct array_min vs ROW_NUMBER ordering) in both engines. The set
+# includes float32 denormals (1e-45) and large magnitudes (±1e15) so
+# norm/dot paths hit underflow-adjacent and precision-loss regions
+# (VERDICT r5 item 5); every corpus also carries one all-zero vector —
+# the zero-norm guard (cosine → NULL, never DIVIDE_BY_ZERO/NaN) fires
+# on every example.
+_COMP = st.sampled_from(
+    [0.0, 1.0, -1.0, 0.5, -0.5, 2.0, 1e-45, 1e15, -1e15]
+)
 _VEC = st.lists(_COMP, min_size=64, max_size=64)
-_EMB_CORPUS = st.lists(_VEC, min_size=2, max_size=10)
+_EMB_CORPUS = st.lists(_VEC, min_size=2, max_size=10).map(
+    lambda vs: vs + [[0.0] * 64]
+)
 
 EMB_FUZZ_QUERIES = [
     "x13_cosine_near_dup",
@@ -111,5 +120,103 @@ def test_fuzz_embedding_parity(spark, tmp_path_factory, name, vecs):
         q = load_all()[name]
         report = compare(q.fn(spark, str(d)), con, q.oracle)
         assert report["match"], f"{name} on {len(vecs)} vecs: {report}"
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# events fuzz: malformed JSON × epoch-edge timestamps
+# ---------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+# timestamps cluster around known divergence regions — epoch 0 and the
+# 1970-01-05 week anchor (negative-day floor-vs-truncate), exact ties
+# (tiny sampled pool), plus arbitrary datetimes inside the pandas-ns
+# range (oracle_utils hashes through pandas)
+_EVENT_TS = st.one_of(
+    st.sampled_from(
+        [
+            _dt.datetime(1969, 12, 31, 23, 59, 59),
+            _dt.datetime(1970, 1, 1, 0, 0, 0),
+            _dt.datetime(1970, 1, 4, 12, 0, 0),
+            _dt.datetime(1970, 1, 5, 0, 0, 0),
+            _dt.datetime(2024, 1, 1, 0, 0, 0),
+            _dt.datetime(2200, 12, 31, 23, 59, 59, 999999),
+        ]
+    ),
+    st.datetimes(
+        min_value=_dt.datetime(1900, 1, 1),
+        max_value=_dt.datetime(2200, 1, 1),
+    ),
+)
+# malformed / non-scalar / overflow / fractional JSON props — both
+# engines must NULL out, never throw (get_json_object lenience vs
+# DuckDB TRY_CAST twice)
+_PROPS = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            "",
+            "{",
+            "not json at all",
+            "[1, 2]",
+            '{"k": 1}',
+            '{"k": 50}',
+            '{"k": -3}',
+            '{"k": 49.9}',
+            '{"k": "str"}',
+            '{"k": {"nested": 1}}',
+            '{"k": 99999999999999999999}',
+            '{"other": 9}',
+            '{"k": null}',
+            '{"k": true}',
+        ]
+    ),
+    st.integers(-100, 100).map(lambda i: f'{{"k": {i}}}'),
+)
+_EVENT = st.tuples(
+    _EVENT_TS,
+    st.integers(1, 4),  # few users → funnel/session overlap
+    st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+    st.sampled_from([0.0, 1.0, -7.5, 0.01, 1e6]),
+    _PROPS,
+)
+_EVENTS = st.lists(_EVENT, min_size=1, max_size=14)
+
+# JSON extraction, the negative-week floor, the ordered funnel, and
+# sessionization over exact-tie timestamps
+EV_FUZZ_QUERIES = [
+    "e02_sessionize",
+    "e04_json_extract",
+    "e06_retention_cohorts",
+    "e07_event_funnel",
+]
+
+
+@pytest.mark.parametrize("name", EV_FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_EVENTS)
+def test_fuzz_events_parity(spark, tmp_path_factory, name, events):
+    d = tmp_path_factory.mktemp("evfuzz")
+    rows = [
+        (i, ts, uid, etype, val, props)
+        for i, (ts, uid, etype, val, props) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {events!r}: {report}"
     finally:
         con.close()
