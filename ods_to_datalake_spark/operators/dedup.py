@@ -727,6 +727,93 @@ def span_stats(
     )
 
 
+def span_rewrite(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_n: int,
+) -> DataFrame:
+    """(id, n_tokens, n_removed, clean_text): token-level duplicate-span
+    REMOVAL — the rewrite half of Lee et al. 2022's ExactSubstr dedup
+    (`span_stats` is the signal half). Every ``span_n``-token window
+    whose verbatim n-gram occurs again anywhere in the corpus keeps
+    only its corpus-first occurrence (ordered by (doc id, position));
+    a token is deleted when a NON-first span instance covers it; the
+    document is re-assembled from surviving tokens in order.
+
+    Variable-length duplicates come out by composition: a duplicated
+    run of L ≥ span_n tokens is covered by its L − span_n + 1
+    duplicated windows, so the WHOLE run disappears at every
+    non-canonical site — no fixed-block boundary artifacts
+    (`block_dedup` removes only block-aligned repeats; this removes
+    any repeat of length ≥ span_n at token granularity).
+
+    Plan: tokenize → n-gram posexplode (map-side, zip_with shingles) →
+    skew-safe keep-first (`_keep_first_flag`: partial-agg on the span
+    hash + join back on unique (id, pos)) → duplicate instances
+    explode to their ≤ span_n covered positions → distinct removed
+    (id, pos) set → anti-join the token stream → per-doc refold
+    (position-sorted struct collect, the flagship fold's footprint).
+    Everything shuffles on uniform keys ((id, pos) composites or the
+    partially-aggregated span hash); a corpus-wide boilerplate span
+    never lands in one reducer.
+    """
+    toks = X.tokens(text_col)
+    tok_rows = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("tok_pos", "__tok")
+    )
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(X.shingles(toks, span_n)).alias(
+            "block_idx", "__block"
+        ),
+    )
+    removed = (
+        _keep_first_flag(spans, id_col)
+        .filter(~F.col("__kept"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("block_idx"),
+                    F.col("block_idx") + F.lit(span_n - 1),
+                )
+            ).alias("tok_pos"),
+        )
+        .distinct()
+    )
+    refold = (
+        tok_rows.join(removed, [id_col, "tok_pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("__n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("tok_pos"), F.col("__tok"))
+                        )
+                    ),
+                    lambda s: s.getField("__tok"),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.size(toks).alias("__n_tokens"))
+        .join(refold, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("__n_tokens") - F.coalesce("__n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def _keep_first_flag(blocks: DataFrame, id_col: str) -> DataFrame:
     """Attach ``__kept`` (boolean) to an exploded
     ``(id, block_idx, __block)`` frame: true iff this instance is the

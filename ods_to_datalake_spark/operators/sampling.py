@@ -35,6 +35,41 @@ def hash_bucket(id_col: str | Column, buckets: int = HASH_BUCKETS) -> Column:
     )
 
 
+def deterministic_shard(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """(id, shard, shard_pos): reproducible global training order — the
+    distributed equivalent of "shuffle the dataset once, then shard
+    it", as a pure function of the row keys. Shard membership is the
+    content-stable `hash_bucket`; the position within a shard orders
+    by (md5(id), id) — a deterministic pseudo-random permutation, so
+    feeding shards round-robin replays the identical example order
+    across runs, partitionings, cluster sizes, and engines (rand()
+    and df.sample() are only seed-stable per partitioning).
+
+    Scale: one shuffle on the shard key; the per-shard row_number
+    window parallelizes across shards — pick n_shards ≥ executor
+    cores (thousands at 100 TB) and every reducer partition stays
+    bounded at corpus/n_shards. There is deliberately NO global
+    row_number (a single-partition window) anywhere.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy("shard").orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.select(F.col(id_col))
+        .withColumn("shard", hash_bucket(id_col, n_shards))
+        .withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

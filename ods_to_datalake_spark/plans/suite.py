@@ -133,11 +133,10 @@ def headline_queries() -> dict[str, QueryFn]:
 # the stale set is 56 queries — the 6 rows that slipped in round 5
 # (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
 # (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50, so the 6 lowest-priority r04 suite_core rows (simple
-# scalar/set queries, least drift-prone, all validate-covered) slip
-# one round: f02, f08, f_scalar_functions, t01, t02, u01 — they head
-# the round-7 window. Any new round-6 query displaces one more core
-# row into SLIPPED_THIS_ROUND (tests/test_registration_order.py).
+# 56 > 50 and three new round-6 queries (x39-x41) join the window, so
+# the 9 lowest-priority r04 suite_core rows slip one round: f02, f08,
+# f_scalar_functions, t01, t02, u01, w03, w04, w05 — they head the
+# round-7 window (tests/test_registration_order.py SLIPPED_THIS_ROUND).
 _WINDOW_PRIORITY: list[str] = [
     # slipped in round 5 — oldest (r03) evidence, refresh first
     "w07_ntile_quartiles",
@@ -146,6 +145,11 @@ _WINDOW_PRIORITY: list[str] = [
     "u02_intersect_cube",
     "w06_lag_lead_delta",
     "q06_revenue_forecast",
+    # new round-6 queries (never-green → must be in window); each
+    # displaces one r04 core row into SLIPPED_THIS_ROUND
+    "x39_span_rewrite",
+    "x40_deterministic_shard",
+    "x41_vocab_oov",
     # suite_media — driver evidence r04
     "x12_media_features",
     "x26_image_decode",
@@ -193,9 +197,6 @@ _WINDOW_PRIORITY: list[str] = [
     "u04_union_by_name",
     "w01_sequence",
     "w02_multikey_sequence",
-    "w03_surrogate_key",
-    "w04_dedup_keep_first",
-    "w05_running_total",
 ]
 
 

@@ -86,6 +86,66 @@ def x34_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x39_span_rewrite",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks,
+             {_sql_shingles(SQL_TOKENS, SPAN_N)} AS sh
+      FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(sh, 1) - 1 AS INT) AS block_idx,
+             unnest(sh) AS block
+      FROM t
+    ), flagged AS (
+      SELECT doc_id, block_idx,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(block) ORDER BY doc_id, block_idx
+             ) AS rn
+      FROM sp
+    ), removed AS (
+      SELECT DISTINCT doc_id, block_idx + off AS tok_pos
+      FROM flagged, range(0, {SPAN_N}) r(off)
+      WHERE rn > 1
+    ), tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(toks, 1) - 1 AS INT) AS tok_pos,
+             unnest(toks) AS tok
+      FROM t
+    ), refold AS (
+      SELECT tok.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok.tok, ' ' ORDER BY tok.tok_pos)
+               AS clean_text
+      FROM tok ANTI JOIN removed
+        ON tok.doc_id = removed.doc_id
+       AND tok.tok_pos = removed.tok_pos
+      GROUP BY tok.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM t LEFT JOIN refold r USING (doc_id)
+    """,
+    doc=f"Token-level duplicate-span REMOVAL (the rewrite half of Lee "
+    f"et al. 2022 ExactSubstr; x34 is the signal half): every "
+    f"{SPAN_N}-token window repeating anywhere in the corpus keeps "
+    "only its (doc, position)-first occurrence; tokens covered by a "
+    "non-first instance are deleted and docs re-assembled. Variable-"
+    "length runs fall out by window composition — no block-boundary "
+    "artifacts. Skew-safe keep-first (partial-agg on span hash + "
+    "unique-key join), anti-join token stream, one per-doc refold.",
+)
+def x39_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import span_rewrite
+
+    cat = load_testdata(spark, sf_dir)
+    return span_rewrite(cat.table("documents"), "doc_id", "text", SPAN_N)
+
+
+@register(
     "x37_block_dedup",
     oracle=f"""
     WITH t AS (

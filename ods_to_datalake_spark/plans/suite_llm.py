@@ -1294,3 +1294,111 @@ def _assemble_x25_oracle() -> None:
 
 
 _assemble_x25_oracle()
+
+
+# number of shards for the deterministic training-order query
+SHARD_N = 8
+# vocabulary size for the OOV-coverage query (top-V corpus tokens)
+VOCAB_V = 256
+
+
+@register(
+    "x40_deterministic_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS hh,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % {SHARD_N} AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY hh, doc_id
+           ) - 1 AS BIGINT) AS shard_pos
+    FROM h
+    """,
+    doc=f"Reproducible global training order: {SHARD_N}-way shard by "
+    "content-stable md5 bucket, within-shard position by (md5(id), id) "
+    "— a deterministic pseudo-random permutation; round-robin reads "
+    "replay the identical example order across runs, partitionings, "
+    "and engines (df.sample()/rand() are only seed-stable per "
+    "partitioning). One shuffle on the shard key; the window "
+    "parallelizes across shards — no global single-partition "
+    "row_number (operators/sampling.deterministic_shard).",
+)
+def x40_deterministic_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.sampling import (
+        deterministic_shard,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return deterministic_shard(cat.table("documents"), "doc_id", SHARD_N)
+
+
+@register(
+    "x41_vocab_oov",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT {VOCAB_V}
+      )
+    ), per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN vocab v USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(n_oov AS DOUBLE) / n_tokens
+           END AS oov_ratio
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc=f"Tokenizer-coverage audit: corpus top-{VOCAB_V} vocabulary by "
+    "frequency (count-desc, token-asc tiebreak — deterministic at the "
+    "cut), then per-doc out-of-vocabulary token count and ratio. The "
+    "vocab is a two-stage partial-agg top-k (never a global sort of "
+    "the token stream) broadcast back against the exploded tokens — "
+    "one corpus-token shuffle for the counts, map-side membership "
+    "after; high-OOV docs are garbage/wrong-language candidates the "
+    "quality funnel quarantines.",
+)
+def x41_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_V)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.col("n_oov").cast("double") / F.col("n_tokens"))
+        .alias("oov_ratio"),
+    )

@@ -87,6 +87,47 @@ def test_block_dedup_keeps_first_occurrence_only(spark):
     assert got[3] == (2, 0, "")
 
 
+def test_span_rewrite_removes_non_first_occurrences(spark):
+    from ods_to_datalake_spark.operators.dedup import span_rewrite
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            # "a b c d e" repeats mid-doc → its 5 tokens are removed
+            (2, "z z a b c d e w"),
+            # exact dup of doc 1 → fully rewritten away
+            (3, "a b c d e f"),
+            (4, "hi"),  # shorter than the span → untouched
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in span_rewrite(docs, "doc_id", "text", 5).collect()
+    }
+    assert got[1] == (6, 0, "a b c d e f")
+    assert got[2] == (8, 5, "z z w")
+    assert got[3] == (6, 6, "")
+    assert got[4] == (1, 0, "hi")
+
+
+def test_span_rewrite_variable_length_run(spark):
+    """A duplicated run longer than span_n disappears WHOLE at the
+    non-canonical site — window composition covers every token of the
+    run, no block-boundary residue (the fixed-block limitation
+    block_dedup has)."""
+    from ods_to_datalake_spark.operators.dedup import span_rewrite
+
+    run = "q w e r t y u i o p"  # 10-token run, span_n = 5
+    docs = _docs(spark, [(1, f"{run} tail"), (2, f"head {run}")])
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in span_rewrite(docs, "doc_id", "text", 5).collect()
+    }
+    assert got[1] == (0, f"{run} tail")
+    assert got[2] == (10, "head")
+
+
 def test_block_dedup_degenerate_corpus_plan(spark):
     """One block shared by EVERY doc (the license-banner workload):
     keep-first must run through a partial-aggregated Exchange — never

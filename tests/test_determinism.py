@@ -26,6 +26,11 @@ INVARIANCE_QUERIES = [
     "x36_semantic_dedup",
     "x37_block_dedup",
     "x38_lm_perplexity",
+    # round-6: token-level span rewrite (keep-first + anti-join +
+    # refold), hash-ordered sharding, top-V vocab boundary ties
+    "x39_span_rewrite",
+    "x40_deterministic_shard",
+    "x41_vocab_oov",
 ]
 
 

@@ -41,6 +41,8 @@ FUZZ_QUERIES = [
     "x03_minhash_signature",
     "x34_duplicate_spans",
     "x38_lm_perplexity",
+    "x39_span_rewrite",
+    "x41_vocab_oov",
 ]
 
 

@@ -148,6 +148,13 @@ SHUFFLE_BUDGET = {
     # (from the count table), vocab agg, model-level bgc⋈w1c join,
     # ONE instance-level model join, doc rollup — every exchange on an
     # n-gram/word key; the corpus-sized stream joins the model once
+    "x39_span_rewrite": 4,  # skew-safe keep-first (span-hash partial
+    # agg + unique (id,pos) join), removed-position anti-join, doc
+    # refold — every exchange on a uniform composite key
+    "x40_deterministic_shard": 1,  # one shuffle on the shard key;
+    # the per-shard window reuses it
+    "x41_vocab_oov": 2,  # token count agg + per-doc rollup; the
+    # top-V vocab is broadcast back (no second corpus shuffle)
 }
 
 

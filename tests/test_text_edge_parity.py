@@ -54,6 +54,9 @@ EDGE_QUERIES = [
     "x34_duplicate_spans",
     "x37_block_dedup",
     "x38_lm_perplexity",
+    "x39_span_rewrite",
+    "x40_deterministic_shard",
+    "x41_vocab_oov",
 ]
 
 
