@@ -669,6 +669,55 @@ def connected_components_star(
     return (out, rounds) if return_rounds else out
 
 
+def cluster_canonical(
+    clusters: DataFrame,
+    meta: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Pick the best-quality member of each near-dup cluster instead of
+    the arbitrary min-id representative: (cluster_id,
+    canonical_doc_id, canonical_quality, cluster_size) where the
+    canonical doc maximizes ``quality_col`` (smallest id wins ties).
+    The curation step after clustering — keep-first deletes a random
+    side of every dup group; keep-BEST retains the longest / cleanest
+    copy (the CCNet/RefinedWeb convention).
+
+    ``clusters`` is (id, cluster_id) from `connected_components` /
+    `connected_components_star`; ``meta`` carries (id_col,
+    quality_col) — any integer quality signal (n_chars, token count,
+    a quantized score).
+
+    Scale: one corpus join on id (both sides id-partitioned) and ONE
+    partial-aggregated groupBy(cluster_id) — the argmax travels as a
+    single struct per group, max(struct(quality, -id)), so a
+    corpus-wide mega-cluster still combines map-side; no window over
+    the cluster key (the keep-first skew seam this repo removed in
+    round 6).
+    """
+    joined = clusters.join(
+        meta.select(
+            F.col(id_col).alias("id"),
+            F.col(quality_col).cast("long").alias("__q"),
+        ),
+        "id",
+    )
+    agg = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("__q").alias("q"), (-F.col("id")).alias("neg_id")
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).cast("long").alias("canonical_doc_id"),
+        F.col("best.q").alias("canonical_quality"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-substring span dedup (Lee et al. 2022) + keep-first block rewrite
 # ---------------------------------------------------------------------------

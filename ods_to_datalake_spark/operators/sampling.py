@@ -90,3 +90,107 @@ def stratified_sample(
             rate
         )
     return df.filter(hash_bucket(id_col) < rate)
+
+
+# 20-bit fractional-sampling bucket: small enough that every integer
+# product below stays far inside int64 (see temperature_mixture).
+FRAC_BITS = 20
+FRAC_BUCKETS = 1 << FRAC_BITS
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    target_total: int | None = None,
+) -> DataFrame:
+    """Temperature-smoothed mixture resampling (the XLM-R / multilingual
+    pretraining α-sampling shape, α = 0.5): re-draw the corpus so each
+    stratum's share of the output follows sqrt of its *mass* (the sum
+    of ``weight_col``, e.g. characters or tokens) instead of its raw
+    share — flattening dominant sources and boosting the tail. Strata
+    whose target exceeds their row count are UP-sampled by
+    deterministic replication (output gains a ``replica`` index);
+    over-target strata are down-sampled by content hash.
+
+    Everything is integer arithmetic so membership is exact and
+    engine-independent (no float rate boundaries; cf. SURVEY
+    determinism rules):
+
+    - per-stratum mass ``c_s`` and rows ``n_s`` (one small agg);
+    - weight ``w_s = floor(sqrt(c_s))`` — sqrt is IEEE-exact in every
+      engine, floor pins the integer;
+    - target rows ``k_s = (T * w_s) div sum(w_s)`` where ``T`` is
+      ``target_total`` (default: the input row count — rebalance at
+      constant size);
+    - each row gets ``k_s div n_s`` copies plus one more iff its
+      20-bit md5 bucket ``B`` satisfies ``B * n_s < (k_s mod n_s) *
+      2^20`` — expected per-stratum output exactly ``k_s``.
+
+    Scale: the stats table has one row per stratum (broadcast join);
+    the rest is a stateless map + explode — no corpus shuffle at all.
+    Integer products stay in int64 for ``n_s`` up to ~8e12 rows per
+    stratum; beyond that widen the two comparison products to
+    DECIMAL(38,0). Empty or weightless strata (NULL/zero mass) drop
+    out with a guarded denominator rather than dividing by zero.
+    """
+    w_s = F.floor(F.sqrt(F.col("__c_s"))).cast("long")
+    stats = (
+        df.groupBy(F.col(strata_col).alias("__stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_s"),
+            F.sum(F.col(weight_col)).alias("__c_s"),
+        )
+        .withColumn("__w_s", w_s)
+    )
+    tot = stats.agg(
+        F.sum("__w_s").alias("__den"), F.sum("__n_s").alias("__t")
+    )
+    t_expr = (
+        str(int(target_total)) if target_total is not None else "__t"
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__k_s",
+            F.expr(
+                # `div` is exact integral division (long / on longs is
+                # DOUBLE division in Spark — a silent precision trap)
+                "CASE WHEN __den > 0"
+                f" THEN ({t_expr} * __w_s) div __den"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).cast("long"),
+        )
+        .select("__stratum", "__n_s", "__k_s")
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 5), 16, 10)
+        .cast("long")
+        .alias("__bkt")
+    )
+    copies = (
+        F.expr("__k_s div __n_s")
+        + F.when(
+            F.col("__bkt") * F.col("__n_s")
+            < (F.col("__k_s") % F.col("__n_s")) * F.lit(FRAC_BUCKETS),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        df.join(
+            F.broadcast(rates), df[strata_col] == F.col("__stratum"), "inner"
+        )
+        .withColumn("__bkt", bkt)
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(
+            "replica",
+            # sequence(long, long) yields long elements; a generator
+            # cannot be nested inside a cast expression
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("__copies") - 1)
+            ),
+        )
+        .drop("__stratum", "__n_s", "__k_s", "__bkt", "__copies")
+    )

@@ -379,3 +379,211 @@ def x38_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_testdata(spark, sf_dir)
     return bigram_lm_scores(cat.table("documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: mixture resampling, keep-best canonicalization,
+# cross-source duplication analytics
+# ---------------------------------------------------------------------------
+
+# 20-bit fractional bucket (operators/sampling.FRAC_BUCKETS): keeps every
+# integer product of the sampling arithmetic far inside int64
+_FRAC = 1 << 20
+
+
+@register(
+    "x42_temperature_mixture",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_s, SUM(n_chars) AS c_s
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_s,
+             CAST(FLOOR(SQRT(c_s)) AS BIGINT) AS w_s
+      FROM stats
+    ), tot AS (
+      SELECT SUM(w_s) AS den, SUM(n_s) AS t FROM w
+    ), rates AS (
+      -- `//` truncates but every operand is non-negative, matching
+      -- Spark's `div`; den=0 (all-empty corpus) guarded in both engines
+      SELECT source, n_s,
+             CAST(CASE WHEN den > 0 THEN (t * w_s) // den
+                       ELSE 0 END AS BIGINT) AS k_s
+      FROM w, tot
+    ), b AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 5)) AS BIGINT) AS bkt
+      FROM documents
+    ), c AS (
+      SELECT b.doc_id, b.source,
+             k_s // n_s
+             + CASE WHEN bkt * n_s < (k_s % n_s) * {_FRAC}
+                    THEN 1 ELSE 0 END AS copies
+      FROM b JOIN rates USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(0, copies)) AS BIGINT) AS replica
+    FROM c WHERE copies > 0
+    """,
+    doc="Temperature-smoothed (α=0.5) mixture resampling: per-source "
+    "targets follow sqrt of character mass — dominant sources "
+    "down-sampled by content hash, tail sources UP-sampled by "
+    "deterministic replication (replica index), all in exact integer "
+    "arithmetic so membership is engine-independent. Map-side + one "
+    "tiny broadcast-joined stats table; zero corpus shuffles.",
+)
+def x42_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.sampling import temperature_mixture
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    return temperature_mixture(
+        docs, "doc_id", "source", "n_chars"
+    ).select("doc_id", "source", "replica")
+
+
+@register(
+    "x43_cluster_canonical",
+    oracle=None,  # assembled below from x25's oracle (single source of
+    # truth for the cluster labeling)
+    doc="Keep-BEST canonicalization of near-dup clusters: for each "
+    "connected component of the verified-pair funnel, keep the "
+    "longest member (n_chars argmax, min-id ties) instead of the "
+    "arbitrary min-id representative — the CCNet/RefinedWeb keep-best "
+    "convention. One corpus join + one partial-aggregated "
+    "groupBy(cluster) carrying a single argmax struct per group; no "
+    "window over the cluster key, so a corpus-wide mega-cluster still "
+    "combines map-side. Oracle: x25's recursive min-reachable CTE "
+    "joined to documents, max-chars-then-min-id in two exact steps.",
+)
+def x43_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        cluster_canonical,
+        connected_components,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+    from ods_to_datalake_spark.plans.suite_llm import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        SHINGLE_N,
+    )
+    from pyspark.sql import functions as F
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=SHINGLE_N, k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
+    )
+    verified = jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    ).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components(verified, "id_a", "id_b")
+    return cluster_canonical(cc, docs, "doc_id", "n_chars").select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "canonical_doc_id",
+        "canonical_quality",
+        "cluster_size",
+    )
+
+
+@register(
+    "x44_source_overlap",
+    oracle=None,  # assembled below from x05's oracle
+    doc="Cross-source duplication matrix: verified near-dup pairs "
+    "(the x05 funnel at jaccard >= 0.5) attributed to their "
+    "(source, source) cell — the provenance report that tells a "
+    "corpus owner WHICH feeds duplicate each other before they pay "
+    "for full dedup. Pairs are candidate-bounded; the two source "
+    "lookups are id-keyed corpus joins of a (id, source) projection; "
+    "final agg is tiny (|sources|²).",
+)
+def x44_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+    from ods_to_datalake_spark.plans.suite_llm import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        SHINGLE_N,
+    )
+    from pyspark.sql import functions as F
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=SHINGLE_N, k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
+    )
+    verified = jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    ).filter(F.col("jaccard") >= 0.5)
+    src = docs.select("doc_id", "source")
+    pa = verified.join(
+        src.select(F.col("doc_id").alias("id_a"),
+                   F.col("source").alias("src_a")), "id_a"
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"),
+                   F.col("source").alias("src_b")), "id_b"
+    )
+    return (
+        pa.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _assemble_round6_oracles() -> None:
+    """x43/x44 embed the registered x25/x05 oracles (assembled at
+    suite_llm import time) so the funnel semantics have one source of
+    truth; import order inside load_all() guarantees suite_llm is
+    loaded, and the explicit import covers standalone use."""
+    from ods_to_datalake_spark.plans import suite_llm  # noqa: F401
+    from ods_to_datalake_spark.plans.suite import REGISTRY
+
+    x25 = REGISTRY["x25_dedup_clusters"].oracle
+    assert x25, "x25 oracle must be assembled before suite_curation"
+    REGISTRY["x43_cluster_canonical"].oracle = f"""
+    WITH j AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM ({x25}) c JOIN documents d USING (doc_id)
+    ), mx AS (
+      SELECT cluster_id,
+             MAX(n_chars) AS canonical_quality,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM j GROUP BY cluster_id
+    )
+    SELECT m.cluster_id,
+           MIN(j.doc_id) AS canonical_doc_id,
+           m.canonical_quality,
+           m.cluster_size
+    FROM mx m
+    JOIN j ON j.cluster_id = m.cluster_id
+          AND j.n_chars = m.canonical_quality
+    GROUP BY m.cluster_id, m.canonical_quality, m.cluster_size
+    """
+    x05 = REGISTRY["x05_lsh_jaccard_verify"].oracle
+    REGISTRY["x44_source_overlap"].oracle = f"""
+    WITH pairs AS (
+      SELECT id_a, id_b FROM ({x05}) v WHERE jaccard >= 0.5
+    ), src AS (
+      SELECT doc_id, source FROM documents
+    )
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN src sa ON p.id_a = sa.doc_id
+    JOIN src sb ON p.id_b = sb.doc_id
+    GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+    """
+
+
+_assemble_round6_oracles()

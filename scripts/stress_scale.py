@@ -47,6 +47,7 @@ SUITE_QUERIES = [
     "x23_tfidf_top_terms",  # corpus explode + 3-way join + top-k
     "x31_incremental_dedup",  # cross-corpus hash + band anti-joins
     "x34_duplicate_spans",  # span explode + window count on span hash
+    "x37_block_dedup",  # keep-first via skew-safe agg+join (r6 de-skew)
     "x38_lm_perplexity",  # bigram model joins (model tables at scale)
 ]
 

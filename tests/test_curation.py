@@ -488,3 +488,80 @@ def test_shingles_zipwith_equals_slice_form(spark):
             .count()
         )
         assert bad == 0, f"n={n}: {bad} mismatches"
+
+
+# ---------------------------------------------------------------------------
+# round-6b: temperature mixture resampling + keep-best canonicalization
+# ---------------------------------------------------------------------------
+
+
+def _expected_copies(doc_id: int, n_s: int, k_s: int) -> int:
+    """Reference implementation of the integer sampling rule."""
+    import hashlib
+
+    bkt = int(
+        hashlib.md5(str(doc_id).encode()).hexdigest()[:5], 16
+    )  # 20 bits
+    return k_s // n_s + (1 if bkt * n_s < (k_s % n_s) * (1 << 20) else 0)
+
+
+def test_temperature_mixture_up_and_down_samples_exactly(spark):
+    """Heavy-mass tiny stratum gets replicated, light-mass big stratum
+    gets hash-thinned; every row's copy count matches the integer rule
+    bit-for-bit (no float rate anywhere)."""
+    from ods_to_datalake_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "A", 1) for i in range(96)] + [
+        (100 + i, "B", 2500) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = (
+        temperature_mixture(df, "doc_id", "source", "w")
+        .select("doc_id", "source", "replica")
+        .collect()
+    )
+    # w_A = floor(sqrt(96)) = 9, w_B = floor(sqrt(10000)) = 100,
+    # den = 109, T = 100 → k_A = 8, k_B = 91
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        assert r.replica < per_doc[r.doc_id]
+    for i in range(96):
+        exp = _expected_copies(i, 96, 8)
+        assert per_doc.get(i, 0) == exp, (i, exp)
+    for i in range(4):
+        exp = _expected_copies(100 + i, 4, 91)
+        assert exp >= 22  # 91 div 4 — genuine up-sampling
+        assert per_doc.get(100 + i, 0) == exp, (100 + i, exp)
+
+
+def test_temperature_mixture_target_total_scales_output(spark):
+    from ods_to_datalake_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, f"s{i % 3}", 10 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    n = temperature_mixture(
+        df, "doc_id", "source", "w", target_total=600
+    ).count()
+    # expected output ~target; integer flooring loses < 1 row/stratum
+    # and the fractional hash draw adds binomial noise around it
+    assert 540 <= n <= 660, n
+
+
+def test_cluster_canonical_prefers_quality_then_min_id(spark):
+    from ods_to_datalake_spark.operators.dedup import cluster_canonical
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "id long, cluster_id long",
+    )
+    meta = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 4), (9, 2)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r.cluster_id: (r.canonical_doc_id, r.canonical_quality, r.cluster_size)
+        for r in cluster_canonical(cc, meta, "doc_id", "n_chars").collect()
+    }
+    # cluster 1: max quality 9 shared by ids 2 and 3 → min id 2 wins
+    assert got == {1: (2, 9, 3), 7: (7, 4, 2)}

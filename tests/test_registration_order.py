@@ -51,10 +51,13 @@ SLIPPED_THIS_ROUND: set[str] = {
     "t01_top_k",
     "t02_top_k_per_group",
     "u01_set_ops",
-    # displaced by the three new never-green round-6 queries (x39-x41)
+    # displaced by the six new never-green round-6 queries (x39-x44)
     "w03_surrogate_key",
     "w04_dedup_keep_first",
     "w05_running_total",
+    "u04_union_by_name",
+    "w01_sequence",
+    "w02_multikey_sequence",
 }
 
 
@@ -108,9 +111,12 @@ def test_driver_window_composition():
         "x39_span_rewrite",
         "x40_deterministic_shard",
         "x41_vocab_oov",
+        "x42_temperature_mixture",
+        "x43_cluster_canonical",
+        "x44_source_overlap",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "w02_multikey_sequence"
+    assert names[DRIVER_WINDOW - 1] == "u03_upsert_snapshot"
 
 
 def test_window_covers_all_stale_except_slipped():

@@ -155,6 +155,17 @@ SHUFFLE_BUDGET = {
     # the per-shard window reuses it
     "x41_vocab_oov": 2,  # token count agg + per-doc rollup; the
     # top-V vocab is broadcast back (no second corpus shuffle)
+    "x42_temperature_mixture": 3,  # per-stratum stats agg + the
+    # two-stage global rollup — all three exchanges carry
+    # stratum-count rows only; the rate table joins back as a
+    # broadcast and the replicate/filter pass is a stateless map, so
+    # the CORPUS is never shuffled
+    "x43_cluster_canonical": 3,  # funnel is checkpoint-truncated
+    # (like x25); visible: clusters⋈meta id join + argmax groupBy
+    "x44_source_overlap": 11,  # the full x05 funnel (budget 10) + the
+    # two id-keyed (id, source) attach joins and the tiny
+    # (source, source) agg — the attach sides broadcast at this SF,
+    # so the increment over the funnel itself is one exchange
 }
 
 

@@ -57,6 +57,9 @@ EDGE_QUERIES = [
     "x39_span_rewrite",
     "x40_deterministic_shard",
     "x41_vocab_oov",
+    "x42_temperature_mixture",
+    "x43_cluster_canonical",
+    "x44_source_overlap",
 ]
 
 
