@@ -587,3 +587,205 @@ def _assemble_round6_oracles() -> None:
 
 
 _assemble_round6_oracles()
+
+
+@register(
+    "x45_split_leakage",
+    oracle=None,  # assembled below from x05's oracle + x19's split rule
+    doc="Train/eval leakage audit: verified near-dup pairs (the x05 "
+    "funnel at jaccard >= 0.5) whose two sides land in DIFFERENT "
+    "cells of the deterministic md5 train/val/test split (x19's "
+    "rule) — the pairs that silently inflate eval scores if the "
+    "corpus ships as-is. Near-dup-aware split auditing is the step "
+    "benchmark decontamination (x18) does not cover: the leaked "
+    "text is a near-copy, not an exact n-gram hit. Candidate-bounded "
+    "funnel + two id-keyed split lookups; output is the leak list a "
+    "pipeline either quarantines or re-splits.",
+)
+def x45_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+    from ods_to_datalake_spark.plans.suite_llm import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        SHINGLE_N,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text",
+        shingle_n=SHINGLE_N, k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
+    )
+    verified = jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    ).filter(F.col("jaccard") >= 0.5)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        verified.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+@register(
+    "x46_decontaminate_scored",
+    oracle=None,  # assembled below (shares x18's shingle/benchmark rule)
+    doc="Scored benchmark decontamination: per training doc, the "
+    "FRACTION of its distinct shingles that appear in the benchmark "
+    "set — the threshold-tuning variant of x18's binary flag (real "
+    "pipelines drop above a contamination fraction, not on a single "
+    "n-gram hit). Shingle explode + broadcast membership join + "
+    "per-doc rollup; zero-shingle training docs report 0.0 via the "
+    "left attach, not NULL division (ANSI-safe).",
+)
+def x46_decontaminate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.dedup import spread_small_input
+    from ods_to_datalake_spark.plans.suite_llm import (
+        DECON_BENCH_IDS,
+        DECON_SHINGLE_N,
+    )
+    from ods_to_datalake_spark.functions import text as X
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    sh = F.array_distinct(
+        X.shingles(X.tokens("text"), DECON_SHINGLE_N)
+    ).alias("sh")
+    exploded = spread_small_input(docs.select("doc_id", "text")).select(
+        "doc_id", F.explode(sh).alias("s")
+    )
+    bench = (
+        exploded.filter(F.col("doc_id") < DECON_BENCH_IDS)
+        .select("s")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = exploded.filter(F.col("doc_id") >= DECON_BENCH_IDS)
+    per = (
+        train.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") >= DECON_BENCH_IDS)
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            # RAW double quotient, never re-rounded: an integer ratio
+            # can land exactly on a decimal midpoint where the two
+            # engines round opposite ways; identical IEEE divisions
+            # are bit-identical (CLAUDE.md ratio rule)
+            F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles")
+            )
+            .alias("contamination_frac"),
+        )
+    )
+
+
+def _assemble_round6b_oracles() -> None:
+    from ods_to_datalake_spark.plans import suite_llm
+    from ods_to_datalake_spark.plans.suite import REGISTRY
+
+    x05 = REGISTRY["x05_lsh_jaccard_verify"].oracle
+    assert x05, "x05 oracle must be assembled before suite_curation"
+    REGISTRY["x45_split_leakage"].oracle = f"""
+    WITH pairs AS (
+      SELECT id_a, id_b, jaccard FROM ({x05}) v WHERE jaccard >= 0.5
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+           sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN s sa ON p.id_a = sa.doc_id
+    JOIN s sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """
+    bench_ids = suite_llm.DECON_BENCH_IDS
+    shn = suite_llm.DECON_SHINGLE_N
+    from ods_to_datalake_spark.plans.sql_fragments import (
+        SQL_TOKENS as _toks,
+        sql_shingles as _shg,
+    )
+
+    REGISTRY["x46_decontaminate_scored"].oracle = f"""
+    WITH sh_t AS (
+      SELECT doc_id, list_distinct({_shg(_toks, shn)}) AS sh
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh_t
+      WHERE doc_id < {bench_ids}
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh_t
+      WHERE doc_id >= {bench_ids}
+    ), per AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(b.s) AS BIGINT) AS n_contaminated
+      FROM ex e LEFT JOIN bench b ON e.s = b.s
+      GROUP BY e.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_contaminated, 0) AS n_contaminated,
+           CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+                ELSE CAST(n_contaminated AS DOUBLE) / n_shingles
+           END AS contamination_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    WHERE d.doc_id >= {bench_ids}
+    """
+
+
+_assemble_round6b_oracles()

@@ -31,9 +31,11 @@ INVARIANCE_QUERIES = [
     "x39_span_rewrite",
     "x40_deterministic_shard",
     "x41_vocab_oov",
-    # round-6b: integer-arithmetic mixture replication, cluster argmax
+    # round-6b: integer-arithmetic mixture replication, cluster argmax,
+    # contamination-fraction rounding
     "x42_temperature_mixture",
     "x43_cluster_canonical",
+    "x46_decontaminate_scored",
 ]
 
 

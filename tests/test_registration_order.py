@@ -51,13 +51,15 @@ SLIPPED_THIS_ROUND: set[str] = {
     "t01_top_k",
     "t02_top_k_per_group",
     "u01_set_ops",
-    # displaced by the six new never-green round-6 queries (x39-x44)
+    # displaced by the eight new never-green round-6 queries (x39-x46)
     "w03_surrogate_key",
     "w04_dedup_keep_first",
     "w05_running_total",
     "u04_union_by_name",
     "w01_sequence",
     "w02_multikey_sequence",
+    "q18_large_orders",
+    "u03_upsert_snapshot",
 }
 
 
@@ -114,9 +116,11 @@ def test_driver_window_composition():
         "x42_temperature_mixture",
         "x43_cluster_canonical",
         "x44_source_overlap",
+        "x45_split_leakage",
+        "x46_decontaminate_scored",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "u03_upsert_snapshot"
+    assert names[DRIVER_WINDOW - 1] == "p10_trim_compound_filter"
 
 
 def test_window_covers_all_stale_except_slipped():

@@ -166,6 +166,10 @@ SHUFFLE_BUDGET = {
     # two id-keyed (id, source) attach joins and the tiny
     # (source, source) agg — the attach sides broadcast at this SF,
     # so the increment over the funnel itself is one exchange
+    "x45_split_leakage": 11,  # same funnel + two (id, split) attach
+    # joins; no agg — the leak list is row-level
+    "x46_decontaminate_scored": 4,  # spread repartition + shingle
+    # explode, broadcast membership join, per-doc rollup, zero attach
 }
 
 

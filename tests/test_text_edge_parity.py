@@ -60,6 +60,8 @@ EDGE_QUERIES = [
     "x42_temperature_mixture",
     "x43_cluster_canonical",
     "x44_source_overlap",
+    "x45_split_leakage",
+    "x46_decontaminate_scored",
 ]
 
 
