@@ -193,3 +193,110 @@ def score_with_lm(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.col("xent"),
     )
+
+
+def dsir_logratio(
+    target_docs: DataFrame,
+    source_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_bigrams, dsir_logratio): Data Selection via Importance
+    Resampling (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling") over hashed bigram features — the
+    per-document log importance weight
+
+        mean over bigram instances of  ln p_target(b) − ln p_source(b)
+
+    where ``b`` is the bigram's hash bucket and each model is an
+    add-one multinomial over the ``n_buckets`` fixed buckets:
+    p(b) = (c(b) + 1) / (total + n_buckets). Hashed features are
+    DSIR's own device and also remove the unseen-n-gram asymmetry: a
+    fixed feature space needs no OOV fallback in either model. Docs
+    scoring high look like the target distribution (select / upweight
+    them); ≤ 1-token docs have no bigrams and report 0.0.
+
+    Scale: both models reduce to ``n_buckets`` rows — the feature
+    table (bucket, Δ-log-weight) is a BROADCAST, so the scored corpus
+    pays one map-side join and one per-doc rollup; nothing
+    corpus-sized shuffles on a model key (the bounded-model
+    counterpart to `bigram_lm_scores`, whose open-vocabulary tables
+    must shuffle-join). Determinism: the count ratios are exact
+    integer ratios, each ln() is quantized to DECIMAL(28,6) in the
+    4096-row model table (ln is not cross-engine bit-stable — module
+    docstring), the Δ and the per-doc sum are exact decimal math, and
+    the mean is the raw double quotient.
+    """
+    spark = score_docs.sparkSession
+
+    def bucket(col: F.Column) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+
+    def counts(docs: DataFrame, name: str) -> DataFrame:
+        bg = docs.select(
+            F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg")
+        )
+        return bg.groupBy(bucket(F.col("bg")).alias("b")).agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    spine = spark.range(n_buckets).select(F.col("id").alias("b"))
+    tc = spine.join(counts(target_docs, "ct"), "b", "left").select(
+        "b", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    sc = spine.join(counts(source_docs, "cs"), "b", "left").select(
+        "b", F.coalesce("cs", F.lit(0)).alias("cs")
+    )
+    tt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    ts = sc.agg(F.coalesce(F.sum("cs"), F.lit(0)).alias("ts"))
+    nb = F.lit(n_buckets)
+    feats = (
+        tc.join(sc, "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / (F.col("tt") + nb)).cast(
+                    "decimal(28,6)"
+                )
+                - F.log((F.col("cs") + 1) / (F.col("ts") + nb)).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("w"),
+        )
+    )
+    inst = score_docs.select(
+        F.col(id_col),
+        F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg"),
+    ).select(F.col(id_col), bucket(F.col("bg")).alias("b"))
+    per = (
+        inst.join(F.broadcast(feats), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w").alias("sw"),
+        )
+    )
+    return (
+        score_docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.col("sw").cast("double") / F.col("n_bigrams")
+            )
+            .alias("dsir_logratio"),
+        )
+    )

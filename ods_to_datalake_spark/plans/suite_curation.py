@@ -789,3 +789,95 @@ def _assemble_round6b_oracles() -> None:
 
 
 _assemble_round6b_oracles()
+
+
+# DSIR hashed-feature space (operators/lm.dsir_logratio default)
+DSIR_BUCKETS = 4096
+# target distribution = the benchmark slice (same split as x18/x46)
+DSIR_TARGET_IDS = 10
+
+
+@register(
+    "x47_dsir_weights",
+    oracle=f"""
+    WITH bt AS (
+      SELECT unnest({_sql_shingles(SQL_TOKENS, 2)}) AS bg
+      FROM documents WHERE doc_id < {DSIR_TARGET_IDS}
+    ), bs AS (
+      SELECT unnest({_sql_shingles(SQL_TOKENS, 2)}) AS bg
+      FROM documents WHERE doc_id >= {DSIR_TARGET_IDS}
+    ), spine AS (
+      SELECT unnest(range(0, {DSIR_BUCKETS})) AS b
+    ), tcr AS (
+      SELECT CAST(concat('0x', substring(md5(bg), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b,
+             COUNT(*) AS ct
+      FROM bt GROUP BY 1
+    ), scr AS (
+      SELECT CAST(concat('0x', substring(md5(bg), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b,
+             COUNT(*) AS cs
+      FROM bs GROUP BY 1
+    ), tc AS (
+      SELECT spine.b, COALESCE(ct, 0) AS ct
+      FROM spine LEFT JOIN tcr ON spine.b = tcr.b
+    ), sc AS (
+      SELECT spine.b, COALESCE(cs, 0) AS cs
+      FROM spine LEFT JOIN scr ON spine.b = scr.b
+    ), tt AS (
+      SELECT COALESCE(SUM(ct), 0) AS tt FROM tcr
+    ), ts AS (
+      SELECT COALESCE(SUM(cs), 0) AS ts FROM scr
+    ), feats AS (
+      SELECT tc.b,
+             CAST(ln((tc.ct + 1) / (tt.tt + {DSIR_BUCKETS}))
+                  AS DECIMAL(28,6))
+             - CAST(ln((sc.cs + 1) / (ts.ts + {DSIR_BUCKETS}))
+                  AS DECIMAL(28,6)) AS w
+      FROM tc JOIN sc ON tc.b = sc.b, tt, ts
+    ), inst AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(bg), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, unnest({_sql_shingles(SQL_TOKENS, 2)}) AS bg
+        FROM documents WHERE doc_id >= {DSIR_TARGET_IDS}
+      )
+    ), per AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             SUM(w) AS sw
+      FROM inst JOIN feats ON inst.b = feats.b
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(sw AS DOUBLE) / n_bigrams
+           END AS dsir_logratio
+    FROM documents d LEFT JOIN per USING (doc_id)
+    WHERE d.doc_id >= {DSIR_TARGET_IDS}
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): per-doc mean "
+    "log-ratio of target vs source add-one multinomials over hashed "
+    "bigram features — select/upweight the docs that look like the "
+    "benchmark slice. Both models collapse to a fixed "
+    f"{DSIR_BUCKETS}-bucket table, so the (bucket, Δ-log-weight) "
+    "feature table BROADCASTS and the scored corpus pays one map-side "
+    "join + one rollup — no corpus-sized model-key shuffle at any "
+    "scale (contrast x38's open-vocabulary model joins). ln() "
+    "quantized to DECIMAL(28,6) in the model table; exact decimal "
+    "sums; raw-double mean.",
+)
+def x47_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.lm import dsir_logratio
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    target = docs.filter(F.col("doc_id") < DSIR_TARGET_IDS)
+    source = docs.filter(F.col("doc_id") >= DSIR_TARGET_IDS)
+    return dsir_logratio(
+        target, source, source, "doc_id", "text", n_buckets=DSIR_BUCKETS
+    )

@@ -36,6 +36,7 @@ INVARIANCE_QUERIES = [
     "x42_temperature_mixture",
     "x43_cluster_canonical",
     "x46_decontaminate_scored",
+    "x47_dsir_weights",
 ]
 
 

@@ -51,7 +51,7 @@ SLIPPED_THIS_ROUND: set[str] = {
     "t01_top_k",
     "t02_top_k_per_group",
     "u01_set_ops",
-    # displaced by the eight new never-green round-6 queries (x39-x46)
+    # displaced by the nine new never-green round-6 queries (x39-x47)
     "w03_surrogate_key",
     "w04_dedup_keep_first",
     "w05_running_total",
@@ -60,6 +60,7 @@ SLIPPED_THIS_ROUND: set[str] = {
     "w02_multikey_sequence",
     "q18_large_orders",
     "u03_upsert_snapshot",
+    "p10_trim_compound_filter",
 }
 
 
@@ -118,9 +119,10 @@ def test_driver_window_composition():
         "x44_source_overlap",
         "x45_split_leakage",
         "x46_decontaminate_scored",
+        "x47_dsir_weights",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "p10_trim_compound_filter"
+    assert names[DRIVER_WINDOW - 1] == "p08_not_isin_filter"
 
 
 def test_window_covers_all_stale_except_slipped():

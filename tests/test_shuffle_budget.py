@@ -170,6 +170,10 @@ SHUFFLE_BUDGET = {
     # joins; no agg — the leak list is row-level
     "x46_decontaminate_scored": 4,  # spread repartition + shingle
     # explode, broadcast membership join, per-doc rollup, zero attach
+    "x47_dsir_weights": 8,  # two bucket-count aggs, their two-stage
+    # totals, and the two spine attaches — every one bounded at 4096
+    # rows; the scored corpus itself pays only the broadcast feature
+    # join + one per-doc rollup
 }
 
 

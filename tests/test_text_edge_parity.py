@@ -62,6 +62,7 @@ EDGE_QUERIES = [
     "x44_source_overlap",
     "x45_split_leakage",
     "x46_decontaminate_scored",
+    "x47_dsir_weights",
 ]
 
 
