@@ -49,6 +49,7 @@ SUITE_QUERIES = [
     "x34_duplicate_spans",  # span explode + window count on span hash
     "x37_block_dedup",  # keep-first via skew-safe agg+join (r6 de-skew)
     "x38_lm_perplexity",  # bigram model joins (model tables at scale)
+    "x47_dsir_weights",  # bounded-bucket models: broadcast feature join
 ]
 
 

@@ -43,6 +43,10 @@ FUZZ_QUERIES = [
     "x38_lm_perplexity",
     "x39_span_rewrite",
     "x41_vocab_oov",
+    # round-6b: benchmark-overlap ratio + DSIR two-model log-ratio
+    # (corpora with ≤ 10 docs are all-benchmark — empty train side)
+    "x46_decontaminate_scored",
+    "x47_dsir_weights",
 ]
 
 
