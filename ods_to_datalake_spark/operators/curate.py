@@ -13,6 +13,12 @@ Tier order (the standard funnel, cheapest first):
                         repetition, too high = garbage)
 4. block rewrite      — optional corpus-wide keep-first block dedup
                         (drops docs whose every block was seen before)
+5. DSIR selection     — optional target-likeness gate: keep docs whose
+                        hashed-bigram log importance weight vs a
+                        target corpus clears a threshold
+6. mixture resample   — optional temperature-smoothed per-stratum
+                        up/down-sampling (adds a `replica` column;
+                        runs last because it changes row multiplicity)
 
 This operator is a pipeline DRIVER: it runs one Spark action per tier
 (the survivor count) over a lazily-materialized (`localCheckpoint
@@ -63,6 +69,10 @@ def curate_corpus(
     min_tokens: int = 0,
     xent_band: tuple[float, float] | None = None,
     block_tokens: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_min: float = 0.0,
+    mixture_strata: str | None = None,
+    mixture_weight: str | None = None,
 ) -> tuple[DataFrame, list[CurationStage]]:
     """(curated docs, per-tier report). See module docstring.
 
@@ -143,5 +153,37 @@ def curate_corpus(
                 cur.select(id_col, *other_cols), id_col
             )
         n_in = advance("block_rewrite", rewritten, n_in)
+
+    # 5. optional DSIR target-likeness selection (Xie et al. 2023):
+    # keep docs whose hashed-bigram log importance weight against the
+    # caller's target corpus clears `dsir_min` — the "looks like the
+    # data I want" gate, run after dedup so duplicated boilerplate
+    # can't dominate the source model
+    if dsir_target is not None:
+        from ods_to_datalake_spark.operators.lm import dsir_logratio
+
+        weights = dsir_logratio(
+            dsir_target, cur, cur, id_col, text_col
+        )
+        keep = weights.filter(
+            F.col("dsir_logratio") >= dsir_min
+        ).select(id_col)
+        n_in = advance(
+            "dsir_select", cur.join(keep, id_col, "left_semi"), n_in
+        )
+
+    # 6. optional temperature-smoothed mixture resampling — the LAST
+    # stage because it changes row multiplicity: the output gains a
+    # `replica` column and a doc may appear 0 or several times
+    # (deterministic integer up/down-sampling per stratum)
+    if mixture_strata is not None:
+        from ods_to_datalake_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        resampled = temperature_mixture(
+            cur, id_col, mixture_strata, mixture_weight or "n_chars"
+        )
+        n_in = advance("mixture_resample", resampled, n_in)
 
     return cur, report

@@ -565,3 +565,49 @@ def test_cluster_canonical_prefers_quality_then_min_id(spark):
     }
     # cluster 1: max quality 9 shared by ids 2 and 3 → min id 2 wins
     assert got == {1: (2, 9, 3), 7: (7, 4, 2)}
+
+
+def test_curate_corpus_dsir_and_mixture_tiers(spark):
+    """Tier 5/6 plumbing: the DSIR gate keeps target-like docs (their
+    log importance weights provably exceed every source-typical doc's)
+    and the mixture tier resamples with a replica column."""
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+    from ods_to_datalake_spark.operators.lm import dsir_logratio
+
+    rows = [
+        (i, f"alpha beta gamma delta w{i}", "en", "web", 30)
+        for i in range(6)
+    ] + [
+        (10, "delta epsilon zeta eta", "en", "books", 22),
+        (11, "epsilon zeta eta theta", "en", "books", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    target = spark.createDataFrame(
+        [(100, "delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    w = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_logratio(
+            target, docs, docs, "doc_id", "text"
+        ).collect()
+    }
+    books = [w[10], w[11]]
+    web = [w[i] for i in range(6)]
+    assert min(books) > max(web)  # the semantic claim DSIR makes
+    thr = (min(books) + max(web)) / 2
+    curated, report = curate_corpus(
+        docs, "doc_id", "text",
+        jaccard_tau=0.99,
+        dsir_target=target, dsir_min=thr,
+        mixture_strata="source",
+    )
+    stages = {s.stage: (s.docs_in, s.docs_out) for s in report}
+    assert stages["dsir_select"] == (8, 2)
+    assert "mixture_resample" in stages
+    assert "replica" in curated.columns
+    assert {r.doc_id for r in curated.collect()} <= {10, 11}
