@@ -165,8 +165,11 @@ def curate_corpus(
         weights = dsir_logratio(
             dsir_target, cur, cur, id_col, text_col
         )
+        # unscored docs (no bigrams → NULL weight) fail the gate
+        # explicitly, not via three-valued-logic accident
         keep = weights.filter(
-            F.col("dsir_logratio") >= dsir_min
+            F.col("dsir_logratio").isNotNull()
+            & (F.col("dsir_logratio") >= dsir_min)
         ).select(id_col)
         n_in = advance(
             "dsir_select", cur.join(keep, id_col, "left_semi"), n_in
@@ -175,7 +178,10 @@ def curate_corpus(
     # 6. optional temperature-smoothed mixture resampling — the LAST
     # stage because it changes row multiplicity: the output gains a
     # `replica` column and a doc may appear 0 or several times
-    # (deterministic integer up/down-sampling per stratum)
+    # (deterministic integer up/down-sampling per stratum). Its report
+    # entry counts ROWS, not documents — docs_out exceeds docs_in
+    # under net up-sampling and `removed` is meaningless for this one
+    # stage (every earlier tier removes; this one redistributes)
     if mixture_strata is not None:
         from ods_to_datalake_spark.operators.sampling import (
             temperature_mixture,

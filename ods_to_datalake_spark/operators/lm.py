@@ -216,7 +216,9 @@ def dsir_logratio(
     DSIR's own device and also remove the unseen-n-gram asymmetry: a
     fixed feature space needs no OOV fallback in either model. Docs
     scoring high look like the target distribution (select / upweight
-    them); ≤ 1-token docs have no bigrams and report 0.0.
+    them); ≤ 1-token docs have no bigrams and score NULL (no
+    evidence — the same convention as `bigram_lm_scores`, never a
+    sentinel 0.0 that would read as "exactly neutral").
 
     Scale: both models reduce to ``n_buckets`` rows — the feature
     table (bucket, Δ-log-weight) is a BROADCAST, so the scored corpus
@@ -292,7 +294,8 @@ def dsir_logratio(
                 "n_bigrams"
             ),
             F.when(
-                F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0)
+                F.coalesce("n_bigrams", F.lit(0)) == 0,
+                F.lit(None).cast("double"),
             )
             .otherwise(
                 F.col("sw").cast("double") / F.col("n_bigrams")

@@ -386,9 +386,12 @@ def x38_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-source duplication analytics
 # ---------------------------------------------------------------------------
 
-# 20-bit fractional bucket (operators/sampling.FRAC_BUCKETS): keeps every
-# integer product of the sampling arithmetic far inside int64
-_FRAC = 1 << 20
+# 20-bit fractional bucket: keeps every integer product of the sampling
+# arithmetic far inside int64; imported so the oracle SQL can never
+# drift from the operator's scale
+from ods_to_datalake_spark.operators.sampling import (  # noqa: E402
+    FRAC_BUCKETS as _FRAC,
+)
 
 
 @register(
@@ -461,27 +464,13 @@ def x43_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.dedup import (
         cluster_canonical,
         connected_components,
-        jaccard_pairs,
-        minhash_lsh_candidates,
     )
-    from ods_to_datalake_spark.plans.suite_llm import (
-        LSH_BANDS,
-        LSH_ROWS,
-        MINHASH_K,
-        SHINGLE_N,
-    )
+    from ods_to_datalake_spark.plans.suite_llm import verified_pairs
     from pyspark.sql import functions as F
 
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents")
-    cands = minhash_lsh_candidates(
-        docs, "doc_id", "text",
-        shingle_n=SHINGLE_N, k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
-    )
-    verified = jaccard_pairs(
-        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
-    ).filter(F.col("jaccard") >= 0.5)
-    cc = connected_components(verified, "id_a", "id_b")
+    cc = connected_components(verified_pairs(docs), "id_a", "id_b")
     return cluster_canonical(cc, docs, "doc_id", "n_chars").select(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "canonical_doc_id",
@@ -502,27 +491,12 @@ def x43_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final agg is tiny (|sources|²).",
 )
 def x44_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ods_to_datalake_spark.operators.dedup import (
-        jaccard_pairs,
-        minhash_lsh_candidates,
-    )
-    from ods_to_datalake_spark.plans.suite_llm import (
-        LSH_BANDS,
-        LSH_ROWS,
-        MINHASH_K,
-        SHINGLE_N,
-    )
+    from ods_to_datalake_spark.plans.suite_llm import verified_pairs
     from pyspark.sql import functions as F
 
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents")
-    cands = minhash_lsh_candidates(
-        docs, "doc_id", "text",
-        shingle_n=SHINGLE_N, k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
-    )
-    verified = jaccard_pairs(
-        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
-    ).filter(F.col("jaccard") >= 0.5)
+    verified = verified_pairs(docs)
     src = docs.select("doc_id", "source")
     pa = verified.join(
         src.select(F.col("doc_id").alias("id_a"),
@@ -566,13 +540,13 @@ def _assemble_round6_oracles() -> None:
            m.cluster_size
     FROM mx m
     JOIN j ON j.cluster_id = m.cluster_id
-          AND j.n_chars = m.canonical_quality
+          AND j.n_chars IS NOT DISTINCT FROM m.canonical_quality
     GROUP BY m.cluster_id, m.canonical_quality, m.cluster_size
     """
     x05 = REGISTRY["x05_lsh_jaccard_verify"].oracle
     REGISTRY["x44_source_overlap"].oracle = f"""
     WITH pairs AS (
-      SELECT id_a, id_b FROM ({x05}) v WHERE jaccard >= 0.5
+      SELECT id_a, id_b FROM ({x05}) v WHERE jaccard >= {suite_llm.NEAR_DUP_JACCARD}
     ), src AS (
       SELECT doc_id, source FROM documents
     )
@@ -605,26 +579,11 @@ _assemble_round6_oracles()
 def x45_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from ods_to_datalake_spark.operators.dedup import (
-        jaccard_pairs,
-        minhash_lsh_candidates,
-    )
-    from ods_to_datalake_spark.plans.suite_llm import (
-        LSH_BANDS,
-        LSH_ROWS,
-        MINHASH_K,
-        SHINGLE_N,
-    )
+    from ods_to_datalake_spark.plans.suite_llm import verified_pairs
 
     cat = load_testdata(spark, sf_dir)
     docs = cat.table("documents")
-    cands = minhash_lsh_candidates(
-        docs, "doc_id", "text",
-        shingle_n=SHINGLE_N, k=MINHASH_K, bands=LSH_BANDS, rows=LSH_ROWS,
-    )
-    verified = jaccard_pairs(
-        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
-    ).filter(F.col("jaccard") >= 0.5)
+    verified = verified_pairs(docs)
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -734,7 +693,7 @@ def _assemble_round6b_oracles() -> None:
     assert x05, "x05 oracle must be assembled before suite_curation"
     REGISTRY["x45_split_leakage"].oracle = f"""
     WITH pairs AS (
-      SELECT id_a, id_b, jaccard FROM ({x05}) v WHERE jaccard >= 0.5
+      SELECT id_a, id_b, jaccard FROM ({x05}) v WHERE jaccard >= {suite_llm.NEAR_DUP_JACCARD}
     ), s AS (
       SELECT doc_id,
              CASE WHEN CAST(concat('0x',
@@ -793,8 +752,11 @@ _assemble_round6b_oracles()
 
 # DSIR hashed-feature space (operators/lm.dsir_logratio default)
 DSIR_BUCKETS = 4096
-# target distribution = the benchmark slice (same split as x18/x46)
-DSIR_TARGET_IDS = 10
+# target distribution = the benchmark slice — IMPORTED so x18/x46/x47
+# provably share one benchmark boundary
+from ods_to_datalake_spark.plans.suite_llm import (  # noqa: E402
+    DECON_BENCH_IDS as DSIR_TARGET_IDS,
+)
 
 
 @register(
@@ -852,7 +814,7 @@ DSIR_TARGET_IDS = 10
     )
     SELECT d.doc_id,
            COALESCE(n_bigrams, 0) AS n_bigrams,
-           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN CAST(NULL AS DOUBLE)
                 ELSE CAST(sw AS DOUBLE) / n_bigrams
            END AS dsir_logratio
     FROM documents d LEFT JOIN per USING (doc_id)

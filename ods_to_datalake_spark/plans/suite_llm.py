@@ -203,6 +203,38 @@ def x05_lsh_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# near-dup verification threshold shared by every funnel consumer
+# (x25/x33 clustering, x43 canonicalization, x44 overlap, x45 leakage,
+# and their assembled oracles)
+NEAR_DUP_JACCARD = 0.5
+
+
+def verified_pairs(docs: DataFrame) -> DataFrame:
+    """The shared LSH -> exact-Jaccard verified-pair funnel over a
+    documents frame: (id_a, id_b, jaccard) with jaccard >=
+    NEAR_DUP_JACCARD. Single Spark-side source of truth for the five
+    registered queries built on verified pairs — their oracles embed
+    x05's SQL with the same threshold, so engine and oracle can only
+    change together."""
+    from ods_to_datalake_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    cands = minhash_lsh_candidates(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        rows=LSH_ROWS,
+    )
+    return jaccard_pairs(
+        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
+    ).filter(F.col("jaccard") >= NEAR_DUP_JACCARD)
+
+
 _SIMHASH_BITS_SQL = ",\n        ".join(
     f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN "
     f"substring(h, {i}, 1) IN ('8','9','a','b','c','d','e','f') "
@@ -1193,27 +1225,12 @@ def x24_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wrapped in a recursive min-reachable CTE.",
 )
 def x25_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ods_to_datalake_spark.operators.dedup import (
-        connected_components,
-        jaccard_pairs,
-        minhash_lsh_candidates,
-    )
+    from ods_to_datalake_spark.operators.dedup import connected_components
 
     cat = load_testdata(spark, sf_dir)
-    docs = cat.table("documents")
-    cands = minhash_lsh_candidates(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=SHINGLE_N,
-        k=MINHASH_K,
-        bands=LSH_BANDS,
-        rows=LSH_ROWS,
+    cc = connected_components(
+        verified_pairs(cat.table("documents")), "id_a", "id_b"
     )
-    verified = jaccard_pairs(
-        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
-    ).filter(F.col("jaccard") >= 0.5)
-    cc = connected_components(verified, "id_a", "id_b")
     return cc.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1236,25 +1253,12 @@ def x25_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x33_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.dedup import (
         connected_components_star,
-        jaccard_pairs,
-        minhash_lsh_candidates,
     )
 
     cat = load_testdata(spark, sf_dir)
-    docs = cat.table("documents")
-    cands = minhash_lsh_candidates(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=SHINGLE_N,
-        k=MINHASH_K,
-        bands=LSH_BANDS,
-        rows=LSH_ROWS,
+    cc = connected_components_star(
+        verified_pairs(cat.table("documents")), "id_a", "id_b"
     )
-    verified = jaccard_pairs(
-        docs, cands, "doc_id", "text", shingle_n=SHINGLE_N
-    ).filter(F.col("jaccard") >= 0.5)
-    cc = connected_components_star(verified, "id_a", "id_b")
     return cc.select(
         F.col("id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1272,7 +1276,7 @@ def _assemble_x25_oracle() -> None:
     x05 = REGISTRY["x05_lsh_jaccard_verify"].oracle
     REGISTRY["x25_dedup_clusters"].oracle = f"""
     WITH RECURSIVE dup_pairs AS (
-      SELECT id_a, id_b FROM ({x05}) v WHERE jaccard >= 0.5
+      SELECT id_a, id_b FROM ({x05}) v WHERE jaccard >= {NEAR_DUP_JACCARD}
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM dup_pairs
       UNION
