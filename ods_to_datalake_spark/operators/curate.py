@@ -66,6 +66,7 @@ def curate_corpus(
     rows: int = 2,
     max_bucket: int | None = None,
     jaccard_tau: float = 0.5,
+    near_dup_keep: str = "lowest_id",
     min_tokens: int = 0,
     xent_band: tuple[float, float] | None = None,
     block_tokens: int | None = None,
@@ -76,12 +77,21 @@ def curate_corpus(
 ) -> tuple[DataFrame, list[CurationStage]]:
     """(curated docs, per-tier report). See module docstring.
 
-    Near-dup policy matches `similarity.semantic_dedup`: a document is
-    dropped when a LOWER-id document verifies as its near-duplicate —
-    deterministic, order-free, and one anti-join. The LM band (when
-    given) trains the bigram model on the docs that survived dedup —
-    scoring against duplicates would skew the model toward exactly the
-    text the earlier tiers removed.
+    Near-dup policy (``near_dup_keep``):
+
+    - ``"lowest_id"`` (default) matches `similarity.semantic_dedup`: a
+      document is dropped when a LOWER-id document verifies as its
+      near-duplicate — deterministic, order-free, one anti-join. On a
+      chain A~B, B~C it keeps only A (pairwise dropping over-deletes).
+    - ``"best_quality"`` clusters the verified pairs (connected
+      components) and keeps the highest-token-count member per cluster
+      (min id on ties) — the CCNet/RefinedWeb keep-best convention,
+      built on `dedup.connected_components` + `dedup.cluster_canonical`
+      (both skew-safe; the argmax travels as one struct per cluster).
+
+    The LM band (when given) trains the bigram model on the docs that
+    survived dedup — scoring against duplicates would skew the model
+    toward exactly the text the earlier tiers removed.
     """
     report: list[CurationStage] = []
     cur = docs
@@ -115,7 +125,27 @@ def curate_corpus(
     verified = jaccard_pairs(
         cur, cands, id_col, text_col, shingle_n, threshold=jaccard_tau
     )
-    dropped = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if near_dup_keep == "best_quality":
+        from ods_to_datalake_spark.operators.dedup import (
+            cluster_canonical,
+            connected_components,
+        )
+
+        cc = connected_components(verified, "id_a", "id_b")
+        meta = cur.select(
+            F.col(id_col),
+            F.size(X.tokens(text_col)).alias("__q"),
+        )
+        canon = cluster_canonical(cc, meta, id_col, "__q")
+        dropped = cc.select(F.col("id").alias(id_col)).join(
+            canon.select(
+                F.col("canonical_doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+    else:
+        dropped = verified.select(F.col("id_b").alias(id_col)).distinct()
     n_in = advance(
         "near_dup_dedup", cur.join(dropped, id_col, "left_anti"), n_in
     )

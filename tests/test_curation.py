@@ -611,3 +611,31 @@ def test_curate_corpus_dsir_and_mixture_tiers(spark):
     assert "mixture_resample" in stages
     assert "replica" in curated.columns
     assert {r.doc_id for r in curated.collect()} <= {10, 11}
+
+
+def test_curate_corpus_near_dup_keep_best_quality(spark):
+    """A near-dup chain keeps its LONGEST member under the
+    best_quality policy (vs the lowest surviving id under the default
+    pairwise policy, which also over-deletes the chain)."""
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " one"),
+        (2, base + " one two three four"),  # longest chain member
+        (3, base),
+        (4, "completely different text about spark query engines "
+            "running large distributed scans"),
+    ]
+    docs = _docs(spark, rows)
+    best, report_b = curate_corpus(
+        docs, "doc_id", "text",
+        jaccard_tau=0.5, near_dup_keep="best_quality",
+    )
+    assert sorted(r.doc_id for r in best.collect()) == [2, 4]
+    lowest, _ = curate_corpus(
+        docs, "doc_id", "text", jaccard_tau=0.5,
+    )
+    assert sorted(r.doc_id for r in lowest.collect()) == [1, 4]
+    stages = {s.stage: (s.docs_in, s.docs_out) for s in report_b}
+    assert stages["near_dup_dedup"] == (4, 2)
