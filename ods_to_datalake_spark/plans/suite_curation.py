@@ -1,7 +1,12 @@
-"""Round-5 curation suite: the remaining large-corpus curation shapes —
-exact-substring span dedup (Lee et al. 2022), keep-first block dedup
-(CCNet-shaped), product quantization (Jégou et al. 2011), and
-SemDeDup-style clustered semantic dedup (Abbas et al. 2023).
+"""Curation suite: the large-corpus curation shapes — exact-substring
+span dedup + token-level rewrite (Lee et al. 2022), keep-first block
+dedup (CCNet-shaped), product quantization (Jégou et al. 2011),
+SemDeDup-style clustered semantic dedup (Abbas et al. 2023), and the
+round-6 additions: temperature-smoothed mixture resampling (XLM-R
+α-sampling), keep-best cluster canonicalization, cross-source
+duplication provenance, train/eval split-leakage auditing, scored
+benchmark decontamination, and DSIR importance weighting (Xie et al.
+2023).
 
 Determinism strategy for the embedding queries: "training" artifacts
 (PQ codebooks, semantic-dedup centroids) are seeded from the ks/k
