@@ -639,3 +639,67 @@ def test_curate_corpus_near_dup_keep_best_quality(spark):
     assert sorted(r.doc_id for r in lowest.collect()) == [1, 4]
     stages = {s.stage: (s.docs_in, s.docs_out) for s in report_b}
     assert stages["near_dup_dedup"] == (4, 2)
+
+
+def test_temperature_mixture_matches_reference_rule_on_random_strata(spark):
+    """Property: for arbitrary strata/weights the per-doc copy counts
+    equal the pure-Python integer rule bit-for-bit (no float rate ever
+    enters), and per-stratum totals land within the deterministic
+    bound base*n_s <= out_s <= (base+1)*n_s."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.sampling import temperature_mixture
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        strata=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.integers(min_value=1, max_value=12),  # rows
+                st.integers(min_value=0, max_value=5000),  # weight each
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def prop(strata):
+        rows, next_id = [], 0
+        for name, n, wt in strata:
+            for _ in range(n):
+                rows.append((next_id, name, wt))
+                next_id += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, w long"
+        )
+        out = temperature_mixture(df, "doc_id", "source", "w").collect()
+        per_doc: dict[int, int] = {}
+        for r in out:
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        # reference rule
+        stats = {
+            name: (n, n * wt) for name, n, wt in strata
+        }
+        wsum = {
+            name: math.floor(math.sqrt(c)) for name, (n, c) in stats.items()
+        }
+        den = sum(wsum.values())
+        total = sum(n for n, _ in stats.values())
+        expected_total = 0
+        for doc_id, name, _ in rows:
+            n_s = stats[name][0]
+            k_s = (total * wsum[name]) // den if den > 0 else 0
+            exp = _expected_copies(doc_id, n_s, k_s)
+            assert per_doc.get(doc_id, 0) == exp, (doc_id, exp)
+            expected_total += exp
+        assert len(out) == expected_total
+
+    prop()
