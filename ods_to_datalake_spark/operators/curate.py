@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from ods_to_datalake_spark.functions import text as X
 from ods_to_datalake_spark.operators.dedup import (
     block_dedup,
+    cluster_canonical,
+    connected_components,
     jaccard_pairs,
     minhash_lsh_candidates,
 )
@@ -88,6 +90,9 @@ def curate_corpus(
       (min id on ties) — the CCNet/RefinedWeb keep-best convention,
       built on `dedup.connected_components` + `dedup.cluster_canonical`
       (both skew-safe; the argmax travels as one struct per cluster).
+      Requires a NUMERIC id column (the min-id tie-break rides the
+      argmax struct as a negated id); the default policy accepts any
+      orderable id type.
 
     The LM band (when given) trains the bigram model on the docs that
     survived dedup — scoring against duplicates would skew the model
@@ -125,12 +130,12 @@ def curate_corpus(
     verified = jaccard_pairs(
         cur, cands, id_col, text_col, shingle_n, threshold=jaccard_tau
     )
-    if near_dup_keep == "best_quality":
-        from ods_to_datalake_spark.operators.dedup import (
-            cluster_canonical,
-            connected_components,
+    if near_dup_keep not in ("lowest_id", "best_quality"):
+        raise ValueError(
+            f"near_dup_keep must be 'lowest_id' or 'best_quality', "
+            f"got {near_dup_keep!r}"
         )
-
+    if near_dup_keep == "best_quality":
         cc = connected_components(verified, "id_a", "id_b")
         meta = cur.select(
             F.col(id_col),

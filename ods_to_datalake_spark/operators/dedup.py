@@ -686,7 +686,9 @@ def cluster_canonical(
     ``clusters`` is (id, cluster_id) from `connected_components` /
     `connected_components_star`; ``meta`` carries (id_col,
     quality_col) — any integer quality signal (n_chars, token count,
-    a quantized score).
+    a quantized score). The id must be NUMERIC: the min-id tie-break
+    rides the argmax struct as a negated id (string/UUID ids would
+    need a two-stage max-quality-then-min-id aggregation instead).
 
     Scale: one corpus join on id (both sides id-partitioned) and ONE
     partial-aggregated groupBy(cluster_id) — the argmax travels as a

@@ -73,13 +73,24 @@ def main() -> int:
     shutil.rmtree(workdir, ignore_errors=True)
 
     t0 = time.perf_counter()
+    # Replica keys are OFFSET (key + r*10^7), not interleaved
+    # (key*scale + r): replica 0 keeps the ORIGINAL ids, so queries
+    # that select by id VALUE — x07/x08's query vectors (vec_id < 8),
+    # x35's codebook seed rows, x47's benchmark slice (doc_id < 10) —
+    # see the original distinct rows instead of `scale` copies of
+    # row 0 (the interleaved form made every ANN query vector and PQ
+    # codeword a clone of base vector 0). One offset for every table
+    # keeps the lineitem⋈orders key relation intact across replicas.
+    offset = 10_000_000
     for table, key_cols in AMPLIFIED.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
         rep = df.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(scale - 1)))
         )
         for c in key_cols:
-            rep = rep.withColumn(c, F.col(c) * scale + F.col("__r"))
+            rep = rep.withColumn(
+                c, F.col(c) + F.col("__r").cast("long") * F.lit(offset)
+            )
         rep.drop("__r").repartition(32).write.parquet(
             f"{workdir}/{table}.parquet"
         )

@@ -703,3 +703,13 @@ def test_temperature_mixture_matches_reference_rule_on_random_strata(spark):
         assert len(out) == expected_total
 
     prop()
+
+
+def test_curate_corpus_rejects_unknown_near_dup_policy(spark):
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+
+    docs = _docs(spark, [(1, "a b c")])
+    with _pytest.raises(ValueError, match="near_dup_keep"):
+        curate_corpus(docs, "doc_id", "text", near_dup_keep="keep_best")
