@@ -195,57 +195,40 @@ def score_with_lm(
     )
 
 
-def dsir_logratio(
+def _dsir_bucket(col: "F.Column", n_buckets: int) -> "F.Column":
+    """Stable bigram feature bucket in [0, n_buckets): 32 bits of md5
+    (the engine-shared hash) reduced mod the feature-space size."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_feature_table(
     target_docs: DataFrame,
     source_docs: DataFrame,
-    score_docs: DataFrame,
-    id_col: str,
     text_col: str,
     n_buckets: int = 4096,
 ) -> DataFrame:
-    """(id, n_bigrams, dsir_logratio): Data Selection via Importance
-    Resampling (Xie et al. 2023, "Data Selection for Language Models
-    via Importance Resampling") over hashed bigram features — the
-    per-document log importance weight
-
-        mean over bigram instances of  ln p_target(b) − ln p_source(b)
-
-    where ``b`` is the bigram's hash bucket and each model is an
-    add-one multinomial over the ``n_buckets`` fixed buckets:
-    p(b) = (c(b) + 1) / (total + n_buckets). Hashed features are
-    DSIR's own device and also remove the unseen-n-gram asymmetry: a
-    fixed feature space needs no OOV fallback in either model. Docs
-    scoring high look like the target distribution (select / upweight
-    them); ≤ 1-token docs have no bigrams and score NULL (no
-    evidence — the same convention as `bigram_lm_scores`, never a
-    sentinel 0.0 that would read as "exactly neutral").
-
-    Scale: both models reduce to ``n_buckets`` rows — the feature
-    table (bucket, Δ-log-weight) is a BROADCAST, so the scored corpus
-    pays one map-side join and one per-doc rollup; nothing
-    corpus-sized shuffles on a model key (the bounded-model
-    counterpart to `bigram_lm_scores`, whose open-vocabulary tables
-    must shuffle-join). Determinism: the count ratios are exact
-    integer ratios, each ln() is quantized to DECIMAL(28,6) in the
-    4096-row model table (ln is not cross-engine bit-stable — module
-    docstring), the Δ and the per-doc sum are exact decimal math, and
-    the mean is the raw double quotient.
-    """
-    spark = score_docs.sparkSession
-
-    def bucket(col: F.Column) -> F.Column:
-        return (
-            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-            % n_buckets
-        )
+    """(b, w): the DSIR Δ-log-weight feature table — per hash bucket,
+    quantized ln p_target(b) − ln p_source(b) under add-one
+    multinomials over the fixed ``n_buckets`` feature space. Exactly
+    ``n_buckets`` rows (a full bucket spine left-joins the counts), so
+    it always broadcasts; persist it with `build_dsir` and score any
+    stream/batch against the FROZEN table via `score_with_dsir` — the
+    same train-offline/apply-on-ingest split as `build_lm` +
+    `score_with_lm`. ``w`` is exact DECIMAL (each ln quantized to
+    DECIMAL(28,6) — module docstring), so a parquet round-trip is
+    bit-faithful."""
+    spark = target_docs.sparkSession
 
     def counts(docs: DataFrame, name: str) -> DataFrame:
         bg = docs.select(
             F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg")
         )
-        return bg.groupBy(bucket(F.col("bg")).alias("b")).agg(
-            F.count(F.lit(1)).alias(name)
-        )
+        return bg.groupBy(
+            _dsir_bucket(F.col("bg"), n_buckets).alias("b")
+        ).agg(F.count(F.lit(1)).alias(name))
 
     spine = spark.range(n_buckets).select(F.col("id").alias("b"))
     tc = spine.join(counts(target_docs, "ct"), "b", "left").select(
@@ -257,7 +240,7 @@ def dsir_logratio(
     tt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     ts = sc.agg(F.coalesce(F.sum("cs"), F.lit(0)).alias("ts"))
     nb = F.lit(n_buckets)
-    feats = (
+    return (
         tc.join(sc, "b")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(ts))
@@ -273,10 +256,43 @@ def dsir_logratio(
             ).alias("w"),
         )
     )
+
+
+def build_dsir(
+    target_docs: DataFrame,
+    source_docs: DataFrame,
+    text_col: str,
+    path: str,
+    n_buckets: int = 4096,
+) -> None:
+    """Persist the DSIR feature table as a lake artifact (one parquet
+    of ``n_buckets`` rows). Refreshing it is an offline rebuild + new
+    path, never an in-stream retrain."""
+    dsir_feature_table(
+        target_docs, source_docs, text_col, n_buckets
+    ).write.mode("overwrite").parquet(path)
+
+
+def score_with_dsir(
+    feats: DataFrame,
+    score_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, dsir_logratio) against a FROZEN feature table
+    ((b, w) from `dsir_feature_table` / `build_dsir`). The feature
+    space size defaults to the table's OWN row count (the spine always
+    materializes every bucket), so a scorer can never silently
+    mis-bucket against a table built with a different ``n_buckets``.
+    The table broadcasts, so the scored corpus pays one map-side join
+    + one per-doc rollup; no-bigram docs score NULL."""
+    if n_buckets is None:
+        n_buckets = feats.count()
     inst = score_docs.select(
         F.col(id_col),
         F.explode(X.shingles(X.tokens(text_col), 2)).alias("bg"),
-    ).select(F.col(id_col), bucket(F.col("bg")).alias("b"))
+    ).select(F.col(id_col), _dsir_bucket(F.col("bg"), n_buckets).alias("b"))
     per = (
         inst.join(F.broadcast(feats), "b")
         .groupBy(id_col)
@@ -302,4 +318,53 @@ def dsir_logratio(
             )
             .alias("dsir_logratio"),
         )
+    )
+
+
+def dsir_logratio(
+    target_docs: DataFrame,
+    source_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_bigrams, dsir_logratio): Data Selection via Importance
+    Resampling (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling") over hashed bigram features — the
+    per-document log importance weight
+
+        mean over bigram instances of  ln p_target(b) − ln p_source(b)
+
+    where ``b`` is the bigram's hash bucket and each model is an
+    add-one multinomial over the ``n_buckets`` fixed buckets:
+    p(b) = (c(b) + 1) / (total + n_buckets). Hashed features are
+    DSIR's own device and also remove the unseen-n-gram asymmetry: a
+    fixed feature space needs no OOV fallback in either model. Docs
+    scoring high look like the target distribution (select / upweight
+    them); ≤ 1-token docs have no bigrams and score NULL (no
+    evidence — the same convention as `bigram_lm_scores`, never a
+    sentinel 0.0 that would read as "exactly neutral").
+
+    Composition of `dsir_feature_table` (train) + `score_with_dsir`
+    (apply) in one plan — the one-shot batch face; streaming ingest
+    uses the same pieces against a `build_dsir` artifact.
+
+    Scale: both models reduce to ``n_buckets`` rows — the feature
+    table (bucket, Δ-log-weight) is a BROADCAST, so the scored corpus
+    pays one map-side join and one per-doc rollup; nothing
+    corpus-sized shuffles on a model key (the bounded-model
+    counterpart to `bigram_lm_scores`, whose open-vocabulary tables
+    must shuffle-join). Determinism: the count ratios are exact
+    integer ratios, each ln() is quantized to DECIMAL(28,6) in the
+    4096-row model table (ln is not cross-engine bit-stable — module
+    docstring), the Δ and the per-doc sum are exact decimal math, and
+    the mean is the raw double quotient.
+    """
+    return score_with_dsir(
+        dsir_feature_table(target_docs, source_docs, text_col, n_buckets),
+        score_docs,
+        id_col,
+        text_col,
+        n_buckets,
     )

@@ -320,26 +320,35 @@ def ingest_with_quality_gate(
     rows: int = 2,
     min_tokens: int = 0,
     xent_band: tuple[float, float] | None = None,
+    dsir_path: str | None = None,
+    dsir_min: float = 0.0,
     reject_dir: str | None = None,
 ) -> "StreamingQuery":
     """The full streaming curation face: `ingest_with_near_dup_tier`'s
     two dedup tiers PLUS the quality gates of `curate.curate_corpus`,
-    applied per micro-batch against a FROZEN `lm.build_lm` artifact —
-    the quality bar must not drift with each batch, so the model is
-    read, never retrained in-stream (refreshing it is an offline
-    rebuild + new path, like IVF centroids).
+    applied per micro-batch against FROZEN lake artifacts — the
+    quality bar must not drift with each batch, so models are read,
+    never retrained in-stream (refreshing one is an offline rebuild +
+    new path, like IVF centroids).
 
     Per batch: LSH near-dup rejection against the growing band state →
     token-count gate → LM cross-entropy band via `score_with_lm`
     (stream-side bigrams join the static model tables — shuffles on
-    n-gram keys only). Admitted rows append to ``out_dir`` and grow
-    the band state; when ``reject_dir`` is given, rejected rows land
-    there with a ``reject_reason`` column (near_dup / min_tokens /
-    lm_xent) — curation at scale must account for what it removed, not
-    silently shrink the corpus.
+    n-gram keys only) → optional DSIR target-likeness gate via
+    `score_with_dsir` against a `build_dsir` artifact (``dsir_path``;
+    the n_buckets-row Δ-log-weight table broadcasts, so this gate
+    costs the batch one map-side join; docs scoring below ``dsir_min``
+    — or unscorable, < 2 tokens — are rejected). Admitted rows append
+    to ``out_dir`` and grow the band state; when ``reject_dir`` is
+    given, rejected rows land there with a ``reject_reason`` column
+    (near_dup / min_tokens / lm_xent / dsir) — curation at scale must
+    account for what it removed, not silently shrink the corpus.
     """
     from ods_to_datalake_spark.operators.dedup import lsh_banded
-    from ods_to_datalake_spark.operators.lm import score_with_lm
+    from ods_to_datalake_spark.operators.lm import (
+        score_with_dsir,
+        score_with_lm,
+    )
 
     def banded(df: DataFrame) -> DataFrame:
         return lsh_banded(df, id_col, text_col, shingle_n, k, bands, rows)
@@ -387,12 +396,24 @@ def ingest_with_quality_gate(
             )
         else:
             xent_ok = F.lit(True)
+        if dsir_path is not None:
+            feats = spark.read.parquet(dsir_path)
+            dsir = score_with_dsir(
+                feats, batch_df, id_col, text_col
+            ).select(id_col, "dsir_logratio")
+            staged = staged.join(dsir, id_col, "left")
+            dsir_ok = F.col("dsir_logratio").isNotNull() & (
+                F.col("dsir_logratio") >= dsir_min
+            )
+        else:
+            dsir_ok = F.lit(True)
         reason = (
             F.when(F.col("__near"), F.lit("near_dup"))
             .when(
                 F.col("__n_tokens") < min_tokens, F.lit("min_tokens")
             )
             .when(~xent_ok, F.lit("lm_xent"))
+            .when(~dsir_ok, F.lit("dsir"))
         )
         # EAGER materialization barrier, not a lazy persist: the staged
         # plan reads the state table, and the state commit below would

@@ -713,3 +713,42 @@ def test_curate_corpus_rejects_unknown_near_dup_policy(spark):
     docs = _docs(spark, [(1, "a b c")])
     with _pytest.raises(ValueError, match="near_dup_keep"):
         curate_corpus(docs, "doc_id", "text", near_dup_keep="keep_best")
+
+
+def test_score_with_dsir_frozen_equals_one_shot(spark, tmp_path):
+    """The persisted feature-table path must reproduce the one-shot
+    dsir_logratio bit-for-bit (decimal weights round-trip parquet
+    exactly), and the scorer must derive the feature-space size from
+    the table itself (built with a non-default n_buckets)."""
+    from ods_to_datalake_spark.operators.lm import (
+        build_dsir,
+        dsir_logratio,
+        score_with_dsir,
+    )
+
+    target = _docs(spark, [(100, "delta epsilon zeta eta theta")])
+    docs = _docs(
+        spark,
+        [(i, f"alpha beta gamma w{i}") for i in range(5)]
+        + [(10, "delta epsilon zeta eta"), (11, "solo")],
+    )
+    for nb in (4096, 512):
+        one_shot = {
+            (r.doc_id, r.n_bigrams, r.dsir_logratio)
+            for r in dsir_logratio(
+                target, docs, docs, "doc_id", "text", n_buckets=nb
+            ).collect()
+        }
+        path = str(tmp_path / f"dsir_{nb}")
+        build_dsir(target, docs, "text", path, n_buckets=nb)
+        feats = spark.read.parquet(path)
+        assert feats.count() == nb
+        frozen = {
+            (r.doc_id, r.n_bigrams, r.dsir_logratio)
+            for r in score_with_dsir(
+                feats, docs, "doc_id", "text"  # n_buckets derived
+            ).collect()
+        }
+        assert frozen == one_shot
+    # single-token doc has no bigrams → NULL, never sentinel 0.0
+    assert any(d == 11 and n == 0 and s is None for d, n, s in frozen)

@@ -887,3 +887,71 @@ def test_streaming_quality_gate_end_to_end(spark, tmp_path):
     assert rejected == {
         11: "near_dup", 12: "min_tokens", 13: "lm_xent"
     }
+
+
+def test_streaming_dsir_gate_rejects_off_target(spark, tmp_path):
+    """The DSIR tier of the streaming quality face: a frozen
+    `build_dsir` artifact gates each micro-batch — target-like docs
+    admit, source-like docs land in quarantine with reason 'dsir',
+    and an unscorable (< 2 token) doc is rejected rather than passed
+    on a sentinel score."""
+    from ods_to_datalake_spark.operators.lm import build_dsir
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_with_quality_gate,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "delta epsilon zeta eta theta iota kappa lamda")],
+        "doc_id long, text string",
+    )
+    source = spark.createDataFrame(
+        [(200, "qq ww ee rr tt yy uu ii oo pp")],
+        "doc_id long, text string",
+    )
+    dsir_path = str(tmp_path / "dsir")
+    build_dsir(target, source, "text", dsir_path)
+
+    seen = spark.createDataFrame(
+        [(1, "completely unrelated seen doc about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = [
+        (10, "delta epsilon zeta eta theta kappa"),  # target-like
+        (11, "qq ww ee rr tt uu ii oo"),             # source-like
+        (12, "solo"),                                # unscorable
+    ]
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        batch, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src / "*"))
+    )
+    out_dir = str(tmp_path / "d_admitted")
+    rej_dir = str(tmp_path / "d_rejected")
+    q = ingest_with_quality_gate(
+        stream,
+        seen,
+        str(tmp_path / "unused_lm"),  # xent_band None → LM never read
+        out_dir,
+        str(tmp_path / "d_state"),
+        str(tmp_path / "d_ckpt"),
+        dsir_path=dsir_path,
+        dsir_min=0.0,
+        reject_dir=rej_dir,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert admitted == {10}
+    rejected = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(rej_dir).collect()
+    }
+    assert rejected == {11: "dsir", 12: "dsir"}
