@@ -155,3 +155,102 @@ def langid(tok: Column) -> Column:
     for lang in langs:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
+
+
+# Gopher quality-rule constants (Rae et al. 2021, appendix A1.1).
+# Thresholds are expressed as integer ratios (num/den) so every rule is
+# a pure integer comparison — no division, no float literals, no ANSI
+# divide-by-zero guard needed (see CLAUDE.md's boundary rules).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_MIN = 3  # mean word length lower bound (chars)
+GOPHER_MEAN_LEN_MAX = 10
+GOPHER_SYMBOL_NUM, GOPHER_SYMBOL_DEN = 1, 10  # symbols/words <= 0.1
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # alpha words/words >= 0.8
+GOPHER_BULLET_NUM, GOPHER_BULLET_DEN = 9, 10  # non-bullet lines >= 0.9
+GOPHER_ELLIPSIS_NUM, GOPHER_ELLIPSIS_DEN = 3, 10  # ellipsis lines <= 0.3
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_stats(text_col: Column | str) -> dict[str, Column]:
+    """Per-document Gopher quality-rule inputs (Rae et al. 2021 A1.1):
+    word count, total word chars, alphabetic-word count, distinct
+    Gopher-stopword hits, symbol count (# and ellipsis), line counts
+    (bullet-start / ellipsis-end). All counts are BIGINT, all built-in
+    JVM expressions; NULL text yields NULL counts (same three-valued
+    logic DuckDB applies, so the `passes` CASE lands 0 in both).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = tokens(c)
+    lines = F.split(c, r"\r?\n")
+    n_chars = F.length(c)
+    ell3 = F.floor(
+        (n_chars - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    )
+    n_symbols = (
+        (n_chars - F.length(F.replace(c, F.lit("#"), F.lit(""))))
+        + ell3
+        + (n_chars - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    )
+    # distinct stopwords present: 8 explicit contains-terms, identical
+    # shape to the oracle's CASE sum (array_intersect dedup semantics
+    # are NOT identical across engines, so neither side uses them)
+    n_stop = sum(
+        F.when(F.array_contains(tok, w), F.lit(1)).otherwise(F.lit(0))
+        for w in GOPHER_STOPWORDS
+    )
+    return {
+        "n_words": F.size(tok).cast("long"),
+        "word_chars": F.aggregate(
+            F.transform(tok, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        "n_alpha_words": F.size(
+            F.filter(tok, lambda t: t.rlike("[a-z]"))
+        ).cast("long"),
+        "n_stop": n_stop.cast("long"),
+        "n_symbols": n_symbols.cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "n_bullet_lines": F.size(
+            F.filter(lines, lambda ln: F.ltrim(ln).rlike("^[-*•]"))
+        ).cast("long"),
+        "n_ellipsis_lines": F.size(
+            F.filter(
+                lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+            )
+        ).cast("long"),
+    }
+
+
+def gopher_passes(s: dict[str, Column]) -> Column:
+    """0/1 conjunction of the Gopher rules over `gopher_stats` output.
+    Pure integer-scaled comparisons; NULL inputs (NULL text) fall to
+    the ELSE branch → 0, matching the oracle's CASE."""
+    ok = (
+        (s["n_words"] >= GOPHER_MIN_WORDS)
+        & (s["n_words"] <= GOPHER_MAX_WORDS)
+        & (GOPHER_MEAN_LEN_MIN * s["n_words"] <= s["word_chars"])
+        & (s["word_chars"] <= GOPHER_MEAN_LEN_MAX * s["n_words"])
+        & (
+            GOPHER_SYMBOL_DEN * s["n_symbols"]
+            <= GOPHER_SYMBOL_NUM * s["n_words"]
+        )
+        & (
+            GOPHER_ALPHA_DEN * s["n_alpha_words"]
+            >= GOPHER_ALPHA_NUM * s["n_words"]
+        )
+        & (s["n_stop"] >= GOPHER_MIN_STOPWORDS)
+        & (
+            GOPHER_BULLET_DEN * (s["n_lines"] - s["n_bullet_lines"])
+            >= GOPHER_BULLET_NUM * s["n_lines"]
+        )
+        & (
+            GOPHER_ELLIPSIS_DEN * s["n_ellipsis_lines"]
+            <= GOPHER_ELLIPSIS_NUM * s["n_lines"]
+        )
+    )
+    return F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")

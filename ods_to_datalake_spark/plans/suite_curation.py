@@ -5,8 +5,8 @@ SemDeDup-style clustered semantic dedup (Abbas et al. 2023), and the
 round-6 additions: temperature-smoothed mixture resampling (XLM-R
 α-sampling), keep-best cluster canonicalization, cross-source
 duplication provenance, train/eval split-leakage auditing, scored
-benchmark decontamination, and DSIR importance weighting (Xie et al.
-2023).
+benchmark decontamination, DSIR importance weighting (Xie et al.
+2023), and the Gopher quality-rule filter (Rae et al. 2021).
 
 Determinism strategy for the embedding queries: "training" artifacts
 (PQ codebooks, semantic-dedup centroids) are seeded from the ks/k
@@ -847,4 +847,96 @@ def x47_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = docs.filter(F.col("doc_id") >= DSIR_TARGET_IDS)
     return dsir_logratio(
         target, source, source, "doc_id", "text", n_buckets=DSIR_BUCKETS
+    )
+
+
+def _sql_gopher_stop_sum() -> str:
+    """CASE-sum of distinct Gopher stopwords present — explicit per-word
+    contains terms (array_intersect dedup semantics differ across
+    engines; neither side uses them)."""
+    from ods_to_datalake_spark.functions import text as X
+
+    return " + ".join(
+        f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+        for w in X.GOPHER_STOPWORDS
+    )
+
+
+def _gopher_oracle() -> str:
+    from ods_to_datalake_spark.functions import text as X
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {SQL_TOKENS} AS toks,
+             string_split_regex(text, '\\r?\\n') AS ln
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(toks, t -> length(t)))
+             AS BIGINT) AS word_chars,
+        CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+             AS BIGINT) AS n_alpha_words,
+        CAST({_sql_gopher_stop_sum()} AS BIGINT) AS n_stop,
+        CAST((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           + (length(text) - length(replace(text, '…', '')))
+             AS BIGINT) AS n_symbols,
+        CAST(len(ln) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ln,
+               l -> regexp_matches(ltrim(l), '^[-*•]')))
+             AS BIGINT) AS n_bullet_lines,
+        CAST(len(list_filter(ln,
+               l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+             AS BIGINT) AS n_ellipsis_lines
+      FROM t
+    )
+    SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop,
+           n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+           CAST(CASE WHEN n_words >= {X.GOPHER_MIN_WORDS}
+                 AND n_words <= {X.GOPHER_MAX_WORDS}
+                 AND {X.GOPHER_MEAN_LEN_MIN} * n_words <= word_chars
+                 AND word_chars <= {X.GOPHER_MEAN_LEN_MAX} * n_words
+                 AND {X.GOPHER_SYMBOL_DEN} * n_symbols
+                     <= {X.GOPHER_SYMBOL_NUM} * n_words
+                 AND {X.GOPHER_ALPHA_DEN} * n_alpha_words
+                     >= {X.GOPHER_ALPHA_NUM} * n_words
+                 AND n_stop >= {X.GOPHER_MIN_STOPWORDS}
+                 AND {X.GOPHER_BULLET_DEN} * (n_lines - n_bullet_lines)
+                     >= {X.GOPHER_BULLET_NUM} * n_lines
+                 AND {X.GOPHER_ELLIPSIS_DEN} * n_ellipsis_lines
+                     <= {X.GOPHER_ELLIPSIS_NUM} * n_lines
+            THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM m
+    """
+
+
+@register(
+    "x48_gopher_quality",
+    oracle=_gopher_oracle(),
+    doc="Gopher quality-rule filter (Rae et al. 2021 A1.1): word-count "
+    "bounds, mean-word-length bounds, symbol-to-word ratio, "
+    "alphabetic-word fraction, distinct-stopword floor, bullet-start / "
+    "ellipsis-end line ratios — every threshold an integer-scaled "
+    "comparison (no division, no float literals), all JVM codegen "
+    "expressions, zero shuffles: the narrow map stage you'd run FIRST "
+    "in a 100-TB curation funnel before any dedup shuffle.",
+)
+def x48_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions.text import (
+        gopher_passes,
+        gopher_stats,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    s = gopher_stats("text")
+    cols = [
+        "n_words", "word_chars", "n_alpha_words", "n_stop", "n_symbols",
+        "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+    ]
+    return docs.select(
+        "doc_id",
+        *[s[c].alias(c) for c in cols],
+        gopher_passes(s).alias("passes"),
     )

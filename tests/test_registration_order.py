@@ -51,7 +51,7 @@ SLIPPED_THIS_ROUND: set[str] = {
     "t01_top_k",
     "t02_top_k_per_group",
     "u01_set_ops",
-    # displaced by the nine new never-green round-6 queries (x39-x47)
+    # displaced by the new never-green round-6 queries (x39-x48)
     "w03_surrogate_key",
     "w04_dedup_keep_first",
     "w05_running_total",
@@ -61,6 +61,8 @@ SLIPPED_THIS_ROUND: set[str] = {
     "q18_large_orders",
     "u03_upsert_snapshot",
     "p10_trim_compound_filter",
+    # displaced by x48_gopher_quality (tenth new round-6 query)
+    "p08_not_isin_filter",
 }
 
 
@@ -120,9 +122,10 @@ def test_driver_window_composition():
         "x45_split_leakage",
         "x46_decontaminate_scored",
         "x47_dsir_weights",
+        "x48_gopher_quality",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "p08_not_isin_filter"
+    assert names[DRIVER_WINDOW - 1] == "p07_isin_filter"
 
 
 def test_window_covers_all_stale_except_slipped():

@@ -174,6 +174,9 @@ SHUFFLE_BUDGET = {
     # totals, and the two spine attaches — every one bounded at 4096
     # rows; the scored corpus itself pays only the broadcast feature
     # join + one per-doc rollup
+    "x48_gopher_quality": 0,  # pure per-row map stage — the Gopher
+    # rules are integer comparisons over codegen'd token/line stats,
+    # no shuffle at any scale
 }
 
 

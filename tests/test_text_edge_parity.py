@@ -63,6 +63,7 @@ EDGE_QUERIES = [
     "x45_split_leakage",
     "x46_decontaminate_scored",
     "x47_dsir_weights",
+    "x48_gopher_quality",
 ]
 
 
