@@ -254,3 +254,65 @@ def gopher_passes(s: dict[str, Column]) -> Column:
         )
     )
     return F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+# C4 cleaning-rule constants (Raffel et al. 2020 §2.2). The published
+# pipeline also applies the LDNOOBW blocklist; that list plugs into
+# `c4_stats(blocklist=...)` — the default carries only the two
+# content markers named in the paper itself.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_DOC_BLOCKLIST: tuple[str, ...] = ("lorem ipsum", "{")
+C4_LINE_BLOCKWORD = "javascript"
+
+
+def c4_keep_line(ln: Column) -> Column:
+    """C4's line filter: ends in terminal punctuation (. ! ? \"), has
+    at least C4_MIN_LINE_WORDS whitespace words, and does not mention
+    the line blockword (case-insensitive)."""
+    return (
+        F.rtrim(ln).rlike('[.!?"]$')
+        & (
+            F.size(F.split(F.trim(ln), r"\s+"))
+            >= F.lit(C4_MIN_LINE_WORDS)
+        )
+        & ~F.contains(F.lower(ln), F.lit(C4_LINE_BLOCKWORD))
+    )
+
+
+def c4_stats(
+    text_col: Column | str,
+    blocklist: tuple[str, ...] = C4_DOC_BLOCKLIST,
+) -> dict[str, Column]:
+    """Per-document C4 cleaning (Raffel et al. 2020): filter lines by
+    `c4_keep_line`, rebuild the cleaned text, and evaluate the
+    doc-level gates (blocklist hit, >= C4_MIN_SENTENCES sentences in
+    the cleaned text). All built-in JVM expressions, zero shuffles;
+    NULL text propagates NULL stats and a 0 keep flag — same
+    three-valued logic as the SQL oracle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, r"\r?\n")
+    kept = F.filter(lines, c4_keep_line)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.regexp_extract_all(cleaned, F.lit("[.!?]"), 0)
+    ).cast("long")
+    blocked = None
+    for w in blocklist:
+        hit = F.contains(F.lower(c), F.lit(w))
+        blocked = hit if blocked is None else (blocked | hit)
+    keep = (
+        ~blocked
+        & (n_sentences >= F.lit(C4_MIN_SENTENCES))
+        & (F.size(kept) >= F.lit(1))
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sentences,
+        "blocked": F.when(blocked, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        ),
+        "cleaned_text": cleaned,
+        "keep": F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    }

@@ -940,3 +940,74 @@ def x48_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[s[c].alias(c) for c in cols],
         gopher_passes(s).alias("passes"),
     )
+
+
+def _c4_oracle() -> str:
+    from ods_to_datalake_spark.functions import text as X
+
+    keep_line = (
+        "regexp_matches(rtrim(l), '[.!?\"]$') "
+        "AND len(string_split_regex(trim(l), '\\s+')) >= "
+        f"{X.C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(l), '{X.C4_LINE_BLOCKWORD}')"
+    )
+    blocked = " OR ".join(
+        f"contains(lower(text), '{w}')" for w in X.C4_DOC_BLOCKLIST
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(text, '\\r?\\n') AS ln
+      FROM documents
+    ), k AS (
+      SELECT doc_id, text, ln,
+             list_filter(ln, l -> {keep_line}) AS kept
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(ln) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        -- DuckDB array_to_string([]) is NULL where Spark array_join([])
+        -- is '' — coalesce the empty case, keep NULL text NULL
+        CASE WHEN kept IS NULL THEN NULL
+             ELSE COALESCE(array_to_string(kept, chr(10)), '')
+        END AS cleaned_text,
+        ({blocked}) AS blocked_b
+      FROM k
+    )
+    SELECT doc_id, n_lines, n_kept_lines,
+           CAST(len(regexp_extract_all(cleaned_text, '[.!?]'))
+                AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN blocked_b THEN 1 ELSE 0 END AS BIGINT)
+             AS blocked,
+           cleaned_text,
+           CAST(CASE WHEN NOT blocked_b
+                 AND len(regexp_extract_all(cleaned_text, '[.!?]'))
+                     >= {X.C4_MIN_SENTENCES}
+                 AND n_kept_lines >= 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """
+
+
+@register(
+    "x49_c4_line_filter",
+    oracle=_c4_oracle(),
+    doc="C4 cleaning rules (Raffel et al. 2020 §2.2): keep lines that "
+    "end in terminal punctuation, have >= 5 words, and don't mention "
+    "javascript; rebuild the cleaned text; gate the document on the "
+    "blocklist (lorem ipsum, '{') and a >= 3-sentence floor. Pure "
+    "per-row line filtering — the other canonical pre-dedup map stage "
+    "next to x48's Gopher rules; zero shuffles at any scale.",
+)
+def x49_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions.text import c4_stats
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    s = c4_stats("text")
+    cols = [
+        "n_lines", "n_kept_lines", "n_sentences", "blocked",
+        "cleaned_text", "keep",
+    ]
+    return docs.select("doc_id", *[s[c].alias(c) for c in cols])

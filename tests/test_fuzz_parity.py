@@ -79,6 +79,59 @@ def test_fuzz_corpus_parity(spark, tmp_path_factory, name, texts):
 
 
 # ---------------------------------------------------------------------------
+# quality-filter fuzz: punctuation / bullet / line-structure corpora
+# ---------------------------------------------------------------------------
+
+# the Gopher/C4 rule families key on structure the generic word soup
+# never produces: terminal punctuation, ellipses (ASCII and U+2026),
+# bullets, braces, blockwords, CRLF vs LF line breaks — a dedicated
+# strategy so the existing derandomized FUZZ_QUERIES examples stay put
+_FWORD = st.sampled_from(
+    ["the", "of", "and", "word.", "mid", "x#y", "...", "…", "end!",
+     "why?", 'quote"', "- a", "* b", "•", "{", "javascript",
+     "lorem", "ipsum", "a" * 12]
+)
+_FLINE = st.lists(_FWORD, min_size=0, max_size=12).map(" ".join)
+_FTEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(_FLINE, min_size=1, max_size=4).map("\n".join),
+    st.lists(_FLINE, min_size=1, max_size=3).map("\r\n".join),
+)
+_FILTER_CORPUS = st.lists(_FTEXT, min_size=1, max_size=10)
+
+FILTER_FUZZ_QUERIES = ["x48_gopher_quality", "x49_c4_line_filter"]
+
+
+@pytest.mark.parametrize("name", FILTER_FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_FILTER_CORPUS)
+def test_fuzz_filter_parity(spark, tmp_path_factory, name, texts):
+    d = tmp_path_factory.mktemp("ffuzz")
+    rows = [
+        (i, t, "en", "fuzz", len(t) if t else 0)
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {texts!r}: {report}"
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
 # embedding fuzz: tie-heavy vectors
 # ---------------------------------------------------------------------------
 

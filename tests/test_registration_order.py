@@ -61,8 +61,9 @@ SLIPPED_THIS_ROUND: set[str] = {
     "q18_large_orders",
     "u03_upsert_snapshot",
     "p10_trim_compound_filter",
-    # displaced by x48_gopher_quality (tenth new round-6 query)
+    # displaced by x48_gopher_quality / x49_c4_line_filter
     "p08_not_isin_filter",
+    "p07_isin_filter",
 }
 
 
@@ -123,9 +124,10 @@ def test_driver_window_composition():
         "x46_decontaminate_scored",
         "x47_dsir_weights",
         "x48_gopher_quality",
+        "x49_c4_line_filter",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "p07_isin_filter"
+    assert names[DRIVER_WINDOW - 1] == "p06_range_filter"
 
 
 def test_window_covers_all_stale_except_slipped():

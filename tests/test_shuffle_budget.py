@@ -177,6 +177,8 @@ SHUFFLE_BUDGET = {
     "x48_gopher_quality": 0,  # pure per-row map stage — the Gopher
     # rules are integer comparisons over codegen'd token/line stats,
     # no shuffle at any scale
+    "x49_c4_line_filter": 0,  # same: line filter + doc rebuild is a
+    # stateless map, zero exchanges
 }
 
 

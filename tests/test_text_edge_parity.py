@@ -26,6 +26,22 @@ EDGE_DOCS = [
     (11, "Email me at a.b@c.de or visit https://x.y/z?q=1 code 123456",
      "en", "edge", 59),
     (12, None, "en", "edge", 0),  # NULL text — every tokenizer path
+    # multi-line docs that exercise the LINE-level rule families
+    # (x48 Gopher bullet/ellipsis ratios, x49 C4 keeps) non-degenerately:
+    # 13 passes both filters, 14 trips bullets/ellipsis/brace/javascript
+    (13, "The quick brown fox jumps over the lazy dog today and it "
+         "was glad to be here with all of that in mind. "
+         "Every sentence in this document ends with a terminal mark "
+         "and it has more than five words in every line. "
+         "The corpus needs at least fifty words of mean length between "
+         "three and ten so this line keeps adding plain words. "
+         "That should be enough words to have the filter pass now.",
+     "en", "edge", 420),
+    (14, "- bullet line that would be dropped by gopher rules\n"
+         "* another bullet line here\n"
+         "this line trails off into an ellipsis and so on...\n"
+         "A valid sentence with enough words ends here. { brace "
+         "javascript mention.\r\nshort line.", "en", "edge", 200),
 ]
 
 # per-document text/dedup queries whose semantics the edge docs stress
@@ -64,6 +80,7 @@ EDGE_QUERIES = [
     "x46_decontaminate_scored",
     "x47_dsir_weights",
     "x48_gopher_quality",
+    "x49_c4_line_filter",
 ]
 
 
