@@ -5,6 +5,11 @@ accounted for.
 
 Tier order (the standard funnel, cheapest first):
 
+0. rule filters       — optional C4 line cleaning (Raffel et al.
+                        2020; rewrites text to the kept lines) and
+                        Gopher quality rules (Rae et al. 2021) —
+                        zero-shuffle map stages, so obviously-bad
+                        docs never pay a dedup exchange
 1. exact dedup        — keep the lowest id per content hash
 2. near-dup dedup     — MinHash/LSH candidates → exact Jaccard verify
                         ≥ tau → drop the higher id of each pair
@@ -62,6 +67,8 @@ def curate_corpus(
     id_col: str,
     text_col: str,
     *,
+    c4_rules: bool = False,
+    gopher_rules: bool = False,
     shingle_n: int = 3,
     minhash_k: int = 8,
     bands: int = 4,
@@ -108,6 +115,26 @@ def curate_corpus(
         n_after = cur.count()
         report.append(CurationStage(stage, n_before, n_after))
         return n_after
+
+    # 0. rule filters — per-row codegen expressions, no shuffle. C4
+    # runs first because it REWRITES text (drops non-content lines);
+    # Gopher then judges the cleaned text, as the published pipelines
+    # compose them.
+    if c4_rules:
+        s = X.c4_stats(text_col)
+        cleaned = (
+            cur.withColumn("__c4_keep", s["keep"])
+            .withColumn("__c4_text", s["cleaned_text"])
+            .filter(F.col("__c4_keep") == 1)
+            .withColumn(text_col, F.col("__c4_text"))
+            .drop("__c4_keep", "__c4_text")
+        )
+        n_in = advance("c4_rules", cleaned, n_in)
+    if gopher_rules:
+        survivors = cur.filter(
+            X.gopher_passes(X.gopher_stats(text_col)) == 1
+        )
+        n_in = advance("gopher_rules", survivors, n_in)
 
     # 1. exact dedup (keep lowest id per content hash). Skew-safe:
     # groupBy(hash).agg(min(id)) partially aggregates map-side — a

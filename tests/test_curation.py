@@ -752,3 +752,43 @@ def test_score_with_dsir_frozen_equals_one_shot(spark, tmp_path):
         assert frozen == one_shot
     # single-token doc has no bigrams → NULL, never sentinel 0.0
     assert any(d == 11 and n == 0 and s is None for d, n, s in frozen)
+
+
+def test_curate_corpus_rule_filter_tiers(spark):
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today and it "
+        "was glad to be here with all of that in mind. "
+        "Every sentence in this document ends with a terminal mark "
+        "and it has more than five words in every line. "
+        "The corpus needs at least fifty words of mean length between "
+        "three and ten so this line keeps adding plain words. "
+        "That should be enough words to have the filter pass now."
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, good),
+            # C4 drops the bullet/short lines; what's left fails the
+            # 3-sentence floor → removed by the c4 tier
+            (2, "- bullet\n* other bullet\nshort line."),
+            # passes C4 (3 sentences, >= 5 words each, terminal punct)
+            # but fails Gopher's 50-word floor → removed by gopher tier
+            (3, "Five plain words sit here. Another line of five "
+                "words. One more sentence with the needed words."),
+            # javascript-mentioning lines are dropped by C4's line
+            # filter → no kept lines → removed by the c4 tier
+            (4, "this javascript line goes away entirely now.\n"
+                "also javascript in this second long line here."),
+        ],
+    )
+    curated, report = curate_corpus(
+        docs, "doc_id", "text", c4_rules=True, gopher_rules=True,
+    )
+    assert [r.doc_id for r in curated.collect()] == [1]
+    stages = {s.stage: (s.docs_in, s.docs_out) for s in report}
+    assert stages["c4_rules"] == (4, 2)
+    assert stages["gopher_rules"] == (2, 1)
+    # the c4 tier REWRITES text: doc 1 keeps all its (one-line) text
+    assert curated.collect()[0].text == good
