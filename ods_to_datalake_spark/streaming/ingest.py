@@ -322,6 +322,8 @@ def ingest_with_quality_gate(
     xent_band: tuple[float, float] | None = None,
     dsir_path: str | None = None,
     dsir_min: float = 0.0,
+    c4_rules: bool = False,
+    gopher_rules: bool = False,
     reject_dir: str | None = None,
 ) -> "StreamingQuery":
     """The full streaming curation face: `ingest_with_near_dup_tier`'s
@@ -341,8 +343,19 @@ def ingest_with_quality_gate(
     — or unscorable, < 2 tokens — are rejected). Admitted rows append
     to ``out_dir`` and grow the band state; when ``reject_dir`` is
     given, rejected rows land there with a ``reject_reason`` column
-    (near_dup / min_tokens / lm_xent / dsir) — curation at scale must
-    account for what it removed, not silently shrink the corpus.
+    (c4 / gopher / near_dup / min_tokens / lm_xent / dsir) — curation
+    at scale must account for what it removed, not silently shrink
+    the corpus.
+
+    ``c4_rules`` / ``gopher_rules`` mirror `curate_corpus` tier 0:
+    per-row codegen gates evaluated FIRST (cheapest, and attributed
+    before dedup in the reject reasons). C4 REWRITES surviving docs to
+    their kept lines before banding, so the near-dup state is built on
+    cleaned text — same composition as the batch pipeline; rejected
+    rows keep their original text for auditability. Exact-hash
+    admission (tier 1) still sees raw text: the stream-side state join
+    can't run a per-batch rewrite, and a raw-exact duplicate is a
+    cleaned-exact duplicate anyway (the rewrite is deterministic).
     """
     from ods_to_datalake_spark.operators.dedup import lsh_banded
     from ods_to_datalake_spark.operators.lm import (
@@ -368,6 +381,28 @@ def ingest_with_quality_gate(
         from ods_to_datalake_spark.functions import text as X
 
         spark = batch_df.sparkSession
+        data_cols = batch_df.columns
+        if c4_rules:
+            s = X.c4_stats(text_col)
+            batch_df = batch_df.withColumn(
+                "__c4_keep", s["keep"]
+            ).withColumn(
+                text_col,
+                F.when(
+                    s["keep"] == F.lit(1), s["cleaned_text"]
+                ).otherwise(F.col(text_col)),
+            )
+            c4_ok = F.col("__c4_keep") == 1
+        else:
+            c4_ok = F.lit(True)
+        if gopher_rules:
+            batch_df = batch_df.withColumn(
+                "__gopher_ok",
+                X.gopher_passes(X.gopher_stats(text_col)),
+            )
+            gopher_ok = F.col("__gopher_ok") == 1
+        else:
+            gopher_ok = F.lit(True)
         near_ids = (
             banded(batch_df)
             .join(
@@ -408,7 +443,9 @@ def ingest_with_quality_gate(
         else:
             dsir_ok = F.lit(True)
         reason = (
-            F.when(F.col("__near"), F.lit("near_dup"))
+            F.when(~c4_ok, F.lit("c4"))
+            .when(~gopher_ok, F.lit("gopher"))
+            .when(F.col("__near"), F.lit("near_dup"))
             .when(
                 F.col("__n_tokens") < min_tokens, F.lit("min_tokens")
             )
@@ -426,13 +463,13 @@ def ingest_with_quality_gate(
         staged = staged.withColumn("reject_reason", reason).localCheckpoint()
         admitted = staged.filter(
             F.col("reject_reason").isNull()
-        ).select(*batch_df.columns)
+        ).select(*data_cols)
         _batch_overwrite(admitted, out_dir, batch_id)
         _batch_overwrite(banded(admitted), state_dir, batch_id)
         if reject_dir is not None:
             _batch_overwrite(
                 staged.filter(F.col("reject_reason").isNotNull()).select(
-                    *batch_df.columns, "reject_reason"
+                    *data_cols, "reject_reason"
                 ),
                 reject_dir,
                 batch_id,

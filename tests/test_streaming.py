@@ -955,3 +955,76 @@ def test_streaming_dsir_gate_rejects_off_target(spark, tmp_path):
         for r in spark.read.parquet(rej_dir).collect()
     }
     assert rejected == {11: "dsir", 12: "dsir"}
+
+
+def test_streaming_rule_gates_reject_and_rewrite(spark, tmp_path):
+    """Tier-0 rule gates on the streaming face: a C4-failing doc is
+    quarantined with reason 'c4', a Gopher-failing doc with 'gopher'
+    (rule reasons take precedence over near_dup, mirroring the batch
+    tier order), and an admitted doc lands with its text REWRITTEN to
+    the C4-kept lines."""
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_with_quality_gate,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today and it "
+        "was glad to be here with all of that in mind. "
+        "Every sentence in this document ends with a terminal mark "
+        "and it has more than five words in every line. "
+        "The corpus needs at least fifty words of mean length between "
+        "three and ten so this line keeps adding plain words. "
+        "That should be enough words to have the filter pass now."
+    )
+    seen = spark.createDataFrame(
+        [(1, "completely unrelated seen doc about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = [
+        # junk line is dropped by C4, the rest passes Gopher → text
+        # rewritten on admit
+        (10, "- junk bullet line\n" + good),
+        # all lines bullet/short → no kept lines → reason 'c4'
+        (11, "- bullet\n* other bullet\nshort line."),
+        # passes C4 but < 50 words → reason 'gopher'
+        (12, "Five plain words sit here. Another line of five "
+             "words. One more sentence with the needed words."),
+    ]
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        batch, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src / "*"))
+    )
+    out_dir = str(tmp_path / "r_admitted")
+    rej_dir = str(tmp_path / "r_rejected")
+    q = ingest_with_quality_gate(
+        stream,
+        seen,
+        str(tmp_path / "unused_lm"),  # xent_band None → LM never read
+        out_dir,
+        str(tmp_path / "r_state"),
+        str(tmp_path / "r_ckpt"),
+        c4_rules=True,
+        gopher_rules=True,
+        reject_dir=rej_dir,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = {
+        r.doc_id: r.text for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(admitted) == {10}
+    assert admitted[10] == good  # bullet line removed by the rewrite
+    rejected = {
+        r.doc_id: r.reject_reason
+        for r in spark.read.parquet(rej_dir).collect()
+    }
+    assert rejected == {11: "c4", 12: "gopher"}
