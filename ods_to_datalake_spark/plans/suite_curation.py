@@ -1011,3 +1011,55 @@ def x49_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cleaned_text", "keep",
     ]
     return docs.select("doc_id", *[s[c].alias(c) for c in cols])
+
+
+@register(
+    "x50_source_quality_report",
+    oracle=f"""
+    WITH g AS ({_gopher_oracle()}),
+    c AS ({_c4_oracle()})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(g.passes) AS BIGINT) AS n_gopher_pass,
+           CAST(SUM(c.keep) AS BIGINT) AS n_c4_keep,
+           CAST(SUM(g.n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(g.word_chars) AS BIGINT) AS sum_word_chars
+    FROM documents d
+    JOIN g USING (doc_id) JOIN c USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Per-source corpus report card: document count, Gopher-rule "
+    "pass count, C4 keep count, token and character mass per source — "
+    "the curation-funnel observability query (which sources are worth "
+    "ingesting?). The per-doc rule signals are zero-shuffle codegen "
+    "expressions computed inline, so the whole report costs ONE "
+    "map-side-combined exchange on source at any corpus size; the "
+    "oracle embeds x48's and x49's oracles and aggregates them.",
+)
+def x50_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.functions.text import (
+        c4_stats,
+        gopher_passes,
+        gopher_stats,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    g = gopher_stats("text")
+    c = c4_stats("text")
+    per_doc = docs.select(
+        "source",
+        gopher_passes(g).alias("__gp"),
+        c["keep"].alias("__ck"),
+        g["n_words"].alias("__nw"),
+        g["word_chars"].alias("__wc"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__gp").cast("long").alias("n_gopher_pass"),
+        F.sum("__ck").cast("long").alias("n_c4_keep"),
+        F.sum("__nw").cast("long").alias("sum_words"),
+        F.sum("__wc").cast("long").alias("sum_word_chars"),
+    )

@@ -179,6 +179,9 @@ SHUFFLE_BUDGET = {
     # no shuffle at any scale
     "x49_c4_line_filter": 0,  # same: line filter + doc rebuild is a
     # stateless map, zero exchanges
+    "x50_source_quality_report": 1,  # per-doc rule signals computed
+    # inline (no join back to x48/x49) — the whole report is one
+    # map-side-combined exchange on source
 }
 
 

@@ -81,6 +81,7 @@ EDGE_QUERIES = [
     "x47_dsir_weights",
     "x48_gopher_quality",
     "x49_c4_line_filter",
+    "x50_source_quality_report",
 ]
 
 
