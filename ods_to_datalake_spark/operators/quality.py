@@ -1,0 +1,163 @@
+"""Document-quality operators that need RELATIONAL computation (explode
++ groupBy per document) rather than per-row expressions — the
+repetition half of Gopher's quality table (Rae et al. 2021, appendix
+A1.1), complementing the per-row rule filters in `functions.text`
+(`gopher_stats` / `c4_stats`).
+
+Scale notes: every aggregation here groups on (doc_id, content) or
+doc_id — uniform keys, map-side partials; the duplicate-5-gram
+coverage join is a left_semi on (doc_id, gram) bounded by the doc's
+own shingles. Nothing joins across documents, so the whole operator
+is embarrassingly doc-parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions import text as X
+
+# Gopher repetition thresholds (Rae et al. 2021 A1.1), integer-scaled
+# num/den so every rule is a pure integer comparison:
+REP_DUP_LINE_NUM, REP_DUP_LINE_DEN = 3, 10  # dup-line frac <= 0.30
+REP_DUP_LINE_CHAR_NUM, REP_DUP_LINE_CHAR_DEN = 2, 10  # <= 0.20
+REP_TOP2_CHAR_NUM, REP_TOP2_CHAR_DEN = 2, 10  # top-2gram chars <= 0.20
+REP_DUP5_NUM, REP_DUP5_DEN = 15, 100  # dup-5gram positions <= 0.15
+REP_5GRAM_N = 5
+
+
+def gopher_repetition(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document Gopher REPETITION signals + pass flag:
+
+    - duplicate-line fraction and duplicate-line character fraction
+      (lines occurring more than once within the document),
+    - top-2-gram character fraction (most frequent word bigram's
+      character mass; ties broken to the lexicographically largest
+      bigram — max(struct(count, gram)) here, ROW_NUMBER ... ORDER BY
+      c DESC, g DESC in the oracle, identical under binary collation),
+    - duplicate-5-gram coverage: the fraction of token POSITIONS
+      covered by any 5-token window that occurs >= 2 times within the
+      document (token-position form of the paper's character
+      fraction — exact, overlap-correct, and relational).
+
+    All outputs are BIGINT counts (numerator/denominator pairs), no
+    division anywhere; `passes` applies the A1.1 thresholds as
+    integer-scaled comparisons and is 0 for empty/NULL documents.
+    Documents with no lines/ngrams coalesce to 0 counts.
+    """
+    toks = X.tokens(text_col)
+    base = docs.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("word_chars"),
+        F.split(F.col(text_col), r"\r?\n").alias("__lines"),
+        X.shingles(toks, 2).alias("__g2"),
+        X.shingles(toks, REP_5GRAM_N).alias("__g5"),
+    )
+
+    per_line = (
+        base.select(id_col, F.explode("__lines").alias("__l"))
+        .groupBy(id_col, "__l")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0))
+        ).cast("long").alias("n_dup_lines"),
+        F.sum(F.col("__c") * F.length("__l")).cast("long").alias(
+            "total_line_chars"
+        ),
+        F.sum(
+            F.when(
+                F.col("__c") > 1, F.col("__c") * F.length("__l")
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("dup_line_chars"),
+    )
+
+    per_g2 = (
+        base.select(id_col, F.explode("__g2").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    top2 = per_g2.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__c"), F.col("__g"))).alias("__m")
+    ).select(
+        id_col,
+        F.col("__m.__c").cast("long").alias("top2_count"),
+        (F.col("__m.__c") * F.length(F.col("__m.__g"))).cast(
+            "long"
+        ).alias("top2_chars"),
+    )
+
+    g5 = base.select(
+        id_col, F.posexplode("__g5").alias("__p", "__g")
+    )
+    dup_grams = (
+        g5.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select(id_col, "__g")
+    )
+    covered = (
+        g5.join(dup_grams, [id_col, "__g"], "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("__p"), F.col("__p") + (REP_5GRAM_N - 1)
+                )
+            ).alias("__tp"),
+        )
+        .distinct()
+    )
+    dup5 = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dup5_positions")
+    )
+
+    out = (
+        base.select(id_col, "n_tokens", "word_chars")
+        .join(line_stats, id_col, "left")
+        .join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+    )
+    z = F.lit(0).cast("long")
+    counts = {
+        c: F.coalesce(F.col(c), z).alias(c)
+        for c in (
+            "n_lines", "n_dup_lines", "dup_line_chars",
+            "total_line_chars", "top2_count", "top2_chars",
+            "dup5_positions",
+        )
+    }
+    nt = F.coalesce(F.col("n_tokens"), z)
+    wc = F.coalesce(F.col("word_chars"), z)
+    # build the conjunction from the coalesced columns directly
+    cn = {k: F.coalesce(F.col(k), z) for k in counts}
+    ok = (
+        (nt >= 1)
+        & (REP_DUP_LINE_DEN * cn["n_dup_lines"]
+           <= REP_DUP_LINE_NUM * cn["n_lines"])
+        & (REP_DUP_LINE_CHAR_DEN * cn["dup_line_chars"]
+           <= REP_DUP_LINE_CHAR_NUM * cn["total_line_chars"])
+        & (REP_TOP2_CHAR_DEN * cn["top2_chars"]
+           <= REP_TOP2_CHAR_NUM * wc)
+        & (REP_DUP5_DEN * cn["dup5_positions"]
+           <= REP_DUP5_NUM * nt)
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "word_chars",
+        *counts.values(),
+        F.when(ok, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "passes"
+        ),
+    )

@@ -1063,3 +1063,114 @@ def x50_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__nw").cast("long").alias("sum_words"),
         F.sum("__wc").cast("long").alias("sum_word_chars"),
     )
+
+
+def _repetition_oracle() -> str:
+    from ods_to_datalake_spark.operators import quality as Q
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_TOKENS} AS toks,
+             string_split_regex(text, '\\r?\\n') AS ln
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS word_chars,
+             {_sql_shingles('toks', 2)} AS g2,
+             {_sql_shingles('toks', Q.REP_5GRAM_N)} AS gg5,
+             ln
+      FROM t
+    ), l AS (
+      SELECT doc_id, unnest(ln) AS line FROM b
+    ), pl AS (
+      SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY doc_id, line
+    ), ls AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_dup_lines,
+             CAST(SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)
+                  AS BIGINT) AS dup_line_chars,
+             CAST(SUM(c * length(line)) AS BIGINT) AS total_line_chars
+      FROM pl GROUP BY doc_id
+    ), gg AS (
+      SELECT doc_id, unnest(g2) AS g FROM b
+    ), pg AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM gg GROUP BY doc_id, g
+    ), tg AS (
+      SELECT doc_id, CAST(c AS BIGINT) AS top2_count,
+             CAST(c * length(g) AS BIGINT) AS top2_chars
+      FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY c DESC, g DESC
+               ) AS rn
+        FROM pg
+      ) WHERE rn = 1
+    ), sp AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(gg5, 1) - 1 AS INT) AS p,
+             unnest(gg5) AS g
+      FROM b
+    ), dg AS (
+      SELECT doc_id, g FROM sp GROUP BY doc_id, g
+      HAVING COUNT(*) >= 2
+    ), di AS (
+      SELECT sp.doc_id, sp.p
+      FROM sp SEMI JOIN dg
+        ON sp.doc_id = dg.doc_id AND sp.g = dg.g
+    ), cov AS (
+      SELECT DISTINCT doc_id, p + off AS tp
+      FROM di, range(0, {Q.REP_5GRAM_N}) r(off)
+    ), d5 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup5_positions
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.word_chars,
+           COALESCE(n_lines, 0) AS n_lines,
+           COALESCE(n_dup_lines, 0) AS n_dup_lines,
+           COALESCE(dup_line_chars, 0) AS dup_line_chars,
+           COALESCE(total_line_chars, 0) AS total_line_chars,
+           COALESCE(top2_count, 0) AS top2_count,
+           COALESCE(top2_chars, 0) AS top2_chars,
+           COALESCE(dup5_positions, 0) AS dup5_positions,
+           CAST(CASE WHEN COALESCE(b.n_tokens, 0) >= 1
+                 AND {Q.REP_DUP_LINE_DEN} * COALESCE(n_dup_lines, 0)
+                     <= {Q.REP_DUP_LINE_NUM} * COALESCE(n_lines, 0)
+                 AND {Q.REP_DUP_LINE_CHAR_DEN}
+                     * COALESCE(dup_line_chars, 0)
+                     <= {Q.REP_DUP_LINE_CHAR_NUM}
+                        * COALESCE(total_line_chars, 0)
+                 AND {Q.REP_TOP2_CHAR_DEN} * COALESCE(top2_chars, 0)
+                     <= {Q.REP_TOP2_CHAR_NUM}
+                        * COALESCE(b.word_chars, 0)
+                 AND {Q.REP_DUP5_DEN} * COALESCE(dup5_positions, 0)
+                     <= {Q.REP_DUP5_NUM} * COALESCE(b.n_tokens, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM b LEFT JOIN ls USING (doc_id)
+           LEFT JOIN tg USING (doc_id)
+           LEFT JOIN d5 USING (doc_id)
+    """
+
+
+@register(
+    "x51_gopher_repetition",
+    oracle=_repetition_oracle(),
+    doc="Gopher REPETITION rules (Rae et al. 2021 A1.1, the second "
+    "half of the quality table; x48 is the rule half): within-doc "
+    "duplicate-line fraction and char fraction, top-2-gram char "
+    "fraction (ties to the lexicographically largest gram), and "
+    "duplicate-5-gram token-position coverage (overlap-correct via "
+    "DISTINCT covered positions, the x39 span machinery). All "
+    "BIGINT numerator/denominator counts, thresholds as "
+    "integer-scaled comparisons; every group key includes doc_id so "
+    "the operator is doc-parallel with map-side partials — no "
+    "cross-document join at any scale.",
+)
+def x51_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.quality import gopher_repetition
+
+    cat = load_testdata(spark, sf_dir)
+    return gopher_repetition(cat.table("documents"), "doc_id", "text")

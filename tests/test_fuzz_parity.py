@@ -100,7 +100,13 @@ _FTEXT = st.one_of(
 )
 _FILTER_CORPUS = st.lists(_FTEXT, min_size=1, max_size=10)
 
-FILTER_FUZZ_QUERIES = ["x48_gopher_quality", "x49_c4_line_filter"]
+FILTER_FUZZ_QUERIES = [
+    "x48_gopher_quality",
+    "x49_c4_line_filter",
+    # repetition rules feed on the same line/punctuation structure,
+    # and the small word set makes duplicate lines/n-grams common
+    "x51_gopher_repetition",
+]
 
 
 @pytest.mark.parametrize("name", FILTER_FUZZ_QUERIES)

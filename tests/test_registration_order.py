@@ -61,10 +61,11 @@ SLIPPED_THIS_ROUND: set[str] = {
     "q18_large_orders",
     "u03_upsert_snapshot",
     "p10_trim_compound_filter",
-    # displaced by x48 / x49 / x50 (round-6 rule-filter family)
+    # displaced by x48-x51 (round-6 rule-filter/repetition family)
     "p08_not_isin_filter",
     "p07_isin_filter",
     "p06_range_filter",
+    "p03_derive_drop_rename",
 }
 
 
@@ -127,9 +128,10 @@ def test_driver_window_composition():
         "x48_gopher_quality",
         "x49_c4_line_filter",
         "x50_source_quality_report",
+        "x51_gopher_repetition",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "p03_derive_drop_rename"
+    assert names[DRIVER_WINDOW - 1] == "p01_projection_scan"
 
 
 def test_window_covers_all_stale_except_slipped():

@@ -182,6 +182,9 @@ SHUFFLE_BUDGET = {
     "x50_source_quality_report": 1,  # per-doc rule signals computed
     # inline (no join back to x48/x49) — the whole report is one
     # map-side-combined exchange on source
+    "x51_gopher_repetition": 7,  # line agg (2-stage), top-2gram agg +
+    # argmax, dup-5gram agg + coverage distinct, three doc_id joins —
+    # every key includes doc_id, so all partial-agg and uniform
 }
 
 

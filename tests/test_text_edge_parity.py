@@ -82,6 +82,7 @@ EDGE_QUERIES = [
     "x48_gopher_quality",
     "x49_c4_line_filter",
     "x50_source_quality_report",
+    "x51_gopher_repetition",
 ]
 
 
