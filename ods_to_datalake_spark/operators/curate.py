@@ -6,10 +6,12 @@ accounted for.
 Tier order (the standard funnel, cheapest first):
 
 0. rule filters       — optional C4 line cleaning (Raffel et al.
-                        2020; rewrites text to the kept lines) and
+                        2020; rewrites text to the kept lines),
                         Gopher quality rules (Rae et al. 2021) —
-                        zero-shuffle map stages, so obviously-bad
-                        docs never pay a dedup exchange
+                        zero-shuffle map stages — and the Gopher
+                        REPETITION rules (doc-local relational aggs),
+                        so obviously-bad docs never pay a dedup
+                        exchange or bloat an LSH bucket
 1. exact dedup        — keep the lowest id per content hash
 2. near-dup dedup     — MinHash/LSH candidates → exact Jaccard verify
                         ≥ tau → drop the higher id of each pair
@@ -69,6 +71,7 @@ def curate_corpus(
     *,
     c4_rules: bool = False,
     gopher_rules: bool = False,
+    repetition_rules: bool = False,
     shingle_n: int = 3,
     minhash_k: int = 8,
     bands: int = 4,
@@ -135,6 +138,25 @@ def curate_corpus(
             X.gopher_passes(X.gopher_stats(text_col)) == 1
         )
         n_in = advance("gopher_rules", survivors, n_in)
+    # repetition rules are doc-local but RELATIONAL (explode +
+    # per-doc aggs) — still cheaper than any cross-doc dedup tier,
+    # and boilerplate-heavy docs removed here never enter the LSH
+    # bucket space they would otherwise bloat
+    if repetition_rules:
+        from ods_to_datalake_spark.operators.quality import (
+            gopher_repetition,
+        )
+
+        keep = (
+            gopher_repetition(cur, id_col, text_col)
+            .filter(F.col("passes") == 1)
+            .select(id_col)
+        )
+        n_in = advance(
+            "repetition_rules",
+            cur.join(keep, id_col, "left_semi"),
+            n_in,
+        )
 
     # 1. exact dedup (keep lowest id per content hash). Skew-safe:
     # groupBy(hash).agg(min(id)) partially aggregates map-side — a

@@ -792,3 +792,18 @@ def test_curate_corpus_rule_filter_tiers(spark):
     assert stages["gopher_rules"] == (2, 1)
     # the c4 tier REWRITES text: doc 1 keeps all its (one-line) text
     assert curated.collect()[0].text == good
+
+
+def test_curate_corpus_repetition_tier(spark):
+    from ods_to_datalake_spark.operators.curate import curate_corpus
+
+    varied = " ".join(f"w{i} x{i} y{i} z{i} q{i}" for i in range(12))
+    # one 5-gram block repeated 10x: dup-5gram coverage ~ 50/59 >> 0.15
+    repeated = " ".join(["aa bb cc dd ee"] * 10) + " tail word here"
+    docs = _docs(spark, [(1, varied), (2, repeated)])
+    curated, report = curate_corpus(
+        docs, "doc_id", "text", repetition_rules=True,
+    )
+    assert [r.doc_id for r in curated.collect()] == [1]
+    stages = {s.stage: (s.docs_in, s.docs_out) for s in report}
+    assert stages["repetition_rules"] == (2, 1)
