@@ -51,6 +51,7 @@ SUITE_QUERIES = [
     "x37_block_dedup",  # keep-first via skew-safe agg+join (r6 de-skew)
     "x38_lm_perplexity",  # bigram model joins (model tables at scale)
     "x47_dsir_weights",  # bounded-bucket models: broadcast feature join
+    "x51_gopher_repetition",  # doc-local explode + 3 per-doc aggs
     "x07_cosine_topk",  # brute-force ANN baseline: linear corpus scan
     "x35_pq_encode",  # PQ encode: map-only argmin over plan-literal books
     "x08_ivf_ann",  # IVF ANN: partition-pruned probe of a built index
