@@ -325,6 +325,7 @@ def ingest_with_quality_gate(
     c4_rules: bool = False,
     gopher_rules: bool = False,
     reject_dir: str | None = None,
+    report_dir: str | None = None,
 ) -> "StreamingQuery":
     """The full streaming curation face: `ingest_with_near_dup_tier`'s
     two dedup tiers PLUS the quality gates of `curate.curate_corpus`,
@@ -356,6 +357,13 @@ def ingest_with_quality_gate(
     admission (tier 1) still sees raw text: the stream-side state join
     can't run a per-batch rewrite, and a raw-exact duplicate is a
     cleaned-exact duplicate anyway (the rewrite is deterministic).
+
+    ``report_dir`` appends one summary row per (batch, outcome) —
+    ``(ingest_batch, outcome, n)`` with outcome 'admitted' or the
+    reject reason — the per-batch admission funnel an operator
+    watches instead of re-scanning out/reject dirs; written with the
+    same batch-partition overwrite as every other sink, so replays
+    rewrite their own report rows.
     """
     from ods_to_datalake_spark.operators.dedup import lsh_banded
     from ods_to_datalake_spark.operators.lm import (
@@ -472,6 +480,16 @@ def ingest_with_quality_gate(
                     *data_cols, "reject_reason"
                 ),
                 reject_dir,
+                batch_id,
+            )
+        if report_dir is not None:
+            _batch_overwrite(
+                staged.groupBy(
+                    F.coalesce(
+                        F.col("reject_reason"), F.lit("admitted")
+                    ).alias("outcome")
+                ).agg(F.count(F.lit(1)).alias("n")),
+                report_dir,
                 batch_id,
             )
 

@@ -106,6 +106,8 @@ FILTER_FUZZ_QUERIES = [
     # repetition rules feed on the same line/punctuation structure,
     # and the small word set makes duplicate lines/n-grams common
     "x51_gopher_repetition",
+    # the per-source rollup of the rule signals (all-NULL SUM groups)
+    "x50_source_quality_report",
 ]
 
 

@@ -1028,3 +1028,51 @@ def test_streaming_rule_gates_reject_and_rewrite(spark, tmp_path):
         for r in spark.read.parquet(rej_dir).collect()
     }
     assert rejected == {11: "c4", 12: "gopher"}
+
+
+def test_streaming_admission_report(spark, tmp_path):
+    """report_dir: one (outcome, n) summary row family per batch —
+    admitted + each reject reason — partitioned by ingest_batch so a
+    replayed batch rewrites its own report rows."""
+    from ods_to_datalake_spark.streaming.ingest import (
+        ingest_with_quality_gate,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "completely unrelated seen doc about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = [
+        (10, "brand new document with plenty of fresh words inside"),
+        (11, "tiny"),  # < min_tokens
+        (12, "wee"),   # < min_tokens
+    ]
+    src = tmp_path / "repsrc"
+    src.mkdir()
+    spark.createDataFrame(
+        batch, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b0.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src / "*"))
+    )
+    report_dir = str(tmp_path / "rep_report")
+    q = ingest_with_quality_gate(
+        stream,
+        seen,
+        str(tmp_path / "unused_lm"),
+        str(tmp_path / "rep_admitted"),
+        str(tmp_path / "rep_state"),
+        str(tmp_path / "rep_ckpt"),
+        min_tokens=3,
+        report_dir=report_dir,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(report_dir).collect()
+    report = {(r.ingest_batch, r.outcome): r.n for r in rows}
+    assert report == {(0, "admitted"): 1, (0, "min_tokens"): 2}
