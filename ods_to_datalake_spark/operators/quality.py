@@ -97,6 +97,12 @@ def gopher_repetition(
         ).alias("top2_chars"),
     )
 
+    # NOTE: grouping/joining this stream on seeded-xxhash64 long pairs
+    # (the span_stats/block_dedup key trick) was measured at 100x and
+    # did NOT move the median (21.3s string keys vs 23.3s hashed) —
+    # unlike x34, the group key here is already partial-aggregated
+    # relational state, not a window key, so the string shuffle isn't
+    # the bottleneck; keep the simpler string form.
     g5 = base.select(
         id_col, F.posexplode("__g5").alias("__p", "__g")
     )
