@@ -353,3 +353,58 @@ def e08_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("v").over(w).cast("decimal(38,4)").alias("trailing_7d_value"),
     )
+
+
+@register(
+    "e09_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      -- event_type filtered too: Spark's concat_ws SKIPS nulls where
+      -- || propagates them, so a NULL type must never reach the concat
+      SELECT event_type || '>' || t1 || '>' || t2 AS path
+      FROM seq WHERE event_type IS NOT NULL
+        AND t1 IS NOT NULL AND t2 IS NOT NULL
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="Path/flow analysis: top-10 event-type trigram paths over each "
+    "user's time-ordered stream (LEAD x2 over one user_id window — the "
+    "whole path extraction costs ONE shuffle of events, like e07's "
+    "funnel), corpus-wide count, total-order top-k (count desc, path "
+    "asc — ties inside and beyond the cut resolve identically in both "
+    "engines). The product-analytics 'common user journeys' query; "
+    "unique event_id tiebreak makes same-timestamp ordering exact.",
+)
+def e09_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = load_testdata(spark, sf_dir)
+    ev = cat.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(
+        F.col("event_type").isNotNull()
+        & F.col("t1").isNotNull()
+        & F.col("t2").isNotNull()
+    )
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

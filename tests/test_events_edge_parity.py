@@ -66,6 +66,7 @@ EDGE_QUERIES = [
     "e06_retention_cohorts",
     "e07_event_funnel",
     "e08_trailing_window",
+    "e09_event_paths",
 ]
 
 

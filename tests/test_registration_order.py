@@ -61,11 +61,12 @@ SLIPPED_THIS_ROUND: set[str] = {
     "q18_large_orders",
     "u03_upsert_snapshot",
     "p10_trim_compound_filter",
-    # displaced by x48-x51 (round-6 rule-filter/repetition family)
+    # displaced by x48-x51 + e09 (round-6 additions)
     "p08_not_isin_filter",
     "p07_isin_filter",
     "p06_range_filter",
     "p03_derive_drop_rename",
+    "p01_projection_scan",
 }
 
 
@@ -91,9 +92,10 @@ def test_driver_window_composition():
     media = {n for n in ("x12_media_features", "x26_image_decode",
                          "x27_audio_decode", "x28_sequence_pack",
                          "x29_quantize_embeddings", "x30_video_frames")}
+    # e01-e08 are the r04-evidence family; e09 is a round-6 addition
     events = {n for n in names if n.startswith("e0")}
     ingest = {"x31_incremental_dedup", "x32_incremental_embedding_dedup"}
-    assert len(events) == 8, sorted(events)
+    assert len(events) == 9, sorted(events)
     assert media <= window, sorted(media - window)
     assert events <= window, sorted(events - window)
     assert ingest <= window, sorted(ingest - window)
@@ -129,9 +131,10 @@ def test_driver_window_composition():
         "x49_c4_line_filter",
         "x50_source_quality_report",
         "x51_gopher_repetition",
+        "e09_event_paths",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "p01_projection_scan"
+    assert names[DRIVER_WINDOW - 1] == "j05_salted_join"
 
 
 def test_window_covers_all_stale_except_slipped():

@@ -185,6 +185,9 @@ SHUFFLE_BUDGET = {
     "x51_gopher_repetition": 7,  # line agg (2-stage), top-2gram agg +
     # argmax, dup-5gram agg + coverage distinct, three doc_id joins —
     # every key includes doc_id, so all partial-agg and uniform
+    "e09_event_paths": 2,  # one user_id window shuffle extracts every
+    # trigram path (LEAD x2 share the window), one path agg; the
+    # top-10 rides the agg's single-partition sort
 }
 
 
