@@ -408,3 +408,81 @@ def e09_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "e10_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    ), scored AS (
+      SELECT d.event_type, d.day, d.n,
+             CAST(s1 AS DOUBLE) / nn AS mean,
+             CASE WHEN nn >= 2 AND nn * s2 - s1 * s1 > 0
+                  THEN sqrt(CAST(nn * s2 - s1 * s1 AS DOUBLE)
+                            / CAST(nn * (nn - 1) AS DOUBLE))
+             END AS std
+      FROM daily d JOIN stats USING (event_type)
+    )
+    SELECT event_type, day, n,
+           CASE WHEN std IS NOT NULL
+                THEN (CAST(n AS DOUBLE) - mean) / std
+           END AS z,
+           CAST(CASE WHEN std IS NOT NULL
+                      AND abs((CAST(n AS DOUBLE) - mean) / std) > 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM scored
+    """,
+    double_cols=["z"],
+    doc="Daily-count anomaly detection per event type: sample z-score "
+    "of each day's event count against that type's daily distribution. "
+    "Variance is computed from EXACT integer sums (nn*s2 - s1^2 over "
+    "BIGINTs) so the only floating-point ops are two divides, a sqrt "
+    "(correctly rounded by IEEE — bit-stable cross-engine, unlike ln) "
+    "and a subtract, replayed in the same order by both engines; "
+    "single-day or zero-variance types yield NULL z (CASE-guarded — "
+    "no ANSI division hazard). Two map-side-combined shuffles + one "
+    "broadcast-sized stats join; the ops monitoring query.",
+)
+def e10_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    ev = cat.table("events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = daily.join(stats, "event_type")
+    var_num = F.col("nn") * F.col("s2") - F.col("s1") * F.col("s1")
+    mean = F.col("s1").cast("double") / F.col("nn")
+    std = F.when(
+        (F.col("nn") >= 2) & (var_num > 0),
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("nn") * (F.col("nn") - 1)).cast("double")
+        ),
+    )
+    z = F.when(
+        std.isNotNull(), (F.col("n").cast("double") - mean) / std
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("z"),
+        F.when(std.isNotNull() & (F.abs(z) > 2), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

@@ -67,6 +67,7 @@ EDGE_QUERIES = [
     "e07_event_funnel",
     "e08_trailing_window",
     "e09_event_paths",
+    "e10_daily_anomaly",
 ]
 
 

@@ -61,12 +61,13 @@ SLIPPED_THIS_ROUND: set[str] = {
     "q18_large_orders",
     "u03_upsert_snapshot",
     "p10_trim_compound_filter",
-    # displaced by x48-x51 + e09 (round-6 additions)
+    # displaced by x48-x51 + e09/e10 (round-6 additions)
     "p08_not_isin_filter",
     "p07_isin_filter",
     "p06_range_filter",
     "p03_derive_drop_rename",
     "p01_projection_scan",
+    "j05_salted_join",
 }
 
 
@@ -92,10 +93,10 @@ def test_driver_window_composition():
     media = {n for n in ("x12_media_features", "x26_image_decode",
                          "x27_audio_decode", "x28_sequence_pack",
                          "x29_quantize_embeddings", "x30_video_frames")}
-    # e01-e08 are the r04-evidence family; e09 is a round-6 addition
-    events = {n for n in names if n.startswith("e0")}
+    # e01-e08 are the r04-evidence family; e09/e10 are round-6 additions
+    events = {n for n in names if n.startswith("e0") or n.startswith("e1")}
     ingest = {"x31_incremental_dedup", "x32_incremental_embedding_dedup"}
-    assert len(events) == 9, sorted(events)
+    assert len(events) == 10, sorted(events)
     assert media <= window, sorted(media - window)
     assert events <= window, sorted(events - window)
     assert ingest <= window, sorted(ingest - window)
@@ -132,9 +133,10 @@ def test_driver_window_composition():
         "x50_source_quality_report",
         "x51_gopher_repetition",
         "e09_event_paths",
+        "e10_daily_anomaly",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "j05_salted_join"
+    assert names[DRIVER_WINDOW - 1] == "j04_range_join"
 
 
 def test_window_covers_all_stale_except_slipped():

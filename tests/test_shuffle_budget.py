@@ -188,6 +188,9 @@ SHUFFLE_BUDGET = {
     "e09_event_paths": 2,  # one user_id window shuffle extracts every
     # trigram path (LEAD x2 share the window), one path agg; the
     # top-10 rides the agg's single-partition sort
+    "e10_daily_anomaly": 3,  # daily agg, per-type stats agg, and the
+    # daily⋈stats join — the stats side is one row per event type, so
+    # at scale the join broadcasts and the corpus shuffles twice
 }
 
 
