@@ -133,12 +133,12 @@ def headline_queries() -> dict[str, QueryFn]:
 # the stale set is 56 queries — the 6 rows that slipped in round 5
 # (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
 # (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50 and fifteen new round-6 queries (x39-x51, e09, e10) join
-# the window, so the 21 lowest-priority r04 suite_core rows slip one
-# round: f02, f08, f_scalar_functions, t01, t02, u01, w03, w04, w05,
-# u04, w01, w02, q18, u03, p10, p08, p07, p06, p03, p01, j05 — they
-# head the round-7 window (tests/test_registration_order.py
-# SLIPPED_THIS_ROUND).
+# 56 > 50 and sixteen new round-6 queries (x39-x51, e09, e10, u06)
+# join the window, so the 22 lowest-priority r04 suite_core rows slip
+# one round: f02, f08, f_scalar_functions, t01, t02, u01, w03, w04,
+# w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03, p01, j05,
+# j04 — they head the round-7 window
+# (tests/test_registration_order.py SLIPPED_THIS_ROUND).
 _WINDOW_PRIORITY: list[str] = [
     # slipped in round 5 — oldest (r03) evidence, refresh first
     "w07_ntile_quartiles",
@@ -164,6 +164,7 @@ _WINDOW_PRIORITY: list[str] = [
     "x51_gopher_repetition",
     "e09_event_paths",
     "e10_daily_anomaly",
+    "u06_cdc_apply",
     # suite_media — driver evidence r04
     "x12_media_features",
     "x26_image_decode",

@@ -1501,3 +1501,87 @@ def a10_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+_CDC_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority"
+)
+
+
+@register(
+    "u06_cdc_apply",
+    double_cols=["o_totalprice"],
+    oracle=f"""
+    WITH base AS (
+      SELECT {_CDC_COLS} FROM orders WHERE o_orderkey % 4 <> 0
+    ), ch AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 5.0 AS o_totalprice, o_orderdate,
+             o_orderpriority, 'U' AS op, 1 AS ver
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice, o_orderdate,
+             o_orderpriority, 'U' AS op, 2 AS ver
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT {_CDC_COLS}, 'I' AS op, 1 AS ver
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT {_CDC_COLS}, 'D' AS op, 1 AS ver
+      FROM orders WHERE o_orderkey % 4 = 2
+    ), latest AS (
+      SELECT * FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+          PARTITION BY o_orderkey ORDER BY ver DESC
+        ) AS rn FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT {_CDC_COLS} FROM base
+    ANTI JOIN latest USING (o_orderkey)
+    UNION ALL
+    SELECT {_CDC_COLS} FROM latest WHERE op IN ('I', 'U')
+    """,
+    doc="CDC change application (the ODS→datalake sync core): apply an "
+    "insert/update/delete batch — two versions for the updated keys — "
+    "to a base snapshot via operators/cdc.cdc_apply. Keep-latest is a "
+    "partial-aggregated max-struct per key (no window over the change "
+    "stream); the base pays one anti-join on the touched keys plus a "
+    "union. The synthesized batch partitions orders by key % 4: "
+    "unchanged / double-versioned update (+5 then +10, latest wins; "
+    "exact IEEE adds) / delete / insert.",
+)
+def u06_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.cdc import cdc_apply
+
+    cat = load_testdata(spark, sf_dir)
+    o = cat.table("orders").select(*_CDC_COLS.split(", "))
+    k = F.col("o_orderkey")
+    base = o.filter(k % 4 != 0)
+
+    def tagged(df: DataFrame, op: str, ver: int) -> DataFrame:
+        return df.withColumn("op", F.lit(op)).withColumn(
+            "ver", F.lit(ver)
+        )
+
+    upd = o.filter(k % 4 == 1)
+    changes = (
+        tagged(
+            upd.withColumn("o_totalprice", F.col("o_totalprice") + 5.0),
+            "U", 1,
+        )
+        .unionByName(
+            tagged(
+                upd.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 10.0
+                ),
+                "U", 2,
+            )
+        )
+        .unionByName(tagged(o.filter(k % 4 == 0), "I", 1))
+        .unionByName(tagged(o.filter(k % 4 == 2), "D", 1))
+    )
+    return cdc_apply(
+        base, changes, ["o_orderkey"], op_col="op", version_col="ver"
+    )

@@ -695,3 +695,28 @@ def test_minhash_candidates_precomputed_band_table(spark, tmp_path):
         ).collect()
     }
     assert precomputed == inline and len(inline) > 0
+
+
+def test_cdc_apply_semantics(spark):
+    """Delete wins for a key whose latest op is D; latest version of a
+    double-updated key applies; U on a missing key inserts; untouched
+    base rows pass through."""
+    from ods_to_datalake_spark.operators.cdc import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", "U", 1),
+            (1, "a2", "U", 2),   # latest wins
+            (2, None, "D", 1),   # delete
+            (4, "d", "U", 1),    # update on missing key = insert
+            (5, "e", "I", 1),
+            (5, None, "D", 2),   # inserted then deleted in one batch
+        ],
+        "k long, v string, op string, ver int",
+    )
+    out = cdc_apply(base, changes, ["k"], op_col="op", version_col="ver")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a2", 3: "c", 4: "d"}

@@ -68,6 +68,7 @@ SLIPPED_THIS_ROUND: set[str] = {
     "p03_derive_drop_rename",
     "p01_projection_scan",
     "j05_salted_join",
+    "j04_range_join",
 }
 
 
@@ -134,9 +135,10 @@ def test_driver_window_composition():
         "x51_gopher_repetition",
         "e09_event_paths",
         "e10_daily_anomaly",
+        "u06_cdc_apply",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "j04_range_join"
+    assert names[DRIVER_WINDOW - 1] == "j03_broadcast_dim_decode"
 
 
 def test_window_covers_all_stale_except_slipped():

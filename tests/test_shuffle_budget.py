@@ -191,6 +191,8 @@ SHUFFLE_BUDGET = {
     "e10_daily_anomaly": 3,  # daily agg, per-type stats agg, and the
     # daily⋈stats join — the stats side is one row per event type, so
     # at scale the join broadcasts and the corpus shuffles twice
+    "u06_cdc_apply": 2,  # keep-latest max-struct agg on the change
+    # keys + the touched-keys anti-join; the union is exchange-free
 }
 
 
