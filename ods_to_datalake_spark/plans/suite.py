@@ -218,12 +218,12 @@ _WINDOW_PRIORITY: list[str] = [
 def load_all() -> dict[str, Query]:
     from ods_to_datalake_spark.plans import (  # noqa: F401
         suite_media,  # 6 queries (x12, x26-x30); r04 evidence → r06 window
-        suite_events,  # 8 queries; r04 evidence → r06 window
+        suite_events,  # 10 queries (e01-e08 r04 evidence; e09/e10 new r6)
         suite_ingest,  # 2 queries (x31, x32); r04 evidence → r06 window
-        suite_core,  # 44 queries; 6 slipped-r03 rows head the window
+        suite_core,  # 45 queries (u06 new r6); 6 slipped-r03 rows lead
         suite_llm,  # 24 queries; all driver-green r05
         suite_tpch,  # 16 queries; all driver-green r05
-        suite_curation,  # 4 round-5 queries (x34-x37); driver-green r05
+        suite_curation,  # x34-x37, x39-x51: round-5/6 curation queries
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

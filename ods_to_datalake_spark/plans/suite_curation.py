@@ -6,7 +6,9 @@ round-6 additions: temperature-smoothed mixture resampling (XLM-R
 α-sampling), keep-best cluster canonicalization, cross-source
 duplication provenance, train/eval split-leakage auditing, scored
 benchmark decontamination, DSIR importance weighting (Xie et al.
-2023), and the Gopher quality-rule filter (Rae et al. 2021).
+2023), the Gopher quality-rule and repetition filters (Rae et al.
+2021, both halves of A1.1), the C4 cleaning rules (Raffel et al.
+2020), and the per-source quality report card that aggregates them.
 
 Determinism strategy for the embedding queries: "training" artifacts
 (PQ codebooks, semantic-dedup centroids) are seeded from the ks/k
