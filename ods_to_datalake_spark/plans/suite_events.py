@@ -1,7 +1,8 @@
 """Event-stream suite: batch faces of the streaming operators (SURVEY
-§2.8 extension). Each query is the `spark.read` face of a function whose
-`spark.readStream` face is tested in tests/test_streaming.py — plus the
-as-of join generalization over event time."""
+§2.8 extension) — each the `spark.read` face of a function whose
+`spark.readStream` face is tested in tests/test_streaming.py — plus
+the as-of join generalization over event time and the round-6
+batch-analytic additions (e09 path analysis, e10 daily anomaly)."""
 
 from __future__ import annotations
 
