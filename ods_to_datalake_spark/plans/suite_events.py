@@ -454,36 +454,7 @@ def e09_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast-sized stats join; the ops monitoring query.",
 )
 def e10_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.streaming.events import daily_anomaly_batch
+
     cat = load_testdata(spark, sf_dir)
-    ev = cat.table("events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("nn"),
-        F.sum("n").cast("long").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
-    )
-    j = daily.join(stats, "event_type")
-    var_num = F.col("nn") * F.col("s2") - F.col("s1") * F.col("s1")
-    mean = F.col("s1").cast("double") / F.col("nn")
-    std = F.when(
-        (F.col("nn") >= 2) & (var_num > 0),
-        F.sqrt(
-            var_num.cast("double")
-            / (F.col("nn") * (F.col("nn") - 1)).cast("double")
-        ),
-    )
-    z = F.when(
-        std.isNotNull(), (F.col("n").cast("double") - mean) / std
-    )
-    return j.select(
-        "event_type",
-        "day",
-        "n",
-        z.alias("z"),
-        F.when(std.isNotNull() & (F.abs(z) > 2), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("is_anomaly"),
-    )
+    return daily_anomaly_batch(cat.table("events"))

@@ -366,3 +366,100 @@ def dedup_events(
             list(keys)
         )
     return events.dropDuplicates(list(keys))
+
+
+def daily_count_stats(events: DataFrame) -> DataFrame:
+    """Per-event-type EXACT integer sums over daily counts — ``nn``
+    (days observed), ``s1`` (Σn), ``s2`` (Σn²) — the frozen baseline
+    for anomaly scoring. Integer sums rather than mean/std so the
+    artifact composes losslessly and the float ops happen once, at
+    scoring time (see `score_daily_counts`)."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+
+
+def build_daily_baseline(events: DataFrame, path: str) -> None:
+    """Freeze the per-type daily-count baseline as a lake artifact —
+    the same train-offline/score-on-ingest pattern as `build_lm` /
+    `build_dsir`: the anomaly bar must not drift with each batch."""
+    daily_count_stats(events).write.mode("overwrite").parquet(path)
+
+
+def score_daily_counts(
+    counts: DataFrame, stats: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """Sample z-score of each (event_type, day) count against the
+    baseline stats. Variance from exact integer sums (nn·s2 − s1²);
+    the only float ops are two divides, a subtract and an IEEE
+    correctly-rounded sqrt — bit-stable cross-engine (e10's oracle
+    pins this). Single-day / zero-variance types CASE-guard to NULL z
+    before any division. The stats side is one row per event type —
+    broadcast, so the counts side never shuffles for the join."""
+    j = counts.join(F.broadcast(stats), "event_type")
+    var_num = F.col("nn") * F.col("s2") - F.col("s1") * F.col("s1")
+    mean = F.col("s1").cast("double") / F.col("nn")
+    std = F.when(
+        (F.col("nn") >= 2) & (var_num > 0),
+        F.sqrt(
+            var_num.cast("double")
+            / (F.col("nn") * (F.col("nn") - 1)).cast("double")
+        ),
+    )
+    z = F.when(
+        std.isNotNull(), (F.col("n").cast("double") - mean) / std
+    )
+    return j.select(
+        "event_type",
+        "day",
+        "n",
+        z.alias("z"),
+        F.when(std.isNotNull() & (F.abs(z) > z_threshold), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )
+
+
+def daily_anomaly_batch(
+    events: DataFrame, stats: DataFrame | None = None
+) -> DataFrame:
+    """Batch face (e10): score each day against the corpus's own
+    stats, or against a frozen baseline when ``stats`` is given."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return score_daily_counts(
+        daily, stats if stats is not None else daily_count_stats(events)
+    )
+
+
+def daily_anomaly_stream(
+    stream: DataFrame,
+    baseline_path: str,
+    watermark: str = "1 day",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming face: watermarked 1-day tumbling counts scored
+    against the FROZEN baseline at ``baseline_path`` — `window('1
+    day').start` equals `date_trunc('day')` under the UTC session
+    timezone, so stream and batch faces key days identically. The
+    baseline join is broadcast per micro-batch; state is bounded by
+    the watermark."""
+    spark = stream.sparkSession
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "event_type", F.col("win.start").alias("day"), "n"
+        )
+    )
+    return score_daily_counts(
+        counts, spark.read.parquet(baseline_path), z_threshold
+    )

@@ -1076,3 +1076,36 @@ def test_streaming_admission_report(spark, tmp_path):
     rows = spark.read.parquet(report_dir).collect()
     report = {(r.ingest_batch, r.outcome): r.n for r in rows}
     assert report == {(0, "admitted"): 1, (0, "min_tokens"): 2}
+
+
+def test_streaming_daily_anomaly_matches_batch(spark, tmp_path):
+    """The streaming anomaly face scored against a FROZEN baseline
+    equals the batch face scored against the same artifact —
+    window('1 day').start keys days identically to date_trunc under
+    the UTC session timezone."""
+    from ods_to_datalake_spark.streaming.events import (
+        build_daily_baseline,
+        daily_anomaly_batch,
+        daily_anomaly_stream,
+        read_event_stream,
+    )
+
+    batch_events = load_testdata(spark, SF).table("events")
+    baseline = str(tmp_path / "an_baseline")
+    build_daily_baseline(batch_events, baseline)
+
+    stream = read_event_stream(spark, SF)
+    _run_to_memory(
+        daily_anomaly_stream(stream, baseline), "anomaly_mem", "complete"
+    )
+    got = {
+        (r.event_type, r.day): (r.n, r.z, r.is_anomaly)
+        for r in spark.table("anomaly_mem").collect()
+    }
+    want = {
+        (r.event_type, r.day): (r.n, r.z, r.is_anomaly)
+        for r in daily_anomaly_batch(
+            batch_events, spark.read.parquet(baseline)
+        ).collect()
+    }
+    assert got == want and len(want) > 0
