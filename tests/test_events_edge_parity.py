@@ -55,6 +55,11 @@ EDGE_EVENTS = [
     (16, _ts("2024-01-04T00:01:00"), 5, "view", 1.0, '{"k": false}'),
     (17, _ts("2024-01-04T00:02:00"), 5, "view", 1.0, '{"k": 49.9}'),
     (18, _ts("2024-01-04T00:03:00"), 5, "view", 1.0, '{"k": "+50"}'),
+    # NULL event_type: e09 must filter it before the path concat
+    # (concat_ws skips NULLs where || propagates), e01/e10 group it as
+    # its own NULL bucket, and e10's stats equi-join drops it — all
+    # identically in both engines
+    (19, _ts("2024-01-04T00:04:00"), 5, None, 1.0, '{"k": 7}'),
 ]
 
 EDGE_QUERIES = [

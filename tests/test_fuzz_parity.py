@@ -258,6 +258,10 @@ EV_FUZZ_QUERIES = [
     "e04_json_extract",
     "e06_retention_cohorts",
     "e07_event_funnel",
+    # round-6: trigram paths (exact-tie ordering via the event_id
+    # tiebreak) and daily anomaly (1-day / zero-variance guards)
+    "e09_event_paths",
+    "e10_daily_anomaly",
 ]
 
 
