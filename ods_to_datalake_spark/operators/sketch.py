@@ -1,0 +1,384 @@
+"""Mergeable sketch primitives: HyperLogLog, count-min, Bloom filter.
+
+The reference pipeline (santitee/ods_to_datalake, pyspark_utilities.py)
+computes exact distincts and exact counts because its tables are
+single-node sized. At 100 TB the exact forms shuffle the full key set;
+the classic replacements are *mergeable sketches* whose state is a
+fixed-size register table:
+
+- HyperLogLog (Flajolet et al. 2007): distinct counts from 2^p
+  max-registers. Partial states merge by ``max`` — associative and
+  commutative, so map-side partials, cross-partition merges, and
+  cross-corpus unions are all the same one-line aggregation.
+- count-min (Cormode & Muthukrishnan 2005): frequency over-estimates
+  from a depth×width counter grid. Merges by ``+``.
+- Bloom filter (Bloom 1970): set membership with zero false negatives
+  from a fixed bit set. Merges by union. A broadcastable prefilter
+  that replaces a corpus-sized anti-join for incremental dedup.
+
+Everything here is relational (groupBy/join over md5-derived integers;
+no UDFs, no binary blobs), which buys three things at once:
+1. the sketch state is an ordinary DataFrame — persistable to the lake,
+   incrementally appendable, AQE-splittable;
+2. the arithmetic is integer-only (bucket = hex-slice of md5, rho via
+   ``length(bin(w))``, terms via ``shiftleft``) so Spark and DuckDB
+   produce bit-identical sketches — every query here carries an exact
+   value-hash oracle, unusual for "approximate" operators;
+3. map-side partial aggregation applies automatically (max/sum/count),
+   so building a sketch over 100 TB shuffles only 2^p rows per
+   partition, not the data.
+
+Spark's own approx_count_distinct is the production shortcut for the
+HLL *estimate*; this module exists for the cases it can't serve: a
+persisted register table you merge across days/corpora without
+re-scanning, and an engine-portable definition you can verify.
+
+Cross-engine determinism notes (CLAUDE.md rules applied):
+- md5 is the only hash shared with DuckDB; integers are carved from
+  hex slices via conv() ⟷ CAST(concat('0x',...) AS BIGINT).
+- No transcendentals: the HLL face emits the *raw* estimate
+  alpha·m²/Σ2^-M[j] whose Σ is computed as an exact BIGINT
+  (Σ 2^(RHO_MAX-M[j]), every term a power of two) — the small-range
+  linear-counting correction needs ln() and is deliberately left to
+  the caller (see hll_estimate docstring).
+- BIGINT→DOUBLE casts are correctly rounded in both engines (the 1-ulp
+  DuckDB divergence is DECIMAL(38,x)→DOUBLE only).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 48 hash bits feed the rho computation (md5 hex chars 5..16); rho of
+# an all-zero window is defined as RHO_MAX = 48 + 1.
+HLL_HASH_BITS = 48
+HLL_RHO_MAX = HLL_HASH_BITS + 1
+# BIGINT budget: sum_term ≤ m · 2^RHO_MAX = 2^(p+49) must stay < 2^63.
+HLL_MAX_P = 12
+# default precision: 2^8 = 256 registers, ~6.5% standard error
+HLL_P = 8
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+BLOOM_K = 7
+BLOOM_M = 4096
+
+
+def _hex_long(col: Column, start: int, length: int) -> Column:
+    """BIGINT from a slice of an md5 hex digest (≤ 15 hex chars).
+
+    DuckDB mirror: CAST(concat('0x', substring(h, start, length)) AS
+    BIGINT). Both parse the same hex → same integer.
+    """
+    return F.conv(F.substring(col, start, length), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 8, by: list[str] | None = None
+) -> DataFrame:
+    """Sparse HLL register table: (by..., hll_bucket, register).
+
+    bucket = low p bits of md5 hex chars 1..4; the rho window (chars
+    5..16, 48 bits) is disjoint from the bucket bits, as HLL requires.
+    rho = leading zeros in the 48-bit window + 1 = RHO_MAX -
+    length(bin(w)), with the all-zero window pinned to RHO_MAX.
+
+    Absent buckets mean register 0 (sparse representation): at p=8 a
+    register table is ≤ 256 rows per group no matter the input size,
+    and the groupBy is map-side-partial — the shuffle moves registers,
+    not data. Merge register tables with hll_merge (max is
+    associative); estimate with hll_estimate.
+    """
+    if not 4 <= p <= HLL_MAX_P:
+        raise ValueError(f"p must be in [4, {HLL_MAX_P}], got {p}")
+    keys = list(by or [])
+    h = F.md5(F.col(col).cast("string"))
+    bucket = _hex_long(h, 1, 4) % (1 << p)
+    w = _hex_long(h, 5, 12)
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*keys, bucket.alias("hll_bucket"), rho.alias("rho"))
+        .groupBy(*keys, "hll_bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_merge(
+    regs: list[DataFrame], by: list[str] | None = None
+) -> DataFrame:
+    """Merge HLL register tables (same p!) by per-bucket max.
+
+    This is THE reason to persist registers instead of estimates: the
+    union of yesterday's corpus sketch and today's increment is one
+    256-row-per-group aggregation — no re-scan of either corpus.
+    """
+    keys = list(by or []) + ["hll_bucket"]
+    union = reduce(lambda a, b: a.unionByName(b), regs)
+    return union.groupBy(*keys).agg(F.max("register").alias("register"))
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 8, by: list[str] | None = None
+) -> DataFrame:
+    """Raw HLL estimate per group: (by..., used_buckets, sum_term,
+    hll_estimate_raw).
+
+    sum_term = Σ_j 2^(RHO_MAX - M[j]) over all m buckets (absent
+    sparse buckets contribute 2^RHO_MAX) — an exact BIGINT, every term
+    a power of two, so the sum is order-independent and engine-exact.
+    hll_estimate_raw = alpha_m · m² · 2^RHO_MAX / sum_term: one BIGINT
+    →DOUBLE cast (correctly rounded in both engines), one divide.
+
+    Deliberately NOT applied: the small-range linear-counting
+    correction m·ln(m/V) — ln() is not bit-stable across engines
+    (CLAUDE.md); callers that need it for small cardinalities can
+    compute it from used_buckets. The raw estimate's relative error is
+    the usual 1.04/√m for cardinalities ≳ 2.5·m.
+    """
+    m = 1 << p
+    keys = list(by or [])
+    # F.shiftleft only takes a literal shift; the SQL form takes a column
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - register)"
+    )
+    agg = registers.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("used_buckets"),
+        F.sum(term).alias("sum_present"),
+    )
+    top = F.lit(1 << HLL_RHO_MAX).cast("long")
+    sum_term = (
+        F.col("sum_present")
+        + (F.lit(m).cast("long") - F.col("used_buckets")) * top
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    est = (
+        alpha
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / sum_term.cast("double")
+    )
+    return agg.select(
+        *keys,
+        "used_buckets",
+        sum_term.alias("sum_term"),
+        est.alias("hll_estimate_raw"),
+    )
+
+
+def sql_hll_registers(
+    source_sql: str, value_sql: str, p: int = 8, by: str | None = None
+) -> str:
+    """DuckDB register-table SQL mirroring hll_registers exactly."""
+    m = 1 << p
+    keys = f"{by}, " if by else ""
+    grp = f"{by}, hll_bucket" if by else "hll_bucket"
+    return f"""
+    SELECT {keys}hll_bucket, MAX(rho) AS register FROM (
+      SELECT {keys}
+        CAST(concat('0x', substring(h, 1, 4)) AS BIGINT) % {m}
+          AS hll_bucket,
+        CASE WHEN CAST(concat('0x', substring(h, 5, 12)) AS BIGINT) = 0
+             THEN {HLL_RHO_MAX}
+             ELSE {HLL_RHO_MAX} - length(bin(
+                    CAST(concat('0x', substring(h, 5, 12)) AS BIGINT)))
+        END AS rho
+      FROM (SELECT {keys}md5(CAST({value_sql} AS VARCHAR)) AS h
+            FROM {source_sql}
+            WHERE {value_sql} IS NOT NULL) AS _h
+    ) AS _b GROUP BY {grp}
+    """
+
+
+def sql_hll_estimate(
+    registers_sql: str, p: int = 8, by: str | None = None
+) -> str:
+    """DuckDB estimate SQL mirroring hll_estimate exactly."""
+    m = 1 << p
+    top = 1 << HLL_RHO_MAX
+    keys = f"{by}, " if by else ""
+    grp = f" GROUP BY {by}" if by else ""
+    # CAST ... AS BIGINT: DuckDB promotes SUM(BIGINT) to HUGEINT, which
+    # lands as float64/object in pandas and hash-mismatches (CLAUDE.md)
+    return f"""
+    SELECT {keys}used_buckets,
+           CAST(sum_present + ({m} - used_buckets)
+                * CAST({top} AS BIGINT) AS BIGINT) AS sum_term,
+           (0.7213 / (1.0 + 1.079 / {float(m)!r}))
+             * {float(m)!r} * {float(m)!r} * {float(top)!r}
+             / CAST(sum_present + ({m} - used_buckets)
+                    * CAST({top} AS BIGINT) AS DOUBLE)
+             AS hll_estimate_raw
+    FROM (
+      SELECT {keys}COUNT(*) AS used_buckets,
+             CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - register))
+                  AS BIGINT) AS sum_present
+      FROM ({registers_sql}) AS _r{grp}
+    ) AS _agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-i bucket: low bits of md5('cms{row}:' || value)."""
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), value))
+    return _hex_long(h, 1, 8) % width
+
+
+def cms_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min counter grid: (cms_row, cms_bucket, cnt).
+
+    Each input row increments one bucket per sketch row; the build is
+    a single map-side-partial groupBy over depth·width cells — fixed
+    state no matter the input size, mergeable by summing cnt.
+    depth independent hashes come from distinct md5 prefixes
+    ('cms0:'..'cms{d-1}:'), the same seeding trick as the
+    Carter-Wegman MinHash family (functions/text.py).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cms_row"),
+                _cms_bucket(F.col(col), i, width).alias("cms_bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(cells).alias("cell"))
+        .select("cell.cms_row", "cell.cms_bucket")
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point queries against a count-min sketch: keys + cms_est.
+
+    est(key) = min over rows of cnt[row, bucket_row(key)] — an upper
+    bound on the true count, never an underestimate; absent cells
+    count 0. The keys side is typically small (heavy-hitter
+    candidates), so the join broadcasts; the sketch side is depth·width
+    rows regardless of corpus size.
+    """
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("cms_row"),
+                        _cms_bucket(F.col(col), i, width).alias(
+                            "cms_bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(*keys.columns, "cell.cms_row", "cell.cms_bucket")
+    joined = probes.join(
+        F.broadcast(sketch), ["cms_row", "cms_bucket"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return joined.groupBy(*keys.columns).agg(
+        F.min("cnt").alias("cms_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value: Column, k: int, m: int) -> Column:
+    """Array of k bit positions from k seeded md5 hashes."""
+    return F.array(
+        *[
+            _hex_long(F.md5(F.concat(F.lit(f"bloom{i}:"), value)), 1, 8)
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bits(
+    df: DataFrame, col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """Set bit positions of a Bloom filter over df[col]: (bloom_bit).
+
+    ≤ m rows regardless of input size; union-mergeable (it IS a set);
+    persistable to the lake and broadcastable into any scan that wants
+    a membership prefilter. distinct() is map-side-partial.
+    """
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.explode(_bloom_positions(F.col(col), k, m)).alias(
+                "bloom_bit"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bits: DataFrame,
+    candidates: DataFrame,
+    col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """candidates + bloom_maybe flag (true ⟺ all k bits set).
+
+    Zero false negatives by construction — a true member always has
+    all its bits set — so `bloom_maybe = false` rows can skip the
+    exact (expensive) membership join entirely; the false-positive
+    fraction is the only wasted exact work. The bits side broadcasts
+    (≤ m rows); counting matched bits per candidate is one
+    map-side-partial groupBy on the candidate key.
+    """
+    probes = candidates.select(
+        "*",
+        F.explode(_bloom_positions(F.col(col), k, m)).alias("bloom_bit"),
+    )
+    matched = probes.join(
+        F.broadcast(bits), "bloom_bit", "left_semi"
+    )
+    hits = matched.groupBy(*candidates.columns).agg(
+        F.count(F.lit(1)).alias("bits_set")
+    )
+    return (
+        candidates.join(hits, candidates.columns, "left")
+        .withColumn(
+            "bloom_maybe", F.coalesce(F.col("bits_set"), F.lit(0)) == k
+        )
+        .drop("bits_set")
+    )

@@ -1,0 +1,237 @@
+"""Sketch suite: mergeable-summary operators (HLL, count-min, Bloom).
+
+The reference's exact aggregates (COUNT DISTINCT / per-key counts /
+membership anti-joins — pyspark_utilities.py's dedup-and-count shapes)
+stop being runnable verbatim at 100 TB; these queries register the
+sketch replacements from `operators/sketch.py` next to their exact
+counterparts so the oracle checks BOTH the sketch construction and the
+error behavior against ground truth on the same data.
+
+Unusual property: although the operators are "approximate" in the
+statistical sense, their computation is exact integer/power-of-two
+arithmetic over md5 — so every query here carries a full value-hash
+oracle (most engines can't cross-verify their HLL against another
+engine bit-for-bit; this one can).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.functions.text import tokens
+from ods_to_datalake_spark.operators.sketch import (
+    BLOOM_K,
+    BLOOM_M,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_P,
+    bloom_bits,
+    bloom_maybe_contains,
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+    sql_hll_estimate,
+    sql_hll_registers,
+)
+from ods_to_datalake_spark.plans.sql_fragments import SQL_TOKENS
+from ods_to_datalake_spark.plans.suite import register
+
+# non-empty whitespace tokens, shared by x52/x53 (both engines)
+SQL_TOKS_CTE = f"""
+    toks AS (
+      SELECT source, token FROM (
+        SELECT source, unnest({SQL_TOKENS}) AS token FROM documents
+      ) AS _u WHERE token <> ''
+    )"""
+
+
+def _spark_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "source", F.explode(tokens("text")).alias("token")
+    ).where(F.col("token") != "")
+
+
+@register(
+    "x52_hll_vocab",
+    oracle=f"""
+    WITH {SQL_TOKS_CTE},
+    regs AS (
+      {sql_hll_registers("toks", "token", p=HLL_P, by="source")}
+    ),
+    est AS (
+      {sql_hll_estimate("SELECT * FROM regs", p=HLL_P, by="source")}
+    ),
+    exact AS (
+      SELECT source, COUNT(DISTINCT token) AS exact_vocab
+      FROM toks GROUP BY source
+    )
+    SELECT exact.source, exact_vocab, used_buckets, sum_term,
+           hll_estimate_raw
+    FROM exact JOIN est ON exact.source = est.source
+    ORDER BY exact.source
+    """,
+    doc="Per-source vocabulary size via relational HyperLogLog "
+    "(Flajolet 2007) next to the exact COUNT DISTINCT: 2^p "
+    "max-registers from disjoint md5 bit-slices, estimate from an "
+    "exact BIGINT power-of-two sum (no transcendentals — engine "
+    "bit-identical, see operators/sketch.py). At 100 TB the exact "
+    "column is the one you drop: the register table is 256 rows per "
+    "source, map-side-partial, and merges across corpora by max.",
+)
+def x52_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    toks = _spark_tokens(cat.table("documents"))
+    est = hll_estimate(
+        hll_registers(toks, "token", p=HLL_P, by=["source"]),
+        p=HLL_P,
+        by=["source"],
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("token").alias("exact_vocab")
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source",
+            "exact_vocab",
+            "used_buckets",
+            "sum_term",
+            "hll_estimate_raw",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x53_cms_heavy_hitters",
+    oracle=f"""
+    WITH {SQL_TOKS_CTE},
+    sk AS (
+      SELECT cms_row,
+             CAST(concat('0x', substring(md5(concat(
+                 'cms', CAST(cms_row AS VARCHAR), ':', token)), 1, 8))
+               AS BIGINT) % {CMS_WIDTH} AS cms_bucket,
+             COUNT(*) AS cnt
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS cms_row) AS _r
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT token, COUNT(*) AS exact_cnt
+      FROM toks GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT token, exact_cnt, cms_row,
+             CAST(concat('0x', substring(md5(concat(
+                 'cms', CAST(cms_row AS VARCHAR), ':', token)), 1, 8))
+               AS BIGINT) % {CMS_WIDTH} AS cms_bucket
+      FROM top, (SELECT unnest([0, 1, 2, 3]) AS cms_row) AS _r
+    )
+    SELECT probes.token, probes.exact_cnt,
+           MIN(COALESCE(sk.cnt, 0)) AS cms_est
+    FROM probes LEFT JOIN sk
+      ON probes.cms_row = sk.cms_row
+     AND probes.cms_bucket = sk.cms_bucket
+    GROUP BY probes.token, probes.exact_cnt
+    ORDER BY probes.exact_cnt DESC, probes.token
+    """,
+    doc="Token heavy hitters through a count-min sketch (Cormode 2005) "
+    "audited against exact counts: depth×width counter grid from "
+    "seeded md5 prefixes ('cms0:'…), point estimates = min over rows "
+    "— an upper bound, never under. The grid is "
+    f"{CMS_DEPTH}×{CMS_WIDTH} cells no matter the corpus size, "
+    "merges by +, and the probe join broadcasts — the 100-TB "
+    "frequency path when an exact per-token groupBy's key set "
+    "(the vocabulary) is itself too large to hold.",
+)
+def x53_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    toks = _spark_tokens(cat.table("documents")).select("token")
+    sk = cms_sketch(toks, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(20)
+    )
+    return cms_estimate(
+        sk, top, "token", depth=CMS_DEPTH, width=CMS_WIDTH
+    ).orderBy(F.desc("exact_cnt"), "token")
+
+
+# k bit-position expressions for the oracle ('bloom0:'…'bloom6:')
+_SQL_BLOOM_BITS = ", ".join(
+    f"CAST(concat('0x', substring(md5(concat('bloom{i}:', "
+    f"content_hash)), 1, 8)) AS BIGINT) % {BLOOM_M}"
+    for i in range(BLOOM_K)
+)
+
+
+@register(
+    "x54_bloom_prefilter",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, md5(text) AS content_hash
+      FROM documents WHERE text IS NOT NULL
+    ),
+    seen AS (
+      SELECT DISTINCT content_hash FROM docs WHERE doc_id % 2 = 0
+    ),
+    bits AS (
+      SELECT DISTINCT bloom_bit FROM (
+        SELECT unnest([{_SQL_BLOOM_BITS}]) AS bloom_bit FROM seen
+      ) AS _b
+    ),
+    probes AS (
+      SELECT doc_id, content_hash,
+             unnest([{_SQL_BLOOM_BITS}]) AS bloom_bit
+      FROM docs
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS bits_set
+      FROM probes WHERE bloom_bit IN (SELECT bloom_bit FROM bits)
+      GROUP BY doc_id
+    )
+    SELECT docs.doc_id,
+           COALESCE(bits_set, 0) = {BLOOM_K} AS bloom_maybe_dup,
+           docs.content_hash IN (SELECT content_hash FROM seen)
+             AS exact_dup
+    FROM docs LEFT JOIN hits ON docs.doc_id = hits.doc_id
+    ORDER BY docs.doc_id
+    """,
+    doc="Bloom-filter membership prefilter for incremental dedup "
+    "(Bloom 1970): the even-doc_id half of the corpus is the 'seen "
+    "lake', its k seeded-md5 bit positions form a ≤ m-row bit set, "
+    "and every incoming doc is flagged maybe/no before any exact "
+    "join. Zero false negatives by construction (every exact_dup row "
+    "must be bloom_maybe_dup — the oracle exposes both flags so the "
+    "FP rate is audited). At 100 TB the bit set broadcasts where the "
+    "seen-hash anti-join would shuffle the corpus.",
+)
+def x54_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    docs = (
+        cat.table("documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("content_hash"))
+    )
+    seen = docs.where(F.col("doc_id") % 2 == 0).select(
+        "content_hash"
+    ).distinct()
+    bits = bloom_bits(seen, "content_hash", k=BLOOM_K, m=BLOOM_M)
+    flagged = bloom_maybe_contains(
+        bits, docs, "content_hash", k=BLOOM_K, m=BLOOM_M
+    )
+    seen_marked = seen.withColumn("_seen", F.lit(True))
+    return (
+        flagged.join(seen_marked, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_maybe").alias("bloom_maybe_dup"),
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -193,6 +193,15 @@ SHUFFLE_BUDGET = {
     # at scale the join broadcasts and the corpus shuffles twice
     "u06_cdc_apply": 2,  # keep-latest max-struct agg on the change
     # keys + the touched-keys anti-join; the union is exchange-free
+    "x52_hll_vocab": 5,  # register agg + estimate agg on the sketch
+    # side; the exact COUNT DISTINCT audit costs 2 more (token dedup +
+    # per-source count) and the est⋈exact join 1 — at 100 TB you run
+    # the sketch side alone (2 exchanges, both over ≤256-row groups)
+    "x53_cms_heavy_hitters": 2,  # grid-cell count + exact top-20 agg;
+    # the probe join broadcasts the 2048-cell sketch
+    "x54_bloom_prefilter": 5,  # seen-hash distinct (2-stage pair),
+    # per-candidate bits_set agg, flag joins — the bit set itself
+    # broadcasts everywhere (≤ m rows)
 }
 
 

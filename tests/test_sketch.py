@@ -1,0 +1,127 @@
+"""Sketch operator properties: HLL merge/error, count-min upper bound,
+Bloom zero-false-negatives. The cross-engine bit-identity of the
+registered faces (x52-x54) is covered by the oracle gate; these tests
+pin the *statistical* contracts the sketches exist for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.sketch import (
+    HLL_P,
+    HLL_RHO_MAX,
+    bloom_bits,
+    bloom_maybe_contains,
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _values(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+
+
+@pytest.mark.parametrize("n", [300, 2000, 20000])
+def test_hll_estimate_within_error_bound(spark, n):
+    """Raw HLL relative error ≲ 4·(1.04/√m) for cardinalities beyond
+    the small-range regime (n ≳ 2.5·m = 640 at p=8); the smallest n
+    sits in that regime where the raw estimate biases high, so it only
+    gets the loose sanity band."""
+    regs = hll_registers(_values(spark, 0, n), "v", p=HLL_P)
+    row = hll_estimate(regs, p=HLL_P).collect()[0]
+    rel = abs(row.hll_estimate_raw - n) / n
+    bound = 0.5 if n < 3 * (1 << HLL_P) else 4 * 1.04 / (1 << (HLL_P // 2))
+    assert rel < bound, (n, row.hll_estimate_raw, rel)
+
+
+def test_hll_merge_equals_union(spark):
+    """max-merge of two register tables ≡ registers of the unioned
+    input — the property that makes the sketch incrementally
+    maintainable without re-scanning the seen corpus."""
+    a, b = _values(spark, 0, 1500), _values(spark, 1000, 2600)
+    merged = hll_merge(
+        [hll_registers(a, "v"), hll_registers(b, "v")]
+    )
+    direct = hll_registers(a.unionByName(b), "v")
+    diff = merged.exceptAll(direct).union(direct.exceptAll(merged))
+    assert diff.count() == 0
+
+
+def test_hll_registers_rho_range(spark):
+    regs = hll_registers(_values(spark, 0, 5000), "v", p=HLL_P)
+    bad = regs.where(
+        (F.col("register") < 1) | (F.col("register") > HLL_RHO_MAX)
+    )
+    assert bad.count() == 0
+    assert regs.count() <= (1 << HLL_P)
+
+
+def test_cms_never_underestimates(spark):
+    """est(key) ≥ true count for EVERY key — the count-min guarantee
+    (hash collisions only ever add)."""
+    # skewed multiset: key i appears i+1 times
+    df = (
+        spark.range(0, 60)
+        .select(
+            F.explode(
+                F.array_repeat(
+                    F.concat(F.lit("k"), F.col("id")),
+                    (F.col("id") + 1).cast("int"),
+                )
+            ).alias("v")
+        )
+    )
+    sk = cms_sketch(df, "v", depth=4, width=64)
+    exact = df.groupBy("v").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sk, exact, "v", depth=4, width=64)
+    under = est.where(F.col("cms_est") < F.col("exact"))
+    assert under.count() == 0
+    # with 60 keys in a 4×64 grid most estimates should be exact
+    exact_frac = est.where(
+        F.col("cms_est") == F.col("exact")
+    ).count() / 60
+    assert exact_frac > 0.5, exact_frac
+
+
+def test_cms_absent_key_small(spark):
+    """A key never inserted estimates only collision mass (and 0 when
+    its cells are clean)."""
+    corpus = _values(spark, 0, 50)
+    sk = cms_sketch(corpus, "v", depth=4, width=512)
+    ghost = spark.createDataFrame([("never-seen",)], "v string")
+    est = cms_estimate(sk, ghost, "v", depth=4, width=512).collect()[0]
+    assert est.cms_est <= 2  # 50 keys over 512 buckets: tiny collision mass
+
+
+def test_bloom_no_false_negatives(spark):
+    members = _values(spark, 0, 400)
+    bits = bloom_bits(members, "v", k=7, m=4096)
+    flagged = bloom_maybe_contains(bits, members, "v", k=7, m=4096)
+    missed = flagged.where(~F.col("bloom_maybe"))
+    assert missed.count() == 0
+
+
+def test_bloom_false_positive_rate_sane(spark):
+    members = _values(spark, 0, 400)
+    others = _values(spark, 10_000, 10_400)
+    bits = bloom_bits(members, "v", k=7, m=4096)
+    flagged = bloom_maybe_contains(bits, others, "v", k=7, m=4096)
+    fp = flagged.where(F.col("bloom_maybe")).count()
+    # 400 keys × 7 bits in 4096 → load ≈ 0.5, FP ≈ 0.5^7 ≈ 0.8%;
+    # allow a wide margin before calling the construction broken
+    assert fp / 400 < 0.10, fp
+
+
+def test_bloom_bits_bounded(spark):
+    bits = bloom_bits(_values(spark, 0, 10_000), "v", k=7, m=1024)
+    assert bits.count() <= 1024
+    rng = bits.agg(
+        F.min("bloom_bit").alias("lo"), F.max("bloom_bit").alias("hi")
+    ).collect()[0]
+    assert rng.lo >= 0 and rng.hi < 1024
