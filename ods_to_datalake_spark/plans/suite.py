@@ -133,11 +133,11 @@ def headline_queries() -> dict[str, QueryFn]:
 # the stale set is 56 queries — the 6 rows that slipped in round 5
 # (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
 # (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50 and nineteen new round-6 queries (x39-x54, e09, e10, u06)
-# join the window, so the 25 lowest-priority r04 suite_core rows slip
+# 56 > 50 and twenty-one new round-6 queries (x39-x56, e09, e10, u06)
+# join the window, so the 27 lowest-priority r04 suite_core rows slip
 # one round: f02, f08, f_scalar_functions, t01, t02, u01, w03, w04,
 # w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03, p01, j05,
-# j04, j01b, j02, j03 — they head the round-7 window
+# j04, j01b, j02, j03, a09, j01 — they head the round-7 window
 # (tests/test_registration_order.py SLIPPED_THIS_ROUND).
 _WINDOW_PRIORITY: list[str] = [
     # slipped in round 5 — oldest (r03) evidence, refresh first
@@ -168,6 +168,8 @@ _WINDOW_PRIORITY: list[str] = [
     "x52_hll_vocab",
     "x53_cms_heavy_hitters",
     "x54_bloom_prefilter",
+    "x55_inverted_index",
+    "x56_bm25_topk",
     # suite_media — driver evidence r04
     "x12_media_features",
     "x26_image_decode",
@@ -228,6 +230,7 @@ def load_all() -> dict[str, Query]:
         suite_tpch,  # 16 queries; all driver-green r05
         suite_curation,  # x34-x37, x39-x51: round-5/6 curation queries
         suite_sketch,  # x52-x54: mergeable sketches (new round 6)
+        suite_retrieval,  # x55-x56: inverted index + BM25 (new round 6)
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

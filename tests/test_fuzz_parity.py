@@ -47,6 +47,10 @@ FUZZ_QUERIES = [
     # (corpora with ≤ 10 docs are all-benchmark — empty train side)
     "x46_decontaminate_scored",
     "x47_dsir_weights",
+    # round-6c: posting-list fold determinism + BM25 decimal ranking
+    # ('the' is in the fuzz word pool, so term matches are non-trivial)
+    "x55_inverted_index",
+    "x56_bm25_topk",
 ]
 
 

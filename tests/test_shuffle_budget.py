@@ -202,6 +202,13 @@ SHUFFLE_BUDGET = {
     "x54_bloom_prefilter": 5,  # seen-hash distinct (2-stage pair),
     # per-candidate bits_set agg, flag joins — the bit set itself
     # broadcasts everywhere (≤ m rows)
+    "x55_inverted_index": 2,  # (doc,token) tf agg + token-level
+    # posting fold, both map-side-partial — the canonical two-shuffle
+    # index build at any corpus size
+    "x56_bm25_topk": 7,  # tf/dfreq/dl/stats each re-derive the token
+    # stream (no CSE across self-references — x23's accepted shape);
+    # dfreq/stats broadcast, top-k is TakeOrderedAndProject. At 100 TB
+    # dl is the precomputed-per-snapshot artifact (see operator doc)
 }
 
 

@@ -83,6 +83,11 @@ EDGE_QUERIES = [
     "x49_c4_line_filter",
     "x50_source_quality_report",
     "x51_gopher_repetition",
+    "x52_hll_vocab",
+    "x53_cms_heavy_hitters",
+    "x54_bloom_prefilter",
+    "x55_inverted_index",
+    "x56_bm25_topk",
 ]
 
 
