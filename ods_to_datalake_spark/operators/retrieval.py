@@ -75,11 +75,22 @@ def inverted_index(
     fold — both with map-side partials. ``max_df`` drops tokens present
     in more than that many documents (stop-word elision): a universal
     token's posting group is corpus-sized and un-splittable, the same
-    degenerate-bucket shape `dedup.cap_bucket_width` guards; the cap is
-    applied to the already-per-doc rows, never silently — callers see
-    exactly which rows vanish (df > max_df).
+    degenerate-bucket shape `dedup.cap_bucket_width` guards. Like that
+    guard, the prune happens BEFORE the expensive fold — over-wide
+    tokens are identified by a cheap count-only aggregate and
+    anti-joined out of the tf stream (the over-wide list is tiny:
+    stop-words), so the corpus-sized posting group is never built,
+    not built-then-discarded.
     """
     tf = _doc_term_freqs(docs, id_col, text_col)
+    if max_df is not None:
+        over_wide = (
+            tf.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > F.lit(int(max_df)))
+            .select("token")
+        )
+        tf = tf.join(over_wide, "token", "left_anti")
     idx = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
@@ -98,8 +109,6 @@ def inverted_index(
             " ",
         ).alias("postings"),
     )
-    if max_df is not None:
-        idx = idx.where(F.col("df") <= F.lit(int(max_df)))
     return idx
 
 

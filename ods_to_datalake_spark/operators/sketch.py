@@ -129,6 +129,21 @@ def hll_merge(
     return union.groupBy(*keys).agg(F.max("register").alias("register"))
 
 
+def _hll_alpha(m: int) -> float:
+    """Flajolet 2007's bias-correction constant: the closed form
+    0.7213/(1 + 1.079/m) is only valid for m >= 128; smaller register
+    counts use the paper's tabulated values. Computed in Python so the
+    Spark literal and the SQL mirror (repr) are the same IEEE double.
+    """
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / float(m))
+
+
 def hll_estimate(
     registers: DataFrame, p: int = 8, by: list[str] | None = None
 ) -> DataFrame:
@@ -140,6 +155,14 @@ def hll_estimate(
     a power of two, so the sum is order-independent and engine-exact.
     hll_estimate_raw = alpha_m · m² · 2^RHO_MAX / sum_term: one BIGINT
     →DOUBLE cast (correctly rounded in both engines), one divide.
+
+    ``p`` MUST be the precision the registers were built with: a
+    register table persisted at a larger p contains buckets >= m, and
+    silently folding those in would produce a negative sum_term — the
+    estimate raises at execution instead (the smaller-p direction; a
+    table built at a SMALLER p than asked for is structurally
+    indistinguishable from a sparse table and cannot be detected here —
+    persist p next to the lake artifact).
 
     Deliberately NOT applied: the small-range linear-counting
     correction m·ln(m/V) — ln() is not bit-stable across engines
@@ -156,13 +179,25 @@ def hll_estimate(
     agg = registers.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("used_buckets"),
         F.sum(term).alias("sum_present"),
+        F.max("hll_bucket").alias("_max_bucket"),
     )
     top = F.lit(1 << HLL_RHO_MAX).cast("long")
-    sum_term = (
+    # executed guard, not a docstring promise: registers built with a
+    # larger p surface as buckets >= m and would corrupt the estimate
+    sum_term = F.when(
+        F.col("_max_bucket") >= m,
+        F.raise_error(
+            F.concat(
+                F.lit(f"hll_estimate(p={p}): register bucket "),
+                F.col("_max_bucket").cast("string"),
+                F.lit(f" >= m={m} — the table was built with a larger p"),
+            )
+        ).cast("long"),
+    ).otherwise(
         F.col("sum_present")
         + (F.lit(m).cast("long") - F.col("used_buckets")) * top
     )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    alpha = F.lit(_hll_alpha(m))
     est = (
         alpha
         * F.lit(float(m))
@@ -216,7 +251,7 @@ def sql_hll_estimate(
     SELECT {keys}used_buckets,
            CAST(sum_present + ({m} - used_buckets)
                 * CAST({top} AS BIGINT) AS BIGINT) AS sum_term,
-           (0.7213 / (1.0 + 1.079 / {float(m)!r}))
+           CAST({_hll_alpha(m)!r} AS DOUBLE)
              * {float(m)!r} * {float(m)!r} * {float(top)!r}
              / CAST(sum_present + ({m} - used_buckets)
                     * CAST({top} AS BIGINT) AS DOUBLE)
@@ -236,8 +271,14 @@ def sql_hll_estimate(
 
 
 def _cms_bucket(value: Column, row: int, width: int) -> Column:
-    """Row-i bucket: low bits of md5('cms{row}:' || value)."""
-    h = F.md5(F.concat(F.lit(f"cms{row}:"), value))
+    """Row-i bucket: low bits of md5('cms{row}:' || value).
+
+    The explicit cast('string') matches hll_registers' contract (and
+    the CAST(... AS VARCHAR) every SQL mirror uses): without it a
+    non-string key would ride Spark's implicit concat coercion, whose
+    rendering (timestamps, doubles) can differ from DuckDB's cast.
+    """
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), value.cast("string")))
     return _hex_long(h, 1, 8) % width
 
 
@@ -319,10 +360,17 @@ def cms_estimate(
 
 
 def _bloom_positions(value: Column, k: int, m: int) -> Column:
-    """Array of k bit positions from k seeded md5 hashes."""
+    """Array of k bit positions from k seeded md5 hashes (value cast
+    to string for the same cross-engine reason as _cms_bucket)."""
     return F.array(
         *[
-            _hex_long(F.md5(F.concat(F.lit(f"bloom{i}:"), value)), 1, 8)
+            _hex_long(
+                F.md5(
+                    F.concat(F.lit(f"bloom{i}:"), value.cast("string"))
+                ),
+                1,
+                8,
+            )
             % m
             for i in range(k)
         ]
@@ -362,21 +410,25 @@ def bloom_maybe_contains(
     all its bits set — so `bloom_maybe = false` rows can skip the
     exact (expensive) membership join entirely; the false-positive
     fraction is the only wasted exact work. The bits side broadcasts
-    (≤ m rows); counting matched bits per candidate is one
-    map-side-partial groupBy on the candidate key.
+    (≤ m rows); bit-matching runs over DISTINCT candidate values, not
+    rows — a batch containing the same value twice must flag BOTH rows
+    (probing per row would double-count bits_set past k and fabricate
+    a false negative for true members, the one failure a Bloom filter
+    may never have), and the distinct value set is the cheaper probe
+    side anyway.
     """
-    probes = candidates.select(
-        "*",
+    vals = candidates.select(col).where(F.col(col).isNotNull()).distinct()
+    probes = vals.select(
+        col,
         F.explode(_bloom_positions(F.col(col), k, m)).alias("bloom_bit"),
     )
-    matched = probes.join(
-        F.broadcast(bits), "bloom_bit", "left_semi"
-    )
-    hits = matched.groupBy(*candidates.columns).agg(
-        F.count(F.lit(1)).alias("bits_set")
+    hits = (
+        probes.join(F.broadcast(bits), "bloom_bit", "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("bits_set"))
     )
     return (
-        candidates.join(hits, candidates.columns, "left")
+        candidates.join(hits, [col], "left")
         .withColumn(
             "bloom_maybe", F.coalesce(F.col("bits_set"), F.lit(0)) == k
         )

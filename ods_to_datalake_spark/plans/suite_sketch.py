@@ -39,6 +39,10 @@ from ods_to_datalake_spark.operators.sketch import (
 from ods_to_datalake_spark.plans.sql_fragments import SQL_TOKENS
 from ods_to_datalake_spark.plans.suite import register
 
+# the oracle's sketch-row generator must track CMS_DEPTH (a literal
+# [0, 1, 2, 3] would silently diverge if the constant changed)
+SQL_CMS_ROWS = f"(SELECT unnest([{', '.join(map(str, range(CMS_DEPTH)))}]) AS cms_row) AS _r"
+
 # non-empty whitespace tokens, shared by x52/x53 (both engines)
 SQL_TOKS_CTE = f"""
     toks AS (
@@ -115,7 +119,7 @@ def x52_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                  'cms', CAST(cms_row AS VARCHAR), ':', token)), 1, 8))
                AS BIGINT) % {CMS_WIDTH} AS cms_bucket,
              COUNT(*) AS cnt
-      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS cms_row) AS _r
+      FROM toks, {SQL_CMS_ROWS}
       GROUP BY 1, 2
     ),
     top AS (
@@ -128,7 +132,7 @@ def x52_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(concat('0x', substring(md5(concat(
                  'cms', CAST(cms_row AS VARCHAR), ':', token)), 1, 8))
                AS BIGINT) % {CMS_WIDTH} AS cms_bucket
-      FROM top, (SELECT unnest([0, 1, 2, 3]) AS cms_row) AS _r
+      FROM top, {SQL_CMS_ROWS}
     )
     SELECT probes.token, probes.exact_cnt,
            MIN(COALESCE(sk.cnt, 0)) AS cms_est

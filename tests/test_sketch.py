@@ -125,3 +125,52 @@ def test_bloom_bits_bounded(spark):
         F.min("bloom_bit").alias("lo"), F.max("bloom_bit").alias("hi")
     ).collect()[0]
     assert rng.lo >= 0 and rng.hi < 1024
+
+
+def test_bloom_duplicate_candidate_rows_stay_true(spark):
+    """A batch containing the SAME seen value twice must flag BOTH
+    rows bloom_maybe=true — probing per row (instead of per distinct
+    value) double-counts bits_set past k and fabricates the one thing
+    a Bloom filter may never produce: a false negative (review
+    finding, round 6)."""
+    members = spark.createDataFrame([("seen-doc",)], "v string")
+    bits = bloom_bits(members, "v", k=7, m=4096)
+    batch = spark.createDataFrame(
+        [(1, "seen-doc"), (2, "seen-doc"), (3, "novel-doc")],
+        "row_id bigint, v string",
+    )
+    rows = {
+        r.row_id: r.bloom_maybe
+        for r in bloom_maybe_contains(bits, batch, "v", k=7, m=4096
+                                      ).collect()
+    }
+    assert rows[1] and rows[2]  # both duplicate rows flagged maybe
+    # NULL candidate values flag false (never seen), not an error
+    null_batch = spark.createDataFrame(
+        [(9, None)], "row_id bigint, v string"
+    )
+    flg = bloom_maybe_contains(bits, null_batch, "v", k=7, m=4096)
+    assert [r.bloom_maybe for r in flg.collect()] == [False]
+
+
+def test_hll_estimate_wrong_smaller_p_raises(spark):
+    """Registers persisted at p=10 estimated with p=8 must raise, not
+    silently emit a negative estimate (review finding, round 6)."""
+    regs = hll_registers(_values(spark, 0, 3000), "v", p=10)
+    with pytest.raises(Exception, match="larger p"):
+        hll_estimate(regs, p=8).collect()
+
+
+def test_hll_small_m_alpha_table(spark):
+    """m < 128 uses Flajolet 2007's tabulated alpha, not the closed
+    form (which is only valid for m >= 128)."""
+    from ods_to_datalake_spark.operators.sketch import _hll_alpha
+
+    assert _hll_alpha(16) == 0.673
+    assert _hll_alpha(32) == 0.697
+    assert _hll_alpha(64) == 0.709
+    assert abs(_hll_alpha(256) - 0.7213 / (1.0 + 1.079 / 256.0)) == 0.0
+    # and the p=4 estimate is sane on a cardinality >> m
+    regs = hll_registers(_values(spark, 0, 5000), "v", p=4)
+    est = hll_estimate(regs, p=4).collect()[0]
+    assert abs(est.hll_estimate_raw - 5000) / 5000 < 0.9  # 1.04/√16≈26%
