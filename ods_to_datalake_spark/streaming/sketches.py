@@ -1,0 +1,162 @@
+"""Streaming maintenance of mergeable corpus sketches (HLL + Bloom).
+
+Batch faces: `operators/sketch.py` (x52/x54). The register/bit tables
+merge by max/union, which makes streaming maintenance trivially
+incremental — each micro-batch writes its OWN sketch partition under
+the replay-idempotent ``ingest_batch=<id>`` overwrite layout
+(`streaming/ingest._batch_overwrite`, VERDICT r5 item 3), and readers
+fold partitions at read time:
+
+- no read-modify-write: the sink never reads the state it appends to,
+  so the eager-checkpoint hazard of the admission sinks (CLAUDE.md)
+  cannot arise here by construction;
+- no compaction service: a day of 5-minute batches is 288 partitions
+  of ≤ 2^p rows each — the read-side merge is one groupBy-max over
+  ~73k rows at p=8; when that ever matters, `compact_sketch_state`
+  folds history into one partition with the same merge;
+- crash/replay safe: foreachBatch redelivers the same batch_id, the
+  partition is overwritten, the fold is idempotent (max/union are).
+
+Why maintain sketches on the stream at all: the ingest observability
+queries (per-source vocabulary growth, "have we seen this content
+before" prefilters) must not re-scan the grown corpus on every ask —
+the sketch state dir answers them from O(2^p + m) rows per batch no
+matter how many TB the batches carried.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions.text import tokens
+from ods_to_datalake_spark.operators.sketch import (
+    BLOOM_K,
+    BLOOM_M,
+    HLL_P,
+    bloom_bits,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from ods_to_datalake_spark.streaming.ingest import (
+    BATCH_COL,
+    _batch_overwrite,
+)
+
+HLL_SUBDIR = "hll_registers"
+BLOOM_SUBDIR = "bloom_bits"
+
+
+def sketch_sink(
+    state_dir: str,
+    text_col: str = "text",
+    by: list[str] | None = None,
+    p: int = HLL_P,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+):
+    """foreachBatch sink maintaining two sketch artifacts under
+    ``state_dir``: per-group HLL token registers
+    (``hll_registers/ingest_batch=<id>``) and the Bloom bit set of
+    content hashes (``bloom_bits/ingest_batch=<id>``).
+
+    Each partition holds only the BATCH's sketch — the corpus-level
+    sketch is the read-time fold (`read_vocab_estimate`,
+    `read_bloom_bits`), so a replayed batch_id overwrites exactly its
+    own contribution and the fold is unchanged (max/union
+    idempotence). The batch frame is persisted across the two writes
+    (two actions over one micro-batch plan, same rule as the
+    admission sinks).
+    """
+    keys = list(by or [])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            toks = batch_df.select(
+                *keys, F.explode(tokens(text_col)).alias("token")
+            ).where(F.col("token") != "")
+            _batch_overwrite(
+                hll_registers(toks, "token", p=p, by=keys),
+                f"{state_dir}/{HLL_SUBDIR}",
+                batch_id,
+            )
+            hashes = batch_df.select(
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                    "content_hash"
+                )
+            )
+            _batch_overwrite(
+                bloom_bits(hashes, "content_hash", k=k, m=m),
+                f"{state_dir}/{BLOOM_SUBDIR}",
+                batch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
+def maintain_corpus_sketches(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    by: list[str] | None = None,
+    p: int = HLL_P,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+):
+    """Attach the sketch sink to a document stream and start it."""
+    return (
+        stream.writeStream.foreachBatch(
+            sketch_sink(state_dir, text_col, by, p=p, k=k, m=m)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_vocab_estimate(
+    spark: SparkSession,
+    state_dir: str,
+    by: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Corpus-level HLL estimate from the maintained state: fold every
+    batch partition by per-bucket max, then estimate — identical (bit
+    for bit) to a single-shot `hll_registers` over the full corpus, by
+    the merge property `test_hll_merge_equals_union` pins."""
+    regs = spark.read.parquet(f"{state_dir}/{HLL_SUBDIR}").drop(BATCH_COL)
+    return hll_estimate(hll_merge([regs], by=by), p=p, by=by)
+
+
+def read_bloom_bits(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Corpus-level Bloom bit set from the maintained state (union =
+    distinct over batch partitions); feed to
+    `operators.sketch.bloom_maybe_contains` as a membership
+    prefilter."""
+    return (
+        spark.read.parquet(f"{state_dir}/{BLOOM_SUBDIR}")
+        .drop(BATCH_COL)
+        .distinct()
+    )
+
+
+def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
+    """Fold all batch partitions into a single ``ingest_batch=compact``
+    partition (register max / bit union), then drop the originals —
+    an optional maintenance job for long-lived streams; the read-side
+    fold is already correct without it."""
+    regs = spark.read.parquet(f"{state_dir}/{HLL_SUBDIR}").drop(BATCH_COL)
+    keys = [c for c in regs.columns if c not in ("hll_bucket", "register")]
+    merged = hll_merge([regs], by=keys).localCheckpoint()
+    bits = read_bloom_bits(spark, state_dir).localCheckpoint()
+    for sub, df in ((HLL_SUBDIR, merged), (BLOOM_SUBDIR, bits)):
+        base = f"{state_dir}/{sub}"
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+        df.write.mode("overwrite").parquet(f"{base}/{BATCH_COL}=compact")

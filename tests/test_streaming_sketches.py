@@ -1,0 +1,145 @@
+"""Streaming sketch maintenance: the read-time fold over per-batch
+sketch partitions must equal the single-shot batch sketch (the merge
+property), and a crash-replayed batch must be a no-op (the overwrite
+layout)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.sketch import (
+    bloom_bits,
+    hll_estimate,
+    hll_registers,
+)
+from ods_to_datalake_spark.streaming.sketches import (
+    compact_sketch_state,
+    maintain_corpus_sketches,
+    read_bloom_bits,
+    read_vocab_estimate,
+    sketch_sink,
+)
+
+SCHEMA = "doc_id long, source string, text string"
+
+BATCH0 = [
+    (1, "s1", "alpha beta gamma delta epsilon"),
+    (2, "s1", "alpha zeta eta theta"),
+    (3, "s2", "one two three four five"),
+]
+BATCH1 = [
+    (4, "s1", "iota kappa lamda alpha"),
+    (5, "s2", "six seven eight one two"),
+    (6, "s2", None),  # NULL text: no tokens, hash of ''
+]
+
+
+def _full_corpus(spark):
+    return spark.createDataFrame(BATCH0 + BATCH1, SCHEMA)
+
+
+def _write_file_batches(spark, src_dir):
+    os.makedirs(src_dir)
+    for i, rows in enumerate([BATCH0, BATCH1]):
+        f = os.path.join(src_dir, f"part-{i}.parquet")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        t = time.time() + i * 10
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (t, t))
+
+
+def test_streamed_sketches_equal_batch_sketches(spark, tmp_path):
+    """Two micro-batches → read-time fold ≡ one-shot sketch over the
+    union, bit for bit (max/union merge property)."""
+    src = str(tmp_path / "src")
+    _write_file_batches(spark, src)
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    q = maintain_corpus_sketches(
+        stream, state, str(tmp_path / "ckpt"), by=["source"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = _full_corpus(spark)
+    toks = corpus.select(
+        "source", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    direct_est = {
+        (r.source, r.used_buckets, r.sum_term, r.hll_estimate_raw)
+        for r in hll_estimate(
+            hll_registers(toks, "token", by=["source"]), by=["source"]
+        ).collect()
+    }
+    streamed_est = {
+        (r.source, r.used_buckets, r.sum_term, r.hll_estimate_raw)
+        for r in read_vocab_estimate(spark, state, by=["source"]).collect()
+    }
+    assert streamed_est == direct_est
+
+    direct_bits = {
+        r.bloom_bit
+        for r in bloom_bits(
+            corpus.select(
+                F.md5(F.coalesce("text", F.lit(""))).alias("content_hash")
+            ),
+            "content_hash",
+        ).collect()
+    }
+    streamed_bits = {
+        r.bloom_bit for r in read_bloom_bits(spark, state).collect()
+    }
+    assert streamed_bits == direct_bits
+
+    # compaction folds to one partition and preserves both folds
+    compact_sketch_state(spark, state)
+    assert {
+        (r.source, r.used_buckets, r.sum_term, r.hll_estimate_raw)
+        for r in read_vocab_estimate(spark, state, by=["source"]).collect()
+    } == direct_est
+    assert {
+        r.bloom_bit for r in read_bloom_bits(spark, state).collect()
+    } == direct_bits
+
+
+def test_sketch_sink_replay_is_idempotent(spark, tmp_path):
+    """The same batch_id redelivered (crash between the two writes)
+    overwrites its own partitions; the read-time folds are unchanged."""
+    state = str(tmp_path / "state")
+    sink = sketch_sink(state, by=["source"])
+    b0 = spark.createDataFrame(BATCH0, SCHEMA)
+    sink(b0, 0)
+
+    def snapshot():
+        est = sorted(
+            (r.source, r.used_buckets, r.sum_term)
+            for r in read_vocab_estimate(
+                spark, state, by=["source"]
+            ).collect()
+        )
+        bits = sorted(
+            r.bloom_bit for r in read_bloom_bits(spark, state).collect()
+        )
+        return est, bits
+
+    first = snapshot()
+    sink(b0, 0)  # crash-replay
+    assert snapshot() == first
+    # a genuinely new batch DOES grow the folds
+    sink(spark.createDataFrame(BATCH1, SCHEMA), 1)
+    est, bits = snapshot()
+    assert est != first[0]
+    assert set(bits) >= set(first[1])
