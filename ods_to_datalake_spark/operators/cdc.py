@@ -21,6 +21,38 @@ from pyspark.sql import functions as F
 OPS = ("I", "U", "D")
 
 
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    data_cols: list[str],
+    op_col: str = "op",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Keep each key's highest-version change (the version-less form
+    passes through): a partial-aggregated max-struct per key, never a
+    window over the change stream — one struct per key survives the
+    exchange however many versions arrived. Shared by `cdc_apply` and
+    `incremental.cdc_maintain_agg` so both resolve the same winner."""
+    if version_col is None:
+        return changes
+    latest = changes.groupBy(*keys).agg(
+        F.max(
+            F.struct(F.col(version_col), F.col(op_col), *[
+                F.col(c) for c in data_cols if c not in keys
+            ])
+        ).alias("__m")
+    )
+    return latest.select(
+        *keys,
+        F.col(f"__m.{op_col}").alias(op_col),
+        *[
+            F.col(f"__m.{c}").alias(c)
+            for c in data_cols
+            if c not in keys
+        ],
+    )
+
+
 def cdc_apply(
     base: DataFrame,
     changes: DataFrame,
@@ -40,24 +72,7 @@ def cdc_apply(
     untouched base rows pass through.
     """
     data_cols = base.columns
-    ch = changes
-    if version_col is not None:
-        latest = ch.groupBy(*keys).agg(
-            F.max(
-                F.struct(F.col(version_col), F.col(op_col), *[
-                    F.col(c) for c in data_cols if c not in keys
-                ])
-            ).alias("__m")
-        )
-        ch = latest.select(
-            *keys,
-            F.col(f"__m.{op_col}").alias(op_col),
-            *[
-                F.col(f"__m.{c}").alias(c)
-                for c in data_cols
-                if c not in keys
-            ],
-        )
+    ch = latest_changes(changes, keys, data_cols, op_col, version_col)
     touched = ch.select(*keys).distinct()
     kept = base.join(touched, keys, "left_anti")
     upserts = ch.filter(F.col(op_col).isin("I", "U")).select(*data_cols)

@@ -133,12 +133,13 @@ def headline_queries() -> dict[str, QueryFn]:
 # the stale set is 56 queries — the 6 rows that slipped in round 5
 # (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
 # (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50 and twenty-one new round-6 queries (x39-x56, e09, e10, u06)
-# join the window, so the 27 lowest-priority r04 suite_core rows slip
-# one round: f02, f08, f_scalar_functions, t01, t02, u01, w03, w04,
-# w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03, p01, j05,
-# j04, j01b, j02, j03, a09, j01 — they head the round-7 window
-# (tests/test_registration_order.py SLIPPED_THIS_ROUND).
+# 56 > 50 and twenty-two new round-6 queries (x39-x56, e09, e10,
+# u06, u07) join the window, so the 28 lowest-priority r04 suite_core
+# rows slip one round: f02, f08, f_scalar_functions, t01, t02, u01,
+# w03, w04, w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03,
+# p01, j05, j04, j01b, j02, j03, a09, j01, a08 — they head the
+# round-7 window (tests/test_registration_order.py
+# SLIPPED_THIS_ROUND).
 _WINDOW_PRIORITY: list[str] = [
     # slipped in round 5 — oldest (r03) evidence, refresh first
     "w07_ntile_quartiles",
@@ -170,6 +171,7 @@ _WINDOW_PRIORITY: list[str] = [
     "x54_bloom_prefilter",
     "x55_inverted_index",
     "x56_bm25_topk",
+    "u07_incremental_agg",
     # suite_media — driver evidence r04
     "x12_media_features",
     "x26_image_decode",
@@ -225,7 +227,7 @@ def load_all() -> dict[str, Query]:
         suite_media,  # 6 queries (x12, x26-x30); r04 evidence → r06 window
         suite_events,  # 10 queries (e01-e08 r04 evidence; e09/e10 new r6)
         suite_ingest,  # 2 queries (x31, x32); r04 evidence → r06 window
-        suite_core,  # 45 queries (u06 new r6); 6 slipped-r03 rows lead
+        suite_core,  # 46 queries (u06/u07 new r6); 6 slipped-r03 rows lead
         suite_llm,  # 24 queries; all driver-green r05
         suite_tpch,  # 16 queries; all driver-green r05
         suite_curation,  # x34-x37, x39-x51: round-5/6 curation queries

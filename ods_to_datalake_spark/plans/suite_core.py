@@ -21,7 +21,7 @@ from ods_to_datalake_spark.operators import agg as agg_ops
 from ods_to_datalake_spark.operators import joins as join_ops
 from ods_to_datalake_spark.operators import nest, windows
 from ods_to_datalake_spark.plans.money import D182, D384, D386, _dec
-from ods_to_datalake_spark.plans.suite import register
+from ods_to_datalake_spark.plans.suite import REGISTRY, register
 
 
 # ---------------------------------------------------------------------------
@@ -1509,6 +1509,39 @@ _CDC_COLS = (
 )
 
 
+def _cdc_fixture(cat) -> tuple[DataFrame, DataFrame]:
+    """The synthesized CDC workload u06/u07 share: orders partitioned
+    by key % 4 into unchanged / double-versioned update (+5 then +10,
+    latest wins) / delete / insert — (base, changes)."""
+    o = cat.table("orders").select(*_CDC_COLS.split(", "))
+    k = F.col("o_orderkey")
+    base = o.filter(k % 4 != 0)
+
+    def tagged(df: DataFrame, op: str, ver: int) -> DataFrame:
+        return df.withColumn("op", F.lit(op)).withColumn(
+            "ver", F.lit(ver)
+        )
+
+    upd = o.filter(k % 4 == 1)
+    changes = (
+        tagged(
+            upd.withColumn("o_totalprice", F.col("o_totalprice") + 5.0),
+            "U", 1,
+        )
+        .unionByName(
+            tagged(
+                upd.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 10.0
+                ),
+                "U", 2,
+            )
+        )
+        .unionByName(tagged(o.filter(k % 4 == 0), "I", 1))
+        .unionByName(tagged(o.filter(k % 4 == 2), "D", 1))
+    )
+    return base, changes
+
+
 @register(
     "u06_cdc_apply",
     double_cols=["o_totalprice"],
@@ -1555,33 +1588,64 @@ _CDC_COLS = (
 def u06_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.cdc import cdc_apply
 
-    cat = load_testdata(spark, sf_dir)
-    o = cat.table("orders").select(*_CDC_COLS.split(", "))
-    k = F.col("o_orderkey")
-    base = o.filter(k % 4 != 0)
-
-    def tagged(df: DataFrame, op: str, ver: int) -> DataFrame:
-        return df.withColumn("op", F.lit(op)).withColumn(
-            "ver", F.lit(ver)
-        )
-
-    upd = o.filter(k % 4 == 1)
-    changes = (
-        tagged(
-            upd.withColumn("o_totalprice", F.col("o_totalprice") + 5.0),
-            "U", 1,
-        )
-        .unionByName(
-            tagged(
-                upd.withColumn(
-                    "o_totalprice", F.col("o_totalprice") + 10.0
-                ),
-                "U", 2,
-            )
-        )
-        .unionByName(tagged(o.filter(k % 4 == 0), "I", 1))
-        .unionByName(tagged(o.filter(k % 4 == 2), "D", 1))
-    )
+    base, changes = _cdc_fixture(load_testdata(spark, sf_dir))
     return cdc_apply(
         base, changes, ["o_orderkey"], op_col="op", version_col="ver"
     )
+
+
+@register(
+    "u07_incremental_agg",
+    oracle=None,  # assembled from u06's oracle below (single source
+    # of truth for the applied snapshot — the IVM correctness claim IS
+    # "delta merge == recompute over cdc_apply's output")
+    doc="Incremental aggregate maintenance (IVM): refresh a "
+    "materialized per-customer (count, non-null count, DECIMAL sum) "
+    "aggregate from the u06 CDC batch WITHOUT re-aggregating the fact "
+    "table — retractions from the touched keys' before-images (one "
+    "semi-join: a key lookup, not a scan), additions from the latest "
+    "I/U after-images, full-outer delta merge; groups reaching count "
+    "0 drop, new groups appear, all-NULL-measure groups report SUM "
+    "NULL exactly like a recompute (maintained non-null counts). The "
+    "oracle recomputes the aggregate from u06's applied-snapshot SQL, "
+    "so the gate checks the IVM identity itself: old_agg ⊕ delta == "
+    "recompute. DECIMAL sums make retraction exact — a float sum "
+    "would drift from the recompute one batch at a time.",
+)
+def u07_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.incremental import (
+        agg_snapshot,
+        cdc_maintain_agg,
+    )
+
+    base, changes = _cdc_fixture(load_testdata(spark, sf_dir))
+    old = agg_snapshot(base, ["o_custkey"], ["o_totalprice"])
+    return cdc_maintain_agg(
+        old,
+        base,
+        changes,
+        key_cols=["o_orderkey"],
+        group_cols=["o_custkey"],
+        sum_cols=["o_totalprice"],
+        op_col="op",
+        version_col="ver",
+    )
+
+
+# the IVM oracle embeds u06's applied-snapshot SQL (the x25-wraps-x05
+# pattern: engine and oracle can only agree if the delta merge equals
+# a recompute over the SAME applied rows); u06's oracle arrives here
+# already double_cols-wrapped, which is harmless as a subquery. The
+# outer REPLACE mirrors register(double_cols=...) by hand since the
+# oracle is assembled post-registration.
+REGISTRY["u07_incremental_agg"].oracle = f"""
+SELECT * REPLACE (CAST(CAST(sum_o_totalprice AS VARCHAR) AS DOUBLE)
+                  AS sum_o_totalprice) FROM (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(o_totalprice) AS BIGINT) AS nn_o_totalprice,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_o_totalprice
+  FROM ({REGISTRY["u06_cdc_apply"].oracle}) AS applied
+  GROUP BY o_custkey
+) AS _agg
+"""

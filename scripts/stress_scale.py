@@ -55,6 +55,10 @@ SUITE_QUERIES = [
     "x07_cosine_topk",  # brute-force ANN baseline: linear corpus scan
     "x35_pq_encode",  # PQ encode: map-only argmin over plan-literal books
     "x08_ivf_ann",  # IVF ANN: partition-pruned probe of a built index
+    "x52_hll_vocab",  # sketch build: fixed-state agg over token stream
+    "x55_inverted_index",  # two-shuffle posting-list fold
+    "x56_bm25_topk",  # term-filtered scoring + corpus dl pass
+    "u07_incremental_agg",  # IVM delta merge vs fact re-aggregate
 ]
 
 

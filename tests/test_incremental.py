@@ -1,0 +1,130 @@
+"""Incremental aggregate maintenance: the delta merge must equal a
+recompute over cdc_apply's output for every change shape — group-move
+updates, whole-group deletes, new-group inserts, all-NULL measures,
+multi-version batches. The sf-data identity is oracle-checked (u07);
+these tests pin the semantics on surgical corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.cdc import cdc_apply
+from ods_to_datalake_spark.operators.incremental import (
+    agg_snapshot,
+    cdc_maintain_agg,
+)
+
+BASE_SCHEMA = "id bigint, grp string, val double"
+CH_SCHEMA = BASE_SCHEMA + ", op string, ver int"
+
+BASE = [
+    (1, "a", 10.0),
+    (2, "a", 20.0),
+    (3, "b", 5.0),
+    (4, "b", None),  # NULL measure in a surviving group
+    (5, "c", 7.0),
+    (6, "d", None),  # group whose ONLY value is NULL → sum NULL
+]
+
+CHANGES = [
+    # group-move: row 1 leaves a for b (retract a, add b)
+    (1, "b", 11.0, "U", 1),
+    # two versions for row 2: only ver=2 applies
+    (2, "a", 99.0, "U", 1),
+    (2, "a", 25.0, "U", 2),
+    # delete the whole of group c
+    (5, "c", 7.0, "D", 1),
+    # insert a brand-new group
+    (7, "e", 3.0, "I", 1),
+    # value becomes NULL (update d's row: still NULL)
+    (6, "d", None, "U", 1),
+]
+
+
+def _frames(spark):
+    base = spark.createDataFrame(BASE, BASE_SCHEMA)
+    ch = spark.createDataFrame(CHANGES, CH_SCHEMA)
+    return base, ch
+
+
+def _rows(df):
+    return sorted(
+        (r.grp, r.n_rows, r.nn_val, None if r.sum_val is None
+         else float(r.sum_val))
+        for r in df.collect()
+    )
+
+
+def test_maintained_agg_equals_recompute(spark):
+    base, ch = _frames(spark)
+    old = agg_snapshot(base, ["grp"], ["val"])
+    maintained = cdc_maintain_agg(
+        old, base, ch, ["id"], ["grp"], ["val"],
+        op_col="op", version_col="ver",
+    )
+    applied = cdc_apply(base, ch, ["id"], op_col="op", version_col="ver")
+    recomputed = agg_snapshot(applied, ["grp"], ["val"])
+    assert _rows(maintained) == _rows(recomputed)
+
+
+def test_maintained_agg_semantics(spark):
+    base, ch = _frames(spark)
+    old = agg_snapshot(base, ["grp"], ["val"])
+    rows = {
+        r.grp: r
+        for r in cdc_maintain_agg(
+            old, base, ch, ["id"], ["grp"], ["val"],
+            op_col="op", version_col="ver",
+        ).collect()
+    }
+    assert "c" not in rows  # whole group deleted → dropped, not 0-row
+    assert rows["e"].n_rows == 1  # born this batch
+    assert float(rows["e"].sum_val) == 3.0
+    # a lost row 1 (moved to b) and had row 2 updated to 25
+    assert rows["a"].n_rows == 1
+    assert float(rows["a"].sum_val) == 25.0
+    # b gained the moved row (11.0): 5 + NULL + 11 over 3 rows, 2 non-null
+    assert rows["b"].n_rows == 3
+    assert rows["b"].nn_val == 2
+    assert float(rows["b"].sum_val) == 16.0
+    # d's only value is NULL → SUM is NULL (not 0), like a recompute
+    assert rows["d"].n_rows == 1
+    assert rows["d"].nn_val == 0
+    assert rows["d"].sum_val is None
+
+
+def test_maintained_agg_empty_change_batch_is_identity(spark):
+    base, _ = _frames(spark)
+    ch = spark.createDataFrame([], CH_SCHEMA)
+    old = agg_snapshot(base, ["grp"], ["val"])
+    maintained = cdc_maintain_agg(
+        old, base, ch, ["id"], ["grp"], ["val"],
+        op_col="op", version_col="ver",
+    )
+    assert _rows(maintained) == _rows(old)
+
+
+def test_maintained_agg_two_batches_compose(spark):
+    """Applying batch 2 to the MAINTAINED aggregate of batch 1 equals
+    a recompute over both applications — the property that lets the
+    artifact live forever without a rebuild."""
+    base, ch1 = _frames(spark)
+    ch2 = spark.createDataFrame(
+        [
+            (7, "e", 4.5, "U", 1),   # update the batch-1 insert
+            (3, "b", 5.0, "D", 1),   # shrink b
+            (8, "a", 1.25, "I", 1),  # grow a
+        ],
+        CH_SCHEMA,
+    )
+    snap1 = cdc_apply(base, ch1, ["id"], op_col="op", version_col="ver")
+    agg1 = cdc_maintain_agg(
+        agg_snapshot(base, ["grp"], ["val"]), base, ch1,
+        ["id"], ["grp"], ["val"], op_col="op", version_col="ver",
+    )
+    agg2 = cdc_maintain_agg(
+        agg1, snap1, ch2, ["id"], ["grp"], ["val"],
+        op_col="op", version_col="ver",
+    )
+    snap2 = cdc_apply(snap1, ch2, ["id"], op_col="op", version_col="ver")
+    assert _rows(agg2) == _rows(agg_snapshot(snap2, ["grp"], ["val"]))

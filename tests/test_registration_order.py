@@ -76,6 +76,8 @@ SLIPPED_THIS_ROUND: set[str] = {
     # displaced by the retrieval suite (x55-x56, round-6 additions)
     "a09_percentiles",
     "j01_semi_join",
+    # displaced by u07_incremental_agg (round-6 addition)
+    "a08_two_phase_agg",
 }
 
 
@@ -148,9 +150,10 @@ def test_driver_window_composition():
         "x54_bloom_prefilter",
         "x55_inverted_index",
         "x56_bm25_topk",
+        "u07_incremental_agg",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "a08_two_phase_agg"
+    assert names[DRIVER_WINDOW - 1] == "a07_distinct_agg"
 
 
 def test_window_covers_all_stale_except_slipped():

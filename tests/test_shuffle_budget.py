@@ -209,6 +209,11 @@ SHUFFLE_BUDGET = {
     # stream (no CSE across self-references — x23's accepted shape);
     # dfreq/stats broadcast, top-k is TakeOrderedAndProject. At 100 TB
     # dl is the precomputed-per-snapshot artifact (see operator doc)
+    "u07_incremental_agg": 4,  # old_agg build + keep-latest change
+    # agg + touched-keys distinct (broadcasts into the before-image
+    # semi-join) + delta agg; the full-outer merge reuses the two agg
+    # partitionings. At scale old_agg is a STORED artifact — the
+    # whole point is that the fact table never re-aggregates
 }
 
 
