@@ -434,3 +434,125 @@ def bloom_maybe_contains(
         )
         .drop("bits_set")
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid histogram (mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 256
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo_cents: int,
+    hi_cents: int,
+    buckets: int = HIST_BUCKETS,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram over a money column: (by..., hist_bucket,
+    cnt) — the mergeable quantile member of the sketch family
+    (a09's exact percentile sorts each group; approx_percentile's
+    t-digest is engine-private — this grid is both mergeable AND
+    engine-bit-identical).
+
+    The grid is FIXED ([lo_cents, hi_cents) split into ``buckets``
+    equal cells, values clamped into range), which is what makes
+    partial histograms from different partitions, days, or corpora
+    merge by plain ``+``. All arithmetic is BIGINT: the money double
+    goes through DECIMAL(18,2)·100 (exact cents), and the bucket is an
+    integer floor-division — DuckDB's truncating ``//`` equals Spark's
+    ``div`` for the non-negative clamped operands (CLAUDE.md rule).
+    The build is one map-side-partial groupBy over ≤ ``buckets`` cells
+    per group, whatever the input size.
+    """
+    keys = list(by or [])
+    lo, hi = int(lo_cents), int(hi_cents)
+    span = hi - lo
+    cents = (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+    clamped = F.greatest(
+        F.lit(lo).cast("long"),
+        F.least(F.lit(hi - 1).cast("long"), cents),
+    )
+    # `div` (integer division) exists only as a SQL operator — the
+    # clamped cents land in a named column first so the expr can
+    # reference them without string-splicing a Column
+    staged = df.where(F.col(col).isNotNull()).select(
+        *keys, clamped.alias("__cents")
+    )
+    bucket = F.expr(f"((__cents - {lo}) * {int(buckets)}) div {span}")
+    return (
+        staged.select(*keys, bucket.cast("long").alias("hist_bucket"))
+        .groupBy(*keys, "hist_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    quantiles: list[tuple[str, int, int]],
+    lo_cents: int,
+    hi_cents: int,
+    buckets: int = HIST_BUCKETS,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile upper bounds from a histogram sketch: (by..., q_label,
+    hist_bucket, est_upper_cents) — for each (label, num, den) the
+    smallest bucket whose cumulative count reaches num/den of the
+    group total, and that bucket's upper edge in cents.
+
+    Integer-only: rank positions compare via cross-multiplication
+    (cum·den >= total·num — never a float fraction, CLAUDE.md
+    sampling-boundary rule), and the edge is lo + (b+1)·span div
+    buckets. The window/self-join run over SKETCH rows (≤ buckets per
+    group) — driver-sized work no matter the corpus. Estimates are
+    upper bounds off by at most one bucket width; tighten with more
+    buckets, never with floats.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by or [])
+    w = (
+        Window.partitionBy(*keys).orderBy("hist_bucket")
+        if keys
+        else Window.orderBy("hist_bucket")
+    )
+    wtot = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    )
+    cum = sketch.select(
+        *keys,
+        "hist_bucket",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(wtot).cast("long").alias("total"),
+    )
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("q_label"),
+                F.lit(int(num)).cast("long").alias("num"),
+                F.lit(int(den)).cast("long").alias("den"),
+            )
+            for label, num, den in quantiles
+        ]
+    )
+    probed = cum.select(
+        *keys, "hist_bucket", "cum", "total", F.explode(qs).alias("q")
+    ).where(
+        F.col("cum") * F.col("q.den") >= F.col("total") * F.col("q.num")
+    )
+    span = int(hi_cents) - int(lo_cents)
+    picked = probed.groupBy(*keys, "q.q_label").agg(
+        F.min("hist_bucket").alias("hist_bucket")
+    )
+    edge = F.expr(
+        f"{int(lo_cents)} + ((hist_bucket + 1) * {span}) "
+        f"div {int(buckets)}"
+    )
+    return picked.select(
+        *keys,
+        "q_label",
+        "hist_bucket",
+        edge.cast("long").alias("est_upper_cents"),
+    )

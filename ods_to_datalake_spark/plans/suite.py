@@ -133,11 +133,11 @@ def headline_queries() -> dict[str, QueryFn]:
 # the stale set is 56 queries — the 6 rows that slipped in round 5
 # (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
 # (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50 and twenty-two new round-6 queries (x39-x56, e09, e10,
-# u06, u07) join the window, so the 28 lowest-priority r04 suite_core
+# 56 > 50 and twenty-three new round-6 queries (x39-x58, e09, e10,
+# u06, u07) join the window, so the 29 lowest-priority r04 suite_core
 # rows slip one round: f02, f08, f_scalar_functions, t01, t02, u01,
 # w03, w04, w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03,
-# p01, j05, j04, j01b, j02, j03, a09, j01, a08 — they head the
+# p01, j05, j04, j01b, j02, j03, a09, j01, a08, a07 — they head the
 # round-7 window (tests/test_registration_order.py
 # SLIPPED_THIS_ROUND).
 _WINDOW_PRIORITY: list[str] = [
@@ -172,6 +172,7 @@ _WINDOW_PRIORITY: list[str] = [
     "x55_inverted_index",
     "x56_bm25_topk",
     "u07_incremental_agg",
+    "x58_histogram_quantiles",
     # suite_media — driver evidence r04
     "x12_media_features",
     "x26_image_decode",

@@ -26,6 +26,7 @@ from ods_to_datalake_spark.operators.sketch import (
     BLOOM_M,
     CMS_DEPTH,
     CMS_WIDTH,
+    HIST_BUCKETS,
     HLL_P,
     bloom_bits,
     bloom_maybe_contains,
@@ -238,4 +239,88 @@ def x54_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_seen"), F.lit(False)).alias("exact_dup"),
         )
         .orderBy("doc_id")
+    )
+
+
+# fixed histogram grid for x58: [0, $600k) in 256 cells — covers every
+# o_totalprice (max ~$500k); the FIXED grid is what makes partial
+# histograms from different days/corpora mergeable by +
+HIST_LO = 0
+HIST_HI = 60_000_000  # cents
+HIST_QS = [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+_SQL_QS = ", ".join(f"('{l}', {n}, {d})" for l, n, d in HIST_QS)
+
+
+@register(
+    "x58_histogram_quantiles",
+    oracle=f"""
+    WITH sk AS (
+      SELECT o_orderstatus,
+             ((least(greatest(
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT), {HIST_LO}), {HIST_HI - 1})
+               - {HIST_LO}) * {HIST_BUCKETS}) // {HIST_HI - HIST_LO}
+               AS hist_bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT o_orderstatus, hist_bucket,
+             CAST(SUM(cnt) OVER (
+               PARTITION BY o_orderstatus ORDER BY hist_bucket
+             ) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (
+               PARTITION BY o_orderstatus
+             ) AS BIGINT) AS total
+      FROM sk
+    ), qs AS (
+      SELECT * FROM (VALUES {_SQL_QS}) AS q(q_label, num, den)
+    ), picked AS (
+      SELECT o_orderstatus, q_label, MIN(hist_bucket) AS hist_bucket
+      FROM cum CROSS JOIN qs
+      WHERE cum * den >= total * num
+      GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, q_label, hist_bucket,
+           CAST({HIST_LO} + ((hist_bucket + 1)
+                * {HIST_HI - HIST_LO}) // {HIST_BUCKETS}
+             AS BIGINT) AS est_upper_cents
+    FROM picked
+    """,
+    doc="Quantile estimates from a mergeable fixed-grid histogram "
+    "sketch — the quantile member of the sketch family (a09's exact "
+    "percentile sorts each group; approx_percentile's t-digest is "
+    "engine-private and unmergeable across corpora; this 256-cell "
+    "grid merges by + and is engine-bit-identical). Money doubles go "
+    "through DECIMAL(18,2)-cents BIGINTs, buckets and quantile ranks "
+    "are pure integer arithmetic (cum*den >= total*num — never a "
+    "float fraction), and every window/join runs over sketch rows, "
+    "not data rows. Estimates are upper bounds off by at most one "
+    "bucket width ($2,343.75 here).",
+)
+def x58_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    sk = histogram_sketch(
+        cat.table("orders"),
+        "o_totalprice",
+        HIST_LO,
+        HIST_HI,
+        buckets=HIST_BUCKETS,
+        by=["o_orderstatus"],
+    )
+    return histogram_quantiles(
+        sk,
+        HIST_QS,
+        HIST_LO,
+        HIST_HI,
+        buckets=HIST_BUCKETS,
+        by=["o_orderstatus"],
     )

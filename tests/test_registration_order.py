@@ -76,8 +76,9 @@ SLIPPED_THIS_ROUND: set[str] = {
     # displaced by the retrieval suite (x55-x56, round-6 additions)
     "a09_percentiles",
     "j01_semi_join",
-    # displaced by u07_incremental_agg (round-6 addition)
+    # displaced by u07_incremental_agg + x58 (round-6 additions)
     "a08_two_phase_agg",
+    "a07_distinct_agg",
 }
 
 
@@ -151,9 +152,10 @@ def test_driver_window_composition():
         "x55_inverted_index",
         "x56_bm25_topk",
         "u07_incremental_agg",
+        "x58_histogram_quantiles",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "a07_distinct_agg"
+    assert names[DRIVER_WINDOW - 1] == "a06_rollup"
 
 
 def test_window_covers_all_stale_except_slipped():

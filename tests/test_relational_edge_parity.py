@@ -55,8 +55,11 @@ def _edge_lineitems():
 
 
 # relational queries replayed over the augmented corpus (documents/
-# embeddings/events queries have their own edge tiers)
-EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"]
+# embeddings/events queries have their own edge tiers); x-prefixed
+# queries over relational tables opt in by name
+EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"] + [
+    "x58_histogram_quantiles",  # boundary money exercises the clamp
+]
 
 
 @pytest.fixture(scope="module")

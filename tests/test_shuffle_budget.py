@@ -214,6 +214,9 @@ SHUFFLE_BUDGET = {
     # semi-join) + delta agg; the full-outer merge reuses the two agg
     # partitionings. At scale old_agg is a STORED artifact — the
     # whole point is that the fact table never re-aggregates
+    "x58_histogram_quantiles": 2,  # one map-side-partial cell agg
+    # over the data + one sketch-sized exchange for the cumulative
+    # window; quantile pick runs over <= 256 rows per group
 }
 
 

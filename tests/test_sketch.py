@@ -174,3 +174,59 @@ def test_hll_small_m_alpha_table(spark):
     regs = hll_registers(_values(spark, 0, 5000), "v", p=4)
     est = hll_estimate(regs, p=4).collect()[0]
     assert abs(est.hll_estimate_raw - 5000) / 5000 < 0.9  # 1.04/√16≈26%
+
+
+def test_histogram_sketch_merges_and_bounds(spark):
+    """Partial histograms from disjoint halves merge by + into the
+    full-corpus sketch, and every quantile estimate's upper bound is
+    >= the true quantile value (grid guarantee: the true value lies in
+    the picked bucket)."""
+    from ods_to_datalake_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    vals = spark.range(1, 1001).select(
+        (F.col("id").cast("double") * 1.37).alias("v")
+    )
+    lo, hi, b = 0, 200_000, 128  # cents grid over [0, $2000)
+    full = histogram_sketch(vals, "v", lo, hi, buckets=b)
+    halves = [
+        histogram_sketch(vals.where(F.col("id") % 2 == i), "v",
+                         lo, hi, buckets=b)
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0].unionByName(halves[1])
+        .groupBy("hist_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    diff = merged.exceptAll(full).union(full.exceptAll(merged))
+    assert diff.count() == 0
+
+    qs = [("p50", 1, 2), ("p90", 9, 10)]
+    est = {
+        r.q_label: r.est_upper_cents
+        for r in histogram_quantiles(full, qs, lo, hi, buckets=b
+                                     ).collect()
+    }
+    import statistics as st
+
+    data = sorted(round(i * 1.37 * 100) for i in range(1, 1001))
+    assert est["p50"] >= st.quantiles(data, n=2)[0] - 1
+    assert est["p90"] >= data[int(0.9 * len(data)) - 1]
+    # and the bound is tight to one bucket width
+    width = (hi - lo) // b
+    assert est["p50"] - data[499] <= width
+    assert est["p90"] - data[899] <= width
+
+
+def test_histogram_sketch_clamps_out_of_range(spark):
+    from ods_to_datalake_spark.operators.sketch import histogram_sketch
+
+    vals = spark.createDataFrame(
+        [(-50.0,), (0.0,), (999999.0,), (None,)], "v double"
+    )
+    sk = histogram_sketch(vals, "v", 0, 10_000, buckets=10).collect()
+    got = {r.hist_bucket: r.cnt for r in sk}
+    assert got == {0: 2, 9: 1}  # -50 and 0 clamp low, 999999 high; NULL dropped
