@@ -144,6 +144,92 @@ def write_clustered_parquet(
     )
 
 
+ZORDER_BITS = 12
+
+
+def zorder_key(
+    bucketed: list,  # list[Column] of non-negative bucket ids < 2^bits
+    bits: int = ZORDER_BITS,
+) -> "F.Column":
+    """Morton (Z-order) interleave of per-column bucket ids: bit i of
+    column j lands at position i·n + j. Disjoint target bits, so the
+    terms combine by plain +. Pure codegen shifts/masks — no UDF."""
+    n = len(bucketed)
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(bucketed):
+        for i in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * n + j,
+            )
+    return out
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    ranges: dict[str, tuple[float, float]] | None = None,
+    bits: int = ZORDER_BITS,
+    mode: str = "append",
+    target_files: int | None = None,
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    compression: str = "snappy",
+) -> None:
+    """Z-order clustered parquet: multi-column data skipping.
+
+    `write_clustered_parquet` makes ONE column's file ranges disjoint;
+    a filter on any other column still reads everything. Z-ordering
+    sorts by the Morton interleave of the columns' bucket ids, so
+    every file covers a small sub-range of EVERY z-column — min/max
+    stats prune under predicates on any of them (the Delta/Iceberg
+    OPTIMIZE ZORDER layout, built from plain Spark ops: bucket =
+    integer grid cell, key = codegen bit-interleave, then the same
+    range-partition + sort as clustering).
+
+    ``ranges`` maps column → (lo, hi) numeric bounds for the fixed
+    bucket grid (values clamp); at 100 TB pass the known domain so the
+    write is one pass. When omitted, one cheap min/max aggregate per
+    call derives them (a map-side-combined 2·n-column scan).
+    """
+    cols = list(zorder_by)
+    if ranges is None:
+        row = df.agg(
+            *[
+                e
+                for c in cols
+                for e in (
+                    F.min(F.col(c).cast("double")).alias(f"lo_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"hi_{c}"),
+                )
+            ]
+        ).collect()[0]
+        ranges = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+    m = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = ranges[c]
+        span = float(hi) - float(lo) or 1.0
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
+        cell = F.floor(frac * (1 << bits)).cast("long")
+        buckets.append(
+            F.greatest(F.lit(0), F.least(F.lit(m), cell))
+        )
+    staged = df.withColumn("__z", zorder_key(buckets, bits))
+    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        staged.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
 def write_run_indexed(
     df: DataFrame,
     path: str,

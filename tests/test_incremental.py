@@ -128,3 +128,53 @@ def test_maintained_agg_two_batches_compose(spark):
     )
     snap2 = cdc_apply(snap1, ch2, ["id"], op_col="op", version_col="ver")
     assert _rows(agg2) == _rows(agg_snapshot(snap2, ["grp"], ["val"]))
+
+
+# ---------------------------------------------------------------------------
+# randomized IVM identity: maintained == recompute for arbitrary batches
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_GRPS = ["a", "b", "c"]
+_VALS = [None, -5.25, 0.0, 17.5, 123456.78]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_maintained_agg_matches_recompute_fuzz(spark, data):
+    """For arbitrary base tables and change batches (any op mix, any
+    group moves, multi-version keys with unique versions), the delta
+    merge equals a recompute over cdc_apply's output."""
+    base_rows = [
+        (i, data.draw(st.sampled_from(_GRPS)),
+         data.draw(st.sampled_from(_VALS)))
+        for i in range(data.draw(st.integers(0, 10)))
+    ]
+    n_ch = data.draw(st.integers(0, 14))
+    ch_rows = [
+        (
+            data.draw(st.integers(0, 13)),
+            data.draw(st.sampled_from(_GRPS)),
+            data.draw(st.sampled_from(_VALS)),
+            data.draw(st.sampled_from(["I", "U", "D"])),
+            ver,  # globally unique → unique per key, as the contract asks
+        )
+        for ver in range(n_ch)
+    ]
+    base = spark.createDataFrame(base_rows, BASE_SCHEMA)
+    ch = spark.createDataFrame(ch_rows, CH_SCHEMA)
+    maintained = cdc_maintain_agg(
+        agg_snapshot(base, ["grp"], ["val"]), base, ch,
+        ["id"], ["grp"], ["val"], op_col="op", version_col="ver",
+    )
+    applied = cdc_apply(base, ch, ["id"], op_col="op", version_col="ver")
+    assert _rows(maintained) == _rows(
+        agg_snapshot(applied, ["grp"], ["val"])
+    )

@@ -491,3 +491,64 @@ def test_prune_runs_keeps_newest_snapshots(spark, tmp_path):
         prune_runs(d, keep_last=0)
     assert prune_runs(d, keep_last=10) == []
     assert len(list_run_indexes(d)) == 2
+
+
+def test_zordered_write_skips_on_both_columns(spark, tmp_path):
+    """Z-order must bound EVERY z-column's per-file range, where
+    single-column clustering bounds only its own: the per-file
+    (max-min)/global-span averaged over files should be well under 1
+    for BOTH z-columns, and the linear-clustered control must leave
+    its second column unbounded (~the full range in every file)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from ods_to_datalake_spark.sources.writer import (
+        write_clustered_parquet,
+        write_zordered_parquet,
+    )
+
+    src = load_testdata(spark, SF).table("orders")
+
+    def avg_span_frac(path, col):
+        spans, los, his = [], [], []
+        for f in sorted(_glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append(max(maxs) - min(mins))
+            los.append(min(mins))
+            his.append(max(maxs))
+        globl = max(his) - min(los)
+        return sum(spans) / len(spans) / globl, len(spans)
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered_parquet(
+        src, zpath, ["o_custkey", "o_totalprice"], target_files=16
+    )
+    zc, nfiles = avg_span_frac(zpath, "o_custkey")
+    zt, _ = avg_span_frac(zpath, "o_totalprice")
+    assert nfiles >= 8
+    assert zc < 0.6, zc  # every file bounded on custkey
+    assert zt < 0.6, zt  # AND on totalprice — the z-order property
+
+    lpath = str(tmp_path / "linear")
+    write_clustered_parquet(
+        src, lpath, ["o_custkey"], target_files=16
+    )
+    lc, _ = avg_span_frac(lpath, "o_custkey")
+    lt, _ = avg_span_frac(lpath, "o_totalprice")
+    assert lc < 0.2  # linear clustering: its own column is tight...
+    assert lt > 0.8  # ...but the second column spans ~everything
+    # and both writes hold the same rows
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(lpath).count()
+    )
