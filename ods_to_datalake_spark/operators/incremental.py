@@ -78,10 +78,11 @@ def cdc_maintain_agg(
     ``base`` is read ONLY to fetch the before-images of the touched
     keys (one semi-join on the change batch's key set — a key lookup,
     co-located when the lake is bucketed by key, never a scan-and-
-    re-aggregate); the delta then merges into ``old_agg`` with a full
-    outer join on the group key. Groups whose refreshed count reaches
-    0 drop out; groups born in this batch appear. Group keys must be
-    non-null (they come from key-ed fact rows).
+    re-aggregate); the delta then merges into ``old_agg`` with a
+    NULL-SAFE full outer join on the group key (group columns are
+    arbitrary dimensions — a NULL group must merge with itself, not
+    pass through as a phantom stale row). Groups whose refreshed count
+    reaches 0 drop out; groups born in this batch appear.
 
     Correctness contract (oracle-checked by u07): for any base /
     change batch, ``cdc_maintain_agg(agg_snapshot(base), base, ch) ==
@@ -130,10 +131,25 @@ def cdc_maintain_agg(
             ],
         )
     )
-    merged = old_agg.join(delta, group_cols, "full_outer")
+    # null-safe equality on every group column: a plain USING join
+    # never matches NULL = NULL, which would leave the old NULL-group
+    # row stale AND filter the delta-only side — a silent divergence
+    # from the recompute (review finding, round 6)
+    d = delta.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        *[c for c in delta.columns if c not in group_cols],
+    )
+    cond = None
+    for g in group_cols:
+        term = old_agg[g].eqNullSafe(d[f"__g_{g}"])
+        cond = term if cond is None else cond & term
+    merged = old_agg.join(d, cond, "full_outer")
     zero = F.lit(0).cast(MONEY_SUM)
     out_cols = [
-        *group_cols,
+        *[
+            F.coalesce(old_agg[g], d[f"__g_{g}"]).alias(g)
+            for g in group_cols
+        ],
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("__dn"), F.lit(0))

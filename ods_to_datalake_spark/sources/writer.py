@@ -153,8 +153,17 @@ def zorder_key(
 ) -> "F.Column":
     """Morton (Z-order) interleave of per-column bucket ids: bit i of
     column j lands at position i·n + j. Disjoint target bits, so the
-    terms combine by plain +. Pure codegen shifts/masks — no UDF."""
+    terms combine by plain +. Pure codegen shifts/masks — no UDF.
+
+    bits·n must fit a signed long: JVM shiftleft wraps the shift
+    amount mod 64, so an out-of-range position would silently alias
+    onto a low bit and scramble the sort key — raise instead."""
     n = len(bucketed)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {n} columns needs bit positions"
+            f" beyond a signed long (max 63) — lower bits to {63 // n}"
+        )
     out = F.lit(0).cast("long")
     for j, c in enumerate(bucketed):
         for i in range(bits):
@@ -188,11 +197,19 @@ def write_zordered_parquet(
     range-partition + sort as clustering).
 
     ``ranges`` maps column → (lo, hi) numeric bounds for the fixed
-    bucket grid (values clamp); at 100 TB pass the known domain so the
+    bucket grid (values clamp; NULLs land in bucket 0 — an explicit
+    choice, since letting them ride greatest/least's NULL-skipping
+    would silently co-locate them with the maximum values and widen
+    those files' stat ranges); at 100 TB pass the known domain so the
     write is one pass. When omitted, one cheap min/max aggregate per
-    call derives them (a map-side-combined 2·n-column scan).
+    call derives them (a map-side-combined 2·n-column scan). ``bits``
+    auto-shrinks so the interleave fits a signed long (documented
+    skipping-resolution tradeoff beyond 5 columns at the default 12).
     """
     cols = list(zorder_by)
+    if not cols:
+        raise ValueError("write_zordered_parquet: zorder_by is empty")
+    bits = min(int(bits), 63 // len(cols))
     if ranges is None:
         row = df.agg(
             *[
@@ -205,6 +222,13 @@ def write_zordered_parquet(
             ]
         ).collect()[0]
         ranges = {c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols}
+        missing = [c for c in cols if ranges[c][0] is None]
+        if missing:
+            raise ValueError(
+                "write_zordered_parquet: cannot derive z-order ranges "
+                f"for {missing} (empty input or all-NULL column) — "
+                "pass ranges= explicitly"
+            )
     m = (1 << bits) - 1
     buckets = []
     for c in cols:
@@ -213,7 +237,9 @@ def write_zordered_parquet(
         frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span)
         cell = F.floor(frac * (1 << bits)).cast("long")
         buckets.append(
-            F.greatest(F.lit(0), F.least(F.lit(m), cell))
+            F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(
+                F.greatest(F.lit(0), F.least(F.lit(m), cell))
+            )
         )
     staged = df.withColumn("__z", zorder_key(buckets, bits))
     n = target_files or df.sparkSession.sparkContext.defaultParallelism

@@ -148,15 +148,35 @@ def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
     """Fold all batch partitions into a single ``ingest_batch=compact``
     partition (register max / bit union), then drop the originals —
     an optional maintenance job for long-lived streams; the read-side
-    fold is already correct without it."""
+    fold is already correct without it.
+
+    Crash-safe ordering: the partition list is captured FIRST, the
+    fold is eagerly materialized (localCheckpoint — the read plan must
+    not lazily re-scan a directory we are about to rewrite), the
+    compact partition is written, and only the captured originals are
+    deleted LAST. Every crash window leaves a correct state: originals
+    intact before the write completes, and duplicates-plus-compact
+    after it — max/union folding is idempotent, so a leftover batch
+    partition never changes the read-side answer. A micro-batch the
+    running sink commits concurrently is not in the captured list and
+    survives untouched."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     regs = spark.read.parquet(f"{state_dir}/{HLL_SUBDIR}").drop(BATCH_COL)
     keys = [c for c in regs.columns if c not in ("hll_bucket", "register")]
     merged = hll_merge([regs], by=keys).localCheckpoint()
     bits = read_bloom_bits(spark, state_dir).localCheckpoint()
     for sub, df in ((HLL_SUBDIR, merged), (BLOOM_SUBDIR, bits)):
         base = f"{state_dir}/{sub}"
-        jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(base)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
+        fs = jpath.getFileSystem(conf)
+        originals = [
+            st.getPath()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory()
+            and st.getPath().getName().startswith(f"{BATCH_COL}=")
+            and st.getPath().getName() != f"{BATCH_COL}=compact"
+        ]
         df.write.mode("overwrite").parquet(f"{base}/{BATCH_COL}=compact")
+        for p in originals:
+            fs.delete(p, True)

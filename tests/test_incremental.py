@@ -49,9 +49,12 @@ def _frames(spark):
 
 def _rows(df):
     return sorted(
-        (r.grp, r.n_rows, r.nn_val, None if r.sum_val is None
-         else float(r.sum_val))
-        for r in df.collect()
+        (
+            (r.grp, r.n_rows, r.nn_val, None if r.sum_val is None
+             else float(r.sum_val))
+            for r in df.collect()
+        ),
+        key=repr,  # NULL group keys sort without str/None TypeError
     )
 
 
@@ -137,7 +140,7 @@ def test_maintained_agg_two_batches_compose(spark):
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
-_GRPS = ["a", "b", "c"]
+_GRPS = ["a", "b", "c", None]
 _VALS = [None, -5.25, 0.0, 17.5, 123456.78]
 
 
@@ -178,3 +181,30 @@ def test_maintained_agg_matches_recompute_fuzz(spark, data):
     assert _rows(maintained) == _rows(
         agg_snapshot(applied, ["grp"], ["val"])
     )
+
+
+def test_maintained_agg_null_group_key(spark):
+    """NULL group keys must merge null-safely — a plain USING join
+    leaves the old NULL-group row stale forever (review finding,
+    round 6)."""
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 4.0), (3, "a", 1.0)], BASE_SCHEMA
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, None, 10.0, "D", 1),   # shrink the NULL group
+            (4, None, 2.5, "I", 1),    # and grow it back
+        ],
+        CH_SCHEMA,
+    )
+    maintained = cdc_maintain_agg(
+        agg_snapshot(base, ["grp"], ["val"]), base, ch,
+        ["id"], ["grp"], ["val"], op_col="op", version_col="ver",
+    )
+    applied = cdc_apply(base, ch, ["id"], op_col="op", version_col="ver")
+    assert _rows(maintained) == _rows(agg_snapshot(applied, ["grp"], ["val"]))
+    null_row = next(
+        r for r in maintained.collect() if r.grp is None
+    )
+    assert null_row.n_rows == 2
+    assert float(null_row.sum_val) == 6.5

@@ -209,11 +209,13 @@ SHUFFLE_BUDGET = {
     # stream (no CSE across self-references — x23's accepted shape);
     # dfreq/stats broadcast, top-k is TakeOrderedAndProject. At 100 TB
     # dl is the precomputed-per-snapshot artifact (see operator doc)
-    "u07_incremental_agg": 4,  # old_agg build + keep-latest change
+    "u07_incremental_agg": 6,  # old_agg build + keep-latest change
     # agg + touched-keys distinct (broadcasts into the before-image
-    # semi-join) + delta agg; the full-outer merge reuses the two agg
-    # partitionings. At scale old_agg is a STORED artifact — the
-    # whole point is that the fact table never re-aggregates
+    # semi-join) + delta agg, plus two GROUP-SIZED re-shuffles for the
+    # null-safe full-outer merge (eqNullSafe keys can't reuse the agg
+    # hash partitioning; both sides are aggregate rows, not fact
+    # rows). At scale old_agg is a STORED artifact — the whole point
+    # is that the fact table never re-aggregates
     "x58_histogram_quantiles": 2,  # one map-side-partial cell agg
     # over the data + one sketch-sized exchange for the cumulative
     # window; quantile pick runs over <= 256 rows per group

@@ -143,3 +143,42 @@ def test_sketch_sink_replay_is_idempotent(spark, tmp_path):
     est, bits = snapshot()
     assert est != first[0]
     assert set(bits) >= set(first[1])
+
+
+def test_compaction_preserves_concurrent_and_later_batches(spark, tmp_path):
+    """compact_sketch_state writes the compact partition BEFORE
+    deleting the captured originals (crash windows leave duplicates,
+    never losses — the fold is idempotent), re-compaction is a no-op,
+    and a batch committed after compaction still grows the fold."""
+    state = str(tmp_path / "state")
+    sink = sketch_sink(state, by=["source"])
+    sink(spark.createDataFrame(BATCH0, SCHEMA), 0)
+    compact_sketch_state(spark, state)
+    first = sorted(
+        (r.source, r.used_buckets, r.sum_term)
+        for r in read_vocab_estimate(spark, state, by=["source"]).collect()
+    )
+    compact_sketch_state(spark, state)  # re-compaction: idempotent
+    assert sorted(
+        (r.source, r.used_buckets, r.sum_term)
+        for r in read_vocab_estimate(spark, state, by=["source"]).collect()
+    ) == first
+    sink(spark.createDataFrame(BATCH1, SCHEMA), 1)  # post-compaction batch
+    grown = sorted(
+        (r.source, r.used_buckets, r.sum_term)
+        for r in read_vocab_estimate(spark, state, by=["source"]).collect()
+    )
+    assert grown != first
+    # and equals the one-shot fold over everything
+    corpus = _full_corpus(spark)
+    toks = corpus.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    direct = sorted(
+        (r.source, r.used_buckets, r.sum_term)
+        for r in hll_estimate(
+            hll_registers(toks, "token", by=["source"]), by=["source"]
+        ).collect()
+    )
+    assert grown == direct

@@ -552,3 +552,53 @@ def test_zordered_write_skips_on_both_columns(spark, tmp_path):
         spark.read.parquet(zpath).count()
         == spark.read.parquet(lpath).count()
     )
+
+
+def test_zorder_guards(spark, tmp_path):
+    """Review findings, round 6: interleave positions must fit a
+    signed long (raise, never silently alias mod 64); derived ranges
+    on degenerate input raise a clear error; NULL z-values cluster in
+    bucket 0 and survive the write."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.sources.writer import (
+        write_zordered_parquet,
+        zorder_key,
+    )
+
+    with _pytest.raises(ValueError, match="signed long"):
+        zorder_key([F.lit(1)] * 6, bits=12)
+
+    empty = spark.createDataFrame([], "a double, b double")
+    with _pytest.raises(ValueError, match="ranges"):
+        write_zordered_parquet(
+            empty, str(tmp_path / "e"), ["a", "b"]
+        )
+    nulls = spark.createDataFrame(
+        [(None, 1.0)] * 3, "a double, b double"
+    )
+    with _pytest.raises(ValueError, match="ranges"):
+        write_zordered_parquet(
+            nulls, str(tmp_path / "n"), ["a", "b"]
+        )
+
+    # NULL values (with explicit ranges) land in bucket 0, not dropped
+    mixed = spark.createDataFrame(
+        [(None, 5.0), (1.0, 6.0), (2.0, None)], "a double, b double"
+    )
+    p = str(tmp_path / "m")
+    write_zordered_parquet(
+        mixed, p, ["a", "b"],
+        ranges={"a": (0.0, 10.0), "b": (0.0, 10.0)}, target_files=1,
+    )
+    assert spark.read.parquet(p).count() == 3
+
+    # six z-columns auto-shrink bits instead of corrupting the key
+    six = spark.createDataFrame(
+        [tuple(float(i + j) for j in range(6)) for i in range(20)],
+        ", ".join(f"c{j} double" for j in range(6)),
+    )
+    p6 = str(tmp_path / "six")
+    write_zordered_parquet(six, p6, [f"c{j}" for j in range(6)])
+    assert spark.read.parquet(p6).count() == 20
