@@ -15,6 +15,10 @@ fixed-size register table:
 - Bloom filter (Bloom 1970): set membership with zero false negatives
   from a fixed bit set. Merges by union. A broadcastable prefilter
   that replaces a corpus-sized anti-join for incremental dedup.
+- fixed-grid histogram: quantile upper bounds from an equi-width
+  cents grid. Merges by ``+`` — the mergeable stand-in for exact
+  percentiles (which sort) and approx_percentile (engine-private,
+  unmergeable across persisted corpora).
 
 Everything here is relational (groupBy/join over md5-derived integers;
 no UDFs, no binary blobs), which buys three things at once:

@@ -1,4 +1,5 @@
-"""Streaming maintenance of mergeable corpus sketches (HLL + Bloom).
+"""Streaming maintenance of mergeable corpus sketches (HLL + Bloom +
+count-min).
 
 Batch faces: `operators/sketch.py` (x52/x54). The register/bit tables
 merge by max/union, which makes streaming maintenance trivially
@@ -33,8 +34,11 @@ from ods_to_datalake_spark.functions.text import tokens
 from ods_to_datalake_spark.operators.sketch import (
     BLOOM_K,
     BLOOM_M,
+    CMS_DEPTH,
+    CMS_WIDTH,
     HLL_P,
     bloom_bits,
+    cms_sketch,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -46,6 +50,7 @@ from ods_to_datalake_spark.streaming.ingest import (
 
 HLL_SUBDIR = "hll_registers"
 BLOOM_SUBDIR = "bloom_bits"
+CMS_SUBDIR = "cms_cells"
 
 
 def sketch_sink(
@@ -56,10 +61,12 @@ def sketch_sink(
     k: int = BLOOM_K,
     m: int = BLOOM_M,
 ):
-    """foreachBatch sink maintaining two sketch artifacts under
+    """foreachBatch sink maintaining three sketch artifacts under
     ``state_dir``: per-group HLL token registers
-    (``hll_registers/ingest_batch=<id>``) and the Bloom bit set of
-    content hashes (``bloom_bits/ingest_batch=<id>``).
+    (``hll_registers/ingest_batch=<id>``), the Bloom bit set of
+    content hashes (``bloom_bits/ingest_batch=<id>``), and the
+    count-min token-frequency grid (``cms_cells/ingest_batch=<id>``,
+    merged at read time by summing cell counts).
 
     Each partition holds only the BATCH's sketch — the corpus-level
     sketch is the read-time fold (`read_vocab_estimate`,
@@ -90,6 +97,16 @@ def sketch_sink(
             _batch_overwrite(
                 bloom_bits(hashes, "content_hash", k=k, m=m),
                 f"{state_dir}/{BLOOM_SUBDIR}",
+                batch_id,
+            )
+            _batch_overwrite(
+                cms_sketch(
+                    toks.select("token"),
+                    "token",
+                    depth=CMS_DEPTH,
+                    width=CMS_WIDTH,
+                ),
+                f"{state_dir}/{CMS_SUBDIR}",
                 batch_id,
             )
         finally:
@@ -144,6 +161,18 @@ def read_bloom_bits(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def read_cms_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Corpus-level count-min grid from the maintained state (merge =
+    summing cell counts across batch partitions); feed to
+    `operators.sketch.cms_estimate` for frequency upper bounds."""
+    return (
+        spark.read.parquet(f"{state_dir}/{CMS_SUBDIR}")
+        .drop(BATCH_COL)
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
     """Fold all batch partitions into a single ``ingest_batch=compact``
     partition (register max / bit union), then drop the originals —
@@ -166,7 +195,12 @@ def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
     keys = [c for c in regs.columns if c not in ("hll_bucket", "register")]
     merged = hll_merge([regs], by=keys).localCheckpoint()
     bits = read_bloom_bits(spark, state_dir).localCheckpoint()
-    for sub, df in ((HLL_SUBDIR, merged), (BLOOM_SUBDIR, bits)):
+    cms = read_cms_sketch(spark, state_dir).localCheckpoint()
+    for sub, df in (
+        (HLL_SUBDIR, merged),
+        (BLOOM_SUBDIR, bits),
+        (CMS_SUBDIR, cms),
+    ):
         base = f"{state_dir}/{sub}"
         jpath = jvm.org.apache.hadoop.fs.Path(base)
         fs = jpath.getFileSystem(conf)

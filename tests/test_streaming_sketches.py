@@ -182,3 +182,35 @@ def test_compaction_preserves_concurrent_and_later_batches(spark, tmp_path):
         ).collect()
     )
     assert grown == direct
+
+
+def test_streamed_cms_equals_batch_cms(spark, tmp_path):
+    """The summed count-min cells across batch partitions equal the
+    one-shot grid over the union (+-merge property), before and after
+    compaction."""
+    from ods_to_datalake_spark.operators.sketch import cms_sketch
+    from ods_to_datalake_spark.streaming.sketches import read_cms_sketch
+
+    state = str(tmp_path / "state")
+    sink = sketch_sink(state, by=["source"])
+    sink(spark.createDataFrame(BATCH0, SCHEMA), 0)
+    sink(spark.createDataFrame(BATCH1, SCHEMA), 1)
+
+    corpus = _full_corpus(spark)
+    toks = corpus.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    direct = sorted(
+        (r.cms_row, r.cms_bucket, r.cnt)
+        for r in cms_sketch(toks, "token").collect()
+    )
+
+    def streamed():
+        return sorted(
+            (r.cms_row, r.cms_bucket, r.cnt)
+            for r in read_cms_sketch(spark, state).collect()
+        )
+
+    assert streamed() == direct
+    compact_sketch_state(spark, state)
+    assert streamed() == direct
