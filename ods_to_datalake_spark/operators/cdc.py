@@ -77,3 +77,65 @@ def cdc_apply(
     kept = base.join(touched, keys, "left_anti")
     upserts = ch.filter(F.col(op_col).isin("I", "U")).select(*data_cols)
     return kept.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """The CAPTURE side of `cdc_apply`: diff two snapshots into the
+    change batch that transforms ``old`` into ``new`` — one row per
+    differing key with the NEW row's values and op 'I' (key only in
+    new), 'U' (both, any non-key column differing null-safely), 'D'
+    (key only in old; value columns carry the old row so the delete
+    is self-describing). Unchanged keys emit nothing.
+
+    Round-trip identity (property-tested): cdc_apply(old,
+    snapshot_diff(old, new), keys) == new — so a lake without a real
+    change feed can synthesize one from consecutive ODS snapshots.
+
+    One shuffle-join on the key (null-safe per-column comparison, no
+    row hashing — hashing would need bit-identical cross-engine string
+    rendering of doubles/timestamps, which does not exist); at scale
+    both sides are bucketed by key and the join co-locates.
+    """
+    data_cols = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != data_cols:
+        raise ValueError("snapshot_diff: old/new schemas differ")
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(*new.columns, F.lit(True).alias("__in_new"))
+    cond = None
+    for kcol in keys:
+        term = F.col(f"__o_{kcol}").eqNullSafe(F.col(kcol))
+        cond = term if cond is None else cond & term
+    joined = o.join(n, cond, "full_outer")
+    changed = None
+    for c in data_cols:
+        term = ~F.col(f"__o_{c}").eqNullSafe(F.col(c))
+        changed = term if changed is None else changed | term
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+        .otherwise(F.lit(None))
+    )
+    out_key = [
+        F.coalesce(F.col(kcol), F.col(f"__o_{kcol}")).alias(kcol)
+        for kcol in keys
+    ]
+    out_val = [
+        F.when(F.col(op_col) == "D", F.col(f"__o_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in data_cols
+    ]
+    return (
+        joined.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(*out_key, *out_val, op_col)
+    )

@@ -194,3 +194,48 @@ def temperature_mixture(
         )
         .drop("__stratum", "__n_s", "__k_s", "__bkt", "__copies")
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Bottom-k-by-hash sample: the k rows with the smallest
+    md5(id) per group — (by..., rank, id, sample hash prefix).
+
+    Three properties rate-based sampling (`stratified_sample`) lacks:
+    EXACT k rows per group regardless of group size (a 10-row source
+    and a 10^9-row source both yield k), deterministic (same rows in
+    any engine, any partitioning — ties cannot occur because the
+    unique id breaks them), and MERGEABLE: the bottom-k of a union is
+    the bottom-k of the per-part bottom-k's, so per-corpus sample
+    tables combine without re-scanning (the KMV sketch construction —
+    the k-th smallest hash also estimates the group's distinct count
+    as (k-1)·2^32/h_k if a caller wants it).
+
+    Scale shape: rank<=k windows rewrite to WindowGroupLimit — a
+    per-partition top-k heap BEFORE the shuffle, so a skewed group
+    moves k rows per input partition, never the group.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by or [])
+    hashed = df.select(
+        *keys,
+        F.col(id_col),
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("sample_h"),
+    )
+    w = Window.partitionBy(*keys).orderBy("sample_h", id_col)
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "rank", id_col, "sample_h")
+    )

@@ -133,12 +133,12 @@ def headline_queries() -> dict[str, QueryFn]:
 # the stale set is 56 queries — the 6 rows that slipped in round 5
 # (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
 # (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50 and twenty-three new round-6 queries (x39-x58, e09, e10,
-# u06, u07) join the window, so the 29 lowest-priority r04 suite_core
+# 56 > 50 and twenty-five new round-6 queries (x39-x59, e09, e10,
+# u06-u08) join the window, so the 31 lowest-priority r04 suite_core
 # rows slip one round: f02, f08, f_scalar_functions, t01, t02, u01,
 # w03, w04, w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03,
-# p01, j05, j04, j01b, j02, j03, a09, j01, a08, a07 — they head the
-# round-7 window (tests/test_registration_order.py
+# p01, j05, j04, j01b, j02, j03, a09, j01, a08, a07, a06, a04 — they
+# head the round-7 window (tests/test_registration_order.py
 # SLIPPED_THIS_ROUND).
 _WINDOW_PRIORITY: list[str] = [
     # slipped in round 5 — oldest (r03) evidence, refresh first
@@ -173,6 +173,8 @@ _WINDOW_PRIORITY: list[str] = [
     "x56_bm25_topk",
     "u07_incremental_agg",
     "x58_histogram_quantiles",
+    "u08_snapshot_diff",
+    "x59_bottomk_sample",
     # suite_media — driver evidence r04
     "x12_media_features",
     "x26_image_decode",
@@ -228,7 +230,7 @@ def load_all() -> dict[str, Query]:
         suite_media,  # 6 queries (x12, x26-x30); r04 evidence → r06 window
         suite_events,  # 10 queries (e01-e08 r04 evidence; e09/e10 new r6)
         suite_ingest,  # 2 queries (x31, x32); r04 evidence → r06 window
-        suite_core,  # 46 queries (u06/u07 new r6); 6 slipped-r03 rows lead
+        suite_core,  # 47 queries (u06-u08 new r6); 6 slipped-r03 rows lead
         suite_llm,  # 24 queries; all driver-green r05
         suite_tpch,  # 16 queries; all driver-green r05
         suite_curation,  # x34-x37, x39-x51: round-5/6 curation queries

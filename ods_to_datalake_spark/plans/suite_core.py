@@ -1649,3 +1649,56 @@ SELECT * REPLACE (CAST(CAST(sum_o_totalprice AS VARCHAR) AS DOUBLE)
   GROUP BY o_custkey
 ) AS _agg
 """
+
+
+_CDC_DATA_COLS = [
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+_SQL_DIFF_ANY = " OR ".join(
+    f"(o.{c} IS DISTINCT FROM n.{c})" for c in _CDC_DATA_COLS
+)
+_SQL_DIFF_VALS = ", ".join(
+    f"CASE WHEN n.o_orderkey IS NULL THEN o.{c} ELSE n.{c} END AS {c}"
+    for c in _CDC_DATA_COLS
+)
+
+
+@register(
+    "u08_snapshot_diff",
+    oracle=None,  # assembled from u06's applied-snapshot SQL below
+    doc="Snapshot diff — the CAPTURE side of u06's cdc_apply: diff the "
+    "base snapshot against the applied snapshot and emit exactly the "
+    "effective change batch (op I/U/D per differing key, new-side "
+    "values, old row on deletes; unchanged keys emit nothing). "
+    "Null-safe per-column comparison, never row hashing (no "
+    "cross-engine-stable rendering of doubles exists); ONE key join, "
+    "co-located when the lake is bucketed. Property-tested round "
+    "trip: cdc_apply(old, snapshot_diff(old, new)) == new — a lake "
+    "without a change feed synthesizes one from consecutive ODS "
+    "snapshots.",
+)
+def u08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.cdc import cdc_apply, snapshot_diff
+
+    base, changes = _cdc_fixture(load_testdata(spark, sf_dir))
+    applied = cdc_apply(
+        base, changes, ["o_orderkey"], op_col="op", version_col="ver"
+    )
+    return snapshot_diff(base, applied, ["o_orderkey"])
+
+
+REGISTRY["u08_snapshot_diff"].oracle = f"""
+SELECT * REPLACE (CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)
+                  AS o_totalprice) FROM (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         {_SQL_DIFF_VALS},
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN {_SQL_DIFF_ANY} THEN 'U'
+         END AS op
+  FROM (SELECT {_CDC_COLS} FROM orders WHERE o_orderkey % 4 <> 0) o
+  FULL OUTER JOIN ({REGISTRY["u06_cdc_apply"].oracle}) n
+    ON o.o_orderkey = n.o_orderkey
+) AS _d WHERE op IS NOT NULL
+"""

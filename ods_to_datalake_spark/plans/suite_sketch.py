@@ -324,3 +324,44 @@ def x58_histogram_quantiles(
         buckets=HIST_BUCKETS,
         by=["o_orderstatus"],
     )
+
+
+BOTTOMK = 5
+
+
+@register(
+    "x59_bottomk_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id,
+             CAST(concat('0x', substring(
+                 md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS sample_h
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, sample_h,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY sample_h, doc_id
+             ) AS INT) AS rank
+      FROM h
+    )
+    SELECT source, rank, doc_id, sample_h FROM r WHERE rank <= {BOTTOMK}
+    """,
+    doc=f"Bottom-k-by-hash sample: the {BOTTOMK} smallest-md5(id) docs "
+    "per source — EXACT k per group regardless of group size (a "
+    "rate-based sample can't promise that), deterministic in any "
+    "engine/partitioning (unique id breaks ties), and MERGEABLE: the "
+    "bottom-k of a union is the bottom-k of per-part bottom-k's, so "
+    "per-corpus sample tables combine without re-scanning (the KMV "
+    "sketch construction — the k-th hash doubles as a distinct-count "
+    "estimator). rank<=k windows rewrite to WindowGroupLimit: a "
+    "per-partition heap BEFORE the shuffle, k rows moved per "
+    "partition however skewed the group.",
+)
+def x59_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.sampling import bottomk_sample
+
+    cat = load_testdata(spark, sf_dir)
+    return bottomk_sample(
+        cat.table("documents"), "doc_id", BOTTOMK, by=["source"]
+    )

@@ -208,3 +208,69 @@ def test_maintained_agg_null_group_key(spark):
     )
     assert null_row.n_rows == 2
     assert float(null_row.sum_val) == 6.5
+
+
+def test_snapshot_diff_roundtrip_and_ops(spark):
+    """snapshot_diff is cdc_apply's inverse: applying the diff to the
+    old snapshot reproduces the new one exactly, ops classify
+    correctly, and unchanged keys emit nothing — including NULL-valued
+    columns compared null-safely."""
+    from ods_to_datalake_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        BASE_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),    # unchanged → no row
+            (2, "b", 2.0),    # NULL -> value: 'U' (null-safe compare)
+            (3, "c", None),   # value -> NULL: 'U'
+            (5, "e", 5.0),    # added: 'I'
+        ],                    # 4 removed: 'D'
+        BASE_SCHEMA,
+    )
+    diff = snapshot_diff(old, new, ["id"])
+    ops = {r.id: r.op for r in diff.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}
+    dels = {r.id: r.val for r in diff.collect() if r.op == "D"}
+    assert dels == {4: 4.0}  # deletes carry the OLD row
+    applied = cdc_apply(old, diff, ["id"], op_col="op")
+    got = sorted(map(tuple, applied.collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_snapshot_diff_roundtrip_fuzz(spark, data):
+    """cdc_apply(old, snapshot_diff(old, new)) == new for arbitrary
+    snapshot pairs (overlapping keys, NULL values, duplicate-free by
+    key as snapshots are)."""
+    from ods_to_datalake_spark.operators.cdc import snapshot_diff
+
+    def snap():
+        ids = data.draw(
+            st.lists(st.integers(0, 12), unique=True, max_size=10)
+        )
+        return spark.createDataFrame(
+            [
+                (i, data.draw(st.sampled_from(["a", "b"])),
+                 data.draw(st.sampled_from(_VALS)))
+                for i in ids
+            ],
+            BASE_SCHEMA,
+        )
+
+    old, new = snap(), snap()
+    applied = cdc_apply(
+        old, snapshot_diff(old, new, ["id"]), ["id"], op_col="op"
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )

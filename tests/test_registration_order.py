@@ -79,6 +79,9 @@ SLIPPED_THIS_ROUND: set[str] = {
     # displaced by u07_incremental_agg + x58 (round-6 additions)
     "a08_two_phase_agg",
     "a07_distinct_agg",
+    # displaced by u08_snapshot_diff + x59 (round-6 additions)
+    "a06_rollup",
+    "a04_pivot",
 }
 
 
@@ -153,9 +156,11 @@ def test_driver_window_composition():
         "x56_bm25_topk",
         "u07_incremental_agg",
         "x58_histogram_quantiles",
+        "u08_snapshot_diff",
+        "x59_bottomk_sample",
     }
     assert new_round6 <= window, sorted(new_round6 - window)
-    assert names[DRIVER_WINDOW - 1] == "a06_rollup"
+    assert names[DRIVER_WINDOW - 1] == "a03_conditional_sum"
 
 
 def test_window_covers_all_stale_except_slipped():

@@ -219,6 +219,12 @@ SHUFFLE_BUDGET = {
     "x58_histogram_quantiles": 2,  # one map-side-partial cell agg
     # over the data + one sketch-sized exchange for the cumulative
     # window; quantile pick runs over <= 256 rows per group
+    "u08_snapshot_diff": 4,  # keep-latest agg + apply's anti-join +
+    # the diff's null-safe full-outer key join (old/new sides) — at
+    # scale both snapshots are bucketed by key and co-locate
+    "x59_bottomk_sample": 1,  # WindowGroupLimit (plan-asserted in
+    # the operator test): per-partition k-heap BEFORE the one
+    # exchange — a skewed group moves k rows per partition
 }
 
 

@@ -230,3 +230,36 @@ def test_histogram_sketch_clamps_out_of_range(spark):
     sk = histogram_sketch(vals, "v", 0, 10_000, buckets=10).collect()
     got = {r.hist_bucket: r.cnt for r in sk}
     assert got == {0: 2, 9: 1}  # -50 and 0 clamp low, 999999 high; NULL dropped
+
+
+def test_bottomk_sample_exact_k_and_mergeable(spark):
+    """Exactly k rows per group (or the whole group when smaller), and
+    the bottom-k of a union equals the bottom-k of per-part
+    bottom-k's — the KMV merge property that lets per-corpus sample
+    tables combine without re-scanning."""
+    from ods_to_datalake_spark.operators.sampling import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(43)],
+        "doc_id bigint, source string",
+    )
+    got = bottomk_sample(df, "doc_id", 5, by=["source"])
+    counts = {
+        r.source: r.c
+        for r in got.groupBy("source").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    assert counts == {"big": 5, "small": 3}
+
+    half_a = df.where(F.col("doc_id") % 2 == 0)
+    half_b = df.where(F.col("doc_id") % 2 == 1)
+    remerged = bottomk_sample(
+        bottomk_sample(half_a, "doc_id", 5, by=["source"])
+        .unionByName(bottomk_sample(half_b, "doc_id", 5, by=["source"]))
+        .select("source", "doc_id"),
+        "doc_id", 5, by=["source"],
+    )
+    assert sorted(
+        (r.source, r.rank, r.doc_id) for r in remerged.collect()
+    ) == sorted((r.source, r.rank, r.doc_id) for r in got.collect())

@@ -88,6 +88,7 @@ EDGE_QUERIES = [
     "x54_bloom_prefilter",
     "x55_inverted_index",
     "x56_bm25_topk",
+    "x59_bottomk_sample",
 ]
 
 
