@@ -95,6 +95,10 @@ def snapshot_diff(
     Round-trip identity (property-tested): cdc_apply(old,
     snapshot_diff(old, new), keys) == new — so a lake without a real
     change feed can synthesize one from consecutive ODS snapshots.
+    Key columns must be non-null (they are keys): `cdc_apply`'s
+    touched-keys anti-join — like the SQL oracles — is NOT null-safe,
+    so a NULL-keyed row's delete/update can never be applied and the
+    round trip is undefined for it.
 
     One shuffle-join on the key (null-safe per-column comparison, no
     row hashing — hashing would need bit-identical cross-engine string
@@ -104,6 +108,12 @@ def snapshot_diff(
     data_cols = [c for c in old.columns if c not in keys]
     if [c for c in new.columns if c not in keys] != data_cols:
         raise ValueError("snapshot_diff: old/new schemas differ")
+    if op_col in old.columns:
+        raise ValueError(
+            f"snapshot_diff: snapshot already has a {op_col!r} column "
+            "— pass a different op_col (the output would silently "
+            "overwrite the data column)"
+        )
     o = old.select(
         *[F.col(c).alias(f"__o_{c}") for c in old.columns],
         F.lit(True).alias("__in_old"),
@@ -114,10 +124,11 @@ def snapshot_diff(
         term = F.col(f"__o_{kcol}").eqNullSafe(F.col(kcol))
         cond = term if cond is None else cond & term
     joined = o.join(n, cond, "full_outer")
-    changed = None
+    # key-only snapshots are a legitimate membership diff: nothing can
+    # ever be 'U', only 'I'/'D'
+    changed = F.lit(False)
     for c in data_cols:
-        term = ~F.col(f"__o_{c}").eqNullSafe(F.col(c))
-        changed = term if changed is None else changed | term
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(c))
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("I"))
         .when(F.col("__in_new").isNull(), F.lit("D"))

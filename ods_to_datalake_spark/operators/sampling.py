@@ -217,21 +217,24 @@ def bottomk_sample(
 
     Scale shape: rank<=k windows rewrite to WindowGroupLimit — a
     per-partition top-k heap BEFORE the shuffle, so a skewed group
-    moves k rows per input partition, never the group.
+    moves k rows per input partition, never the group
+    (plan-asserted in the operator test).
+
+    NULL ids are excluded (the family-wide sketch rule — they would
+    rank nulls-first into every sample, tie with each other, and the
+    SQL mirror's hex cast would crash on them).
     """
     from pyspark.sql.window import Window
 
+    from ods_to_datalake_spark.operators.sketch import _hex_long
+
     keys = list(by or [])
-    hashed = df.select(
+    hashed = df.where(F.col(id_col).isNotNull()).select(
         *keys,
         F.col(id_col),
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("sample_h"),
+        _hex_long(F.md5(F.col(id_col).cast("string")), 1, 8).alias(
+            "sample_h"
+        ),
     )
     w = Window.partitionBy(*keys).orderBy("sample_h", id_col)
     return (

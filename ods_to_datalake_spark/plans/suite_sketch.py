@@ -337,7 +337,7 @@ BOTTOMK = 5
              CAST(concat('0x', substring(
                  md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                AS sample_h
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ), r AS (
       SELECT source, doc_id, sample_h,
              CAST(ROW_NUMBER() OVER (

@@ -18,6 +18,12 @@ fold partitions at read time:
 - crash/replay safe: foreachBatch redelivers the same batch_id, the
   partition is overwritten, the fold is idempotent (max/union are).
 
+Upgrade note: a state dir created before an artifact family existed
+accumulates that family only from the upgrade point (checkpointed
+streams never replay old batch ids) — rebuild the missing history
+offline from the corpus if it matters; `compact_sketch_state` skips
+absent subdirs rather than failing.
+
 Why maintain sketches on the stream at all: the ingest observability
 queries (per-source vocabulary growth, "have we seen this content
 before" prefilters) must not re-scan the grown corpus on every ask —
@@ -70,20 +76,22 @@ def sketch_sink(
 
     Each partition holds only the BATCH's sketch — the corpus-level
     sketch is the read-time fold (`read_vocab_estimate`,
-    `read_bloom_bits`), so a replayed batch_id overwrites exactly its
-    own contribution and the fold is unchanged (max/union
-    idempotence). The batch frame is persisted across the two writes
-    (two actions over one micro-batch plan, same rule as the
-    admission sinks).
+    `read_bloom_bits`, `read_cms_sketch`), so a replayed batch_id
+    overwrites exactly its own contribution and the fold is unchanged.
+    Both the batch frame AND the tokenized stream are persisted across
+    the three writes (three actions over one micro-batch plan, same
+    rule as the admission sinks — without the token persist the
+    explode ran once for the registers and again for the grid).
     """
     keys = list(by or [])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
+        toks = batch_df.select(
+            *keys, F.explode(tokens(text_col)).alias("token")
+        ).where(F.col("token") != "")
+        toks.persist()
         try:
-            toks = batch_df.select(
-                *keys, F.explode(tokens(text_col)).alias("token")
-            ).where(F.col("token") != "")
             _batch_overwrite(
                 hll_registers(toks, "token", p=p, by=keys),
                 f"{state_dir}/{HLL_SUBDIR}",
@@ -110,6 +118,7 @@ def sketch_sink(
                 batch_id,
             )
         finally:
+            toks.unpersist()
             batch_df.unpersist()
 
     return sink
@@ -173,44 +182,80 @@ def read_cms_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
-def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
-    """Fold all batch partitions into a single ``ingest_batch=compact``
-    partition (register max / bit union), then drop the originals —
-    an optional maintenance job for long-lived streams; the read-side
-    fold is already correct without it.
+def _committed_batch_partitions(spark, base: str) -> list[str]:
+    """Batch partition paths under ``base`` carrying a ``_SUCCESS``
+    marker (a partition the sink is writing RIGHT NOW has none yet),
+    excluding the compact partition."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith(f"{BATCH_COL}=")
+            and name != f"{BATCH_COL}=compact"
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            )
+        ):
+            out.append(str(st.getPath()))
+    return out
 
-    Crash-safe ordering: the partition list is captured FIRST, the
-    fold is eagerly materialized (localCheckpoint — the read plan must
-    not lazily re-scan a directory we are about to rewrite), the
-    compact partition is written, and only the captured originals are
-    deleted LAST. Every crash window leaves a correct state: originals
-    intact before the write completes, and duplicates-plus-compact
-    after it — max/union folding is idempotent, so a leftover batch
-    partition never changes the read-side answer. A micro-batch the
-    running sink commits concurrently is not in the captured list and
-    survives untouched."""
+
+def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
+    """Fold the committed batch partitions of the IDEMPOTENT-merge
+    artifacts (HLL max, Bloom union) into a single
+    ``ingest_batch=compact`` partition, then drop exactly those
+    originals — an optional maintenance job for long-lived streams;
+    the read-side fold is already correct without it.
+
+    Crash-safe ordering: the committed-partition list is captured
+    FIRST (only ``_SUCCESS``-marked partitions — one mid-write by the
+    live sink is skipped), the fold reads EXACTLY those paths plus any
+    existing compact partition and is eagerly materialized
+    (localCheckpoint), the compact partition is written, and only the
+    captured originals are deleted LAST. Every crash window leaves a
+    correct read: originals intact before the write completes,
+    duplicates-plus-compact after it — and a leftover duplicate never
+    changes a max/union fold. A micro-batch committed concurrently is
+    not in the captured list, is not folded, and is not deleted.
+
+    The count-min grid is deliberately NOT live-compacted: its merge
+    is ``+``, which is not idempotent — a crash between the compact
+    write and the deletes would double-count every folded batch, and
+    no directory layout fixes that without a transactional commit.
+    Its state grows a bounded depth·width rows per batch; rebuild it
+    offline (stream stopped: read, sum, rewrite) if the partition
+    count ever matters.
+    """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    regs = spark.read.parquet(f"{state_dir}/{HLL_SUBDIR}").drop(BATCH_COL)
-    keys = [c for c in regs.columns if c not in ("hll_bucket", "register")]
-    merged = hll_merge([regs], by=keys).localCheckpoint()
-    bits = read_bloom_bits(spark, state_dir).localCheckpoint()
-    cms = read_cms_sketch(spark, state_dir).localCheckpoint()
-    for sub, df in (
-        (HLL_SUBDIR, merged),
-        (BLOOM_SUBDIR, bits),
-        (CMS_SUBDIR, cms),
-    ):
+    for sub in (HLL_SUBDIR, BLOOM_SUBDIR):
         base = f"{state_dir}/{sub}"
         jpath = jvm.org.apache.hadoop.fs.Path(base)
         fs = jpath.getFileSystem(conf)
-        originals = [
-            st.getPath()
-            for st in fs.listStatus(jpath)
-            if st.isDirectory()
-            and st.getPath().getName().startswith(f"{BATCH_COL}=")
-            and st.getPath().getName() != f"{BATCH_COL}=compact"
-        ]
-        df.write.mode("overwrite").parquet(f"{base}/{BATCH_COL}=compact")
+        if not fs.exists(jpath):  # pre-upgrade state dir: nothing here
+            continue
+        originals = _committed_batch_partitions(spark, base)
+        if not originals:
+            continue
+        compact_path = f"{base}/{BATCH_COL}=compact"
+        sources = list(originals)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(compact_path)):
+            sources.append(compact_path)
+        folded = spark.read.parquet(*sources)
+        if sub == HLL_SUBDIR:
+            keys = [
+                c
+                for c in folded.columns
+                if c not in ("hll_bucket", "register")
+            ]
+            folded = hll_merge([folded], by=keys)
+        else:
+            folded = folded.distinct()
+        folded = folded.localCheckpoint()
+        folded.write.mode("overwrite").parquet(compact_path)
         for p in originals:
-            fs.delete(p, True)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)

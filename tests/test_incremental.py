@@ -274,3 +274,22 @@ def test_snapshot_diff_roundtrip_fuzz(spark, data):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_snapshot_diff_key_only_and_collision_guard(spark):
+    """A key-only snapshot pair is a pure membership diff (I/D, never
+    'U' — and never an AssertionError from an empty comparison); a
+    data column colliding with op_col raises instead of silently
+    overwriting values (review findings, round 6)."""
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "id bigint")
+    new = spark.createDataFrame([(2,), (3,)], "id bigint")
+    ops = {r.id: r.op for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert ops == {1: "D", 3: "I"}
+
+    with_op = spark.createDataFrame([(1, "x")], "id bigint, op string")
+    with _pytest.raises(ValueError, match="op_col"):
+        snapshot_diff(with_op, with_op, ["id"])

@@ -263,3 +263,26 @@ def test_bottomk_sample_exact_k_and_mergeable(spark):
     assert sorted(
         (r.source, r.rank, r.doc_id) for r in remerged.collect()
     ) == sorted((r.source, r.rank, r.doc_id) for r in got.collect())
+
+
+def test_bottomk_sample_null_ids_and_plan(spark):
+    """NULL ids are excluded (they would rank nulls-first and crash
+    the SQL mirror's hex cast), and the rank<=k filter rewrites to
+    WindowGroupLimit — the per-partition heap the scale claim rests
+    on (review finding, round 6)."""
+    import contextlib
+    import io
+
+    from ods_to_datalake_spark.operators.sampling import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(None, "s"), (1, "s"), (2, "s"), (3, "s")],
+        "doc_id bigint, source string",
+    )
+    got = bottomk_sample(df, "doc_id", 10, by=["source"])
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2, 3]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
