@@ -59,6 +59,8 @@ SUITE_QUERIES = [
     "x55_inverted_index",  # two-shuffle posting-list fold
     "x56_bm25_topk",  # term-filtered scoring + corpus dl pass
     "u07_incremental_agg",  # IVM delta merge vs fact re-aggregate
+    "u08_snapshot_diff",  # null-safe full-outer snapshot compare
+    "x58_histogram_quantiles",  # fixed-grid sketch build over orders
 ]
 
 
