@@ -498,6 +498,70 @@ def delete_keys(
     return len(affected)
 
 
+def compact_run_snapshot(
+    spark,
+    path: str,
+    target_records: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    partition_col: str = "transactiondate_index",
+) -> dict:
+    """Small-file compaction for a run-indexed dataset — the nightly
+    lakehouse maintenance job: rewrite the newest (date, run) snapshot
+    as run+1 with ceil(rows/target_records) right-sized files. Readers
+    (`read_latest_run`) switch to the compacted snapshot ATOMICALLY:
+    the rewrite lands in a ``_``-prefixed temp dir (invisible to
+    partition discovery), and the commit is ONE directory rename — a
+    crash before it leaves the temp dir hidden and the old snapshot
+    serving; a rerun simply overwrites the temp. Time travel keeps the
+    uncompacted run until `prune_runs` retires it.
+
+    This rounds out the write-policy story: `maxRecordsPerFile` bounds
+    file size at write time, but a lake accumulates small files anyway
+    (many small incremental runs, dynamic partition overwrites) — and
+    at 100 TB the file count is a planning-time cost (listing, footer
+    reads, task scheduling) that compaction pays down once per day.
+
+    Returns {files_before, files_after, rows, snapshot}.
+    """
+    import math
+
+    from ods_to_datalake_spark.sources.reader import list_run_indexes
+
+    runs = list_run_indexes(path)
+    if not runs:
+        raise FileNotFoundError(f"no run-indexed partitions under {path}")
+    date, idx = runs[-1]
+    src = f"{path}/{partition_col}={date}_{idx}"
+    df = spark.read.parquet(src)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_records))
+    tmp = f"{path}/_compacting_{date}_{idx + 1}"
+    df.repartition(n_files).write.mode("overwrite").option(
+        "maxRecordsPerFile", target_records
+    ).parquet(tmp)
+    jvm = spark._jvm
+    dst = f"{path}/{partition_col}={date}_{idx + 1}"
+    jsrc = jvm.org.apache.hadoop.fs.Path(tmp)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"compaction commit rename failed: {tmp} -> {dst}")
+
+    def _n_files(p):
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return sum(
+            1
+            for st in fs.listStatus(jp)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    return {
+        "files_before": _n_files(src),
+        "files_after": _n_files(dst),
+        "rows": rows,
+        "snapshot": (date, idx + 1),
+    }
+
+
 def prune_runs(
     path: str,
     keep_last: int,

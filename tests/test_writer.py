@@ -602,3 +602,48 @@ def test_zorder_guards(spark, tmp_path):
     p6 = str(tmp_path / "six")
     write_zordered_parquet(six, p6, [f"c{j}" for j in range(6)])
     assert spark.read.parquet(p6).count() == 20
+
+
+def test_compact_run_snapshot_atomic_and_lossless(spark, tmp_path):
+    """Compaction rewrites the latest run as run+1 with right-sized
+    files; content is identical, the old run stays time-travelable,
+    a leftover _compacting temp dir is invisible to readers, and a
+    rerun self-heals it."""
+    import os as _os
+
+    from ods_to_datalake_spark.sources.reader import (
+        read_latest_run,
+        read_run,
+    )
+    from ods_to_datalake_spark.sources.writer import (
+        compact_run_snapshot,
+        write_run_indexed,
+    )
+
+    src = load_testdata(spark, SF).table("orders")
+    n = src.count()
+    path = str(tmp_path / "runs")
+    # 40 pre-shuffled input partitions → 40 small files in the run
+    write_run_indexed(src.repartition(40), path, "20240301", 1)
+    before = read_latest_run(spark, path).drop(
+        "transactiondate_index"
+    )
+    # simulate a crashed earlier compaction attempt
+    _os.makedirs(str(tmp_path / "runs" / "_compacting_2024-03-01_2"))
+    assert read_latest_run(spark, path).count() == n  # invisible
+
+    report = compact_run_snapshot(spark, path, target_records=5000)
+    assert report["snapshot"] == ("2024-03-01", 2)
+    assert report["files_before"] >= 20
+    assert report["files_after"] == 1
+    after = read_latest_run(spark, path)
+    assert (
+        after.select(F.col("transactiondate_index")).distinct().collect()
+    )[0][0] == "2024-03-01_2"
+    a = sorted(map(tuple, before.collect()))
+    b = sorted(
+        map(tuple, after.drop("transactiondate_index").collect())
+    )
+    assert a == b  # lossless
+    # time travel to the uncompacted snapshot still works
+    assert read_run(spark, path, "2024-03-01", 1).count() == n
