@@ -125,104 +125,15 @@ def headline_queries() -> dict[str, QueryFn]:
 # importing the suite modules populates REGISTRY.
 # Registration order matters: the driver's correctness gate checks the
 # first 50 registered queries each round, so never-green queries MUST
-# register inside that window (scripts/window_plan.py derives the
-# never-green/stale sets from the accumulated CORRECTNESS_r*.json, and
-# tests/test_registration_order.py imports it so the pin can't drift).
-#
-# Round-6 window (the rotation CLAUDE.md planned for a green r05):
-# the stale set is 56 queries — the 6 rows that slipped in round 5
-# (r03 evidence; they go FIRST) plus all 50 r04-evidence rows
-# (suite_media 6, suite_events 8, suite_ingest 2, suite_core 34).
-# 56 > 50 and twenty-five new round-6 queries (x39-x59, e09, e10,
-# u06-u08) join the window, so the 31 lowest-priority r04 suite_core
-# rows slip one round: f02, f08, f_scalar_functions, t01, t02, u01,
-# w03, w04, w05, u04, w01, w02, q18, u03, p10, p08, p07, p06, p03,
-# p01, j05, j04, j01b, j02, j03, a09, j01, a08, a07, a06, a04 — they
-# head the round-7 window (tests/test_registration_order.py
-# SLIPPED_THIS_ROUND).
-_WINDOW_PRIORITY: list[str] = [
-    # slipped in round 5 — oldest (r03) evidence, refresh first
-    "w07_ntile_quartiles",
-    "a10_grouping_sets",
-    "u05_scd2_merge",
-    "u02_intersect_cube",
-    "w06_lag_lead_delta",
-    "q06_revenue_forecast",
-    # new round-6 queries (never-green → must be in window); each
-    # displaces one r04 core row into SLIPPED_THIS_ROUND
-    "x39_span_rewrite",
-    "x40_deterministic_shard",
-    "x41_vocab_oov",
-    "x42_temperature_mixture",
-    "x43_cluster_canonical",
-    "x44_source_overlap",
-    "x45_split_leakage",
-    "x46_decontaminate_scored",
-    "x47_dsir_weights",
-    "x48_gopher_quality",
-    "x49_c4_line_filter",
-    "x50_source_quality_report",
-    "x51_gopher_repetition",
-    "e09_event_paths",
-    "e10_daily_anomaly",
-    "u06_cdc_apply",
-    "x52_hll_vocab",
-    "x53_cms_heavy_hitters",
-    "x54_bloom_prefilter",
-    "x55_inverted_index",
-    "x56_bm25_topk",
-    "u07_incremental_agg",
-    "x58_histogram_quantiles",
-    "u08_snapshot_diff",
-    "x59_bottomk_sample",
-    # suite_media — driver evidence r04
-    "x12_media_features",
-    "x26_image_decode",
-    "x27_audio_decode",
-    "x28_sequence_pack",
-    "x29_quantize_embeddings",
-    "x30_video_frames",
-    # suite_events — driver evidence r04 (timestamp-physicality
-    # sensitive: keep the whole family in-window every rotation)
-    "e01_tumbling_window",
-    "e02_sessionize",
-    "e03_asof_join",
-    "e04_json_extract",
-    "e05_purchase_attribution",
-    "e06_retention_cohorts",
-    "e07_event_funnel",
-    "e08_trailing_window",
-    # suite_ingest — driver evidence r04
-    "x31_incremental_dedup",
-    "x32_incremental_embedding_dedup",
-    # suite_core r04 rows (34 total; the 6 in SLIPPED_THIS_ROUND
-    # fall outside the window and head the round-7 rotation)
-    "a01_fold_sorted_array",
-    "a02_document_fold",
-    "a03_conditional_sum",
-    "a04_pivot",
-    "a06_rollup",
-    "a07_distinct_agg",
-    "a08_two_phase_agg",
-    "a09_percentiles",
-    "j01_semi_join",
-    "j01b_anti_join",
-    "j02_left_attach_preagg",
-    "j03_broadcast_dim_decode",
-    "j04_range_join",
-    "j05_salted_join",
-    "p01_projection_scan",
-    "p03_derive_drop_rename",
-    "p06_range_filter",
-    "p07_isin_filter",
-    "p08_not_isin_filter",
-    "p10_trim_compound_filter",
-    "q18_large_orders",
-    "u03_upsert_snapshot",
-    "u04_union_by_name",
-    "w01_sequence",
-    "w02_multikey_sequence",
-]
+# register inside that window and stale-evidence queries rotate through
+# it. The ordering is GENERATED from the accumulated CORRECTNESS_r*.json
+# evidence by `python scripts/window_plan.py --emit` into
+# plans/window_order.py (never-green first, then stale oldest-evidence
+# first with drift-prone families ahead; overflow slips one round) —
+# tests/test_registration_order.py fails if the emitted file is stale.
+from ods_to_datalake_spark.plans.window_order import (  # noqa: E402
+    _WINDOW_PRIORITY,
+)
 
 
 def load_all() -> dict[str, Query]:

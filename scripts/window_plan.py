@@ -100,6 +100,108 @@ def stale(rounds: dict[int, dict] | None = None) -> set[str]:
     }
 
 
+_XNUM = re.compile(r"^x(\d+)_")
+
+
+def family_rank(name: str) -> int:
+    """Drift-sensitivity rank used to order SAME-round stale queries:
+    lower = more likely to diverge when the driver regenerates testdata
+    or the engine changes, so it re-earns evidence sooner.
+
+    0 = events/media/ingest (timestamp-physicality and binary-payload
+        sensitive — the round-3 regeneration broke exactly this family)
+    1 = curation/sketch/retrieval/CDC x-queries (x33+; float/hash heavy)
+    2 = relational core (a/f/j/p/t/u/w)
+    3 = llm-era x-queries (x01–x25 text/ANN; stable since r05)
+    4 = TPC-H (pure relational, least drift-prone — slips first)
+    """
+    if re.match(r"^e\d", name):
+        return 0
+    m = _XNUM.match(name)
+    if m:
+        n = int(m.group(1))
+        if n == 12 or 26 <= n <= 32:
+            return 0
+        return 1 if n >= 33 else 3
+    if re.match(r"^q\d", name):
+        return 4
+    return 2
+
+
+DRIVER_WINDOW = 50
+
+
+def plan(
+    registered: list[str],
+    rounds: dict[int, dict] | None = None,
+    window: int = DRIVER_WINDOW,
+) -> tuple[list[str], list[str]]:
+    """Compute next round's (window_priority, slipped) from evidence.
+
+    Policy (the one every round since r05 applied by hand):
+    1. never-green queries MUST be in-window (registration order);
+    2. stale queries fill the rest, oldest evidence first, same-round
+       ties broken by family_rank (drift-prone families refresh first),
+       then name;
+    3. stale queries that don't fit slip one round (still covered by
+       validate.py) and head the NEXT rotation via rule 2.
+    """
+    rounds = load_rounds() if rounds is None else rounds
+    greens: dict[str, int] = {}
+    for rnum, data in rounds.items():
+        for name, row in data.items():
+            if _is_green(row):
+                greens[name] = max(greens.get(name, 0), rnum)
+    ng = [n for n in registered if n not in greens]
+    if len(ng) > window:
+        raise ValueError(
+            f"{len(ng)} never-green queries exceed the {window}-slot "
+            "window; they cannot all earn evidence this round"
+        )
+    stale_sorted = sorted(
+        stale(rounds) & set(registered),
+        key=lambda n: (greens[n], family_rank(n), n),
+    )
+    window_list = (ng + stale_sorted)[:window]
+    in_window = set(window_list)
+    slipped = [n for n in stale_sorted if n not in in_window]
+    return window_list, slipped
+
+
+EMITTED = os.path.join(
+    REPO_ROOT, "ods_to_datalake_spark", "plans", "window_order.py"
+)
+
+
+def emit(registered: list[str], rounds: dict[int, dict] | None = None) -> str:
+    """Render plans/window_order.py (returns the file content)."""
+    rounds = load_rounds() if rounds is None else rounds
+    window_list, slipped = plan(registered, rounds)
+    lines = [
+        '"""Driver-evidence window ordering - GENERATED, do not hand-edit.',
+        "",
+        "Regenerate after adding queries or when a new CORRECTNESS_r*.json",
+        "lands:  python scripts/window_plan.py --emit",
+        "(tests/test_registration_order.py fails if this file is stale).",
+        "",
+        f"Basis: CORRECTNESS rounds {sorted(rounds)}.",
+        '"""',
+        "",
+        "# first-50 registration order = the driver's evidence window",
+        "_WINDOW_PRIORITY = [",
+        *(f'    "{n}",' for n in window_list),
+        "]",
+        "",
+        "# stale queries the window cannot fit this round; they head the",
+        "# next rotation and stay covered by validate.py meanwhile",
+        "SLIPPED_THIS_ROUND = [",
+        *(f'    "{n}",' for n in slipped),
+        "]",
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def main() -> int:
     rounds = load_rounds()
     print(f"rounds found: {sorted(rounds)}")
@@ -127,6 +229,17 @@ def main() -> int:
     print(f"never-green ({len(ng)}): {ng}")
     print(f"latest-row-red/error ({len(red_now)}): {red_now}")
     print(f"stale green ({len(st)}): {st}")
+    import sys
+
+    if "--emit" in sys.argv:
+        content = emit(registered, rounds)
+        with open(EMITTED, "w") as f:
+            f.write(content)
+        window_list, slipped = plan(registered, rounds)
+        print(
+            f"\nwrote {EMITTED}: window {len(window_list)}, "
+            f"slipped {len(slipped)}"
+        )
     return 0
 
 
