@@ -191,20 +191,24 @@ _SQL_BLOOM_BITS = ", ".join(
       ) AS _b
     ),
     probes AS (
-      SELECT doc_id, content_hash,
-             unnest([{_SQL_BLOOM_BITS}]) AS bloom_bit
-      FROM docs
+      -- per DISTINCT value, NOT per doc row: grouping probes by doc_id
+      -- relies on doc_id uniqueness, and a repeated id fans its probes
+      -- to 2k rows -> bits_set != k -> a fabricated false negative,
+      -- exactly the per-row trap operators/sketch.bloom_maybe_contains
+      -- documents (caught by tests/test_sketch_fuzz_parity.py)
+      SELECT content_hash, unnest([{_SQL_BLOOM_BITS}]) AS bloom_bit
+      FROM (SELECT DISTINCT content_hash FROM docs) AS _d
     ),
     hits AS (
-      SELECT doc_id, COUNT(*) AS bits_set
+      SELECT content_hash, COUNT(*) AS bits_set
       FROM probes WHERE bloom_bit IN (SELECT bloom_bit FROM bits)
-      GROUP BY doc_id
+      GROUP BY content_hash
     )
     SELECT docs.doc_id,
            COALESCE(bits_set, 0) = {BLOOM_K} AS bloom_maybe_dup,
            docs.content_hash IN (SELECT content_hash FROM seen)
              AS exact_dup
-    FROM docs LEFT JOIN hits ON docs.doc_id = hits.doc_id
+    FROM docs LEFT JOIN hits ON docs.content_hash = hits.content_hash
     ORDER BY docs.doc_id
     """,
     doc="Bloom-filter membership prefilter for incremental dedup "

@@ -74,7 +74,16 @@ def main() -> int:
     from ods_to_datalake_spark.session import build_session
 
     queries = load_all()
-    spark = build_session(app_name="stress")
+    # Shuffle partitions scale with the data (AQE coalesces the excess):
+    # the fixed-32 setting made every 100×-cell sort-aggregation spill —
+    # x51's 4.5× "growth" on 3.33× data was partition-size spill, not
+    # plan cost (VERDICT r6 item 5). A real cluster sizes this the same
+    # way: partitions ∝ input volume, target ≤ ~256MB per partition.
+    shuffle_parts = 32 * max(1, scale // 10)
+    spark = build_session(
+        app_name="stress", shuffle_partitions=shuffle_parts
+    )
+    print(f"shuffle partitions: {shuffle_parts}")
     spark.sparkContext.setLogLevel("ERROR")
 
     shutil.rmtree(workdir, ignore_errors=True)
