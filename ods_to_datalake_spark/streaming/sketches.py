@@ -170,22 +170,156 @@ def read_bloom_bits(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+_CMS_COMPACT_PREFIX = "compact-"
+_CMS_FOLDED_FILE = "_folded.json"
+
+
+def _cms_generations(spark, base: str) -> list[int]:
+    """Committed compact generation numbers under ``base``, ascending
+    (a staged-but-unrenamed generation is invisible: it still lives in
+    an underscore-prefixed temp dir)."""
+    import re
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(jpath):
+        m = re.fullmatch(
+            rf"{BATCH_COL}={_CMS_COMPACT_PREFIX}(\d+)",
+            st.getPath().getName(),
+        )
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _cms_folded_ids(spark, base: str, gen: int) -> set[str]:
+    """Batch ids absorbed into compact generation ``gen`` (its
+    transaction manifest)."""
+    import json
+
+    from ods_to_datalake_spark.sources.manifest import _read_file
+
+    path = (
+        f"{base}/{BATCH_COL}={_CMS_COMPACT_PREFIX}{gen}/{_CMS_FOLDED_FILE}"
+    )
+    return set(json.loads(_read_file(spark, path))["folded"])
+
+
 def read_cms_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     """Corpus-level count-min grid from the maintained state (merge =
     summing cell counts across batch partitions); feed to
-    `operators.sketch.cms_estimate` for frequency upper bounds."""
+    `operators.sketch.cms_estimate` for frequency upper bounds.
+
+    Compaction-aware: if compact generations exist, only the NEWEST one
+    counts, and the batch ids its ``_folded.json`` manifest lists are
+    excluded even if their partitions still exist — a crash (or a
+    checkpoint replay of a folded batch id) between the compact publish
+    and the cleanup leaves duplicate partitions on disk, but never a
+    double count in the fold."""
+    base = f"{state_dir}/{CMS_SUBDIR}"
+    cells = spark.read.parquet(base).withColumn(
+        BATCH_COL, F.col(BATCH_COL).cast("string")
+    )
+    gens = _cms_generations(spark, base)
+    if gens:
+        newest = gens[-1]
+        excluded = _cms_folded_ids(spark, base, newest) | {
+            f"{_CMS_COMPACT_PREFIX}{g}" for g in gens[:-1]
+        }
+        cells = cells.where(~F.col(BATCH_COL).isin(sorted(excluded)))
     return (
-        spark.read.parquet(f"{state_dir}/{CMS_SUBDIR}")
-        .drop(BATCH_COL)
+        cells.drop(BATCH_COL)
         .groupBy("cms_row", "cms_bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
 
 
+def compact_cms_state(spark: SparkSession, state_dir: str) -> None:
+    """Fold committed count-min batch partitions into the next compact
+    GENERATION — the transactional commit the ``+`` (non-idempotent)
+    merge needs, built from the same primitives as
+    `sources.manifest` (VERDICT r6 item 3):
+
+    1. capture the committed (``_SUCCESS``-marked) batch partitions and
+       the current newest generation's manifest;
+    2. sum those cells plus the current generation's into a staged
+       underscore-prefixed temp dir, alongside a ``_folded.json``
+       manifest naming every batch id ever absorbed;
+    3. publish with ONE rename to ``ingest_batch=compact-<n+1>``;
+    4. clean up: delete absorbed batch partitions and older
+       generations.
+
+    Every crash window reads correctly: before the rename the staged
+    dir is invisible; after it, `read_cms_sketch` uses only the newest
+    generation and skips manifest-listed batch ids, so leftover
+    originals (or a checkpoint REPLAY of a folded batch id) are
+    excluded rather than double-counted. Step 4 is pure cleanup and
+    re-runs on the next compaction. Safe against a live sink: a batch
+    mid-write has no ``_SUCCESS`` and is neither folded nor deleted."""
+    import json
+
+    from ods_to_datalake_spark.sources.manifest import _write_file_atomic
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = f"{state_dir}/{CMS_SUBDIR}"
+    jbase = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jbase.getFileSystem(conf)
+    if not fs.exists(jbase):  # pre-upgrade state dir: nothing here
+        return
+    gens = _cms_generations(spark, base)
+    prev_folded = _cms_folded_ids(spark, base, gens[-1]) if gens else set()
+    committed = _committed_batch_partitions(spark, base)
+    originals = [
+        p for p in committed if p.rsplit("=", 1)[1] not in prev_folded
+    ]
+    stale_dups = [  # replayed-after-fold partitions: cleanup only
+        p for p in committed if p.rsplit("=", 1)[1] in prev_folded
+    ]
+    if not originals and not stale_dups and len(gens) <= 1:
+        return
+    next_gen = (gens[-1] + 1) if gens else 1
+    sources = list(originals)
+    if gens:
+        sources.append(f"{base}/{BATCH_COL}={_CMS_COMPACT_PREFIX}{gens[-1]}")
+    folded = sorted(
+        prev_folded | {p.rsplit("=", 1)[1] for p in originals}
+    )
+    tmp = f"{base}/_{_CMS_COMPACT_PREFIX}staging-{next_gen}"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)  # crashed rerun
+    (
+        spark.read.parquet(*sources)
+        .groupBy("cms_row", "cms_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _write_file_atomic(
+        spark, tmp, _CMS_FOLDED_FILE, json.dumps({"folded": folded})
+    )
+    dst = f"{base}/{BATCH_COL}={_CMS_COMPACT_PREFIX}{next_gen}"
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(dst)
+    ):
+        raise OSError(f"cms compact commit rename failed: {tmp} -> {dst}")
+    for p in originals + stale_dups:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+    for g in gens:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{base}/{BATCH_COL}={_CMS_COMPACT_PREFIX}{g}"
+            ),
+            True,
+        )
+
+
 def _committed_batch_partitions(spark, base: str) -> list[str]:
     """Batch partition paths under ``base`` carrying a ``_SUCCESS``
     marker (a partition the sink is writing RIGHT NOW has none yet),
-    excluding the compact partition."""
+    excluding compact partitions (both the idempotent-merge
+    ``=compact`` and the CMS ``=compact-<n>`` generations)."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(base)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -195,7 +329,7 @@ def _committed_batch_partitions(spark, base: str) -> list[str]:
         if (
             st.isDirectory()
             and name.startswith(f"{BATCH_COL}=")
-            and name != f"{BATCH_COL}=compact"
+            and not name.startswith(f"{BATCH_COL}=compact")
             and fs.exists(
                 jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
             )
@@ -222,13 +356,11 @@ def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
     changes a max/union fold. A micro-batch committed concurrently is
     not in the captured list, is not folded, and is not deleted.
 
-    The count-min grid is deliberately NOT live-compacted: its merge
-    is ``+``, which is not idempotent — a crash between the compact
-    write and the deletes would double-count every folded batch, and
-    no directory layout fixes that without a transactional commit.
-    Its state grows a bounded depth·width rows per batch; rebuild it
-    offline (stream stopped: read, sum, rewrite) if the partition
-    count ever matters.
+    The count-min grid cannot use this overwrite-in-place scheme (its
+    merge is ``+``, not idempotent — a leftover duplicate WOULD double
+    count); it gets the transactional generation commit of
+    `compact_cms_state` instead, invoked here so one maintenance call
+    compacts all three artifacts.
     """
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -259,3 +391,4 @@ def compact_sketch_state(spark: SparkSession, state_dir: str) -> None:
         folded.write.mode("overwrite").parquet(compact_path)
         for p in originals:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+    compact_cms_state(spark, state_dir)

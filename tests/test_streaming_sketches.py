@@ -214,3 +214,75 @@ def test_streamed_cms_equals_batch_cms(spark, tmp_path):
     assert streamed() == direct
     compact_sketch_state(spark, state)
     assert streamed() == direct
+
+
+def test_cms_compaction_generations_and_crash_windows(spark, tmp_path):
+    """compact_cms_state (VERDICT r6 item 3): the + -merged grid folds
+    into transactional compact GENERATIONS — post-compaction the fold
+    still equals the one-shot grid, a replayed already-folded batch id
+    is excluded (never double-counted), a crashed staging dir is
+    invisible and reclaimed, and a second compaction absorbs the first
+    generation plus later batches."""
+    import os
+
+    from ods_to_datalake_spark.operators.sketch import cms_sketch
+    from ods_to_datalake_spark.streaming.sketches import (
+        CMS_SUBDIR,
+        compact_cms_state,
+        read_cms_sketch,
+    )
+
+    state = str(tmp_path / "state")
+    base = os.path.join(state, CMS_SUBDIR)
+    sink = sketch_sink(state, by=["source"])
+    sink(spark.createDataFrame(BATCH0, SCHEMA), 0)
+
+    def direct(rows):
+        corpus = spark.createDataFrame(rows, SCHEMA)
+        toks = corpus.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "token"
+            )
+        ).where(F.col("token") != "")
+        return sorted(
+            (r.cms_row, r.cms_bucket, r.cnt)
+            for r in cms_sketch(toks, "token").collect()
+        )
+
+    def streamed():
+        return sorted(
+            (r.cms_row, r.cms_bucket, r.cnt)
+            for r in read_cms_sketch(spark, state).collect()
+        )
+
+    compact_cms_state(spark, state)
+    assert streamed() == direct(BATCH0)
+    assert os.path.isdir(os.path.join(base, "ingest_batch=compact-1"))
+    assert not os.path.isdir(os.path.join(base, "ingest_batch=0"))
+
+    # crash window: checkpoint REPLAY of the folded batch id 0 recreates
+    # its partition — the generation manifest excludes it from the fold
+    sink(spark.createDataFrame(BATCH0, SCHEMA), 0)
+    assert os.path.isdir(os.path.join(base, "ingest_batch=0"))
+    assert streamed() == direct(BATCH0)
+
+    # crash window: a staged-but-unrenamed generation is invisible
+    staged = os.path.join(base, "_compact-staging-2")
+    os.makedirs(staged)
+    open(os.path.join(staged, "garbage"), "w").write("x")
+    assert streamed() == direct(BATCH0)
+
+    # second compaction: absorbs gen 1 + the stale duplicate + batch 1,
+    # reclaims the crashed staging dir and the old generation
+    sink(spark.createDataFrame(BATCH1, SCHEMA), 1)
+    compact_cms_state(spark, state)
+    assert streamed() == direct(BATCH0 + BATCH1)
+    assert os.path.isdir(os.path.join(base, "ingest_batch=compact-2"))
+    assert not os.path.isdir(os.path.join(base, "ingest_batch=compact-1"))
+    assert not os.path.isdir(os.path.join(base, "ingest_batch=0"))
+    assert not os.path.isdir(os.path.join(base, "ingest_batch=1"))
+    assert not os.path.isdir(staged)
+
+    # idempotent when there is nothing to fold
+    compact_cms_state(spark, state)
+    assert streamed() == direct(BATCH0 + BATCH1)
