@@ -1,0 +1,186 @@
+"""Set-similarity and fuzzy-string joins — the LSH-free exact leg of
+the near-dup stack.
+
+MinHash/LSH (`operators/dedup.py`) trades recall for candidate count;
+this module adds the EXACT counterparts from the similarity-join
+literature, both candidate-bounded without any probabilistic loss:
+
+- prefix-filtered set-similarity join (Chaudhuri et al. ICDE'06,
+  Xiao et al. WWW'08 "PPJoin"): order every document's token set by a
+  GLOBAL rarest-first ranking; any pair with Jaccard >= t must share a
+  token within each other's first ``|d| - ceil(t*|d|) + 1`` tokens, so
+  equi-joining on PREFIX tokens finds every qualifying pair while the
+  join buckets stay small by construction — a prefix token is by
+  definition one of a document's rarest, so its bucket is bounded by
+  that token's corpus document frequency. The skew profile is the
+  OPPOSITE of LSH banding: stop-words never enter prefixes, and the
+  residual worst case (a corpus of near-identical docs) only pairs
+  documents that truly qualify.
+- blocked fuzzy-string join (classic entity-resolution blocking):
+  candidate pairs from cheap deterministic block keys (2-char prefix
+  and 2-char suffix passes, unioned — multi-pass blocking recovers
+  pairs a single key misses), verified by edit distance. Levenshtein
+  runs JVM-side (`F.levenshtein`), only on candidate pairs.
+
+All integer threshold math is cross-multiplied (never ``fraction *
+count`` — see CLAUDE.md on float literals at exact boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.functions import text as X
+
+
+def doc_token_sets(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """DISTINCT (``_doc``, token) pairs — set semantics, non-empty
+    whitespace tokens (the same tokenizer every text operator uses)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(X.tokens(text_col)).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """All document pairs with token-set Jaccard >= t_num/t_den:
+    (doc_a, doc_b, overlap, size_a, size_b, jaccard), doc_a < doc_b.
+
+    Exact — no LSH recall loss. Plan shape: one (doc, token) distinct,
+    a vocabulary-sized df count, a rank join, the prefix self-join
+    (small buckets — see module docstring), then a candidate-bounded
+    overlap count. Every shuffle is keyed by token or doc id with
+    map-side partials; nothing is all-pairs.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    # the token-set table feeds FIVE plan legs (df rank, sizes, prefix
+    # ×2, verify ×2) — materialize it once (the x25 funnel-truncation
+    # pattern; in a lake pipeline this is the persisted artifact, like
+    # x05's shingle tables)
+    toks = doc_token_sets(docs, id_col, text_col).localCheckpoint()
+    # df and set size as windows over the SAME scan, not join-backs:
+    # one token-keyed and one doc-keyed exchange total
+    ranked = (
+        toks.withColumn(
+            "_df",
+            F.count(F.lit(1)).over(Window.partitionBy("token")),
+        )
+        .withColumn(
+            "sz",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_doc"))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                # global rarest-first order; token breaks df ties so
+                # the rank is total
+                Window.partitionBy("_doc").orderBy("_df", "token")
+            ),
+        )
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all-integer:
+    # ceil(a/b) = (a + b - 1) div b for non-negative a
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("rn") <= prefix_len).select(
+        "_doc", "token", "sz"
+    )
+    pa = prefix.select(
+        F.col("_doc").alias("doc_a"), "token", F.col("sz").alias("size_a")
+    )
+    pb = prefix.select(
+        F.col("_doc").alias("doc_b"), "token", F.col("sz").alias("size_b")
+    )
+    # sizes ride the candidate rows (functionally dependent on the
+    # ids), so the verify step needs no size join-back
+    cand = (
+        pa.join(pb, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("_doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("_doc").alias("doc_b"), "token")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        # J = o/(sa+sb-o) >= n/d  <=>  o*(d+n) >= n*(sa+sb), all-integer
+        .where(
+            F.col("overlap") * F.lit(t_den + t_num)
+            >= F.lit(t_num) * (F.col("size_a") + F.col("size_b"))
+        )
+    )
+    jaccard = F.col("overlap").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("overlap")
+    ).cast("double")
+    return verified.select(
+        "doc_a", "doc_b", "overlap", "size_a", "size_b",
+        jaccard.alias("jaccard"),
+    )
+
+
+def blocked_fuzzy_join(
+    words: DataFrame,
+    word_col: str,
+    max_dist: int = 2,
+    block_fns=None,
+) -> DataFrame:
+    """Fuzzy vocabulary self-join: (w1, w2, dist) for distinct word
+    pairs within ``max_dist`` edits, w1 < w2, found by deterministic
+    blocking passes — default 2-char prefix then 2-char suffix (a pair
+    escaping both would need edits at both ends), overridable via
+    ``block_fns`` (callables Column→Column over the deduplicated word
+    column, named ``w``) for domain keys like a deletion neighborhood.
+    Multi-pass blocking is the standard recall lever: each extra pass
+    unions more candidates, and the recall bound is explicit instead
+    of probabilistic.
+
+    Levenshtein is evaluated only on blocked candidates: |block|²
+    pairs per key instead of |vocab|², and block keys distribute far
+    better than an all-pairs cross join. Words are deduplicated first,
+    so a billion-token corpus contributes its VOCABULARY (millions) to
+    the join, not its token stream.
+    """
+    w = words.select(F.col(word_col).alias("w")).where(
+        F.col("w").isNotNull()
+    ).distinct()
+    if block_fns is None:
+        block_fns = [
+            lambda c: F.substring(c, 1, 2),
+            lambda c: F.expr("right(w, 2)"),
+        ]
+    out = None
+    for fn in block_fns:
+        blocked = w.withColumn("_blk", fn(F.col("w")))
+        a = blocked.select(F.col("w").alias("w1"), "_blk")
+        b = blocked.select(F.col("w").alias("w2"), "_blk")
+        pairs = a.join(b, "_blk").where(F.col("w1") < F.col("w2")).select(
+            "w1", "w2"
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return (
+        out.distinct()
+        .withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
+        .where(F.col("dist") <= max_dist)
+    )

@@ -224,3 +224,45 @@ def sql_bm25_weight(k1: float = BM25_K1, b: float = BM25_B) -> str:
     norm = f"{rk1} * (1.0 - {rb} + {rb} * (CAST(dl AS DOUBLE) / {avgdl}))"
     tfn = f"(CAST(tf AS DOUBLE) * {rk1p1}) / (CAST(tf AS DOUBLE) + {norm})"
     return f"CAST(({idf}) * ({tfn}) AS DECIMAL(28,6))"
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of ranked
+    lists: each input carries (id_col, rank); the fused score is
+    Σ 1/(c + rank) over the lists an id appears in, and the output is
+    the global top-``k`` by (rrf DESC, id) with per-list ranks kept
+    as nullable ``rank_0..rank_{n-1}`` columns.
+
+    The standard lexical ⊕ semantic hybrid: BM25 and ANN rankings
+    disagree precisely on the documents worth inspecting, and rank
+    fusion needs no score calibration between a decimal BM25 and a
+    cosine. Each addend is one double division on identical integers
+    (bit-stable cross-engine); the inputs are top-k lists, so the
+    fusion joins k-row frames — driver-scale regardless of corpus
+    size.
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        part = r.select(
+            F.col(id_col), F.col("rank").cast("long").alias(f"rank_{i}")
+        )
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        addend = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = addend if score is None else score + addend
+    return (
+        fused.withColumn("rrf", score)
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(int(k))
+    )

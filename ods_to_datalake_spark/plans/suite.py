@@ -147,6 +147,7 @@ def load_all() -> dict[str, Query]:
         suite_curation,  # x34-x37, x39-x51: round-5/6 curation queries
         suite_sketch,  # x52-x54: mergeable sketches (new round 6)
         suite_retrieval,  # x55-x56: inverted index + BM25 (new round 6)
+        suite_match,  # x60-x63: similarity joins + fusion (new round 7)
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

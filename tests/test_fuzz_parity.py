@@ -51,6 +51,9 @@ FUZZ_QUERIES = [
     # ('the' is in the fuzz word pool, so term matches are non-trivial)
     "x55_inverted_index",
     "x56_bm25_topk",
+    # round-7: prefix-filtered exact set-similarity join (tiny-alphabet
+    # corpora are Jaccard-dense, so the verify leg really fires)
+    "x60_set_similarity_join",
 ]
 
 

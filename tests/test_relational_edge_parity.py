@@ -59,6 +59,21 @@ def _edge_lineitems():
 # queries over relational tables opt in by name
 EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"] + [
     "x58_histogram_quantiles",  # boundary money exercises the clamp
+    "x61_fuzzy_name_match",  # edge customers: empty/1-char names (the
+    # '' block), duplicate names (distinct-first), unicode names (the
+    # byte-vs-codepoint levenshtein divergence — both engines must
+    # FILTER them identically), NULLs
+]
+
+# appended customers: fuzzy-name edge shapes
+EDGE_CUSTOMERS = [
+    (900001, "", 1, 0.0, "BUILDING"),
+    (900002, "a", 1, 0.0, "BUILDING"),
+    (900003, "ab", 2, 0.0, "MACHINERY"),
+    (900004, None, 2, 0.0, "MACHINERY"),
+    (900005, "Customer#000000001", 3, 0.0, "AUTOMOBILE"),  # dup name
+    (900006, "Customér#000000001", 3, 0.0, "AUTOMOBILE"),  # non-ASCII
+    (900007, "Customer#00000000", 4, 0.0, "HOUSEHOLD"),  # 1 short
 ]
 
 
@@ -75,6 +90,10 @@ def rel_edge_dir(spark, tmp_path_factory):
         elif t == "lineitem":
             df = df.unionByName(
                 spark.createDataFrame(_edge_lineitems(), df.schema)
+            )
+        elif t == "customer":
+            df = df.unionByName(
+                spark.createDataFrame(EDGE_CUSTOMERS, df.schema)
             )
         df.coalesce(1).write.parquet(str(d / f"{t}.parquet"))
     return str(d)

@@ -225,6 +225,17 @@ SHUFFLE_BUDGET = {
     "x59_bottomk_sample": 1,  # WindowGroupLimit (plan-asserted in
     # the operator test): per-partition k-heap BEFORE the one
     # exchange — a skewed group moves k rows per partition
+    "x60_set_similarity_join": 4,  # token window + doc window over
+    # the checkpointed token table, prefix self-join, verify agg —
+    # df/size are windows over one scan, never join-backs, and sizes
+    # ride the candidate rows (was 18 exchanges as naive join-backs)
+    "x61_fuzzy_name_match": 2,  # block-key self-join (one exchange
+    # per side); Levenshtein is a codegen'd map over candidates
+    "x62_score_normalize": 2,  # per-source stats agg (broadcast back)
+    # + the source window sort
+    "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
+    # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
+    # query vector and the fusion joins two 20-row lists
 }
 
 

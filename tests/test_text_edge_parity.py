@@ -89,6 +89,8 @@ EDGE_QUERIES = [
     "x55_inverted_index",
     "x56_bm25_topk",
     "x59_bottomk_sample",
+    "x60_set_similarity_join",
+    "x62_score_normalize",
 ]
 
 
