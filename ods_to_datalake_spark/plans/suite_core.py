@@ -1611,6 +1611,7 @@ def u06_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the gate checks the IVM identity itself: old_agg ⊕ delta == "
     "recompute. DECIMAL sums make retraction exact — a float sum "
     "would drift from the recompute one batch at a time.",
+    headline=True,  # the IVM trend line (VERDICT r6 item 8)
 )
 def u07_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.incremental import (

@@ -85,6 +85,7 @@ def _spark_tokens(docs: DataFrame) -> DataFrame:
     "bit-identical, see operators/sketch.py). At 100 TB the exact "
     "column is the one you drop: the register table is 256 rows per "
     "source, map-side-partial, and merges across corpora by max.",
+    headline=True,  # the sketch family's bench trend line (VERDICT r6)
 )
 def x52_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = load_testdata(spark, sf_dir)
@@ -302,6 +303,7 @@ _SQL_QS = ", ".join(f"('{l}', {n}, {d})" for l, n, d in HIST_QS)
     "float fraction), and every window/join runs over sketch rows, "
     "not data rows. Estimates are upper bounds off by at most one "
     "bucket width ($2,343.75 here).",
+    headline=True,  # fixed-state quantile trend line (VERDICT r6)
 )
 def x58_histogram_quantiles(
     spark: SparkSession, sf_dir: str
