@@ -173,3 +173,45 @@ def cdc_maintain_agg(
             .alias(f"sum_{c}")
         )
     return merged.select(*out_cols).where(F.col("n_rows") > 0)
+
+
+def cdc_maintain_join(
+    old_join: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    dim: DataFrame,
+    dim_keys: list[str],
+    op_col: str = "op",
+    version_col: str | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of a materialized fact ⋈ dim join under
+    a fact-side CDC batch: the join-IVM identity
+
+        Δ(F ⋈ D) = (−touched rows) ∪ (latest I/U after-images ⋈ D)
+
+    so the refreshed join is ``old_join`` minus its touched-key rows
+    (ONE anti-join — a key lookup, not a scan) plus the change batch
+    joined to the dimension. The 100-TB materialized join is never
+    re-joined: fact-side work is |touched keys|, dim-side work is the
+    change batch against a (usually broadcastable) dimension.
+
+    ``changes`` carries the fact columns + op/version (u06's batch
+    shape); each key's latest change wins via the same max-struct
+    `latest_changes` the row-level apply uses, so apply-then-join and
+    maintain-the-join provably resolve the same winners. The dimension
+    is assumed static across the batch — a dim-side change means
+    touched DIM keys' rows retract instead (run the mirror call with
+    fact/dim swapped); min/max-style non-self-maintainable aggregates
+    have no analogue here because a join is row-linear.
+    """
+    fact_cols = [
+        c for c in changes.columns if c not in (op_col, version_col)
+    ]
+    ch = latest_changes(changes, key_cols, fact_cols, op_col, version_col)
+    touched = ch.select(*key_cols).distinct()
+    kept = old_join.join(touched, key_cols, "left_anti")
+    upserts = ch.filter(F.col(op_col).isin("I", "U")).select(*fact_cols)
+    d = F.broadcast(dim) if broadcast_dim else dim
+    delta = upserts.join(d, dim_keys)
+    return kept.unionByName(delta.select(*old_join.columns))

@@ -141,3 +141,36 @@ def asof_join(
         F.col("__lrow.*"),
         *[F.col(f"__m_{c}").alias(c) for c in rcols],
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    on: Column,
+    fact_ts: Column | str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal) join of facts against an SCD-2 history
+    (`windows.scd2_apply` output): each fact row attaches the dimension
+    version whose half-open validity interval ``[valid_from, valid_to)``
+    contains the fact timestamp; the open version (NULL ``valid_to``)
+    matches everything from its start. Because SCD-2 intervals
+    partition each key's timeline, every fact matches EXACTLY one
+    version — the as-of-the-transaction dimension lookup every
+    temporally-correct fact table needs (training-data equivalent:
+    joining samples to the label/taxonomy version in force when they
+    were collected, instead of leaking today's labels backwards).
+
+    Plan shape: ``on`` must carry the equi-key — Spark then plans an
+    equi-join with the interval predicate as a post-filter (one keyed
+    shuffle; broadcast when the history is a dimension). The date-typed
+    bounds are cast to timestamp explicitly so both engines compare in
+    the same domain.
+    """
+    ts = F.col(fact_ts) if isinstance(fact_ts, str) else fact_ts
+    lo = dim_history[valid_from].cast("timestamp")
+    hi = dim_history[valid_to].cast("timestamp")
+    cond = on & (ts >= lo) & (hi.isNull() | (ts < hi))
+    return facts.join(dim_history, cond, how)

@@ -1703,3 +1703,125 @@ SELECT * REPLACE (CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE)
     ON o.o_orderkey = n.o_orderkey
 ) AS _d WHERE op IS NOT NULL
 """
+
+
+@register(
+    "u09_incremental_join",
+    oracle=None,  # assembled from u06's applied-snapshot SQL below —
+    # the join-IVM correctness claim IS "old_join ⊕ delta == recompute
+    # over cdc_apply's output ⋈ dim"
+    doc="Incremental JOIN maintenance (join IVM): refresh a "
+    "materialized orders ⋈ customer join from the u06 CDC batch "
+    "WITHOUT re-joining the fact table — Δ(F⋈D) = (−touched keys) ∪ "
+    "(latest I/U after-images ⋈ D). The old join pays ONE anti-join "
+    "on the touched keys; only the change batch meets the (broadcast) "
+    "dimension. Same max-struct keep-latest as the row-level apply, "
+    "so apply-then-join and maintain-the-join provably resolve the "
+    "same winners; the oracle recomputes the join over u06's applied "
+    "snapshot.",
+)
+def u09_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.cdc import cdc_apply  # noqa: F401
+    from ods_to_datalake_spark.operators.incremental import (
+        cdc_maintain_join,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    base, changes = _cdc_fixture(cat)
+    dim = cat.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    old_join = base.join(F.broadcast(dim), "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    return cdc_maintain_join(
+        old_join,
+        changes,
+        key_cols=["o_orderkey"],
+        dim=dim,
+        dim_keys=["o_custkey"],
+        op_col="op",
+        version_col="ver",
+    )
+
+
+# join-IVM oracle: recompute over u06's applied snapshot (already
+# double_cols-wrapped — o_totalprice arrives as DOUBLE, the exact
+# VARCHAR round-trip both engines share)
+REGISTRY["u09_incremental_join"].oracle = f"""
+SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, c.c_mktsegment
+FROM ({REGISTRY["u06_cdc_apply"].oracle}) a
+JOIN customer c ON a.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "u10_point_in_time_join",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_acctbal > 5000
+    ),
+    hist AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(1 AS INT) AS version,
+             DATE '1900-01-01' AS valid_from,
+             DATE '1995-06-01' AS valid_to
+      FROM customer c
+      WHERE c.c_custkey IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, CAST(1 AS INT),
+             DATE '1900-01-01', CAST(NULL AS DATE)
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, CAST(2 AS INT),
+             DATE '1995-06-01', CAST(NULL AS DATE)
+      FROM updates
+    )
+    SELECT o.o_orderkey, o.o_custkey, h.version, h.c_mktsegment
+    FROM orders o JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= CAST(h.valid_from AS TIMESTAMP)
+     AND (h.valid_to IS NULL
+          OR o.o_orderdate < CAST(h.valid_to AS TIMESTAMP))
+    """,
+    doc="Point-in-time (temporal) join: each order attaches the SCD-2 "
+    "customer version in force AT ITS ORDER DATE (mid-1995 effective "
+    "date splits the order history across versions 1 and 2), via "
+    "operators/joins.point_in_time_join over windows.scd2_apply "
+    "output. Half-open validity intervals partition each key's "
+    "timeline, so every fact matches exactly one version — the "
+    "no-label-leakage temporal lookup; equi-key join with the "
+    "interval as a post-filter, broadcast-able dimension history.",
+)
+def u10_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.joins import point_in_time_join
+    from ods_to_datalake_spark.operators.windows import scd2_apply
+
+    cat = load_testdata(spark, sf_dir)
+    cust = cat.table("customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    updates = (
+        cat.table("customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey", "c_name", F.lit("UPDATED").alias("c_mktsegment")
+        )
+    )
+    hist = scd2_apply(
+        cust, updates, "c_custkey", effective_date="1995-06-01"
+    )
+    facts = cat.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    joined = point_in_time_join(
+        facts,
+        hist,
+        on=facts["o_custkey"] == hist["c_custkey"],
+        fact_ts="o_orderdate",
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey", "version", "c_mktsegment"
+    )

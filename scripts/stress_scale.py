@@ -79,7 +79,9 @@ def main() -> int:
     # x51's 4.5× "growth" on 3.33× data was partition-size spill, not
     # plan cost (VERDICT r6 item 5). A real cluster sizes this the same
     # way: partitions ∝ input volume, target ≤ ~256MB per partition.
-    shuffle_parts = 32 * max(1, scale // 10)
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_STRESS_PARTITIONS", 0)
+    ) or 32 * max(1, scale // 10)
     spark = build_session(
         app_name="stress", shuffle_partitions=shuffle_parts
     )
@@ -146,14 +148,19 @@ def main() -> int:
     # fact ⋈ fact join primitive at volume (not a suite query: both
     # sides amplified, measures the raw shuffle-join path)
     orders = spark.read.parquet(f"{workdir}/orders.parquet")
-    bench(
-        "fact_join",
-        lambda: li.join(
-            orders, li["l_orderkey"] == orders["o_orderkey"]
-        ),
-    )
+    if not os.environ.get("SPARK_GRAFT_STRESS_QUERIES"):
+        bench(
+            "fact_join",
+            lambda: li.join(
+                orders, li["l_orderkey"] == orders["o_orderkey"]
+            ),
+        )
 
-    for name in SUITE_QUERIES:
+    # isolate suspicious cells (cross-query GC interference — CLAUDE.md):
+    # SPARK_GRAFT_STRESS_QUERIES="x51_gopher_repetition" runs one cell
+    only = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
+    selected = only.split(",") if only else SUITE_QUERIES
+    for name in selected:
         q = queries[name]
         bench(name, lambda q=q: q.fn(spark, workdir))
 

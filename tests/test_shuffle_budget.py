@@ -233,6 +233,10 @@ SHUFFLE_BUDGET = {
     # per side); Levenshtein is a codegen'd map over candidates
     "x62_score_normalize": 2,  # per-source stats agg (broadcast back)
     # + the source window sort
+    "u09_incremental_join": 2,  # keep-latest max-struct agg + the
+    # touched-keys anti-join; both dim joins broadcast
+    "u10_point_in_time_join": 0,  # broadcast SCD-2 history (full-outer
+    # scd2 merge + the PIT equi-join both ride broadcasts at dim size)
     "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
     # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
     # query vector and the fusion joins two 20-row lists
