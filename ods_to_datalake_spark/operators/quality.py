@@ -112,20 +112,31 @@ def gopher_repetition(
         .filter(F.col("__c") >= 2)
         .select(id_col, "__g")
     )
-    covered = (
-        g5.join(dup_grams, [id_col, "__g"], "left_semi")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(
-                    F.col("__p"), F.col("__p") + (REP_5GRAM_N - 1)
-                )
-            ).alias("__tp"),
-        )
-        .distinct()
+    # Covered-position count = |union of the intervals [p, p+4]| over
+    # duplicated-gram start positions p. The union of FIXED-LENGTH
+    # intervals folds exactly with one ordered lag pass: each interval
+    # contributes min(5, p - p_prev) new positions (5 for the first).
+    # The explode(sequence)+distinct form this replaces materialized up
+    # to 5x the gram stream into a hash-distinct — the aggregate's
+    # fallback-and-spill under that volume was the 100x stress cell's
+    # superlinear term (5.8s@30x -> 33s@100x, partition-insensitive).
+    from pyspark.sql import Window
+
+    dup_pos = g5.join(dup_grams, [id_col, "__g"], "left_semi").select(
+        id_col, "__p"
     )
-    dup5 = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("dup5_positions")
+    w_pos = Window.partitionBy(id_col).orderBy("__p")
+    contrib = F.least(
+        F.lit(REP_5GRAM_N),
+        F.col("__p") - F.lag("__p", 1).over(w_pos),
+    )
+    dup5 = (
+        dup_pos.withColumn(
+            "__new",
+            F.coalesce(contrib, F.lit(REP_5GRAM_N)).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__new").alias("dup5_positions"))
     )
 
     out = (

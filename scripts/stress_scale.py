@@ -100,7 +100,11 @@ def main() -> int:
     # codeword a clone of base vector 0). One offset for every table
     # keeps the lineitem⋈orders key relation intact across replicas.
     offset = 10_000_000
-    for table, key_cols in AMPLIFIED.items():
+    reuse = os.environ.get("SPARK_GRAFT_STRESS_REUSE") and os.path.isdir(
+        f"{workdir}/lineitem.parquet"
+    )
+    amplified = AMPLIFIED if not reuse else {}
+    for table, key_cols in amplified.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
         rep = df.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(scale - 1)))
@@ -112,7 +116,7 @@ def main() -> int:
         rep.drop("__r").repartition(32).write.parquet(
             f"{workdir}/{table}.parquet"
         )
-    for table in COPIED:
+    for table in COPIED if not reuse else []:
         shutil.copy(f"{src}/{table}.parquet", f"{workdir}/{table}.parquet")
     print(f"amplify x{scale}: {time.perf_counter() - t0:.1f}s")
 
