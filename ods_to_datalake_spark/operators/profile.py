@@ -1,0 +1,171 @@
+"""Table profiling and declarative data-quality checks.
+
+The lake-side counterpart of the reference's manual "verify the synced
+table" step (ibs_ordinary_payment_utilities.py reads the written
+parquet back and eyeballs counts — sources/reader.read_back_verify
+mechanizes the count; this module mechanizes the rest): per-column
+statistics an engine would keep in its catalog, and a constraint audit
+that turns "the sync is correct" into declared, counted expectations
+(the Deequ/expectations pattern, relationally).
+
+Scale notes:
+
+- `table_profile` is ONE wide aggregate over the table — min/max/null
+  counts combine map-side; the exact distinct counts ride Spark's
+  Expand (one shuffle per aggregate distinct-set, AQE-coalesced). For
+  100-TB profiling swap `exact_distinct=False` to reuse the
+  HLL-sketch estimate (`operators/sketch`) per column instead; the
+  audit queries keep exact counts because the oracle must match
+  bit-for-bit.
+- Each constraint is a count-only aggregate (partial-aggregated) or a
+  key anti-join (broadcast when the parent side is a dimension); the
+  report is a union of 1-row frames — constraint count, not data
+  size, bounds the plan.
+- min/max are emitted as strings so one long-format report covers
+  heterogeneous columns; only string-stable types (integers, DECIMAL,
+  VARCHAR, DATE) should be profiled cross-engine — a raw DOUBLE's
+  shortest-repr rendering is NOT engine-stable (CLAUDE.md), cast it
+  to DECIMAL first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format per-column profile: one row per column with the
+    table row count, null count, (approx or exact) distinct count of
+    non-null values, and lexicographic-native min/max rendered as
+    strings. One aggregate job regardless of column count."""
+    cols = cols or df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}")
+        )
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col)
+            ).alias(f"__nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col("__n_rows").alias("n_rows"),
+                        F.col(f"__nn_{c}").alias("n_nulls"),
+                        F.col(f"__nd_{c}").alias("n_distinct"),
+                        F.col(f"__mn_{c}").alias("min_value"),
+                        F.col(f"__mx_{c}").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    """Violations = rows where ``col`` IS NULL."""
+    return df.agg(
+        F.lit(f"not_null({col})").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col(col).isNull(), 1)).alias("n_violations"),
+    )
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Violations = rows beyond the first per key (NULL-keyed rows
+    count as ordinary values, matching SQL GROUP BY semantics). Two
+    partial-aggregated shuffles on the key, never a window."""
+    per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        F.lit(f"unique({','.join(cols)})").alias("constraint_name"),
+        # COALESCE: SUM over the empty key table is NULL, not 0
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("n_checked"),
+        (
+            F.coalesce(F.sum("__n"), F.lit(0)) - F.count(F.lit(1))
+        ).alias("n_violations"),
+    )
+
+
+def check_in_set(df: DataFrame, col: str, values: list) -> DataFrame:
+    """Violations = non-null values outside the allowed set (NULLs are
+    `check_not_null`'s job — a membership test that also policed NULL
+    would double-count against both constraints)."""
+    rendered = ",".join(str(v) for v in values)
+    return df.agg(
+        F.lit(f"in_set({col}:{rendered})").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(
+            F.when(
+                F.col(col).isNotNull() & ~F.col(col).isin(values), 1
+            )
+        ).alias("n_violations"),
+    )
+
+
+def check_satisfies(
+    df: DataFrame, name: str, condition: Column
+) -> DataFrame:
+    """Violations = rows where ``condition`` is not TRUE (FALSE *or*
+    NULL — an unevaluable row is evidence against the constraint, the
+    conservative audit reading)."""
+    return df.agg(
+        F.lit(f"satisfies({name})").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(~condition.eqNullSafe(F.lit(True)), 1)).alias(
+            "n_violations"
+        ),
+    )
+
+
+def check_foreign_key(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Violations = non-null child keys with no parent row (orphans;
+    NULL FKs are legal per SQL). One anti-join — broadcast when the
+    parent is dimension-sized, shuffle-keyed otherwise."""
+    keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    fk = child.filter(F.col(child_col).isNotNull())
+    orphans = fk.join(keys, child_col, "left_anti")
+    n_checked = fk.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_bad = orphans.agg(F.count(F.lit(1)).alias("b")).select("b")
+    return n_checked.crossJoin(n_bad).select(
+        F.lit(f"foreign_key({child_col})").alias("constraint_name"),
+        F.col("n").alias("n_checked"),
+        F.col("b").alias("n_violations"),
+    )
+
+
+def constraint_report(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-constraint 1-row frames into the audit report,
+    with a pass flag. Row order is not meaningful (the constraint name
+    is the key)."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.withColumn(
+        "passed", F.col("n_violations") == F.lit(0)
+    )

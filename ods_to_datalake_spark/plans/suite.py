@@ -148,6 +148,7 @@ def load_all() -> dict[str, Query]:
         suite_sketch,  # x52-x54: mergeable sketches (new round 6)
         suite_retrieval,  # x55-x56: inverted index + BM25 (new round 6)
         suite_match,  # x60-x63: similarity joins + fusion (new round 7)
+        suite_quality,  # u11-u12 profiling/audit, e11 gap-fill (r7)
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

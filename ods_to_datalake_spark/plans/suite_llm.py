@@ -923,36 +923,26 @@ def x16_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Column profiling (ODS landing QA): per-column row/null/distinct "
     "counts and min/max in ONE pass over the table (single aggregate, "
-    "unpivoted to rows) — the ingest-gate health check.",
+    "unpivoted to rows) — the ingest-gate health check. Shares "
+    "operators/profile.table_profile with u11's full-table profile.",
 )
 def x17_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import table_profile
+
     cat = load_testdata(spark, sf_dir)
-    orders = cat.table("orders")
-    cols = ["o_custkey", "o_orderstatus"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count("*").alias(f"{c}__rows"),
-            F.count(c).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = orders.agg(*aggs)
-    profile = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col(f"{c}__rows").alias("n_rows"),
-                F.col(f"{c}__nn").alias("n_non_null"),
-                F.col(f"{c}__nd").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_value"),
-                F.col(f"{c}__max").alias("max_value"),
-            )
-            for c in cols
-        ]
+    prof = table_profile(
+        cat.table("orders"), ["o_custkey", "o_orderstatus"]
     )
-    return wide.select(F.explode(profile).alias("p")).select("p.*")
+    # this query's historical shape reports non-null counts; the
+    # operator reports null counts — same one-pass aggregate
+    return prof.select(
+        "column_name",
+        "n_rows",
+        (prof.n_rows - prof.n_nulls).alias("n_non_null"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
 
 
 @register(

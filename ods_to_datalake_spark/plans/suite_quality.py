@@ -1,0 +1,270 @@
+"""Data-quality suite (round 7): catalog-style table profiling (u11),
+a declarative constraint/expectations audit (u12), and time-series
+gap-fill / resampling over the event stream (e11).
+
+These mechanize the reference's manual "verify the synced table" step
+(ibs_ordinary_payment_utilities.py reads the written parquet back and
+checks it by hand; `sources/reader.read_back_verify` already does the
+count — this family does the rest): per-column statistics, declared
+constraints with violation counts, and the regular-grid
+last-observation-carried-forward fill that turns an irregular ODS
+changelog into an analyzable series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.operators.profile import (
+    check_foreign_key,
+    check_in_set,
+    check_not_null,
+    check_satisfies,
+    check_unique,
+    constraint_report,
+    table_profile,
+)
+from ods_to_datalake_spark.operators.timeseries import gap_fill
+from ods_to_datalake_spark.plans.suite import register
+
+# u11: profiled columns — string-stable types only (BIGINT, VARCHAR,
+# TIMESTAMP-at-midnight, DECIMAL-cast money); a raw DOUBLE's rendering
+# is not engine-stable, so o_totalprice profiles through DECIMAL(18,2)
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_totalprice_dec",
+]
+
+
+def _profile_leg(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_value,
+           CAST(MAX({col}) AS VARCHAR) AS max_value
+    FROM o
+    """
+
+
+@register(
+    "u11_table_profile",
+    oracle="WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2))"
+    " AS o_totalprice_dec FROM orders)\n"
+    + "\nUNION ALL\n".join(_profile_leg(c) for c in PROFILE_COLS),
+    doc="Catalog-style table profile of `orders`: one row per column "
+    "with row/null/exact-distinct counts and native-ordered min/max "
+    "rendered as strings — ONE wide aggregate job for all columns "
+    "(operators/profile.table_profile; the distinct counts ride "
+    "Spark's Expand, everything else combines map-side). Money "
+    "profiles through DECIMAL(18,2) because a raw DOUBLE's "
+    "shortest-repr rendering is not engine-stable. At 100 TB the "
+    "same operator runs with exact_distinct=False (HLL estimates) — "
+    "the audit keeps exact counts because the oracle must match.",
+)
+def u11_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders").withColumn(
+        "o_totalprice_dec",
+        F.col("o_totalprice").cast("decimal(18,2)"),
+    )
+    return table_profile(orders, PROFILE_COLS)
+
+
+@register(
+    "u12_constraint_audit",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS constraint_name,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_checked,
+           CAST(COALESCE(SUM(n), 0) - COUNT(*) AS BIGINT)
+             AS n_violations,
+           COALESCE(SUM(n), 0) - COUNT(*) = 0 AS passed
+    FROM (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderkey
+    ) g
+    UNION ALL
+    SELECT 'not_null(o_custkey)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           COUNT(*) - COUNT(o_custkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus:O,F,P)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O','F','P')
+                   THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN o_orderstatus IS NOT NULL
+             AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderpriority:1-URGENT,2-HIGH)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                   AND o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                   THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN o_orderpriority IS NOT NULL
+             AND o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'satisfies(positive_totalprice)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                   THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+             THEN 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_custkey IS NOT NULL),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND o.o_custkey NOT IN (
+                 SELECT c_custkey FROM customer
+                  WHERE c_custkey IS NOT NULL)),
+           (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND o.o_custkey NOT IN (
+                 SELECT c_custkey FROM customer
+                  WHERE c_custkey IS NOT NULL)) = 0
+    UNION ALL
+    SELECT 'foreign_key(l_orderkey)',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IS NOT NULL),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND l.l_orderkey NOT IN (
+                 SELECT o_orderkey FROM orders
+                  WHERE o_orderkey IS NOT NULL)),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND l.l_orderkey NOT IN (
+                 SELECT o_orderkey FROM orders
+                  WHERE o_orderkey IS NOT NULL)) = 0
+    UNION ALL
+    SELECT 'satisfies(quantity_1_to_50)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN NOT COALESCE(
+                   l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                   THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN NOT COALESCE(
+             l_quantity >= 1 AND l_quantity <= 50, FALSE)
+             THEN 1 END) = 0
+    FROM lineitem
+    """,
+    doc="Declarative data-quality audit (the Deequ/expectations "
+    "pattern) over orders/lineitem/customer: uniqueness, "
+    "not-null, enum membership, range, and two referential-integrity "
+    "checks — one row per constraint with checked/violation counts "
+    "and a pass flag (operators/profile.check_*). Deliberately "
+    "includes failing constraints (priority enum subset) so the "
+    "violation COUNTING path is exercised, not just zeros. Each "
+    "check is a partial-aggregated count or ONE key anti-join "
+    "(broadcast for the dim-sized parent, shuffle for the "
+    "fact-to-fact lineitem→orders check); the report is a union of "
+    "1-row frames — constraint count, not data size, bounds the "
+    "plan. NULL semantics pinned: NULL never violates in_set/FK "
+    "(not_null's job), but an unevaluable range predicate does "
+    "(conservative audit reading).",
+)
+def u12_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    lineitem = cat.table("lineitem")
+    customer = cat.table("customer")
+    return constraint_report(
+        [
+            check_unique(orders, ["o_orderkey"]),
+            check_not_null(orders, "o_custkey"),
+            check_in_set(orders, "o_orderstatus", ["O", "F", "P"]),
+            check_in_set(
+                orders, "o_orderpriority", ["1-URGENT", "2-HIGH"]
+            ),
+            check_satisfies(
+                orders,
+                "positive_totalprice",
+                F.col("o_totalprice") > 0,
+            ),
+            check_foreign_key(
+                orders, "o_custkey", customer, "c_custkey"
+            ),
+            check_foreign_key(
+                lineitem,
+                "l_orderkey",
+                orders,
+                "o_orderkey",
+                broadcast_parent=False,  # fact-to-fact: shuffle path
+            ),
+            check_satisfies(
+                lineitem,
+                "quantity_1_to_50",
+                (F.col("l_quantity") >= 1)
+                & (F.col("l_quantity") <= 50),
+            ),
+        ]
+    )
+
+
+@register(
+    "e11_gap_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts IS NOT NULL
+      ) AS _r WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket,
+           LAST_VALUE(o.value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value,
+           o.value IS NOT NULL AS observed
+    FROM spine s
+    LEFT JOIN obs o
+      ON s.user_id = o.user_id AND s.bucket = o.bucket
+    """,
+    doc="Time-series gap-fill: resample each user's event stream onto "
+    "an hourly grid (latest observation per bucket, (ts, event_id) "
+    "tiebreak via max-struct — never a window over the raw stream) "
+    "and forward-fill missing hours from the key's first to last "
+    "observed bucket (operators/timeseries.gap_fill). The spine is "
+    "sequence+explode per key — generated distributed, never on the "
+    "driver — and the agg, bounds, join, and fill window all share "
+    "one partitioning by user. Filled values are the carried DOUBLE "
+    "bit-moved (no arithmetic), so cross-engine parity is exact; the "
+    "`observed` flag marks real vs carried rows.",
+)
+def e11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    return gap_fill(
+        cat.table("events"),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        unit="hour",
+        tiebreak="event_id",
+    )

@@ -1,0 +1,119 @@
+"""Unit coverage for operators/profile: per-column stats, each
+constraint check's NULL semantics, and empty-input totals (the
+registered u11/u12 queries get oracle + relational-edge coverage;
+these pin the operator-level contracts directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.profile import (
+    check_foreign_key,
+    check_in_set,
+    check_not_null,
+    check_satisfies,
+    check_unique,
+    constraint_report,
+    table_profile,
+)
+
+SCHEMA = "id long, grp string, amt long"
+ROWS = [
+    (1, "a", 10),
+    (2, "a", None),
+    (3, "b", 30),
+    (3, None, 30),  # duplicate id, NULL grp
+    (None, "c", -5),  # NULL id, negative amt
+]
+
+
+def _by_col(df, key="column_name"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_table_profile_counts_and_minmax(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    prof = _by_col(table_profile(df))
+    assert set(prof) == {"id", "grp", "amt"}
+    for p in prof.values():
+        assert p["n_rows"] == 5
+    assert prof["id"]["n_nulls"] == 1
+    assert prof["id"]["n_distinct"] == 3  # 1,2,3 (3 repeats; NULL out)
+    assert prof["id"]["min_value"] == "1"
+    assert prof["id"]["max_value"] == "3"
+    assert prof["grp"]["n_nulls"] == 1
+    assert prof["grp"]["min_value"] == "a"
+    assert prof["grp"]["max_value"] == "c"
+    assert prof["amt"]["min_value"] == "-5"
+    assert prof["amt"]["n_distinct"] == 3  # 10, 30, -5
+
+
+def test_table_profile_empty_input(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    prof = _by_col(table_profile(df, ["id", "grp"]))
+    assert set(prof) == {"id", "grp"}
+    for p in prof.values():
+        assert (
+            p["n_rows"],
+            p["n_nulls"],
+            p["n_distinct"],
+            p["min_value"],
+            p["max_value"],
+        ) == (0, 0, 0, None, None)
+
+
+def test_constraint_checks_null_semantics(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    report = {
+        r["constraint_name"]: r.asDict()
+        for r in constraint_report(
+            [
+                check_unique(df, ["id"]),  # id 3 twice -> 1 violation
+                check_not_null(df, "grp"),  # 1 NULL
+                # NULL grp is NOT an in_set violation (not_null's job)
+                check_in_set(df, "grp", ["a", "b"]),  # only 'c'
+                # NULL amt row is unevaluable -> violation; -5 too
+                check_satisfies(df, "amt_pos", F.col("amt") > 0),
+            ]
+        ).collect()
+    }
+    assert report["unique(id)"]["n_violations"] == 1
+    assert report["unique(id)"]["n_checked"] == 5
+    assert not report["unique(id)"]["passed"]
+    assert report["not_null(grp)"]["n_violations"] == 1
+    assert report["in_set(grp:a,b)"]["n_violations"] == 1
+    assert report["satisfies(amt_pos)"]["n_violations"] == 2
+    assert all(r["n_checked"] == 5 for r in report.values())
+
+
+def test_foreign_key_orphans_and_null_fk(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = check_foreign_key(child, "fk", parent, "pk").collect()[0]
+    # NULL FK is legal (not checked); 99 is the one orphan
+    assert row["n_checked"] == 3
+    assert row["n_violations"] == 1
+    shuffled = check_foreign_key(
+        child, "fk", parent, "pk", broadcast_parent=False
+    ).collect()[0]
+    assert (shuffled["n_checked"], shuffled["n_violations"]) == (3, 1)
+
+
+def test_constraint_report_empty_input(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    parent = spark.createDataFrame([], "pk long")
+    rows = constraint_report(
+        [
+            check_unique(df, ["id"]),
+            check_not_null(df, "grp"),
+            check_in_set(df, "grp", ["a"]),
+            check_satisfies(df, "ok", F.col("amt") > 0),
+            check_foreign_key(df, "id", parent, "pk"),
+        ]
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (r["n_checked"], r["n_violations"]) == (0, 0)
+        assert r["passed"]

@@ -182,7 +182,7 @@ SHUFFLE_BUDGET = {
     "x50_source_quality_report": 1,  # per-doc rule signals computed
     # inline (no join back to x48/x49) — the whole report is one
     # map-side-combined exchange on source
-    "x51_gopher_repetition": 7,  # line agg (2-stage), top-2gram agg +
+    "x51_gopher_repetition": 6,  # line agg (2-stage), top-2gram agg +
     # argmax, dup-5gram agg + coverage distinct, three doc_id joins —
     # every key includes doc_id, so all partial-agg and uniform
     "e09_event_paths": 2,  # one user_id window shuffle extracts every
@@ -237,6 +237,14 @@ SHUFFLE_BUDGET = {
     # touched-keys anti-join; both dim joins broadcast
     "u10_point_in_time_join": 0,  # broadcast SCD-2 history (full-outer
     # scd2 merge + the PIT equi-join both ride broadcasts at dim size)
+    "u11_table_profile": 2,  # one wide agg; the exact-distinct Expand
+    # pays the second exchange (HLL mode drops to 1)
+    "u12_constraint_audit": 13,  # 8 constraints: count-aggs (2-stage
+    # partials), the unique check's key grouping, and the fact-to-fact
+    # FK shuffle anti-join — every exchange moves counts or bare keys,
+    # never data rows; constraint count, not table size, bounds this
+    "e11_gap_fill": 2,  # (key,bucket) resample agg + the key-level
+    # bounds/spine/fill pipeline sharing one partitioning by key
     "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
     # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
     # query vector and the fusion joins two 20-row lists

@@ -1,0 +1,141 @@
+"""Unit + adversarial-parity coverage for operators/timeseries: the
+resample tiebreak, fill/observed semantics, the span width guard, and
+the registered e11 query↔oracle pair replayed over an adversarial
+event corpus (timestamp ties, NULL ts/value/user, a single-event user,
+an epoch-0 user) — the gap-fill face of the events edge tier, with the
+span kept bounded so the spine stays test-sized."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.timeseries import (
+    gap_fill,
+    oversized_spans,
+    resample_last,
+)
+from ods_to_datalake_spark.plans.suite import load_all
+from tests.oracle_utils import compare, duckdb_conn
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+# user 1: a tie inside hour 0 (event_id breaks it), a 3-hour gap, then
+# a NULL-value observation (fill must carry 2.0 THROUGH it)
+# user 2: single event (1-row spine)
+# user 3: NULL ts row (unplaceable, dropped) + one real event
+# user NULL: grid built, but null-unsafe join leaves it unobserved
+# user 5: epoch-0 events (pre-1970-adjacent boundary, tiny span)
+EDGE_EVENTS = [
+    (0, _ts("2024-01-01T00:10:00"), 1, "view", 1.0, None),
+    (1, _ts("2024-01-01T00:10:00"), 1, "click", 2.0, None),  # tie
+    (2, _ts("2024-01-01T04:30:00"), 1, "view", None, None),
+    (3, _ts("2024-01-01T05:59:00"), 1, "view", 9.0, None),
+    (4, _ts("2024-01-02T00:00:00"), 2, "view", 7.0, None),
+    (5, None, 3, "view", 100.0, None),
+    (6, _ts("2024-01-03T12:00:00"), 3, "view", 3.0, None),
+    (7, _ts("2024-01-04T00:00:00"), None, "view", 4.0, None),
+    (8, _ts("2024-01-04T02:00:00"), None, "view", 5.0, None),
+    (9, _ts("1970-01-01T00:05:00"), 5, "view", 6.0, None),
+    (10, _ts("1970-01-01T02:05:00"), 5, "view", 8.0, None),
+]
+
+
+@pytest.fixture(scope="module")
+def ev_df(spark):
+    return spark.createDataFrame(EDGE_EVENTS, EV_SCHEMA)
+
+
+def test_resample_last_tiebreak_and_null_ts(spark, ev_df):
+    got = {
+        (r.user_id, r.bucket): r.value
+        for r in resample_last(
+            ev_df, "user_id", "ts", "value", "hour", "event_id"
+        ).collect()
+    }
+    # the tie resolves to the larger event_id (2.0), never 1.0
+    assert got[(1, _ts("2024-01-01T00:00:00"))] == 2.0
+    # NULL-ts rows are unplaceable: user 3 has exactly one bucket
+    assert [k for k in got if k[0] == 3] == [
+        (3, _ts("2024-01-03T12:00:00"))
+    ]
+
+
+def test_gap_fill_carries_and_flags(spark, ev_df):
+    rows = {
+        (r.user_id, r.bucket): (r.value, r.observed)
+        for r in gap_fill(
+            ev_df, "user_id", "ts", "value", "hour", "event_id"
+        ).collect()
+    }
+    u1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert len(u1) == 6  # 00:00 .. 05:00 inclusive
+    # gap hours carry the last observation forward
+    assert rows[(1, _ts("2024-01-01T01:00:00"))] == (2.0, False)
+    assert rows[(1, _ts("2024-01-01T03:00:00"))] == (2.0, False)
+    # the NULL-value observation is carried THROUGH, flagged unobserved
+    assert rows[(1, _ts("2024-01-01T04:00:00"))] == (2.0, False)
+    assert rows[(1, _ts("2024-01-01T05:00:00"))] == (9.0, True)
+    # single-event user: one observed row
+    assert rows[(2, _ts("2024-01-02T00:00:00"))] == (7.0, True)
+    # NULL user: spine exists, null-unsafe join leaves it unobserved
+    null_rows = [v for k, v in rows.items() if k[0] is None]
+    assert len(null_rows) == 3
+    assert all(v == (None, False) for v in null_rows)
+    # epoch-0 user fills its 3-hour span
+    assert rows[(5, _ts("1970-01-01T01:00:00"))] == (6.0, False)
+
+
+def test_gap_fill_span_guard_and_report(spark):
+    rows = [
+        (0, _ts("2024-01-01T00:00:00"), 1, "v", 1.0, None),
+        (1, _ts("2024-01-01T09:00:00"), 1, "v", 2.0, None),
+        (2, _ts("2024-01-01T00:00:00"), 2, "v", 3.0, None),
+        (3, _ts("2024-03-01T00:00:00"), 2, "v", 4.0, None),  # stray
+    ]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    filled = gap_fill(
+        df, "user_id", "ts", "value", "hour", "event_id",
+        max_buckets_per_key=100,
+    )
+    assert {r.user_id for r in filled.collect()} == {1}
+    report = oversized_spans(df, "user_id", "ts", "hour", 100).collect()
+    assert [r.user_id for r in report] == [2]
+    assert report[0].span_buckets == 60 * 24 + 1  # Jan1->Mar1 hours
+
+
+def test_e11_parity_on_adversarial_events(spark, tmp_path):
+    df = spark.createDataFrame(EDGE_EVENTS, EV_SCHEMA)
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb_conn(str(tmp_path))
+    try:
+        q = load_all()["e11_gap_fill"]
+        report = compare(q.fn(spark, str(tmp_path)), con, q.oracle)
+        assert report["match"], report
+    finally:
+        con.close()
+
+
+def test_gap_fill_empty_input(spark):
+    df = spark.createDataFrame([], EV_SCHEMA)
+    assert (
+        gap_fill(df, "user_id", "ts", "value", "hour", "event_id")
+        .count()
+        == 0
+    )
+
+
+def test_bad_unit_rejected(spark, ev_df):
+    with pytest.raises(ValueError):
+        resample_last(ev_df, "user_id", "ts", "value", "week")
