@@ -130,6 +130,55 @@ def cdc_upsert_sink(
     return sink
 
 
+def materialized_join_sink(
+    state_dir: str,
+    keys: list[str],
+    dim: DataFrame,
+    dim_keys: list[str],
+    op_col: str = "op",
+    version_col: str | None = None,
+):
+    """foreachBatch sink maintaining a MATERIALIZED fact ⋈ dim join
+    from a fact-side change stream — the streaming face of
+    `operators/incremental.cdc_maintain_join` (u09), under the same
+    ``snapshot=<batch_id>`` layout/idempotence contract as
+    `cdc_upsert_sink`: each batch pays one touched-keys anti-join
+    against the prior join snapshot plus the change batch against the
+    (broadcast) dimension — the materialized join is never re-joined.
+    The dimension is fixed for the stream's lifetime (a dim-side
+    change is a rebuild, not a micro-batch)."""
+    from ods_to_datalake_spark.operators.incremental import (
+        cdc_maintain_join,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        data_cols = [
+            c
+            for c in batch_df.columns
+            if c not in (op_col, version_col)
+        ]
+        prior = read_cdc_snapshot(spark, state_dir, before=batch_id)
+        if prior is None:  # bootstrap: empty join, joined schema
+            prior = batch_df.select(*data_cols).limit(0).join(
+                dim, dim_keys
+            )
+        snap = cdc_maintain_join(
+            prior,
+            batch_df,
+            keys,
+            dim,
+            dim_keys,
+            op_col=op_col,
+            version_col=version_col,
+        )
+        snap.write.mode("overwrite").parquet(
+            f"{state_dir}/{SNAP_COL}={batch_id}"
+        )
+
+    return sink
+
+
 def maintain_cdc_snapshot(
     stream: DataFrame,
     state_dir: str,

@@ -161,3 +161,39 @@ def test_real_stream_maintains_snapshot(spark, tmp_path):
     # FINAL snapshot must equal the batch fold of all changes...
     got = _rows(read_cdc_snapshot(spark, state))
     assert got == _rows(_batch_fold(spark, [BATCH0, BATCH1, BATCH2]))
+
+
+DIM_ROWS = [(1, "gold"), (2, "silver"), (3, "gold"), (4, "bronze")]
+
+
+def test_materialized_join_sink_equals_apply_then_join(spark, tmp_path):
+    """The maintained join snapshot must equal cdc_apply-fold-then-join
+    after every batch (the streaming u09 identity), and replays must be
+    no-ops — the dimension only ever meets the change batch."""
+    from ods_to_datalake_spark.streaming.cdc_ingest import (
+        materialized_join_sink,
+    )
+
+    dim = spark.createDataFrame(DIM_ROWS, "k long, tier string")
+    state = str(tmp_path / "state")
+    sink = materialized_join_sink(
+        state, ["k"], dim, ["k"], op_col="op", version_col="ver"
+    )
+    batches = [BATCH0, BATCH1, BATCH2]
+
+    def _joined_rows(df):
+        return sorted(
+            (r.k, r.v, r.tier) for r in df.collect()
+        )
+
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, SCHEMA), i)
+        expect = _batch_fold(spark, batches[: i + 1]).join(dim, "k")
+        assert _joined_rows(read_cdc_snapshot(spark, state)) == (
+            _joined_rows(expect)
+        )
+    # replay the last batch: identical snapshot, no duplicate rows
+    before = _joined_rows(read_cdc_snapshot(spark, state))
+    sink(spark.createDataFrame(BATCH2, SCHEMA), 2)
+    assert _joined_rows(read_cdc_snapshot(spark, state)) == before
+    assert list_cdc_snapshots(spark, state) == [0, 1, 2]
