@@ -1,0 +1,106 @@
+"""Iterative graph analytics beyond connected components
+(`dedup.connected_components`): PageRank over an edge table, in EXACT
+integer arithmetic so the fixed-iteration result is engine- and
+partitioning-independent.
+
+Why integer: float PageRank sums contributions in partition order —
+no cross-engine (or even run-to-run shuffle-order) bit stability.
+Ranks here are BIGINTs scaled by ``scale`` (default 10^12): the
+per-edge contribution is ``r div outdeg`` (truncating integer
+division — DuckDB's ``//`` and Spark's ``div`` agree for
+non-negative operands, CLAUDE.md), the damping is an integer
+num/den split, and the BIGINT sum is exact and order-free. The cost
+is a deterministic ≤1-ulp-ish truncation drip per node per iteration
+(bounded by iterations · outdeg / scale ~ 1e-10 of total mass) —
+invisible at ranking granularity, and the same in every engine.
+
+Semantics: the standard damped update
+    r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)
+over a fixed iteration count, WITHOUT dangling-mass redistribution
+(a sink node's mass drips out of the system — the simplified variant;
+feed symmetric edges if every node should have out-degree, as the
+registered g01 trade graph does).
+
+Scale shape: each iteration is one src-keyed equi-join (rank ⋈
+edges+outdeg) and one dst-keyed partial-aggregated sum — 2 keyed
+shuffles per iteration over the edge table, nodes-sized state. At
+real scale, bucket the edge table by src (sources/writer bucketed
+tables) so the join side of every iteration is co-located, and
+localCheckpoint the rank frame every few iterations (the
+connected_components rule) — with a small fixed iteration count the
+plan stays shallow enough to skip that here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+PR_NUM, PR_DEN = 85, 100  # damping d = 0.85 as an integer split
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = PR_SCALE,
+    damping_num: int = PR_NUM,
+    damping_den: int = PR_DEN,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over ``edges`` (directed,
+    deduplicated by the caller). Returns (node, r) with r the scaled
+    BIGINT rank. Nodes = src ∪ dst; NULL endpoints are dropped."""
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).alias("__outdeg")
+    )
+    n = nodes.count()  # one driver-sized number, like k-seeds/minmax
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("r")
+        )
+    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e["__s"] == ranks["node"])
+            .join(outdeg, outdeg["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                F.expr("r div __outdeg").alias("__c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum("__c").alias("__sum")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(__sum, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            # truncate lineage every round (the connected_components
+            # rule, CLAUDE.md): without this, iteration k's plan
+            # re-contains iterations 1..k-1 and the Exchange count
+            # grows O(k^2) — measured 65 exchanges for 5 iterations
+            # vs 2 per round checkpointed; the frame is nodes-sized
+            .localCheckpoint()
+        )
+    return ranks

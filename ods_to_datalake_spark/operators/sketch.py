@@ -358,6 +358,50 @@ def cms_estimate(
     )
 
 
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches
+    built on the join keys (Cormode & Muthukrishnan 2005, §4.2): the
+    per-row inner product Σ_bucket cntA·cntB upper-bounds
+    |A ⋈ B| = Σ_key fA(key)·fB(key), and the MIN over the depth rows
+    is the estimate — never an underestimate, within εN²  with the
+    usual (ε, δ) width/depth guarantees.
+
+    This is the optimizer's join-size oracle as a lake artifact: both
+    sketches are depth·width-row mergeable tables (build once per
+    partition/day, sum to combine), so planning-time estimates never
+    rescan the fact tables. The estimate itself joins two fixed-size
+    grids — driver-free, integer-exact, engine-independent.
+    Returns one row: (est_join_size,). Sketches built with DIFFERENT
+    (depth, width) must not be mixed — bucket ids would not align.
+    """
+    a = sketch_a.select(
+        "cms_row", "cms_bucket", F.col("cnt").alias("__ca")
+    )
+    b = sketch_b.select(
+        "cms_row", "cms_bucket", F.col("cnt").alias("__cb")
+    )
+    per_row = (
+        a.join(b, ["cms_row", "cms_bucket"])  # absent cells are 0
+        .groupBy("cms_row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    # a sketch row can be entirely disjoint (dot 0 after the inner
+    # join drops it): min over PRESENT rows only would overestimate —
+    # re-seed the full row set so missing rows count as 0
+    rows = per_row.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("cms_row")
+    )
+    return (
+        rows.join(per_row, "cms_row", "left")
+        .withColumn("__dot", F.coalesce(F.col("__dot"), F.lit(0)))
+        .agg(F.min("__dot").cast("long").alias("est_join_size"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------

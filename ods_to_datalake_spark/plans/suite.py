@@ -149,6 +149,7 @@ def load_all() -> dict[str, Query]:
         suite_retrieval,  # x55-x56: inverted index + BM25 (new round 6)
         suite_match,  # x60-x63: similarity joins + fusion (new round 7)
         suite_quality,  # u11-u12 profiling/audit, e11 gap-fill (r7)
+        suite_graph,  # g01 pagerank, x64 join-size estimate (r7)
     )
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]

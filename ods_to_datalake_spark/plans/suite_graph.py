@@ -1,0 +1,192 @@
+"""Graph & planning-estimate suite (round 7): exact-integer PageRank
+over the supplier↔customer trade graph (g01) and count-min join-size
+estimation (x64) — iterative graph analytics beyond connected
+components, and the optimizer's join-cardinality oracle as a
+mergeable lake artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.catalog import load_testdata
+from ods_to_datalake_spark.operators.graph import (
+    PR_DEN,
+    PR_NUM,
+    PR_SCALE,
+    pagerank_integer,
+)
+from ods_to_datalake_spark.operators.sketch import (
+    cms_join_size,
+    cms_sketch,
+)
+from ods_to_datalake_spark.plans.suite import register
+from ods_to_datalake_spark.plans.suite_sketch import SQL_CMS_ROWS
+
+PR_ITERATIONS = 5
+
+# x64: the collision term of the inner-product bound is ~|A||B|/width,
+# so a join-size sketch needs width >> distinct keys to be informative
+# (the default 512-wide point-query grid would drown 60k true matches
+# in ~1.8M collision mass at sf0.01); 2^16 cells is still a tiny,
+# mergeable artifact
+JOIN_CMS_WIDTH = 65536
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Chained-CTE mirror of `pagerank_integer` (one CTE per
+    iteration — the fixed-point loop unrolled; DuckDB `//` truncates
+    like Spark `div` for the non-negative operands here)."""
+    base = f"(({PR_DEN - PR_NUM} * {PR_SCALE}) // ({PR_DEN} * nn.n))"
+    ctes = [
+        f"""pairs AS (
+      SELECT DISTINCT 2*l_suppkey AS src, 2*o_custkey+1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
+    )""",
+        """edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    )""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges) AS _u
+    )""",
+        """deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    )""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS (
+      SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn
+    )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT nd.node,
+             CAST({base} + ({PR_NUM} * COALESCE(s.sm, 0)) // {PR_DEN}
+               AS BIGINT) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(rp.r // dg.outdeg) AS sm
+        FROM edges e
+        JOIN r{k - 1} rp ON e.src = rp.node
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r FROM r{iterations}"
+    )
+
+
+@register(
+    "g01_pagerank",
+    oracle=_pagerank_oracle(PR_ITERATIONS),
+    doc=f"Exact-integer PageRank ({PR_ITERATIONS} iterations, d=0.85 "
+    "as an 85/100 integer split, ranks scaled by 1e12) over the "
+    "symmetric supplier↔customer trade graph (distinct shipped-to "
+    "pairs from lineitem ⋈ orders; node ids parity-namespaced "
+    "2*suppkey / 2*custkey+1). Float PageRank sums in partition "
+    "order — no cross-engine bit stability — so every contribution "
+    "is truncating-integer `r div outdeg` and the BIGINT sum is "
+    "exact and order-free (operators/graph.pagerank_integer); the "
+    "deterministic truncation drip is ~1e-10 of total mass. Each "
+    "iteration is one src-keyed join + one dst-keyed partial agg; "
+    "at real scale the edge table is bucketed by src so every "
+    "iteration's join is co-located, and ranks localCheckpoint "
+    "every few rounds (the connected-components rule).",
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        )
+        .where(
+            F.col("l_suppkey").isNotNull()
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return pagerank_integer(edges, iterations=PR_ITERATIONS)
+
+
+def _sql_cms(table: str, key: str) -> str:
+    return f"""(
+      SELECT cms_row,
+             CAST(concat('0x', substring(md5(concat(
+                 'cms', CAST(cms_row AS VARCHAR), ':',
+                 CAST({key} AS VARCHAR))), 1, 8))
+               AS BIGINT) % {JOIN_CMS_WIDTH} AS cms_bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {table}, {SQL_CMS_ROWS}
+      WHERE {key} IS NOT NULL
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "x64_cms_join_size",
+    oracle=f"""
+    WITH ska AS {_sql_cms("orders", "o_orderkey")},
+    skb AS {_sql_cms("lineitem", "l_orderkey")},
+    dots AS (
+      SELECT r.cms_row,
+             CAST(COALESCE(SUM(a.cnt * b.cnt), 0) AS BIGINT) AS dot
+      FROM {SQL_CMS_ROWS.replace("AS _r", "AS r")}
+      LEFT JOIN ska a ON a.cms_row = r.cms_row
+      LEFT JOIN skb b ON b.cms_row = a.cms_row
+       AND b.cms_bucket = a.cms_bucket
+      GROUP BY r.cms_row
+    )
+    SELECT (SELECT CAST(MIN(dot) AS BIGINT) FROM dots)
+             AS est_join_size,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM orders JOIN lineitem
+                ON o_orderkey = l_orderkey) AS exact_join_size
+    """,
+    doc="Equi-join cardinality estimation from two count-min "
+    "sketches on the join keys (Cormode & Muthukrishnan 2005 §4.2): "
+    "per-row inner product of the orders/lineitem key grids, MIN "
+    "over depth rows — a provable UPPER bound on |orders ⋈ "
+    "lineitem|, audited in-row against the exact join count (est >= "
+    "exact by construction; the exact leg exists only for the "
+    "audit). The optimizer's join-size oracle as a lake artifact: "
+    "both sketches are mergeable fixed-size tables built once per "
+    "partition, so planning-time estimates never rescan the facts — "
+    "the estimate itself joins two depth×width grids, driver-free "
+    "and integer-exact (operators/sketch.cms_join_size).",
+)
+def x64_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    ska = cms_sketch(
+        cat.table("orders"), "o_orderkey", width=JOIN_CMS_WIDTH
+    )
+    skb = cms_sketch(
+        cat.table("lineitem"), "l_orderkey", width=JOIN_CMS_WIDTH
+    )
+    est = cms_join_size(ska, skb)
+    orders = cat.table("orders")
+    li = cat.table("lineitem")
+    exact = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(exact)

@@ -1,0 +1,92 @@
+"""Unit coverage for operators/graph.pagerank_integer and
+operators/sketch.cms_join_size: known-topology rank order, mass
+conservation up to the documented truncation drip, partitioning
+invariance, and the join-size upper-bound property."""
+
+from __future__ import annotations
+
+from ods_to_datalake_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_integer,
+)
+from ods_to_datalake_spark.operators.sketch import (
+    cms_join_size,
+    cms_sketch,
+)
+
+
+def _ranks(df):
+    return {r.node: r.r for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    r = _ranks(pagerank_integer(edges, iterations=4))
+    # a directed cycle is perfectly symmetric: identical ranks
+    assert len(set(r.values())) == 1
+    assert len(r) == 3
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    # undirected star: leaves 2..6 <-> center 1
+    fwd = [(1, d) for d in range(2, 7)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], "src long, dst long"
+    )
+    r = _ranks(pagerank_integer(edges, iterations=6))
+    assert r[1] > max(v for k, v in r.items() if k != 1)
+    leaf_ranks = {v for k, v in r.items() if k != 1}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+    # symmetric graph has no dangling mass: total stays within the
+    # truncation drip (~iterations * nodes ulps of the scale)
+    assert abs(sum(r.values()) - PR_SCALE) < 1000
+
+
+def test_pagerank_partitioning_invariant(spark):
+    fwd = [(i, (i * 7) % 23) for i in range(23)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], "src long, dst long"
+    )
+    a = _ranks(pagerank_integer(edges, iterations=3))
+    b = _ranks(pagerank_integer(edges.repartition(13), iterations=3))
+    assert a == b  # bit-identical under any partitioning
+
+
+def test_pagerank_dangling_sink_leaks_documented_mass(spark):
+    # 1 -> 2 only: node 2 is a sink; its mass drips out each round
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = _ranks(pagerank_integer(edges, iterations=2))
+    assert set(r) == {1, 2}
+    assert sum(r.values()) < PR_SCALE  # the simplified-variant leak
+    assert r[2] > r[1]  # 2 receives 1's mass, 1 only the base
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_integer(edges, iterations=2).count() == 0
+
+
+def test_cms_join_size_upper_bounds_exact(spark):
+    a = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 3]], "k long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 4]], "k long"
+    )
+    est = cms_join_size(
+        cms_sketch(a, "k"), cms_sketch(b, "k")
+    ).collect()[0]["est_join_size"]
+    exact = a.join(b, "k").count()  # 3*1 + 1*2 = 5
+    assert exact == 5
+    assert est >= exact
+
+
+def test_cms_join_size_empty_side_is_zero(spark):
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    est = cms_join_size(
+        cms_sketch(a, "k"), cms_sketch(empty, "k")
+    ).collect()[0]["est_join_size"]
+    assert est == 0

@@ -245,6 +245,13 @@ SHUFFLE_BUDGET = {
     # never data rows; constraint count, not table size, bounds this
     "e11_gap_fill": 2,  # (key,bucket) resample agg + the key-level
     # bounds/spine/fill pipeline sharing one partitioning by key
+    "g01_pagerank": 0,  # per-iteration lineage is localCheckpoint-
+    # truncated (the connected_components rule): the final plan reads
+    # the checkpointed rank RDD; each materialized round paid 2 keyed
+    # exchanges (un-checkpointed the 5-round plan measured 65 — the
+    # O(k^2) lineage blowup this guard would otherwise miss)
+    "x64_cms_join_size": 5,  # two grid builds (2-stage partials) +
+    # the per-row dot agg; the exact-count audit leg joins broadcast
     "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
     # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
     # query vector and the fusion joins two 20-row lists
