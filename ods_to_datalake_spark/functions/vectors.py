@@ -72,3 +72,45 @@ def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
         .cast("int"),
     )
     return scale, q
+
+
+def signed_projection(vec: Column | str, signs: list[list[float]]) -> Column:
+    """Signed random projection (Achlioptas 2003 / SimHash's linear
+    cousin): y_i = Σ_j x_j · s_ij with s_ij ∈ {+1.0, −1.0} baked into
+    the plan as literals (the sign matrix is data-independent — derive
+    it deterministically from a seed at build time, e.g.
+    `projection_signs`). Each output component is the same
+    zip_with + left-fold as `dot`, so it matches DuckDB's
+    list_dot_product element order bit-for-bit; pure map-side codegen,
+    no shuffle, no UDF.
+
+    The k-dim output preserves pairwise distances within the usual
+    Johnson-Lindenstrauss distortion, making it the cheap front-end
+    for ANN/clustering over high-dim embeddings: project once, index
+    the short vectors, re-rank survivors at full precision."""
+    v = to_double(vec)
+    return F.array(
+        *[
+            dot(v, F.array(*[F.lit(s) for s in row]))
+            for row in signs
+        ]
+    )
+
+
+def projection_signs(out_dim: int, in_dim: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 sign matrix from md5(seed:i:j) parity —
+    reproducible anywhere (Python, not engine hashing: the matrix is
+    plan-side constant data, never computed over rows)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(
+                f"{seed}:{i}:{j}".encode()
+            ).digest()[0] % 2 == 0
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]

@@ -242,3 +242,34 @@ def bottomk_sample(
         .filter(F.col("rank") <= k)
         .select(*keys, "rank", id_col, "sample_h")
     )
+
+
+def leakage_free_split(
+    labeled: DataFrame,
+    label_col: str,
+    boundaries: list[tuple[int, str]] = [
+        (80, "train"),
+        (90, "val"),
+        (100, "test"),
+    ],
+) -> DataFrame:
+    """Train/val/test assignment hashed on a GROUP label instead of
+    the row id: every row sharing ``label_col`` (a near-dup cluster
+    id, a source domain, a user id) lands in the SAME split — the
+    leakage-safe version of `x19`'s per-document hash split (splitting
+    near-duplicate documents across train and test silently leaks
+    training data into evaluation; splitting by cluster can't).
+    ``boundaries`` are cumulative integer percents over the md5
+    bucket — all-integer membership, the suite-wide sampling rule.
+    Pure map-side expression over the labeled frame: the only cost is
+    whatever join produced the labels."""
+    bucket = hash_bucket(label_col, 100)
+    assignment = None
+    for hi, name in boundaries:
+        cond = bucket < F.lit(hi)
+        assignment = (
+            F.when(cond, name)
+            if assignment is None
+            else assignment.when(cond, name)
+        )
+    return labeled.withColumn("split", assignment)

@@ -1396,3 +1396,135 @@ def x41_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_oov").cast("double") / F.col("n_tokens"))
         .alias("oov_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: JL projection + leakage-free splitting
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 16
+RP_IN_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+RP_SIGNS = None  # filled below (module-import-time constant)
+
+
+def _rp_signs():
+    from ods_to_datalake_spark.functions.vectors import projection_signs
+
+    return projection_signs(RP_OUT_DIM, RP_IN_DIM)
+
+
+RP_SIGNS = _rp_signs()
+
+
+def _rp_oracle() -> str:
+    legs = []
+    for i, row in enumerate(RP_SIGNS):
+        ints = ", ".join("1" if s > 0 else "-1" for s in row)
+        legs.append(
+            f"SELECT {i} AS out_dim, list_transform([{ints}], "
+            "x -> CAST(x AS DOUBLE)) AS signs"
+        )
+    return f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    m AS ({' UNION ALL '.join(legs)})
+    SELECT vec_id, out_dim,
+           list_dot_product(cv, signs) AS value
+    FROM c, m
+    """
+
+
+@register(
+    "x65_random_projection",
+    oracle=_rp_oracle(),
+    doc=f"Signed random projection {RP_IN_DIM}→{RP_OUT_DIM} "
+    "(Achlioptas 2003): y_i = Σ_j x_j·s_ij with the ±1 sign matrix a "
+    "deterministic plan-side constant (md5-parity seeded, "
+    "functions/vectors.projection_signs) — the "
+    "Johnson-Lindenstrauss front-end that shrinks embeddings 4× "
+    "before ANN indexing/clustering, re-ranking survivors at full "
+    "precision. Each output component is the same zip_with + "
+    "left-fold as the cosine family, bit-matching DuckDB's "
+    "list_dot_product element order; pure map-side codegen, zero "
+    "shuffles. Long-format output (vec_id, out_dim, value).",
+)
+def x65_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.functions.vectors import signed_projection
+
+    cat = load_testdata(spark, sf_dir)
+    return (
+        cat.table("embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                signed_projection("embedding", RP_SIGNS)
+            ).alias("out_dim", "value"),
+        )
+    )
+
+
+@register(
+    "x66_leakage_free_split",
+    oracle=None,  # assembled below from x25's cluster oracle (single
+    # source of truth for the near-dup components)
+    doc="Cluster-aware train/val/test split: documents are hashed "
+    "into 80/10/10 splits by their near-dup CLUSTER label (x25's "
+    "connected components; singletons label themselves), so a "
+    "near-duplicate pair can never straddle train and test — the "
+    "leakage-safe replacement for x19's per-document split "
+    "(operators/sampling.leakage_free_split; all-integer md5-bucket "
+    "membership). The only cost over x19 is the component labels the "
+    "dedup funnel already produces; the split itself is one "
+    "broadcast-able left join + a map-side expression.",
+)
+def x66_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import connected_components
+    from ods_to_datalake_spark.operators.sampling import (
+        leakage_free_split,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    cc = connected_components(
+        verified_pairs(docs), "id_a", "id_b"
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("__cl"),
+    )
+    labeled = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("__cl", F.col("doc_id")).alias("cluster_id"),
+    )
+    return leakage_free_split(labeled, "cluster_id")
+
+
+def _assemble_x66_oracle() -> None:
+    from ods_to_datalake_spark.plans.suite import REGISTRY
+
+    x25 = REGISTRY["x25_dedup_clusters"].oracle
+    REGISTRY["x66_leakage_free_split"].oracle = f"""
+    WITH lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d
+      LEFT JOIN ({x25}) c ON c.doc_id = d.doc_id
+    ),
+    b AS (
+      SELECT doc_id, cluster_id,
+             CAST(concat('0x', substring(
+                 md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 100 AS bucket
+      FROM lab
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+_assemble_x66_oracle()

@@ -172,6 +172,8 @@ EMB_FUZZ_QUERIES = [
     "x35_pq_encode",
     "x36_semantic_dedup",
     "x29_quantize_embeddings",
+    "x65_random_projection",  # linear map: ±1e15 components and the
+    # zero vector must fold bit-identically through both engines
 ]
 
 

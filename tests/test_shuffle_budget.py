@@ -252,6 +252,11 @@ SHUFFLE_BUDGET = {
     # O(k^2) lineage blowup this guard would otherwise miss)
     "x64_cms_join_size": 5,  # two grid builds (2-stage partials) +
     # the per-row dot agg; the exact-count audit leg joins broadcast
+    "x65_random_projection": 0,  # pure map-side fold over plan-literal
+    # sign rows — zero shuffles by construction
+    "x66_leakage_free_split": 2,  # the label left-join + split map;
+    # the component rounds are localCheckpointed inside
+    # connected_components (their per-round exchanges don't appear)
     "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
     # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
     # query vector and the fusion joins two 20-row lists
