@@ -1528,3 +1528,112 @@ def _assemble_x66_oracle() -> None:
 
 
 _assemble_x66_oracle()
+
+
+# ---------------------------------------------------------------------------
+# round 7: BPE tokenizer training (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled merge round: pair stats, argmax, greedy-leftmost
+    rewrite — the SQL mirror of operators/bpe._apply_merge."""
+    return f"""p{r} AS (
+      SELECT sym, nxt, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
+        SELECT sym, wcount,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{r}) AS _p
+      WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    m{r} AS (
+      SELECT sym AS a, nxt AS b, cnt FROM p{r}
+      ORDER BY cnt DESC, sym, nxt LIMIT 1
+    ),
+    c{r} AS (
+      SELECT t.word, t.wcount, t.pos, t.sym, m.a AS ma, m.b AS mb,
+             COALESCE(t.sym = m.a AND t.nxt = m.b, FALSE) AS is_cand
+      FROM (SELECT word, wcount, pos, sym,
+                   LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                     AS nxt
+            FROM s{r}) t CROSS JOIN m{r} m
+    ),
+    d{r} AS (
+      SELECT *, SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) OVER (
+          PARTITION BY word ORDER BY pos
+          ROWS UNBOUNDED PRECEDING) AS rnc
+      FROM c{r}
+    ),
+    e{r} AS (
+      SELECT *, CASE WHEN is_cand THEN pos - rnc END AS grp
+      FROM d{r}
+    ),
+    f{r} AS (
+      SELECT *, CASE WHEN is_cand THEN
+          (rnc - MIN(CASE WHEN is_cand THEN rnc END) OVER (
+             PARTITION BY word, grp)) % 2 = 0
+        ELSE FALSE END AS kept
+      FROM e{r}
+    ),
+    g{r} AS (
+      SELECT *, COALESCE(LAG(kept) OVER (
+          PARTITION BY word ORDER BY pos), FALSE) AS consumed
+      FROM f{r}
+    ),
+    s{r + 1} AS (
+      SELECT word, wcount,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+               AS pos,
+             CASE WHEN kept THEN ma || mb ELSE sym END AS sym
+      FROM g{r} WHERE NOT consumed
+    )"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    head = f"""WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest({SQL_TOKENS}) AS word FROM documents
+      ) AS _t WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (
+      SELECT wc.word, wc.wcount, u.i AS pos,
+             substring(wc.word, CAST(u.i AS INT), 1) AS sym
+      FROM wc, LATERAL (
+        SELECT unnest(generate_series(1, length(wc.word))) AS i) u
+    )"""
+    rounds = ",\n    ".join(
+        _bpe_round_ctes(r) for r in range(n_merges)
+    )
+    legs = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    )
+    return f"{head},\n    {rounds}\n    {legs}"
+
+
+@register(
+    "x67_bpe_merges",
+    oracle=_bpe_oracle(8),
+    doc="BPE tokenizer training as relational dataflow (Sennrich et "
+    "al. 2016, word-frequency formulation): learn the top-8 merge "
+    "rules over the corpus vocabulary — pair stats weighted by word "
+    "count, (count DESC, left, right) argmax per round, greedy "
+    "leftmost non-overlapping rewrite via the gaps-and-islands "
+    "parity trick (runs only chain when left == right; 'aaaa' under "
+    "(a,a) merges positions 1-2 and 3-4, exactly the reference "
+    "implementation — property-tested against a pure-Python Sennrich "
+    "reference in tests/test_bpe.py). The corpus collapses to the "
+    "(word, count) table in ONE text pass; every training round then "
+    "touches only vocabulary-sized state — why 100-TB corpora train "
+    "tokenizers overnight. Oracle: the 8-round loop unrolled into "
+    "chained CTEs (the g01 pattern); no floats anywhere, bit-exact "
+    "in both engines.",
+)
+def x67_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.bpe import (
+        bpe_train,
+        word_counts,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return bpe_train(word_counts(cat.table("documents")), 8)

@@ -257,6 +257,10 @@ SHUFFLE_BUDGET = {
     "x66_leakage_free_split": 2,  # the label left-join + split map;
     # the component rounds are localCheckpointed inside
     # connected_components (their per-round exchanges don't appear)
+    "x67_bpe_merges": 0,  # the result is k driver-collected argmax
+    # rows re-framed; each training round paid vocabulary-sized
+    # window/agg exchanges at materialization (localCheckpoint per
+    # round, the iterative-loop rule — same accounting as g01)
     "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
     # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
     # query vector and the fusion joins two 20-row lists
