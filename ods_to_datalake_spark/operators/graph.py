@@ -69,13 +69,17 @@ def pagerank_integer(
             "node", F.lit(0).cast("long").alias("r")
         )
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    # edges ⋈ outdeg is loop-invariant: join it ONCE (and checkpoint)
+    # so each materialized round pays only the rank join + the dst agg
+    e_deg = e.join(
+        outdeg, e["__s"] == outdeg["node"]
+    ).select("__s", "__d", "__outdeg").localCheckpoint()
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("r")
     )
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e["__s"] == ranks["node"])
-            .join(outdeg, outdeg["node"] == e["__s"])
+            e_deg.join(ranks, e_deg["__s"] == ranks["node"])
             .select(
                 F.col("__d").alias("node"),
                 F.expr("r div __outdeg").alias("__c"),

@@ -262,7 +262,12 @@ def leakage_free_split(
     ``boundaries`` are cumulative integer percents over the md5
     bucket — all-integer membership, the suite-wide sampling rule.
     Pure map-side expression over the labeled frame: the only cost is
-    whatever join produced the labels."""
+    whatever join produced the labels.
+
+    NULL labels hash to NULL, which would assign split=NULL and
+    silently vanish from every split filter — they are routed to the
+    explicit 'unlabeled' split instead (coalesce labels upstream, as
+    x66 does, if NULL should mean "its own singleton")."""
     bucket = hash_bucket(label_col, 100)
     assignment = None
     for hi, name in boundaries:
@@ -272,4 +277,6 @@ def leakage_free_split(
             if assignment is None
             else assignment.when(cond, name)
         )
-    return labeled.withColumn("split", assignment)
+    return labeled.withColumn(
+        "split", assignment.otherwise(F.lit("unlabeled"))
+    )

@@ -53,6 +53,22 @@ def _jp(jvm, path: str):
     return jvm.org.apache.hadoop.fs.Path(path)
 
 
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_hive(value: str) -> str:
+    """Undo Spark's partition-directory escaping (%XX for the chars
+    escapePathName reserves — ':', '%', ... ; non-ASCII passes through
+    unescaped, so per-char decode is safe)."""
+    import re as _re
+
+    return _re.sub(
+        r"%([0-9A-Fa-f]{2})",
+        lambda m: chr(int(m.group(1), 16)),
+        value,
+    )
+
+
 def _write_file_atomic(spark, directory: str, name: str, content: str):
     """Create ``directory/name`` atomically: write a dot-tmp sibling,
     close, then one rename. A crash mid-write leaves only the tmp
@@ -178,7 +194,13 @@ def write_manifested(
     return _commit(
         df.sparkSession,
         path,
-        {"partition_col": partition_col, "partitions": staged},
+        {
+            "partition_col": partition_col,
+            "partition_type": df.schema[
+                partition_col
+            ].dataType.simpleString(),
+            "partitions": staged,
+        },
     )
 
 
@@ -186,24 +208,39 @@ def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    raw_col: str | None = None,
 ) -> DataFrame:
     """Read the manifest-listed snapshot: exactly the committed
-    (value → version) dirs, with the partition column restored from the
-    manifest. `basePath` keeps partition-value inference out of it (the
-    version subdir breaks hive discovery on purpose — uncommitted data
-    is unreachable even by a naive recursive read of listed dirs)."""
+    (value → version) dirs, with the partition column restored from
+    the manifest — Hive-UNESCAPED ('%3A' → ':') and cast back to the
+    dtype recorded at write time, so a timestamp/int partition column
+    round-trips with its original type and value; the NULL partition
+    (``__HIVE_DEFAULT_PARTITION__``) restores as NULL. ``raw_col``
+    optionally attaches the raw directory value — the key the
+    manifest bookkeeping (delete/overwrite) must use, since logical
+    values re-escape on restage.
+
+    Uncommitted data is unreachable on purpose: only the listed
+    (value → version) dirs are read, never discovered."""
     man = read_manifest(spark, path, version)
     pcol = man["partition_col"]
+    ptype = man.get("partition_type", "string")
     parts = man["partitions"]
     if not parts:
         raise FileNotFoundError(f"manifest lists no partitions for {path}")
     frames = []
     for value, token in sorted(parts.items()):
-        frames.append(
-            spark.read.parquet(
-                f"{path}/{pcol}={value}/{token}"
-            ).withColumn(pcol, F.lit(value))
+        logical = (
+            None
+            if value == HIVE_DEFAULT_PARTITION
+            else _unescape_hive(value)
         )
+        df = spark.read.parquet(
+            f"{path}/{pcol}={value}/{token}"
+        ).withColumn(pcol, F.lit(logical).cast(ptype))
+        if raw_col is not None:
+            df = df.withColumn(raw_col, F.lit(value))
+        frames.append(df)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -224,15 +261,27 @@ def overwrite_partitions_atomic(
     spark = df.sparkSession
     man = read_manifest(spark, path)
     pcol = man["partition_col"]
+    ptype = man.get("partition_type", "string")
     if pcol not in df.columns:
         raise ValueError(f"df lacks partition column {pcol!r}")
+    got = df.schema[pcol].dataType.simpleString()
+    if got != ptype:
+        raise ValueError(
+            f"partition dtype drift: table has {ptype}, df has {got}"
+        )
     staged = _stage_partitions(
         df, path, pcol, max_records_per_file, compression
     )
     merged = dict(man["partitions"])
     merged.update(staged)
     return _commit(
-        spark, path, {"partition_col": pcol, "partitions": merged}
+        spark,
+        path,
+        {
+            "partition_col": pcol,
+            "partition_type": ptype,
+            "partitions": merged,
+        },
     )
 
 
@@ -252,21 +301,25 @@ def delete_keys_atomic(
     rewritten (0 = no commit made)."""
     man = read_manifest(spark, path)
     pcol = man["partition_col"]
-    snap = read_snapshot(spark, path)
+    # bookkeeping runs on the RAW directory value (`raw_col`): the
+    # restored logical column re-escapes on restage, so popping /
+    # filtering by it would desync manifest keys on any partition
+    # value Hive escapes (':', '%', ...)
+    snap = read_snapshot(spark, path, raw_col="__pdir")
     kdf = F.broadcast(keys.select(F.col(key_col).alias("__doomed")))
     affected = [
         r[0]
         for r in snap.join(kdf, snap[key_col] == F.col("__doomed"), "left_semi")
-        .select(pcol)
+        .select("__pdir")
         .distinct()
         .collect()
     ]
     if not affected:
         return 0
-    slice_df = snap.filter(F.col(pcol).isin(affected))
+    slice_df = snap.filter(F.col("__pdir").isin(affected))
     kept = slice_df.join(
         kdf, slice_df[key_col] == F.col("__doomed"), "left_anti"
-    )
+    ).drop("__pdir")
     staged = _stage_partitions(
         kept, path, pcol, max_records_per_file, compression
     )
@@ -276,7 +329,15 @@ def delete_keys_atomic(
         # removing its manifest entry IS its (atomic) deletion
         merged.pop(value, None)
     merged.update(staged)
-    _commit(spark, path, {"partition_col": pcol, "partitions": merged})
+    _commit(
+        spark,
+        path,
+        {
+            "partition_col": pcol,
+            "partition_type": man.get("partition_type", "string"),
+            "partitions": merged,
+        },
+    )
     return len(affected)
 
 

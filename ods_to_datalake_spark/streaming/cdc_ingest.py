@@ -39,15 +39,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from ods_to_datalake_spark.operators.cdc import cdc_apply
+from ods_to_datalake_spark.sources.manifest import _fs  # shared FS
+# acquisition — one Hadoop-FS boilerplate for the whole lake layer
 
 SNAP_COL = "snapshot"
 _SNAP_RE = re.compile(rf"{SNAP_COL}=(\d+)$")
-
-
-def _fs(spark, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
 def list_cdc_snapshots(spark: SparkSession, state_dir: str) -> list[int]:
@@ -212,13 +208,27 @@ def prune_cdc_snapshots(
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     snaps = list_cdc_snapshots(spark, state_dir)
-    doomed = snaps[:-keep_last] if keep_last < len(snaps) else []
+    doomed = set(snaps[:-keep_last] if keep_last < len(snaps) else [])
     jvm, fs = _fs(spark, state_dir)
-    for b in doomed:
+    if snaps:
+        # uncommitted (no _SUCCESS) crash leftovers strictly below the
+        # newest COMMITTED snapshot can never be completed by a replay
+        # (foreachBatch only redelivers the last batch id) — reclaim
+        # them too, as documented
+        newest = snaps[-1]
+        root = jvm.org.apache.hadoop.fs.Path(state_dir)
+        for st in fs.listStatus(root):
+            m = _SNAP_RE.search(st.getPath().getName())
+            if not m or not st.isDirectory():
+                continue
+            b = int(m.group(1))
+            if b < newest and b not in snaps:
+                doomed.add(b)
+    for b in sorted(doomed):
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
                 f"{state_dir}/{SNAP_COL}={b}"
             ),
             True,
         )
-    return doomed
+    return sorted(doomed)

@@ -74,11 +74,13 @@ def main() -> int:
     from ods_to_datalake_spark.session import build_session
 
     queries = load_all()
-    # Shuffle partitions scale with the data (AQE coalesces the excess):
-    # the fixed-32 setting made every 100×-cell sort-aggregation spill —
-    # x51's 4.5× "growth" on 3.33× data was partition-size spill, not
-    # plan cost (VERDICT r6 item 5). A real cluster sizes this the same
-    # way: partitions ∝ input volume, target ≤ ~256MB per partition.
+    # Shuffle partitions scale with the data (AQE coalesces the excess)
+    # — a real cluster sizes partitions ∝ input volume, target ≤ ~256MB
+    # each. NOTE: the round-6 "x51 spill" hypothesis this setting was
+    # introduced for was DISPROVEN by the r7 32/128/320 A/B (partition-
+    # insensitive; the real cause was an explode+distinct, fixed in
+    # operators/quality.py) — the scaled setting stays because it is
+    # the right default for every cell, not because of x51.
     shuffle_parts = int(
         os.environ.get("SPARK_GRAFT_STRESS_PARTITIONS", 0)
     ) or 32 * max(1, scale // 10)
@@ -88,7 +90,11 @@ def main() -> int:
     print(f"shuffle partitions: {shuffle_parts}")
     spark.sparkContext.setLogLevel("ERROR")
 
-    shutil.rmtree(workdir, ignore_errors=True)
+    reuse = os.environ.get("SPARK_GRAFT_STRESS_REUSE") and os.path.isdir(
+        f"{workdir}/lineitem.parquet"
+    )
+    if not reuse:
+        shutil.rmtree(workdir, ignore_errors=True)
 
     t0 = time.perf_counter()
     # Replica keys are OFFSET (key + r*10^7), not interleaved
@@ -100,9 +106,6 @@ def main() -> int:
     # codeword a clone of base vector 0). One offset for every table
     # keeps the lineitem⋈orders key relation intact across replicas.
     offset = 10_000_000
-    reuse = os.environ.get("SPARK_GRAFT_STRESS_REUSE") and os.path.isdir(
-        f"{workdir}/lineitem.parquet"
-    )
     amplified = AMPLIFIED if not reuse else {}
     for table, key_cols in amplified.items():
         df = spark.read.parquet(f"{src}/{table}.parquet")
@@ -169,7 +172,10 @@ def main() -> int:
         bench(name, lambda q=q: q.fn(spark, workdir))
 
     print({"scale": scale, "timings": timings})
-    shutil.rmtree(workdir, ignore_errors=True)
+    if not os.environ.get("SPARK_GRAFT_STRESS_REUSE"):
+        # keep the amplified dir only when the operator opted into
+        # reuse — the flag is useless if this cleanup always runs
+        shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
     return 0
 

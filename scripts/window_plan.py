@@ -140,11 +140,16 @@ def plan(
 
     Policy (the one every round since r05 applied by hand):
     1. never-green queries MUST be in-window (registration order);
-    2. stale queries fill the rest, oldest evidence first, same-round
+    2. queries whose LATEST driver row is red/error — even if green in
+       some earlier round — come next: they are the active failures
+       and must re-earn evidence immediately (without this tier the
+       generator would never re-window a regression, deadlocking with
+       test_driver_window_covers_currently_red);
+    3. stale queries fill the rest, oldest evidence first, same-round
        ties broken by family_rank (drift-prone families refresh first),
        then name;
-    3. stale queries that don't fit slip one round (still covered by
-       validate.py) and head the NEXT rotation via rule 2.
+    4. stale queries that don't fit slip one round (still covered by
+       validate.py) and head the NEXT rotation via rule 3.
     """
     rounds = load_rounds() if rounds is None else rounds
     greens: dict[str, int] = {}
@@ -153,16 +158,24 @@ def plan(
             if _is_green(row):
                 greens[name] = max(greens.get(name, 0), rnum)
     ng = [n for n in registered if n not in greens]
-    if len(ng) > window:
+    red_now = sorted(
+        n
+        for n, (_, status) in latest_status(rounds).items()
+        if status in ("red", "error")
+        and n in set(registered)
+        and n not in set(ng)
+    )
+    if len(ng) + len(red_now) > window:
         raise ValueError(
-            f"{len(ng)} never-green queries exceed the {window}-slot "
-            "window; they cannot all earn evidence this round"
+            f"{len(ng)} never-green + {len(red_now)} currently-red "
+            f"queries exceed the {window}-slot window; they cannot "
+            "all earn evidence this round"
         )
     stale_sorted = sorted(
-        stale(rounds) & set(registered),
+        (stale(rounds) & set(registered)) - set(red_now),
         key=lambda n: (greens[n], family_rank(n), n),
     )
-    window_list = (ng + stale_sorted)[:window]
+    window_list = (ng + red_now + stale_sorted)[:window]
     in_window = set(window_list)
     slipped = [n for n in stale_sorted if n not in in_window]
     return window_list, slipped

@@ -146,3 +146,71 @@ def test_snapshot_prunes_partition_filter(spark, lake):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "2024-01-01" not in plan.replace("2024-01-02", "")
     assert [r.id for r in df.collect()] == [3]
+
+
+def test_partition_values_unescape_and_types_roundtrip(spark, tmp_path):
+    """Hive-escaped partition values (':' -> %3A) and non-string
+    partition dtypes must round-trip: the restored column carries the
+    ORIGINAL value and type, and a delete re-stages under the SAME
+    manifest key (no entry duplication / value drift — the r7 review
+    finding)."""
+    path = str(tmp_path / "tlake")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00"),
+         (3, "2024-01-01 11:00:00")],
+        "id long, hour string",
+    )
+    M.write_manifested(df, path, "hour")
+    got = {
+        (r.id, r.hour) for r in M.read_snapshot(spark, path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:00:00"),
+        (3, "2024-01-01 11:00:00"),
+    }
+    keys_before = set(M.read_manifest(spark, path)["partitions"])
+    keys = spark.createDataFrame([(1,)], "id long")
+    assert M.delete_keys_atomic(spark, path, keys, "id") == 1
+    man = M.read_manifest(spark, path)
+    # same (escaped) manifest keys — the rewritten partition REPLACED
+    # its entry instead of adding a double-escaped twin
+    assert set(man["partitions"]) == keys_before
+    got = {
+        (r.id, r.hour) for r in M.read_snapshot(spark, path).collect()
+    }
+    assert got == {
+        (2, "2024-01-01 10:00:00"),
+        (3, "2024-01-01 11:00:00"),
+    }
+
+
+def test_partition_dtype_restored_and_drift_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "ilake")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, bucket int"
+    )
+    M.write_manifested(df, path, "bucket")
+    snap = M.read_snapshot(spark, path)
+    assert snap.schema["bucket"].dataType.simpleString() == "int"
+    assert {(r.id, r.bucket) for r in snap.collect()} == {
+        (1, 10),
+        (2, 20),
+    }
+    drifted = spark.createDataFrame(
+        [(3, "30")], "id long, bucket string"
+    )
+    with _pytest.raises(ValueError, match="dtype drift"):
+        M.overwrite_partitions_atomic(drifted, path)
+
+
+def test_null_partition_value_roundtrips(spark, tmp_path):
+    path = str(tmp_path / "nlake")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, grp string"
+    )
+    M.write_manifested(df, path, "grp")
+    got = {(r.id, r.grp) for r in M.read_snapshot(spark, path).collect()}
+    assert got == {(1, "a"), (2, None)}

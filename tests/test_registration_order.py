@@ -104,3 +104,28 @@ def test_registry_names_unique_and_complete():
         "a02_document_fold",
     ):
         assert probe in names, probe
+
+
+def test_plan_rewindows_a_regressed_query():
+    """A query green in an old round whose LATEST driver row is red
+    must re-enter the window (the generator tier added after the r7
+    review: without it, ever-green excluded it from never-green and
+    its latest==newest round excluded it from stale — a deadlock with
+    test_driver_window_covers_currently_red on the first regression)."""
+    from scripts.window_plan import plan
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    r = {"rows_match": False, "schema_match": True, "hash_match": False,
+         "err": None}
+    registered = [f"q{i:02d}_x" for i in range(60)]
+    rounds = {
+        1: {n: dict(g) for n in registered},
+        # newest round: q00 regressed, the rest of the window re-greened
+        2: {n: (dict(r) if n == "q00_x" else dict(g))
+            for n in registered[:50]},
+    }
+    window, slipped = plan(registered, rounds)
+    assert "q00_x" in window
+    # and it outranks the merely-stale tail (rows 50..59 from round 1)
+    assert window.index("q00_x") < window.index(registered[50])

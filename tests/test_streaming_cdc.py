@@ -197,3 +197,27 @@ def test_materialized_join_sink_equals_apply_then_join(spark, tmp_path):
     sink(spark.createDataFrame(BATCH2, SCHEMA), 2)
     assert _joined_rows(read_cdc_snapshot(spark, state)) == before
     assert list_cdc_snapshots(spark, state) == [0, 1, 2]
+
+
+def test_prune_reclaims_uncommitted_leftovers(spark, tmp_path):
+    """A crashed partial snapshot BELOW the newest committed one can
+    never be completed by a replay (only the last batch redelivers) —
+    prune must reclaim it, as its docstring promises (r7 review)."""
+    import os
+
+    from ods_to_datalake_spark.streaming.cdc_ingest import (
+        prune_cdc_snapshots,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_sink(state, ["k"], op_col="op", version_col="ver")
+    sink(spark.createDataFrame(BATCH0, SCHEMA), 0)
+    sink(spark.createDataFrame(BATCH1, SCHEMA), 2)
+    # crash leftover between them: data, no _SUCCESS
+    partial = os.path.join(state, "snapshot=1")
+    os.makedirs(partial)
+    open(os.path.join(partial, "part-0.parquet"), "w").write("junk")
+    pruned = prune_cdc_snapshots(spark, state, keep_last=2)
+    assert pruned == [1]
+    assert not os.path.exists(partial)
+    assert list_cdc_snapshots(spark, state) == [0, 2]
