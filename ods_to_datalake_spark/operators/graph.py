@@ -69,11 +69,20 @@ def pagerank_integer(
             "node", F.lit(0).cast("long").alias("r")
         )
     base = ((damping_den - damping_num) * scale) // (damping_den * n)
-    # edges ⋈ outdeg is loop-invariant: join it ONCE (and checkpoint)
-    # so each materialized round pays only the rank join + the dst agg
-    e_deg = e.join(
-        outdeg, e["__s"] == outdeg["node"]
-    ).select("__s", "__d", "__outdeg").localCheckpoint()
+    # edges ⋈ outdeg is loop-invariant: materialize it ONCE so each
+    # round pays only the rank join + the dst agg. DISK_ONLY persist,
+    # not localCheckpoint: the edge table is corpus-scale (30M rows at
+    # the 100x stress cell) and memory-resident checkpoint blocks are
+    # never freed across repeated builds — measured OOM of the 8g
+    # driver heap on the 6th rebuild; disk blocks cost nothing on-heap
+    # and unpersist explicitly below
+    from pyspark import StorageLevel
+
+    e_deg = (
+        e.join(outdeg, e["__s"] == outdeg["node"])
+        .select("__s", "__d", "__outdeg")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("r")
     )
@@ -107,4 +116,7 @@ def pagerank_integer(
             # vs 2 per round checkpointed; the frame is nodes-sized
             .localCheckpoint()
         )
+    # the returned ranks are checkpointed (independent of e_deg) —
+    # release the edge blocks instead of leaking one copy per call
+    e_deg.unpersist()
     return ranks

@@ -36,6 +36,10 @@ AMPLIFIED = {  # table -> key columns shifted per replica
     "orders": ["o_orderkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    # events: offsetting user_id too multiplies the KEY population
+    # (not per-key density) — the honest scale-up for per-user
+    # window/spine shapes like e11
+    "events": ["event_id", "user_id"],
 }
 COPIED = ["region", "nation", "customer", "supplier", "part"]
 
@@ -61,6 +65,11 @@ SUITE_QUERIES = [
     "u07_incremental_agg",  # IVM delta merge vs fact re-aggregate
     "u08_snapshot_diff",  # null-safe full-outer snapshot compare
     "x58_histogram_quantiles",  # fixed-grid sketch build over orders
+    "u09_incremental_join",  # join IVM: anti-join + batch-vs-dim at volume
+    "e11_gap_fill",  # per-user resample + spine + fill window
+    "g01_pagerank",  # iterative: distinct pair build + 5 checkpointed rounds
+    "x64_cms_join_size",  # two key-grid builds over amplified facts
+    "x67_bpe_merges",  # corpus->vocab pass + vocab-sized merge rounds
 ]
 
 
@@ -108,7 +117,16 @@ def main() -> int:
     offset = 10_000_000
     amplified = AMPLIFIED if not reuse else {}
     for table, key_cols in amplified.items():
-        df = spark.read.parquet(f"{src}/{table}.parquet")
+        if table == "events":
+            # events MUST go through the catalog (CLAUDE.md): raw
+            # reads break when the driver regenerates the parquet
+            # with a different timestamp physicality; the amplified
+            # copy is then written in normalized micros
+            from ods_to_datalake_spark.catalog import load_testdata
+
+            df = load_testdata(spark, src).table("events")
+        else:
+            df = spark.read.parquet(f"{src}/{table}.parquet")
         rep = df.withColumn(
             "__r", F.explode(F.sequence(F.lit(0), F.lit(scale - 1)))
         )
@@ -130,6 +148,12 @@ def main() -> int:
     timings: dict[str, float] = {}
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+    # queries whose heavy work runs at PLAN-BUILD time (driver-looped
+    # iterations materialized via localCheckpoint / per-round collect):
+    # the noop write of the final frame re-reads a checkpoint, so the
+    # timed region must include mk() itself
+    BUILD_TIMED = {"g01_pagerank", "x67_bpe_merges"}
+
     def bench(name, mk):
         # The timed action is a `noop`-format write, NOT .count():
         # count() lets Catalyst ELIMINATE a unique-key outer join and
@@ -144,7 +168,10 @@ def main() -> int:
         samples = []
         for _ in range(reps):
             t = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            if name in BUILD_TIMED:
+                mk().write.mode("overwrite").format("noop").save()
+            else:
+                df.write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t)
         timings[name] = round(statistics.median(samples), 2)
         print(
