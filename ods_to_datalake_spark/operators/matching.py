@@ -184,3 +184,82 @@ def blocked_fuzzy_join(
         .withColumn("dist", F.levenshtein("w1", "w2").cast("long"))
         .where(F.col("dist") <= max_dist)
     )
+
+
+def survivorship_merge(
+    df: DataFrame,
+    cluster_col: str,
+    mode_cols: list[str],
+    max_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+) -> DataFrame:
+    """Golden-record construction — the SURVIVORSHIP step that
+    completes the entity-resolution funnel (blocking:
+    `blocked_fuzzy_join` → clustering: `dedup.connected_components` →
+    this): one merged record per cluster, each field resolved by its
+    own rule instead of keeping one whole source row
+    (`dedup.keep_best` does that; MDM survivorship merges FIELDS from
+    different rows).
+
+    Rules: ``mode_cols`` take the most frequent non-null value
+    ((count DESC, value ASC) tiebreak — deterministic in any engine;
+    all-NULL fields survive as NULL), emitted as strings (one long
+    stream covers any column mix — callers cast back);
+    ``max_cols``/``min_cols`` take the extreme native-typed value.
+    Also emits ``n_members`` (cluster size).
+
+    Plan shape: ALL mode fields ride ONE melted stream —
+    (cluster, field, value) → count → per-(cluster,field) argmax via
+    min(struct(-cnt, value)) → conditional-min re-widening — two
+    field-keyed partial-aggregated shuffles regardless of column
+    count, never a per-column join; the native aggregates share the
+    final cluster-keyed groupBy. A corpus-wide mega-cluster combines
+    map-side (no windows over the cluster key).
+    """
+    max_cols = max_cols or []
+    min_cols = min_cols or []
+    melted = (
+        df.select(
+            cluster_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("field"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        for c in mode_cols
+                    ]
+                )
+            ).alias("f"),
+        )
+        .select(cluster_col, "f.*")
+        .where(F.col("value").isNotNull())
+    )
+    counts = melted.groupBy(cluster_col, "field", "value").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    best = (
+        counts.groupBy(cluster_col, "field")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__cnt")).alias("__neg"),
+                    F.col("value").alias("__v"),
+                )
+            ).alias("__m")
+        )
+        .select(cluster_col, "field", F.col("__m.__v").alias("value"))
+    )
+    modes = best.groupBy(cluster_col).agg(
+        *[
+            F.min(F.when(F.col("field") == c, F.col("value"))).alias(c)
+            for c in mode_cols
+        ]
+    )
+    aggs = df.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+    )
+    return aggs.join(modes, cluster_col, "left")

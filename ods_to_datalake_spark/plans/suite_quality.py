@@ -268,3 +268,82 @@ def e11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit="hour",
         tiebreak="event_id",
     )
+
+
+@register(
+    "u13_golden_record",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey % 500 AS cluster_id, c_name, c_mktsegment,
+             c_acctbal
+      FROM customer
+    ),
+    counts AS (
+      SELECT cluster_id, field, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT cluster_id, 'c_mktsegment' AS field,
+               c_mktsegment AS value
+        FROM src WHERE c_mktsegment IS NOT NULL
+        UNION ALL
+        SELECT cluster_id, 'c_name', c_name
+        FROM src WHERE c_name IS NOT NULL
+      ) AS _m GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT cluster_id, field, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cluster_id, field
+          ORDER BY cnt DESC, value) AS rn
+        FROM counts
+      ) AS _r WHERE rn = 1
+    ),
+    modes AS (
+      SELECT cluster_id,
+             MIN(CASE WHEN field = 'c_mktsegment' THEN value END)
+               AS c_mktsegment,
+             MIN(CASE WHEN field = 'c_name' THEN value END) AS c_name
+      FROM best GROUP BY cluster_id
+    ),
+    aggs AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MAX(c_acctbal) AS max_c_acctbal
+      FROM src GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_members, a.max_c_acctbal,
+           m.c_mktsegment, m.c_name
+    FROM aggs a LEFT JOIN modes m USING (cluster_id)
+    """,
+    doc="Golden-record survivorship (MDM): one merged record per "
+    "entity cluster with per-FIELD rules — most-frequent segment "
+    "(mode with (count DESC, value) tiebreak), lexicographic-first "
+    "name on all-tie counts, max account balance, member count — "
+    "completing the entity-resolution funnel (blocking x61 → "
+    "clustering x25 → survivorship; keep-best x43 keeps one whole "
+    "row, survivorship merges fields from different rows). ALL mode "
+    "fields ride ONE melted stream (two field-keyed partial-agg "
+    "shuffles regardless of column count, never a per-column join; "
+    "operators/matching.survivorship_merge); the demo clusters "
+    "customers by c_custkey % 500.",
+)
+def u13_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.matching import (
+        survivorship_merge,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    src = cat.table("customer").select(
+        (F.col("c_custkey") % 500).alias("cluster_id"),
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    merged = survivorship_merge(
+        src,
+        "cluster_id",
+        mode_cols=["c_mktsegment", "c_name"],
+        max_cols=["c_acctbal"],
+    )
+    return merged.select(
+        "cluster_id", "n_members", "max_c_acctbal",
+        "c_mktsegment", "c_name",
+    )

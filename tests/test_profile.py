@@ -117,3 +117,37 @@ def test_constraint_report_empty_input(spark):
     for r in rows:
         assert (r["n_checked"], r["n_violations"]) == (0, 0)
         assert r["passed"]
+
+
+def test_survivorship_merge_rules(spark):
+    from ods_to_datalake_spark.operators.matching import (
+        survivorship_merge,
+    )
+
+    rows = [
+        # cluster 1: mode 'a' (2 vs 1), max amt 30; one NULL value
+        (1, "a", "x", 30),
+        (1, "a", "y", 10),
+        (1, "b", None, 20),
+        # cluster 2: count tie 'p' vs 'q' -> lexicographic first 'p'
+        (2, "q", "z", 5),
+        (2, "p", "z", 5),
+        # cluster 3: all-NULL mode field survives as NULL
+        (3, None, "w", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster_id long, seg string, name string, amt long"
+    )
+    got = {
+        r.cluster_id: r.asDict()
+        for r in survivorship_merge(
+            df, "cluster_id", ["seg", "name"], max_cols=["amt"]
+        ).collect()
+    }
+    assert got[1]["seg"] == "a"
+    assert got[1]["name"] == "x"  # count tie x/y -> lexicographic
+    assert got[1]["max_amt"] == 30
+    assert got[1]["n_members"] == 3
+    assert got[2]["seg"] == "p"
+    assert got[3]["seg"] is None
+    assert got[3]["name"] == "w"

@@ -257,6 +257,9 @@ SHUFFLE_BUDGET = {
     "x66_leakage_free_split": 2,  # the label left-join + split map;
     # the component rounds are localCheckpointed inside
     # connected_components (their per-round exchanges don't appear)
+    "u13_golden_record": 4,  # melted mode stream: (cluster,field,
+    # value) count + per-(cluster,field) argmax + re-widen, plus the
+    # native-agg groupBy — all partial-aggregated, column-count-free
     "x67_bpe_merges": 0,  # the result is k driver-collected argmax
     # rows re-framed; each training round paid vocabulary-sized
     # window/agg exchanges at materialization (localCheckpoint per
