@@ -72,13 +72,19 @@ def set_similarity_join(
     # pattern; in a lake pipeline this is the persisted artifact, like
     # x05's shingle tables)
     toks = doc_token_sets(docs, id_col, text_col).localCheckpoint()
-    # df and set size as windows over the SAME scan, not join-backs:
-    # one token-keyed and one doc-keyed exchange total
+    # df via groupBy + join-back, NOT count(*) over (partition by
+    # token): a window partition cannot be AQE-split, so a universal
+    # token ("the" in a billion docs) would funnel its entire
+    # occurrence list through ONE task — the exact degenerate-bucket
+    # shape the prefix join avoids (r7 verdict). The groupBy combines
+    # map-side (vocabulary-sized output) and the join-back is an AQE
+    # skew-splittable equi-join. The sz/rn windows stay: their
+    # partition key is the doc id, bounded by document length.
+    dfreq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
     ranked = (
-        toks.withColumn(
-            "_df",
-            F.count(F.lit(1)).over(Window.partitionBy("token")),
-        )
+        toks.join(dfreq, "token")
         .withColumn(
             "sz",
             F.count(F.lit(1))
@@ -140,11 +146,58 @@ def set_similarity_join(
     )
 
 
+def oversized_blocks(
+    words: DataFrame,
+    word_col: str,
+    max_block: int,
+    block_fns=None,
+) -> DataFrame:
+    """(pass_idx, block, n_words) for every blocking-pass key wider
+    than ``max_block`` — the skew report that accompanies
+    ``blocked_fuzzy_join(..., max_block=...)``, same contract as
+    `dedup.oversized_buckets`: a block with B members emits B²
+    candidate pairs, so a common 2-char prefix in a natural-language
+    vocabulary ("th", "co" — easily 10⁵ words) turns the bounded
+    blocked join quadratic. A capped pipeline logs/alerts on this
+    report instead of silently reading as full recall."""
+    w, fns = _dedup_words(words, word_col, block_fns)
+    out = None
+    for i, fn in enumerate(fns):
+        counts = (
+            w.withColumn("_blk", fn(F.col("w")))
+            .groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("n_words"))
+            .filter(F.col("n_words") > max_block)
+            .select(
+                F.lit(i).alias("pass_idx"),
+                F.col("_blk").alias("block"),
+                "n_words",
+            )
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out
+
+
+def _dedup_words(words: DataFrame, word_col: str, block_fns):
+    """Shared prep: deduplicated non-null word column named ``w`` and
+    the resolved blocking passes (default 2-char prefix + suffix)."""
+    w = words.select(F.col(word_col).alias("w")).where(
+        F.col("w").isNotNull()
+    ).distinct()
+    if block_fns is None:
+        block_fns = [
+            lambda c: F.substring(c, 1, 2),
+            lambda c: F.expr("right(w, 2)"),
+        ]
+    return w, block_fns
+
+
 def blocked_fuzzy_join(
     words: DataFrame,
     word_col: str,
     max_dist: int = 2,
     block_fns=None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Fuzzy vocabulary self-join: (w1, w2, dist) for distinct word
     pairs within ``max_dist`` edits, w1 < w2, found by deterministic
@@ -161,18 +214,26 @@ def blocked_fuzzy_join(
     better than an all-pairs cross join. Words are deduplicated first,
     so a billion-token corpus contributes its VOCABULARY (millions) to
     the join, not its token stream.
+
+    ``max_block`` (opt-in, the `dedup.cap_bucket_width` pattern):
+    blocks wider than the cap are dropped BEFORE the self-join,
+    bounding any pass's output at max_block² per key — pairs found by
+    ANOTHER pass still survive (multi-pass recall is the point), and
+    `oversized_blocks` reports what was spilled. The registered x61
+    stays uncapped (its oracle matches exactly).
     """
-    w = words.select(F.col(word_col).alias("w")).where(
-        F.col("w").isNotNull()
-    ).distinct()
-    if block_fns is None:
-        block_fns = [
-            lambda c: F.substring(c, 1, 2),
-            lambda c: F.expr("right(w, 2)"),
-        ]
+    w, block_fns = _dedup_words(words, word_col, block_fns)
     out = None
     for fn in block_fns:
         blocked = w.withColumn("_blk", fn(F.col("w")))
+        if max_block is not None:
+            counts = blocked.groupBy("_blk").agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            blocked = blocked.join(
+                counts.filter(F.col("__n") <= max_block).drop("__n"),
+                "_blk",
+            )
         a = blocked.select(F.col("w").alias("w1"), "_blk")
         b = blocked.select(F.col("w").alias("w2"), "_blk")
         pairs = a.join(b, "_blk").where(F.col("w1") < F.col("w2")).select(
