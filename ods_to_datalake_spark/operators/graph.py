@@ -16,10 +16,18 @@ invisible at ranking granularity, and the same in every engine.
 
 Semantics: the standard damped update
     r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)
-over a fixed iteration count, WITHOUT dangling-mass redistribution
-(a sink node's mass drips out of the system — the simplified variant;
-feed symmetric edges if every node should have out-degree, as the
-registered g01 trade graph does).
+over a fixed iteration count. ``redistribute_dangling=True`` adds the
+standard sink-mass term — every node also receives
+``d * (Σ_{sinks} r(u)) / N`` — so total mass is conserved on directed
+graphs with sinks (web/citation/follower graphs have them on day
+one). The dangling-node SET is loop-invariant (nodes absent from the
+out-degree table, computed once); only its 1-row rank sum is
+re-aggregated per round and broadcast via crossJoin — integer-exact
+``dangling_sum div n`` inside the same truncating arithmetic.
+Default False keeps the simplified variant (feed symmetric edges if
+every node should have out-degree, as the registered g01 trade graph
+does; g02 exercises the conserving variant on a DAG whose sinks
+would otherwise bleed ~all mass).
 
 Scale shape: each iteration is one src-keyed equi-join (rank ⋈
 edges+outdeg) and one dst-keyed partial-aggregated sum — 2 keyed
@@ -48,6 +56,7 @@ def pagerank_integer(
     scale: int = PR_SCALE,
     damping_num: int = PR_NUM,
     damping_den: int = PR_DEN,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over ``edges`` (directed,
     deduplicated by the caller). Returns (node, r) with r the scaled
@@ -86,6 +95,13 @@ def pagerank_integer(
     ranks = nodes.select(
         "node", F.lit(scale // n).cast("long").alias("r")
     )
+    if redistribute_dangling:
+        # loop-invariant sink set: nodes with no out-edges. Nodes-
+        # sized; checkpointed once so each round's semi-join against
+        # it reads a materialized frame, not the node-build lineage
+        dangling = nodes.join(
+            outdeg, "node", "left_anti"
+        ).localCheckpoint()
     for _ in range(iterations):
         contrib = (
             e_deg.join(ranks, e_deg["__s"] == ranks["node"])
@@ -97,14 +113,30 @@ def pagerank_integer(
         sums = contrib.groupBy("node").agg(
             F.sum("__c").alias("__sum")
         )
+        if redistribute_dangling:
+            # 1-row dangling rank sum, broadcast to every node via
+            # crossJoin — the per-iteration "one 1-row broadcast";
+            # the semi-join moves sink ranks only
+            dang = ranks.join(dangling, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0))
+                .cast("long")
+                .alias("__dang")
+            )
+            received = f"coalesce(__sum, 0L) + (__dang div {n})"
+            joined = nodes.join(sums, "node", "left").crossJoin(
+                F.broadcast(dang)
+            )
+        else:
+            received = "coalesce(__sum, 0L)"
+            joined = nodes.join(sums, "node", "left")
         ranks = (
-            nodes.join(sums, "node", "left")
+            joined
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.expr(
-                        f"({damping_num} * coalesce(__sum, 0L))"
+                        f"({damping_num} * ({received}))"
                         f" div {damping_den}"
                     )
                 ).cast("long").alias("r"),

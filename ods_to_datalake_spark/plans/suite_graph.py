@@ -129,6 +129,106 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(edges, iterations=PR_ITERATIONS)
 
 
+def _pagerank_dangling_oracle(iterations: int) -> str:
+    """Unrolled-CTE mirror of `pagerank_integer(...,
+    redistribute_dangling=True)` on the geo DAG: per round, the sink
+    rank sum (nodes absent from deg) is a 1-row CTE cross-joined into
+    the update — ``dsum // n`` with non-negative operands matches
+    Spark's ``div`` (CLAUDE.md)."""
+    base = f"(({PR_DEN - PR_NUM} * {PR_SCALE}) // ({PR_DEN} * nn.n))"
+    ctes = [
+        """edges AS (
+      SELECT src, dst FROM (
+        SELECT 4*c_custkey AS src, 4*c_nationkey+2 AS dst FROM customer
+        UNION ALL
+        SELECT 4*s_suppkey+1, 4*s_nationkey+2 FROM supplier
+        UNION ALL
+        SELECT 4*n_nationkey+2, 4*n_regionkey+3 FROM nation
+      ) AS _p WHERE src IS NOT NULL AND dst IS NOT NULL
+    )""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges) AS _u
+    )""",
+        """deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    )""",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        f"""r0 AS (
+      SELECT node, CAST({PR_SCALE} // nn.n AS BIGINT) AS r
+      FROM nodes CROSS JOIN nn
+    )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""d{k} AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dsum
+      FROM r{k - 1}
+      WHERE node NOT IN (SELECT node FROM deg)
+    )""")
+        ctes.append(f"""r{k} AS (
+      SELECT nd.node,
+             CAST({base} + ({PR_NUM} *
+                 (COALESCE(s.sm, 0) + d{k}.dsum // nn.n)) // {PR_DEN}
+               AS BIGINT) AS r
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d{k}
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(rp.r // dg.outdeg) AS sm
+        FROM edges e
+        JOIN r{k - 1} rp ON e.src = rp.node
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r FROM r{iterations}"
+    )
+
+
+@register(
+    "g02_pagerank_dangling",
+    oracle=_pagerank_dangling_oracle(PR_ITERATIONS),
+    doc=f"Mass-conserving integer PageRank ({PR_ITERATIONS} "
+    "iterations) over the DIRECTED customer/supplier→nation→region "
+    "DAG (node ids namespaced mod 4) — the 5 region nodes are pure "
+    "sinks, so without the dangling term ~all rank would drip out of "
+    "the system by round 5 (the g01 simplified variant documents "
+    "exactly this hazard; every real web/citation/follower graph has "
+    "sinks on day one). The standard redistribution — every node "
+    "also receives d·(Σ sink ranks)/N — stays integer-exact: the "
+    "sink SET is loop-invariant (one anti-join, checkpointed once), "
+    "its per-round rank sum is a 1-row broadcast crossJoin, and "
+    "`dangling_sum div n` rides the same truncating arithmetic, so "
+    "the unrolled-CTE oracle is bit-identical "
+    "(operators/graph.pagerank_integer redistribute_dangling=True).",
+)
+def g02_pagerank_dangling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cust = cat.table("customer").select(
+        (F.col("c_custkey") * 4).alias("src"),
+        (F.col("c_nationkey") * 4 + 2).alias("dst"),
+    )
+    supp = cat.table("supplier").select(
+        (F.col("s_suppkey") * 4 + 1).alias("src"),
+        (F.col("s_nationkey") * 4 + 2).alias("dst"),
+    )
+    nat = cat.table("nation").select(
+        (F.col("n_nationkey") * 4 + 2).alias("src"),
+        (F.col("n_regionkey") * 4 + 3).alias("dst"),
+    )
+    edges = cust.union(supp).union(nat)
+    return pagerank_integer(
+        edges,
+        iterations=PR_ITERATIONS,
+        redistribute_dangling=True,
+    )
+
+
 def _sql_cms(table: str, key: str) -> str:
     return f"""(
       SELECT cms_row,

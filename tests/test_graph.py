@@ -63,6 +63,57 @@ def test_pagerank_dangling_sink_leaks_documented_mass(spark):
     assert r[2] > r[1]  # 2 receives 1's mass, 1 only the base
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    # same 1 -> 2 sink graph as the leak test: with the dangling term
+    # the sink's mass is re-shared every round, so the total stays
+    # within the truncation drip instead of bleeding out
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = _ranks(
+        pagerank_integer(
+            edges, iterations=4, redistribute_dangling=True
+        )
+    )
+    assert set(r) == {1, 2}
+    assert abs(sum(r.values()) - PR_SCALE) < 1000
+    assert r[2] > r[1]  # 2 still receives 1's direct mass on top
+
+
+def test_pagerank_dangling_no_sinks_matches_simplified(spark):
+    # on a graph where every node has out-degree the dangling sum is
+    # 0 every round — both variants must be bit-identical
+    fwd = [(i, (i * 5) % 11) for i in range(11)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], "src long, dst long"
+    )
+    a = _ranks(pagerank_integer(edges, iterations=3))
+    b = _ranks(
+        pagerank_integer(
+            edges, iterations=3, redistribute_dangling=True
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_dangling_partitioning_invariant(spark):
+    # asymmetric chain with a sink: 0->1->2->3 (3 is a sink)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    a = _ranks(
+        pagerank_integer(
+            edges, iterations=3, redistribute_dangling=True
+        )
+    )
+    b = _ranks(
+        pagerank_integer(
+            edges.repartition(7),
+            iterations=3,
+            redistribute_dangling=True,
+        )
+    )
+    assert a == b
+
+
 def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank_integer(edges, iterations=2).count() == 0

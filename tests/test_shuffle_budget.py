@@ -225,10 +225,12 @@ SHUFFLE_BUDGET = {
     "x59_bottomk_sample": 1,  # WindowGroupLimit (plan-asserted in
     # the operator test): per-partition k-heap BEFORE the one
     # exchange — a skewed group moves k rows per partition
-    "x60_set_similarity_join": 4,  # token window + doc window over
-    # the checkpointed token table, prefix self-join, verify agg —
-    # df/size are windows over one scan, never join-backs, and sizes
-    # ride the candidate rows (was 18 exchanges as naive join-backs)
+    "x60_set_similarity_join": 4,  # df groupBy+join-back (shares the
+    # token partitioning — r8 skew fix: a token WINDOW was an
+    # unsplittable single task under a universal token, AQE can split
+    # the equi-join), doc window for sz/rn, prefix self-join, verify
+    # agg; sizes still ride the candidate rows (was 18 as naive
+    # join-backs of everything)
     "x61_fuzzy_name_match": 2,  # block-key self-join (one exchange
     # per side); Levenshtein is a codegen'd map over candidates
     "x62_score_normalize": 2,  # per-source stats agg (broadcast back)
@@ -245,6 +247,10 @@ SHUFFLE_BUDGET = {
     # never data rows; constraint count, not table size, bounds this
     "e11_gap_fill": 2,  # (key,bucket) resample agg + the key-level
     # bounds/spine/fill pipeline sharing one partitioning by key
+    "g02_pagerank_dangling": 0,  # same accounting as g01: the final
+    # plan reads the checkpointed rank RDD; each round additionally
+    # paid the sink-set semi-join + 1-row dangling agg (the sink SET
+    # itself is loop-invariant and checkpointed once)
     "g01_pagerank": 0,  # per-iteration lineage is localCheckpoint-
     # truncated (the connected_components rule): the final plan reads
     # the checkpointed rank RDD; each materialized round paid 2 keyed
