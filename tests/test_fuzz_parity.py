@@ -147,6 +147,66 @@ def test_fuzz_filter_parity(spark, tmp_path_factory, name, texts):
 
 
 # ---------------------------------------------------------------------------
+# matching fuzz: collision-heavy customer names (r8 — VERDICT r7 #7)
+# ---------------------------------------------------------------------------
+
+# names skew toward shared prefixes/suffixes (the blocking keys), edit
+# distance <= 1 neighbors, and the hazards the edge tiers pinned by
+# hand: unicode names the ASCII filter must exclude in BOTH engines
+# (byte-vs-codepoint levenshtein), length <= 2 words whose drop-last-2
+# block key is '' (negative-length substring is '' in both), all-tie
+# mode counts for the survivorship argmax, and NULLs
+_NAME = st.one_of(
+    st.none(),
+    st.sampled_from(
+        ["Customer#001", "Customer#002", "Customer#0O2", "Cust",
+         "Custo", "ab", "a", "", "Customér#001", "naïve", "the",
+         "thé", "AB", "aB"]
+    ),
+    st.text(alphabet="abAB#é", min_size=0, max_size=8),
+)
+_SEG = st.sampled_from([None, "AUTO", "BUILDING", "auto", ""])
+_CUSTOMERS = st.lists(
+    st.tuples(_NAME, _SEG), min_size=1, max_size=14
+)
+
+MATCH_FUZZ_QUERIES = [
+    "x61_fuzzy_name_match",
+    "u13_golden_record",
+]
+
+
+@pytest.mark.parametrize("name", MATCH_FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_CUSTOMERS)
+def test_fuzz_matching_parity(spark, tmp_path_factory, name, rows):
+    d = tmp_path_factory.mktemp("mfuzz")
+    data = [
+        # acctbal from a tiny exact set so MAX ties are frequent and
+        # the double passes through both engines bit-identically
+        (i, n, seg, float((i * 7) % 3) - 1.0)
+        for i, (n, seg) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "c_custkey bigint, c_name string, c_mktsegment string, "
+        "c_acctbal double",
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {rows!r}: {report}"
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
 # embedding fuzz: tie-heavy vectors
 # ---------------------------------------------------------------------------
 
