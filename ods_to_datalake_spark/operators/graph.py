@@ -152,3 +152,103 @@ def pagerank_integer(
     # release the edge blocks instead of leaking one copy per call
     e_deg.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count over an UNDIRECTED edge list (any
+    direction/duplication in the input; self-loops dropped) — one row
+    ``(n_triangles)``.
+
+    Degree-ordered orientation (the compact-forward / Latapy bound,
+    standard since Schank & Wagner 2005): each undirected edge points
+    from its lower-(degree, id) endpoint to the higher, so every
+    wedge join fans out of a node's HIGHER-degree-or-id neighbors
+    only — out-degree is O(√m) on any graph, which is what keeps a
+    celebrity node (degree 10⁷ in a follower graph) from emitting
+    10¹⁴ wedges the way id-ordering would. Each triangle is counted
+    exactly once, at its lowest-ordered corner.
+
+    Plan: degree agg (map-side partial), orientation map, one
+    self-join on the wedge apex, one semi-ish join closing (v, w)
+    against the oriented edges — all equi-joins on node keys, no
+    windows, no driver state. Ordering compares (degree, id) structs
+    directly (a global rank would be a single-partition window).
+    The edge and oriented tables each feed 2-3 plan legs, so both are
+    localCheckpoint-materialized (the x25 funnel-truncation pattern —
+    uncheckpointed, every leg re-ran the whole upstream edge build:
+    77 Exchanges measured vs 4 checkpointed; in a lake pipeline the
+    oriented edge table is the persisted artifact)."""
+    e = (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("__a").alias("node"))
+        .union(e.select("__b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnRenamed("node", "__a"), "__a")
+        .withColumnRenamed("__deg", "__da")
+        .join(
+            deg.select(
+                F.col("node").alias("__b"),
+                F.col("__deg").alias("__db"),
+            ),
+            "__b",
+        )
+    )
+    lower_first = (
+        F.struct(F.col("__da"), F.col("__a"))
+        < F.struct(F.col("__db"), F.col("__b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("__a"))
+        .otherwise(F.col("__b"))
+        .alias("u"),
+        F.when(lower_first, F.col("__b"))
+        .otherwise(F.col("__a"))
+        .alias("v"),
+        F.when(
+            lower_first,
+            F.struct(
+                F.col("__db").alias("d"), F.col("__b").alias("i")
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("__da").alias("d"), F.col("__a").alias("i")
+            )
+        )
+        .alias("kv"),
+    ).localCheckpoint()
+    o1 = oriented.select("u", "v", "kv")
+    o2 = oriented.select(
+        F.col("u").alias("u2"),
+        F.col("v").alias("w"),
+        F.col("kv").alias("kw"),
+    )
+    wedges = o1.join(
+        o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
+    ).select("v", "w")
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    return wedges.join(closing, ["v", "w"], "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -1,0 +1,106 @@
+"""Sequence analytics over per-key ordered event streams: first-order
+Markov transition matrices and gaps-and-islands activity streaks —
+the two classic "what happens next / how long do they stay" shapes
+between e09's path mining and e06's retention cohorts.
+
+Both cost ONE shuffle of the event stream (the per-key window), then
+work over state-vocabulary- or island-sized frames:
+
+- `transition_matrix`: LAG pairs per key, (prev, next) counts, and the
+  row-normalized probability. Counts are exact BIGINTs; the
+  probability is ONE raw double division of two BIGINTs (identical
+  IEEE operands → bit-identical cross-engine, the q02 rule — never
+  re-rounded). The normalizing total rides a window over the
+  AGGREGATED matrix (|states|² rows, never the event stream).
+- `longest_daily_streak`: distinct active days per key, island id =
+  day − row_number days (consecutive days share it), longest island
+  per key with (length DESC, start ASC) deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    events: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """(prev_state, state, n_transitions, p) — first-order Markov
+    transition counts over each key's (ts, tiebreak)-ordered stream,
+    row-normalized. NULL states never form transitions (both ends
+    filtered). ``p`` is n/total-from-prev as a single raw double
+    quotient."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    pairs = (
+        events.filter(F.col(state_col).isNotNull())
+        .select(
+            F.lag(state_col).over(w).alias("prev_state"),
+            F.col(state_col).alias("state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = pairs.groupBy("prev_state", "state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    total = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "state",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(total).cast("double")
+        ).alias("p"),
+    )
+
+
+def longest_daily_streak(
+    events: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """(key, streak_days, streak_start, streak_end) — each key's
+    longest run of CONSECUTIVE active days (distinct calendar days of
+    its events), ties resolved to the earliest start. The
+    gaps-and-islands identity: over per-key day-ordered rows,
+    day − row_number is constant exactly on consecutive runs."""
+    days = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            key,
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias(
+                "__day"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(key).orderBy("__day")
+    islands = days.withColumn(
+        "__island",
+        F.date_sub(
+            F.col("__day"), F.row_number().over(w).cast("int")
+        ),
+    )
+    runs = islands.groupBy(key, "__island").agg(
+        F.count(F.lit(1)).cast("long").alias("__len"),
+        F.min("__day").alias("__start"),
+        F.max("__day").alias("__end"),
+    )
+    best = runs.groupBy(key).agg(
+        F.min(
+            F.struct(
+                (-F.col("__len")).alias("__neg"),
+                F.col("__start").alias("__s"),
+                F.col("__end").alias("__e"),
+            )
+        ).alias("__top")
+    )
+    return best.select(
+        key,
+        (-F.col("__top.__neg")).cast("long").alias("streak_days"),
+        F.col("__top.__s").alias("streak_start"),
+        F.col("__top.__e").alias("streak_end"),
+    )

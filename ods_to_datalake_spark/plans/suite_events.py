@@ -458,3 +458,102 @@ def e10_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_testdata(spark, sf_dir)
     return daily_anomaly_batch(cat.table("events"))
+
+
+@register(
+    "e12_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_state,
+             event_type AS state
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    counts AS (
+      SELECT prev_state, state,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_state IS NOT NULL
+      GROUP BY prev_state, state
+    )
+    SELECT prev_state, state, n_transitions,
+           CAST(n_transitions AS DOUBLE) /
+             CAST(CAST(SUM(n_transitions) OVER (
+               PARTITION BY prev_state) AS BIGINT) AS DOUBLE) AS p
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix over each user's "
+    "(ts, event_id)-ordered event-type stream: (prev, next) counts "
+    "and the row-normalized transition probability — the "
+    "next-event-prediction / journey-simulation primitive between "
+    "e09's path mining and e06's cohorts. NULL types are removed "
+    "from the sequence BEFORE pairing (both engines lag over the "
+    "filtered stream). One shuffle of events (the user window); the "
+    "normalizing total is a window over the AGGREGATED "
+    "|states|^2-row matrix, never the stream; p is one raw "
+    "BIGINT/BIGINT double quotient (identical IEEE operands -> "
+    "bit-identical; the oracle re-casts DuckDB's HUGEINT window sum "
+    "back to BIGINT per CLAUDE.md). "
+    "operators/sequence.transition_matrix.",
+)
+def e12_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        transition_matrix,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return transition_matrix(
+        cat.table("events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "e13_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS island
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, island,
+             CAST(COUNT(*) AS BIGINT) AS streak_days,
+             MIN(day) AS streak_start, MAX(day) AS streak_end
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, streak_days, streak_start, streak_end
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY streak_days DESC, streak_start) AS rn
+      FROM runs
+    ) AS _r WHERE rn = 1
+    """,
+    doc="Longest consecutive-day activity streak per user — the "
+    "gaps-and-islands identity (day minus per-user day-ordered "
+    "row_number is constant exactly on consecutive runs; the same "
+    "trick the BPE rewrite builds on, here in its classic calendar "
+    "form). Distinct active days first (bounded by the calendar, not "
+    "event volume), one user-keyed shuffle shared by the window and "
+    "both groupBys, (length DESC, start ASC) deterministic tiebreak "
+    "via min-struct vs ROW_NUMBER=1 — the engagement/retention "
+    "feature engineering query. "
+    "operators/sequence.longest_daily_streak.",
+)
+def e13_activity_streaks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        longest_daily_streak,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return longest_daily_streak(cat.table("events"), "user_id", "ts")

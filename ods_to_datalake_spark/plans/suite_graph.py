@@ -290,3 +290,107 @@ def x64_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders["o_orderkey"] == li["l_orderkey"]
     ).agg(F.count(F.lit(1)).alias("exact_join_size"))
     return est.crossJoin(exact)
+
+
+# x69/g03: distinct co-ordered part pairs — x69 registers the pair
+# table (min_count=2 keeps the emitted matrix signal-bearing), g03
+# closes triangles over the FULL pair graph (min_count=1), embedding
+# x69's items CTE in its oracle (the x25-in-x66 single-source rule)
+SQL_BASKET_ITEMS = """(
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    )"""
+
+
+@register(
+    "x69_part_cooccurrence",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS}
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM items a JOIN items b
+      ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing together "
+    "in >= 2 orders — the 'bought X also bought Y' recommendation "
+    "primitive and the edge-builder for the item graph (g03 "
+    "consumes it). Distinct (order, part) pairs, one basket-keyed "
+    "self-join emitting C(|basket|,2) ordered pairs (work bounded by "
+    "BASKET width, never corpus size), one partial-aggregated count; "
+    "a degenerate mega-basket is the skew hazard, so the operator "
+    "takes an opt-in max_basket cap + oversized_baskets report (the "
+    "dedup.cap_bucket_width contract; the registered query is "
+    "uncapped — its oracle matches exactly). "
+    "operators/basket.cooccurrence.",
+)
+def x69_part_cooccurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+
+    cat = load_testdata(spark, sf_dir)
+    return cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+
+
+@register(
+    "g03_triangle_count",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS},
+    e AS (
+      SELECT DISTINCT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) AS _u
+      GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN db.d ELSE da.d END AS dv
+      FROM e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    w AS (
+      SELECT o1.v AS v, o2.v AS w
+      FROM o o1 JOIN o o2
+        ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM w JOIN o ON o.u = w.v AND o.v = w.w
+    """,
+    doc="Exact triangle count over the part co-purchase graph "
+    "(115k edges at sf0.01) via degree-ordered edge orientation "
+    "(compact-forward, Schank & Wagner 2005): every edge points from "
+    "its lower-(degree,id) endpoint to the higher, so wedge fan-out "
+    "is bounded by O(sqrt(m)) per node on ANY graph — a celebrity "
+    "node (degree 1e7 in a follower graph) emits thousands of "
+    "wedges, not 1e14, which is the whole difference between "
+    "triangle counting that finishes at 100 TB and one that doesn't. "
+    "Each triangle is counted once at its lowest corner; the plan is "
+    "a degree agg + two node-keyed equi-joins, no windows (a global "
+    "degree RANK would be a single-partition sort — struct "
+    "comparisons keep the order local). Both engines compare "
+    "(degree, id) tuples lexicographically; counts are exact "
+    "BIGINTs. operators/graph.triangle_count.",
+)
+def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import triangle_count
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=1
+    )
+    return triangle_count(edges, "item_a", "item_b")

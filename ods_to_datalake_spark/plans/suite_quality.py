@@ -347,3 +347,60 @@ def u13_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", "n_members", "max_c_acctbal",
         "c_mktsegment", "c_name",
     )
+
+
+@register(
+    "x68_target_encoding",
+    oracle="""
+    WITH lab AS (
+      SELECT c_mktsegment AS category,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+               AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS hits
+      FROM lab GROUP BY category
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS gn,
+             CAST(SUM(y) AS HUGEINT) AS gh
+      FROM lab
+    )
+    SELECT category, n, hits,
+           CAST(CAST(CAST(hits AS HUGEINT) * gn + 25 * gh AS VARCHAR)
+                AS DOUBLE)
+           / CAST(CAST((CAST(n AS HUGEINT) + 25) * gn AS VARCHAR)
+                  AS DOUBLE) AS enc
+    FROM per CROSS JOIN g
+    """,
+    doc="Smoothed target encoding (Micci-Barreca 2001) of the customer "
+    "market segment against the urgent-order label: enc = (hits + "
+    "m*global_rate)/(n + m) with m=25, computed as ONE double division "
+    "of two exact cross-multiplied integers — (hits*N + m*H) / "
+    "((n+m)*N) — in DECIMAL(38,0) (corpus-scale BIGINT products "
+    "overflow int64 at ~1e10 rows; the oracle's HUGEINT operands "
+    "round-trip through VARCHAR per the DECIMAL(38)->DOUBLE 1-ulp "
+    "note). The high-cardinality-categorical featurizer: one "
+    "partial-agg groupBy + a 1-row broadcast global — the encoder "
+    "table is a category-sized mergeable lake artifact, like the "
+    "DSIR/LM model tables. operators/features.target_encoding.",
+)
+def x68_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.features import target_encoding
+
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    cust = cat.table("customer")
+    labeled = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("long")
+        .alias("is_urgent"),
+    )
+    return target_encoding(
+        labeled, "c_mktsegment", "is_urgent", smoothing=25
+    )

@@ -119,6 +119,38 @@ def test_pagerank_empty_edges(spark):
     assert pagerank_integer(edges, iterations=2).count() == 0
 
 
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _tri(spark, pairs):
+    from ods_to_datalake_spark.operators.graph import triangle_count
+
+    return triangle_count(_edges(spark, pairs)).collect()[0].n_triangles
+
+
+def test_triangle_count_k4_has_four(spark):
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == 4
+
+
+def test_triangle_count_bipartite_has_none(spark):
+    # the supplier<->customer trade graph shape: no odd cycles
+    bip = [(a, b) for a in (0, 1, 2) for b in (10, 11)]
+    assert _tri(spark, bip) == 0
+
+
+def test_triangle_count_direction_and_dups_irrelevant(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    messy = tri + [(2, 1), (3, 2), (1, 3), (1, 2), (1, 1)]
+    assert _tri(spark, tri) == 1
+    assert _tri(spark, messy) == 1  # undirected, deduped, loop-dropped
+
+
+def test_triangle_count_empty(spark):
+    assert _tri(spark, []) == 0
+
+
 def test_cms_join_size_upper_bounds_exact(spark):
     a = spark.createDataFrame(
         [(k,) for k in [1, 1, 1, 2, 3]], "k long"

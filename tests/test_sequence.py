@@ -1,0 +1,143 @@
+"""Unit coverage for operators/sequence (Markov transitions,
+gaps-and-islands streaks), operators/features (target encoding), and
+operators/basket (co-occurrence + width guard)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ods_to_datalake_spark.operators.basket import (
+    cooccurrence,
+    oversized_baskets,
+)
+from ods_to_datalake_spark.operators.features import target_encoding
+from ods_to_datalake_spark.operators.sequence import (
+    longest_daily_streak,
+    transition_matrix,
+)
+
+EV_SCHEMA = "user_id long, ts timestamp, event_type string, event_id long"
+
+
+def _ts(d, h=0):
+    return datetime(2024, 1, d, h)
+
+
+def test_transition_matrix_counts_and_rows_normalize(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1, 0), "a", 1),
+            (1, _ts(1, 1), "b", 2),
+            (1, _ts(1, 2), "a", 3),
+            (1, _ts(1, 3), "c", 4),
+            (2, _ts(1, 0), "a", 5),
+            (2, _ts(1, 1), "b", 6),
+        ],
+        EV_SCHEMA,
+    )
+    got = {
+        (r.prev_state, r.state): (r.n_transitions, r.p)
+        for r in transition_matrix(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    # from 'a': a->b twice, a->c once; from 'b': b->a once
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "c")] == (1, 1 / 3)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_transition_matrix_null_states_removed_before_pairing(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1, 0), "a", 1),
+            (1, _ts(1, 1), None, 2),
+            (1, _ts(1, 2), "b", 3),
+        ],
+        EV_SCHEMA,
+    )
+    got = {
+        (r.prev_state, r.state)
+        for r in transition_matrix(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert got == {("a", "b")}  # the NULL is excised, a->b bridges it
+
+
+def test_longest_streak_picks_longest_then_earliest(spark):
+    rows = (
+        # user 1: days 1-3 (len 3), day 7, days 10-11
+        [(1, _ts(d), "x", d) for d in [1, 2, 3, 7, 10, 11]]
+        # user 2: two 2-day streaks -> earliest start wins
+        + [(2, _ts(d), "x", 20 + d) for d in [4, 5, 8, 9]]
+        # duplicate events within a day must not inflate streaks
+        + [(1, _ts(2, 6), "y", 99)]
+    )
+    got = {
+        r.user_id: (
+            r.streak_days,
+            r.streak_start.day,
+            r.streak_end.day,
+        )
+        for r in longest_daily_streak(
+            spark.createDataFrame(rows, EV_SCHEMA), "user_id", "ts"
+        ).collect()
+    }
+    assert got == {1: (3, 1, 3), 2: (2, 4, 5)}
+
+
+def test_target_encoding_blends_toward_prior(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 0), ("b", 0)],
+        "cat string, y int",
+    )
+    enc = {
+        r.category: (r.n, r.hits, r.enc)
+        for r in target_encoding(df, "cat", "y", smoothing=2).collect()
+    }
+    # global rate 2/4; enc(a) = (2 + 2*0.5)/(3+2) = 0.6 exactly
+    assert enc["a"] == (3, 2, (2 * 4 + 2 * 2) / (5 * 4))
+    assert enc["b"] == (1, 0, (0 * 4 + 2 * 2) / (3 * 4))
+    # smoothing=0 degenerates to the plain per-category mean
+    enc0 = {
+        r.category: r.enc
+        for r in target_encoding(df, "cat", "y", smoothing=0).collect()
+    }
+    assert enc0["a"] == 2 / 3 and enc0["b"] == 0.0
+
+
+def test_target_encoding_null_labels_count_rows_not_hits(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None)], "cat string, y int"
+    )
+    r = target_encoding(df, "cat", "y", smoothing=0).collect()[0]
+    assert (r.n, r.hits, r.enc) == (2, 1, 0.5)
+
+
+def test_cooccurrence_counts_baskets_not_rows(spark):
+    df = spark.createDataFrame(
+        # basket 1 holds item 10 twice: the pair (10,20) counts ONCE
+        [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20), (3, 10)],
+        "basket long, item long",
+    )
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in cooccurrence(df, "basket", "item").collect()
+    }
+    assert got == {(10, 20): 2}
+    assert (
+        cooccurrence(df, "basket", "item", min_count=3).count() == 0
+    )
+
+
+def test_cooccurrence_max_basket_drops_megabasket(spark):
+    rows = [(1, i) for i in range(100)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    capped = cooccurrence(df, "basket", "item", max_basket=10)
+    assert {(r.item_a, r.item_b) for r in capped.collect()} == {(1, 2)}
+    rep = oversized_baskets(df, "basket", "item", max_basket=10)
+    assert [(r.basket, r.n_items) for r in rep.collect()] == [(1, 100)]
