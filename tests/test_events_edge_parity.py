@@ -73,6 +73,11 @@ EDGE_QUERIES = [
     "e08_trailing_window",
     "e09_event_paths",
     "e10_daily_anomaly",
+    # round-8: NULL event types must be excised from the sequence
+    # identically before pairing (e12); epoch-0 / NULL-ts rows hit
+    # the streak island arithmetic's pre-1970 date math (e13)
+    "e12_markov_transitions",
+    "e13_activity_streaks",
 ]
 
 

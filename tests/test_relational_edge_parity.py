@@ -63,6 +63,16 @@ EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"] + [
     # '' block), duplicate names (distinct-first), unicode names (the
     # byte-vs-codepoint levenshtein divergence — both engines must
     # FILTER them identically), NULLs
+    # round-8 opt-ins:
+    "x68_target_encoding",  # NULL segments form their own encoder
+    # group; boundary labels keep the integer cross-multiplication
+    # exact in both engines
+    "x69_part_cooccurrence",  # NULL part/order keys dropped before
+    # pairing, duplicate parts within a basket count once
+    "g02_pagerank_dangling",  # NULL nation keys drop edges; the
+    # dangling sum stays integer-exact over the augmented DAG
+    "g03_triangle_count",  # degree ties resolved by (degree, id)
+    # tuple comparison identically in both engines
 ]
 
 # appended customers: fuzzy-name edge shapes

@@ -247,6 +247,18 @@ SHUFFLE_BUDGET = {
     # never data rows; constraint count, not table size, bounds this
     "e11_gap_fill": 2,  # (key,bucket) resample agg + the key-level
     # bounds/spine/fill pipeline sharing one partitioning by key
+    "e12_markov_transitions": 3,  # events user-window + (prev,next)
+    # count agg + the normalizing window over the |states|^2 matrix
+    "e13_activity_streaks": 2,  # distinct (user, day) + the shared
+    # user partitioning for the island window / run agg / best agg
+    "x68_target_encoding": 2,  # labeled groupBy + the 1-row global
+    # agg (broadcast back); the orders-customer join broadcasts
+    "x69_part_cooccurrence": 3,  # distinct (order, part), the
+    # basket-keyed self-join, the pair count agg
+    "g03_triangle_count": 5,  # wedge self-join + closing join + agg
+    # over the CHECKPOINTED oriented edge table; the edge build paid
+    # its exchanges at materialization (x25 funnel-truncation —
+    # uncheckpointed the 5 re-built legs measured 77 Exchanges)
     "g02_pagerank_dangling": 0,  # same accounting as g01: the final
     # plan reads the checkpointed rank RDD; each round additionally
     # paid the sink-set semi-join + 1-row dangling agg (the sink SET
