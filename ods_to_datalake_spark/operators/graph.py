@@ -57,10 +57,21 @@ def pagerank_integer(
     damping_num: int = PR_NUM,
     damping_den: int = PR_DEN,
     redistribute_dangling: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over ``edges`` (directed,
     deduplicated by the caller). Returns (node, r) with r the scaled
-    BIGINT rank. Nodes = src ∪ dst; NULL endpoints are dropped."""
+    BIGINT rank. Nodes = src ∪ dst; NULL endpoints are dropped.
+
+    ``seeds`` (a 1-column node frame) switches to PERSONALIZED
+    PageRank: the teleport mass — the (1-d) base term, the initial
+    distribution, and (with ``redistribute_dangling``) the sink
+    redistribution — lands uniformly on the SEED set instead of all
+    nodes, so ranks measure importance RELATIVE to the seeds (the
+    similar-items / trust-propagation variant). No seeds is exactly
+    the seeds=all-nodes special case: the same code path with the
+    seed flag constant-1 produces bit-identical ranks to the classic
+    update (unit-tested), so g01/g02's oracles are untouched."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
     ).where(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -77,7 +88,28 @@ def pagerank_integer(
         return nodes.select(
             "node", F.lit(0).cast("long").alias("r")
         )
-    base = ((damping_den - damping_num) * scale) // (damping_den * n)
+    if seeds is None:
+        flagged = nodes.withColumn("__seed", F.lit(1))
+        s_count = n
+    else:
+        seed_nodes = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+        )
+        # nodes-sized, loop-invariant — checkpoint once (the
+        # dangling-set rule below)
+        flagged = nodes.join(
+            seed_nodes.withColumn("__seed", F.lit(1)), "node", "left"
+        ).select(
+            "node", F.coalesce("__seed", F.lit(0)).alias("__seed")
+        ).localCheckpoint()
+        s_count = flagged.where(F.col("__seed") == 1).count()
+        if s_count == 0:
+            raise ValueError("no seed overlaps the graph's nodes")
+    base = ((damping_den - damping_num) * scale) // (
+        damping_den * s_count
+    )
     # edges ⋈ outdeg is loop-invariant: materialize it ONCE so each
     # round pays only the rank join + the dst agg. DISK_ONLY persist,
     # not localCheckpoint: the edge table is corpus-scale (30M rows at
@@ -92,8 +124,12 @@ def pagerank_integer(
         .select("__s", "__d", "__outdeg")
         .persist(StorageLevel.DISK_ONLY)
     )
-    ranks = nodes.select(
-        "node", F.lit(scale // n).cast("long").alias("r")
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("__seed") == 1, F.lit(scale // s_count))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
     )
     if redistribute_dangling:
         # loop-invariant sink set: nodes with no out-edges. Nodes-
@@ -122,19 +158,24 @@ def pagerank_integer(
                 .cast("long")
                 .alias("__dang")
             )
-            received = f"coalesce(__sum, 0L) + (__dang div {n})"
-            joined = nodes.join(sums, "node", "left").crossJoin(
+            received = (
+                "coalesce(__sum, 0L) + (case when __seed = 1"
+                f" then __dang div {s_count} else 0L end)"
+            )
+            joined = flagged.join(sums, "node", "left").crossJoin(
                 F.broadcast(dang)
             )
         else:
             received = "coalesce(__sum, 0L)"
-            joined = nodes.join(sums, "node", "left")
+            joined = flagged.join(sums, "node", "left")
         ranks = (
             joined
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.when(
+                        F.col("__seed") == 1, F.lit(base)
+                    ).otherwise(F.lit(0))
                     + F.expr(
                         f"({damping_num} * ({received}))"
                         f" div {damping_den}"

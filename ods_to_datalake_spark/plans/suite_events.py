@@ -495,6 +495,7 @@ def e10_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical; the oracle re-casts DuckDB's HUGEINT window sum "
     "back to BIGINT per CLAUDE.md). "
     "operators/sequence.transition_matrix.",
+    headline=True,
 )
 def e12_markov_transitions(
     spark: SparkSession, sf_dir: str

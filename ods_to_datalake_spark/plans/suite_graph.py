@@ -394,3 +394,127 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=1
     )
     return triangle_count(edges, "item_a", "item_b")
+
+
+def _ppr_oracle(iterations: int) -> str:
+    """Unrolled-CTE mirror of personalized PageRank on the geo DAG:
+    teleport base, initial mass, and the per-round sink redistribution
+    all land on the SEED set (nation-0 customers); non-seeds receive
+    only propagated mass. Same truncating arithmetic as g01/g02."""
+    base = f"(({PR_DEN - PR_NUM} * {PR_SCALE}) // ({PR_DEN} * ss.s))"
+    ctes = [
+        """edges AS (
+      SELECT src, dst FROM (
+        SELECT 4*c_custkey AS src, 4*c_nationkey+2 AS dst FROM customer
+        UNION ALL
+        SELECT 4*s_suppkey+1, 4*s_nationkey+2 FROM supplier
+        UNION ALL
+        SELECT 4*n_nationkey+2, 4*n_regionkey+3 FROM nation
+      ) AS _p WHERE src IS NOT NULL AND dst IS NOT NULL
+    )""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges) AS _u
+    )""",
+        """deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    )""",
+        """sd AS (
+      SELECT DISTINCT 4*c_custkey AS node FROM customer
+      WHERE c_nationkey = 0 AND c_custkey IS NOT NULL
+    )""",
+        "ss AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM sd)",
+        f"""r0 AS (
+      SELECT n.node,
+             CAST(CASE WHEN sj.node IS NOT NULL
+                  THEN {PR_SCALE} // ss.s ELSE 0 END AS BIGINT) AS r
+      FROM nodes n CROSS JOIN ss
+      LEFT JOIN sd sj ON sj.node = n.node
+    )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""d{k} AS (
+      SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dsum
+      FROM r{k - 1}
+      WHERE node NOT IN (SELECT node FROM deg)
+    )""")
+        ctes.append(f"""r{k} AS (
+      SELECT nd.node,
+             CAST(CASE WHEN sj.node IS NOT NULL THEN {base}
+                       ELSE 0 END
+                  + ({PR_NUM} * (COALESCE(s.sm, 0)
+                      + CASE WHEN sj.node IS NOT NULL
+                             THEN d{k}.dsum // ss.s
+                             ELSE 0 END)) // {PR_DEN}
+               AS BIGINT) AS r
+      FROM nodes nd CROSS JOIN ss CROSS JOIN d{k}
+      LEFT JOIN sd sj ON sj.node = nd.node
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(rp.r // dg.outdeg) AS sm
+        FROM edges e
+        JOIN r{k - 1} rp ON e.src = rp.node
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r FROM r{iterations}"
+    )
+
+
+@register(
+    "g04_personalized_pagerank",
+    oracle=_ppr_oracle(PR_ITERATIONS),
+    doc=f"Personalized (seeded) integer PageRank ({PR_ITERATIONS} "
+    "iterations) on the geo DAG, teleporting to the nation-0 "
+    "customer cohort: the (1-d) base, the initial mass, AND the "
+    "dangling redistribution all land uniformly on the SEED set, so "
+    "ranks measure importance RELATIVE to the seeds — the "
+    "similar-items / TrustRank / personalized-recommendation variant "
+    "of g01's global walk. Non-seed nodes hold rank only while mass "
+    "flows through them (their stationary share decays toward the "
+    "propagated term alone). Same exact-integer arithmetic — seed "
+    "gating is a CASE on a checkpointed loop-invariant flag column, "
+    "`dangling_sum div |S|` replaces `div N` — so the unrolled-CTE "
+    "oracle stays bit-identical; seeds=None reproduces g01's classic "
+    "update bit-for-bit through the SAME code path (unit-tested). "
+    "operators/graph.pagerank_integer(seeds=...).",
+)
+def g04_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    cust = cat.table("customer")
+    supp = cat.table("supplier")
+    nat = cat.table("nation")
+    edges = (
+        cust.select(
+            (F.col("c_custkey") * 4).alias("src"),
+            (F.col("c_nationkey") * 4 + 2).alias("dst"),
+        )
+        .union(
+            supp.select(
+                (F.col("s_suppkey") * 4 + 1).alias("src"),
+                (F.col("s_nationkey") * 4 + 2).alias("dst"),
+            )
+        )
+        .union(
+            nat.select(
+                (F.col("n_nationkey") * 4 + 2).alias("src"),
+                (F.col("n_regionkey") * 4 + 3).alias("dst"),
+            )
+        )
+    )
+    seeds = cust.where(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey") * 4).alias("node")
+    )
+    return pagerank_integer(
+        edges,
+        iterations=PR_ITERATIONS,
+        redistribute_dangling=True,
+        seeds=seeds,
+    )

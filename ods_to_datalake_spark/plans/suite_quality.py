@@ -386,6 +386,7 @@ def u13_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-agg groupBy + a 1-row broadcast global — the encoder "
     "table is a category-sized mergeable lake artifact, like the "
     "DSIR/LM model tables. operators/features.target_encoding.",
+    headline=True,
 )
 def x68_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ods_to_datalake_spark.operators.features import target_encoding

@@ -114,6 +114,61 @@ def test_pagerank_dangling_partitioning_invariant(spark):
     assert a == b
 
 
+def test_personalized_seeds_all_nodes_is_classic(spark):
+    fwd = [(i, (i * 3) % 7) for i in range(7)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], "src long, dst long"
+    )
+    all_nodes = spark.createDataFrame(
+        [(i,) for i in range(7)], "node long"
+    )
+    a = _ranks(pagerank_integer(edges, iterations=3))
+    b = _ranks(pagerank_integer(edges, iterations=3, seeds=all_nodes))
+    assert a == b  # seeds=every-node is bit-identical to classic
+
+
+def test_personalized_concentrates_on_seed(spark):
+    # undirected star, teleport to leaf 2 only: the seed leaf must
+    # outrank the symmetric non-seed leaves
+    fwd = [(1, d) for d in range(2, 7)]
+    edges = spark.createDataFrame(
+        fwd + [(d, s) for s, d in fwd], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(2,)], "node long")
+    r = _ranks(pagerank_integer(edges, iterations=6, seeds=seeds))
+    assert r[2] > max(r[k] for k in (3, 4, 5, 6))
+    non_seed_leaves = {r[k] for k in (3, 4, 5, 6)}
+    assert len(non_seed_leaves) == 1  # still symmetric among them
+
+
+def test_personalized_dangling_mass_returns_to_seeds(spark):
+    # chain into a sink, seeded at the head: with redistribution the
+    # sink's mass teleports back to the seed, conserving total mass
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    r = _ranks(
+        pagerank_integer(
+            edges,
+            iterations=4,
+            seeds=seeds,
+            redistribute_dangling=True,
+        )
+    )
+    assert abs(sum(r.values()) - PR_SCALE) < 1000
+    assert r[1] > 0 and r[2] > 0 and r[3] > 0
+
+
+def test_personalized_disjoint_seeds_raise(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        pagerank_integer(edges, iterations=2, seeds=seeds)
+
+
 def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank_integer(edges, iterations=2).count() == 0

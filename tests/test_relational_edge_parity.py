@@ -71,6 +71,8 @@ EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"] + [
     # pairing, duplicate parts within a basket count once
     "g02_pagerank_dangling",  # NULL nation keys drop edges; the
     # dangling sum stays integer-exact over the augmented DAG
+    "g04_personalized_pagerank",  # seed-set gating over the same
+    # augmented DAG (edge customers join nation 0 or drop)
     "g03_triangle_count",  # degree ties resolved by (degree, id)
     # tuple comparison identically in both engines
 ]

@@ -259,6 +259,9 @@ SHUFFLE_BUDGET = {
     # over the CHECKPOINTED oriented edge table; the edge build paid
     # its exchanges at materialization (x25 funnel-truncation —
     # uncheckpointed the 5 re-built legs measured 77 Exchanges)
+    "g04_personalized_pagerank": 0,  # g01's accounting; the seed
+    # flag rides the checkpointed node frame, per-round cost adds the
+    # sink semi-join + 1-row dangling agg
     "g02_pagerank_dangling": 0,  # same accounting as g01: the final
     # plan reads the checkpointed rank RDD; each round additionally
     # paid the sink-set semi-join + 1-row dangling agg (the sink SET
