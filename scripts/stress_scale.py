@@ -40,8 +40,15 @@ AMPLIFIED = {  # table -> key columns shifted per replica
     # (not per-key density) — the honest scale-up for per-user
     # window/spine shapes like e11
     "events": ["event_id", "user_id"],
+    # customer (r8): the similarity-join family (x61/u13) works on
+    # customer names/fields; a copied table would make those cells
+    # flat by construction. Replicas also get distinct c_name values
+    # (TPC-H derives the name from the key — replica names must grow
+    # the VOCABULARY, or x61's distinct() collapses the scale-up; see
+    # the id-slicing trap in CLAUDE.md)
+    "customer": ["c_custkey"],
 }
-COPIED = ["region", "nation", "customer", "supplier", "part"]
+COPIED = ["region", "nation", "supplier", "part"]
 
 # registered queries to time (name -> why it's a stress shape)
 SUITE_QUERIES = [
@@ -70,6 +77,16 @@ SUITE_QUERIES = [
     "g01_pagerank",  # iterative: distinct pair build + 5 checkpointed rounds
     "x64_cms_join_size",  # two key-grid builds over amplified facts
     "x67_bpe_merges",  # corpus->vocab pass + vocab-sized merge rounds
+    # round-8: the similarity-join family (the one r7 family without
+    # scale numbers; x60 carries the skew-fix design question).
+    # Amplified replicas are EXACT text copies, so x60's qualifying
+    # OUTPUT is quadratic in scale (every replica of a near-dup pair
+    # qualifies) — the same data artifact as the x04 LSH cell; the
+    # interesting signal is the candidate/verify pipeline cost, and
+    # the README row says so.
+    "x60_set_similarity_join",  # prefix-filtered exact similarity join
+    "x61_fuzzy_name_match",  # blocked vocabulary join + Levenshtein
+    "u13_golden_record",  # melted-stream survivorship merge
 ]
 
 
@@ -134,6 +151,50 @@ def main() -> int:
             rep = rep.withColumn(
                 c, F.col(c) + F.col("__r").cast("long") * F.lit(offset)
             )
+        if table == "customer":
+            # replica 0 keeps the original names (the offset-key
+            # rule); later replicas get key-derived fresh names so
+            # the deduplicated vocabulary grows with the data
+            rep = rep.withColumn(
+                "c_name",
+                F.when(F.col("__r") == 0, F.col("c_name")).otherwise(
+                    F.concat_ws("#", F.col("c_name"), F.col("__r"))
+                ),
+            )
+        if table == "documents" and os.environ.get(
+            "SPARK_GRAFT_STRESS_PERTURB_DOCS"
+        ):
+            # exact-copy replicas make EVERY cross-replica doc pair a
+            # true near-dup (J=1): x60's qualifying output — and its
+            # candidate stream — go QUADRATIC in scale (the 30x cell
+            # filled the disk with true positives; same artifact class
+            # as the x04/LSH note, but output-fatal for an exact
+            # join). Tagging a hash-selected 1/8 of each replica's
+            # tokens caps cross-replica Jaccard at 7/9 ≈ 0.78 < 0.9,
+            # so near-dup density per doc stays CONSTANT as scale
+            # grows — the shape of a real growing corpus. The tag is
+            # POSITION-SALTED (token_r<replica>_<hash mod 64>): the
+            # base corpus has a FIXED 31-word vocabulary, i.e. no
+            # rare tokens at all, which is PPJoin's documented worst
+            # case (every prefix bucket is corpus-wide — a 30× run
+            # stalled on one straggler bucket); real corpora are
+            # Zipfian with a long rare tail, and the salted tags give
+            # each replica exactly that: ~n/8 low-df discriminative
+            # tokens per doc for the prefix filter to anchor on.
+            # Opt-in: the historical README rows were measured on
+            # exact copies.
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                    F.expr(
+                        "array_join(transform(split(text, '\\\\s+'),"
+                        " (t, i) -> CASE WHEN pmod(xxhash64(t, i), 8)"
+                        " = pmod(__r, 8) THEN concat(t, '_r', __r,"
+                        " '_', pmod(xxhash64(t, i, __r), 64))"
+                        " ELSE t END), ' ')"
+                    )
+                ),
+            )
         rep.drop("__r").repartition(32).write.parquet(
             f"{workdir}/{table}.parquet"
         )
@@ -179,24 +240,37 @@ def main() -> int:
             f"{[round(s, 2) for s in samples]} ({n:,} rows)"
         )
 
-    # fact ⋈ fact join primitive at volume (not a suite query: both
-    # sides amplified, measures the raw shuffle-join path)
     orders = spark.read.parquet(f"{workdir}/orders.parquet")
-    if not os.environ.get("SPARK_GRAFT_STRESS_QUERIES"):
-        bench(
-            "fact_join",
-            lambda: li.join(
-                orders, li["l_orderkey"] == orders["o_orderkey"]
-            ),
-        )
+    from ods_to_datalake_spark.operators.profile import table_profile
+
+    # cells that are NOT registered queries:
+    # - fact_join: the raw shuffle-join primitive, both sides amplified
+    # - u11_profile_hll: table_profile's approx-distinct face on the
+    #   widest amplified fact — the 100-TB profiling path (one wide
+    #   aggregate, HLL registers instead of exact count_distinct); no
+    #   registered query exercises it because HLL estimates have no
+    #   exact cross-engine oracle
+    CUSTOM = {
+        "fact_join": lambda: li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ),
+        "u11_profile_hll": lambda: table_profile(
+            li, exact_distinct=False
+        ),
+    }
 
     # isolate suspicious cells (cross-query GC interference — CLAUDE.md):
     # SPARK_GRAFT_STRESS_QUERIES="x51_gopher_repetition" runs one cell
     only = os.environ.get("SPARK_GRAFT_STRESS_QUERIES")
-    selected = only.split(",") if only else SUITE_QUERIES
+    selected = (
+        only.split(",") if only else list(CUSTOM) + SUITE_QUERIES
+    )
     for name in selected:
-        q = queries[name]
-        bench(name, lambda q=q: q.fn(spark, workdir))
+        if name in CUSTOM:
+            bench(name, CUSTOM[name])
+        else:
+            q = queries[name]
+            bench(name, lambda q=q: q.fn(spark, workdir))
 
     print({"scale": scale, "timings": timings})
     if not os.environ.get("SPARK_GRAFT_STRESS_REUSE"):
