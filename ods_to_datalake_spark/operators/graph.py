@@ -219,7 +219,7 @@ def triangle_count(
     The edge and oriented tables each feed 2-3 plan legs, so both are
     localCheckpoint-materialized (the x25 funnel-truncation pattern —
     uncheckpointed, every leg re-ran the whole upstream edge build:
-    77 Exchanges measured vs 4 checkpointed; in a lake pipeline the
+    77 Exchanges measured vs 5 checkpointed; in a lake pipeline the
     oriented edge table is the persisted artifact)."""
     e = (
         edges.select(

@@ -32,12 +32,18 @@ def transition_matrix(
 ) -> DataFrame:
     """(prev_state, state, n_transitions, p) — first-order Markov
     transition counts over each key's (ts, tiebreak)-ordered stream,
-    row-normalized. NULL states never form transitions (both ends
-    filtered). ``p`` is n/total-from-prev as a single raw double
-    quotient."""
+    row-normalized. NULL states never form transitions (removed from
+    the sequence BEFORE pairing), and NULL-ts rows are unplaceable in
+    a sequence and drop (the `resample_last` rule — also a cross-
+    engine hazard: Spark windows order NULLS FIRST, DuckDB's LAST, so
+    an unfiltered NULL ts would pair at opposite ends of the stream).
+    ``p`` is n/total-from-prev as a single raw double quotient."""
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
     pairs = (
-        events.filter(F.col(state_col).isNotNull())
+        events.filter(
+            F.col(state_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
         .select(
             F.lag(state_col).over(w).alias("prev_state"),
             F.col(state_col).alias("state"),

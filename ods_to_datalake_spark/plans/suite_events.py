@@ -468,7 +468,10 @@ def e10_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS prev_state,
              event_type AS state
-      FROM events WHERE event_type IS NOT NULL
+      -- ts filtered like event_type: Spark windows order NULLS
+      -- FIRST, DuckDB's LAST — an unfiltered NULL ts would pair at
+      -- opposite ends of the stream in the two engines
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
     ),
     counts AS (
       SELECT prev_state, state,

@@ -147,7 +147,13 @@ def gap_fill_sink(
         ).filter(F.col("bucket") >= F.col("__lo")).drop("__lo")
         # frontier rows seeded into the fill were emitted by an
         # EARLIER batch; `observed` on them belongs to that batch and
-        # the >= __lo filter excludes them here
+        # the >= __lo filter excludes them here.
+        # Materialize ONCE before the two writes (the CLAUDE.md
+        # persist-across-two-writes sink rule + the x25 shared-frame
+        # rule): emit feeds its own write AND the new frontier, and
+        # uncheckpointed the state write would re-run the whole
+        # resample/spine/fill lineage a second time
+        emit = emit.localCheckpoint()
         new_frontier = emit.groupBy(key).agg(
             F.max(
                 F.struct(F.col("bucket"), F.col(value_col).alias("__v"))

@@ -74,8 +74,11 @@ EDGE_QUERIES = [
     "e09_event_paths",
     "e10_daily_anomaly",
     # round-8: NULL event types must be excised from the sequence
-    # identically before pairing (e12); epoch-0 / NULL-ts rows hit
-    # the streak island arithmetic's pre-1970 date math (e13)
+    # identically before pairing (e12); epoch-0 rows hit the streak
+    # island arithmetic's pre-1970 date math (e13). NULL-ts rows are
+    # NOT in this corpus (several e-queries would need a cross-engine
+    # NULLS FIRST/LAST audit first); the e12/e13 NULL-ts drop is
+    # pinned by tests/test_sequence.py::test_null_ts_parity instead.
     "e12_markov_transitions",
     "e13_activity_streaks",
 ]

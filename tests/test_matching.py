@@ -51,7 +51,11 @@ def test_max_block_bounds_the_degenerate_pass(spark):
 
 
 def test_capped_join_is_a_subset_of_uncapped(spark):
-    words = [f"ab{i:03d}" for i in range(60)] + ["xy001", "xy002"]
+    words = [f"ab{i:03d}" for i in range(60)] + [
+        "cb001",  # shares suffix '01' with ab001 at dist 1
+        "xy001",
+        "xy002",
+    ]
     v = _vocab(spark, words)
     uncapped = {
         (r.w1, r.w2, r.dist)
@@ -64,10 +68,17 @@ def test_capped_join_is_a_subset_of_uncapped(spark):
         ).collect()
     }
     assert capped <= uncapped
-    # the 'ab' prefix block (60 > 10) is dropped, but same-suffix
-    # neighbors survive through pass 1
-    assert ("ab001", "ab101") not in capped or True
-    assert ("xy001", "xy002") in {(a, b) for a, b, _ in uncapped}
+    capped_pairs = {(a, b) for a, b, _ in capped}
+    uncapped_pairs = {(a, b) for a, b, _ in uncapped}
+    # the 'ab' prefix block (60 > 10) is dropped: a dist-1 pair whose
+    # differing char sits in the SUFFIX is reachable only through the
+    # prefix pass, so the cap loses it (the documented recall cost)...
+    assert ("ab001", "ab002") in uncapped_pairs
+    assert ("ab001", "ab002") not in capped_pairs
+    # ...while same-suffix neighbors survive through pass 1
+    assert ("ab001", "cb001") in capped_pairs
+    # a small prefix block ('xy', 2 <= cap) is untouched by the cap
+    assert ("xy001", "xy002") in capped_pairs
 
 
 def test_no_cap_is_the_default_and_unchanged(spark):

@@ -141,3 +141,32 @@ def test_cooccurrence_max_basket_drops_megabasket(spark):
     assert {(r.item_a, r.item_b) for r in capped.collect()} == {(1, 2)}
     rep = oversized_baskets(df, "basket", "item", max_basket=10)
     assert [(r.basket, r.n_items) for r in rep.collect()] == [(1, 100)]
+
+
+def test_null_ts_parity(spark, tmp_path):
+    """NULL-ts rows must drop from e12/e13 in BOTH engines: Spark
+    windows order NULLS FIRST, DuckDB's LAST, so an unfiltered NULL
+    ts would pair at opposite ends of a user's stream (code-review r8
+    catch — the events edge corpus deliberately has no NULL ts)."""
+    from ods_to_datalake_spark.plans.suite import load_all
+    from tests.oracle_utils import compare, duckdb_conn
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5), 7, "a", 1.0, None),
+        (2, None, 7, "b", 1.0, None),  # the hazard row
+        (3, datetime(2024, 1, 2, 5), 7, "c", 1.0, None),
+        (4, datetime(2024, 1, 4, 5), 7, "a", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    con = duckdb_conn(str(tmp_path))
+    try:
+        for name in ("e12_markov_transitions", "e13_activity_streaks"):
+            q = load_all()[name]
+            report = compare(q.fn(spark, str(tmp_path)), con, q.oracle)
+            assert report["match"], f"{name}: {report}"
+    finally:
+        con.close()
