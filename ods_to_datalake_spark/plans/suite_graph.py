@@ -518,3 +518,108 @@ def g04_personalized_pagerank(
         redistribute_dangling=True,
         seeds=seeds,
     )
+
+
+# x70/x71 share x69's pair base (min_count=2) — the Apriori trio and
+# the serving-side top-k over the same co-occurrence artifact
+SQL_PART_PAIRS = f"""(
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM {SQL_BASKET_ITEMS.strip()} a
+      JOIN {SQL_BASKET_ITEMS.strip()} b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    )"""
+
+
+@register(
+    "x70_association_rules",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS},
+    pairs AS {SQL_PART_PAIRS.replace(SQL_BASKET_ITEMS.strip(), "items")},
+    ic AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY item
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items
+    )
+    SELECT p.item_a, p.item_b, ia.n_item AS n_a, ib.n_item AS n_b,
+           p.n_baskets,
+           CAST(p.n_baskets AS DOUBLE) / CAST(tot.n AS DOUBLE)
+             AS support,
+           CAST(p.n_baskets AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+             AS confidence,
+           CAST(CAST(CAST(p.n_baskets AS HUGEINT) * tot.n AS VARCHAR)
+                AS DOUBLE)
+           / CAST(CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item
+                       AS VARCHAR) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN ic ia ON ia.item = p.item_a
+    JOIN ic ib ON ib.item = p.item_b
+    CROSS JOIN tot
+    """,
+    doc="Association-rule mining over co-ordered part pairs: the "
+    "Apriori trio — support n_ab/N, confidence(a→b) n_ab/n_a, lift "
+    "(n_ab·N)/(n_a·n_b) — on every pair in >= 2 orders. Each ratio "
+    "is ONE IEEE division of exact integers (the q02 raw-quotient "
+    "rule); the lift operands are corpus-count PRODUCTS, so they "
+    "ride DECIMAL(38,0)/HUGEINT (int64 overflows at ~1e10 baskets, "
+    "the x68 rule) with the oracle's HUGEINT→DOUBLE cast "
+    "round-tripped through VARCHAR. Plan: the basket-width-bounded "
+    "pair join, an item-cardinality count joined to each side, a "
+    "1-row basket-total broadcast — the rule table is a mergeable "
+    "lake artifact extending x69's edges. "
+    "operators/basket.association_rules.",
+)
+def x70_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import (
+        association_rules,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return association_rules(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+
+
+@register(
+    "x71_also_bought_topk",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS},
+    pairs AS {SQL_PART_PAIRS.replace(SQL_BASKET_ITEMS.strip(), "items")},
+    sym AS (
+      SELECT item_a AS item, item_b AS neighbor, n_baskets FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, n_baskets FROM pairs
+    )
+    SELECT item, neighbor, n_baskets, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY item
+        ORDER BY n_baskets DESC, neighbor) AS BIGINT) AS rank
+      FROM sym
+    ) AS _r WHERE rank <= 5
+    """,
+    doc="Per-item 'customers also bought' top-5: symmetric closure "
+    "of the >= 2-order co-occurrence pairs, ranked per item by "
+    "(n_baskets DESC, neighbor ASC — unique tiebreak, the suite "
+    "determinism rule). Spark executes the rank-then-filter as "
+    "WindowGroupLimit (the x59 shape): every partition keeps a "
+    "5-heap BEFORE the single exchange, so a blockbuster item moves "
+    "5 rows per input partition, never its full neighbor list — the "
+    "recommendation serving table at any catalog size. "
+    "operators/basket.also_bought_topk.",
+)
+def x71_also_bought_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import also_bought_topk
+
+    cat = load_testdata(spark, sf_dir)
+    return also_bought_topk(
+        cat.table("lineitem"), "l_orderkey", "l_partkey",
+        k=5, min_count=2,
+    )

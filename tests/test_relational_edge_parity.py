@@ -75,6 +75,10 @@ EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"] + [
     # augmented DAG (edge customers join nation 0 or drop)
     "g03_triangle_count",  # degree ties resolved by (degree, id)
     # tuple comparison identically in both engines
+    "x70_association_rules",  # exact-integer ratio trio over the
+    # augmented basket table (HUGEINT lift operands via VARCHAR)
+    "x71_also_bought_topk",  # (count DESC, neighbor) rank ties
+    # resolve identically beyond the k cut
 ]
 
 # appended customers: fuzzy-name edge shapes

@@ -170,3 +170,65 @@ def test_null_ts_parity(spark, tmp_path):
             assert report["match"], f"{name}: {report}"
     finally:
         con.close()
+
+
+def test_association_rules_exact_trio(spark):
+    # baskets: {1,2} x3, {1,3} x1, {1} alone x1  ->  N=5, n_1=5,
+    # n_2=3, n_3=1, n_12=3, n_13=1
+    rows = (
+        [(b, i) for b in (10, 11, 12) for i in (1, 2)]
+        + [(13, 1), (13, 3), (14, 1)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    from ods_to_datalake_spark.operators.basket import (
+        association_rules,
+    )
+
+    got = {
+        (r.item_a, r.item_b): r
+        for r in association_rules(df, "basket", "item").collect()
+    }
+    r12 = got[(1, 2)]
+    assert (r12.n_a, r12.n_b, r12.n_baskets) == (5, 3, 3)
+    assert r12.support == 3 / 5
+    assert r12.confidence == 3 / 5
+    assert r12.lift == (3 * 5) / (5 * 3)  # == 1.0: independent
+    r13 = got[(1, 3)]
+    assert r13.lift == (1 * 5) / (5 * 1)
+    assert set(got) == {(1, 2), (1, 3), (2, 3)} - {(2, 3)}
+
+
+def test_also_bought_topk_ranks_and_caps(spark):
+    # item 1 co-occurs with 2 (3 baskets), 3 (2), 4 (1): k=2 keeps
+    # neighbors 2 and 3; ties broken by neighbor id
+    rows = (
+        [(b, i) for b in (10, 11, 12) for i in (1, 2)]
+        + [(b, i) for b in (13, 14) for i in (1, 3)]
+        + [(15, 1), (15, 4)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    from ods_to_datalake_spark.operators.basket import also_bought_topk
+
+    got = {
+        (r.item, r.rank): (r.neighbor, r.n_baskets)
+        for r in also_bought_topk(df, "basket", "item", k=2).collect()
+    }
+    assert got[(1, 1)] == (2, 3)
+    assert got[(1, 2)] == (3, 2)
+    assert (1, 3) not in got  # capped at k
+    assert got[(2, 1)] == (1, 3)
+
+
+def test_also_bought_plan_uses_window_group_limit(spark):
+    import contextlib
+    import io
+
+    from ods_to_datalake_spark.operators.basket import also_bought_topk
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2)], "basket long, item long"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        also_bought_topk(df, "basket", "item").explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

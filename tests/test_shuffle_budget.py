@@ -255,6 +255,12 @@ SHUFFLE_BUDGET = {
     # agg (broadcast back); the orders-customer join broadcasts
     "x69_part_cooccurrence": 3,  # distinct (order, part), the
     # basket-keyed self-join, the pair count agg
+    "x70_association_rules": 5,  # pair join + item-count joins over
+    # the CHECKPOINTED item table (4 legs re-derived it: 9 measured);
+    # the basket total is a 1-row broadcast crossJoin
+    "x71_also_bought_topk": 1,  # symmetric closure of the
+    # CHECKPOINTED pair table + the per-item rank window, executed as
+    # WindowGroupLimit (plan-asserted) — k rows per partition move
     "g03_triangle_count": 5,  # wedge self-join + closing join + agg
     # over the CHECKPOINTED oriented edge table; the edge build paid
     # its exchanges at materialization (x25 funnel-truncation —
