@@ -169,3 +169,70 @@ def constraint_report(checks: list[DataFrame]) -> DataFrame:
     return out.withColumn(
         "passed", F.col("n_violations") == F.lit(0)
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column drift report between two snapshots of the same
+    table — the monitoring face of `table_profile`: one row per
+    column with both snapshots' row/null/distinct counts, the
+    null-RATE delta, and whether the min/max moved (null-safe string
+    compare, matching the profile's lexicographic-native rendering).
+
+    Exactness: counts are exact BIGINTs; ``null_rate_delta`` is two
+    raw BIGINT/BIGINT divisions and one subtract, replayed in the
+    same order by both engines (the e10 z-score rule), CASE-guarded
+    to NULL when either snapshot is empty.
+
+    Scale: each snapshot pays ONE wide aggregate (the table_profile
+    shape — at 100 TB swap ``exact_distinct=False`` for HLL
+    registers); the drift join moves column-count rows. Profiles are
+    the monitoring artifact a lake stores per snapshot, so in steady
+    state this is a join of two persisted tiny tables, not two
+    scans."""
+    po = table_profile(old, cols, exact_distinct)
+    pn = table_profile(new, cols, exact_distinct)
+    o = po.select(
+        "column_name",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_nulls").alias("old_nulls"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("min_value").alias("__omn"),
+        F.col("max_value").alias("__omx"),
+    )
+    n = pn.select(
+        "column_name",
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_nulls").alias("new_nulls"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("min_value").alias("__nmn"),
+        F.col("max_value").alias("__nmx"),
+    )
+    j = o.join(n, "column_name")
+    rate = lambda nulls, rows: F.col(nulls).cast("double") / F.col(
+        rows
+    ).cast("double")
+    delta = F.when(
+        (F.col("old_rows") > 0) & (F.col("new_rows") > 0),
+        rate("new_nulls", "new_rows") - rate("old_nulls", "old_rows"),
+    )
+    return j.select(
+        "column_name",
+        "old_rows",
+        "new_rows",
+        "old_nulls",
+        "new_nulls",
+        "old_distinct",
+        "new_distinct",
+        delta.alias("null_rate_delta"),
+        (~F.col("__omn").eqNullSafe(F.col("__nmn"))).alias(
+            "min_changed"
+        ),
+        (~F.col("__omx").eqNullSafe(F.col("__nmx"))).alias(
+            "max_changed"
+        ),
+    )

@@ -110,3 +110,42 @@ def longest_daily_streak(
         F.col("__top.__s").alias("streak_start"),
         F.col("__top.__e").alias("streak_end"),
     )
+
+
+def running_distinct(
+    events: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """(day, new_keys, cumulative_keys) — the growth curve: per day,
+    how many keys appear for the FIRST time, and the running distinct
+    total. Distinct-count over an expanding window is intractable
+    directly; first-seen day + a cumulative sum over the DAILY
+    aggregate is the standard exact reduction: one key-keyed groupBy
+    (map-side partial min), one day-keyed count, then a running sum
+    over the calendar-sized frame (the global window orders ~days
+    rows, never events — same accounting as `transition_matrix`'s
+    normalizing window)."""
+    firsts = (
+        events.filter(
+            F.col(key).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(key)
+        .agg(
+            F.min(
+                F.to_date(F.date_trunc("day", F.col(ts_col)))
+            ).alias("day")
+        )
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_keys")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "day",
+        "new_keys",
+        F.sum("new_keys").over(w).cast("long").alias(
+            "cumulative_keys"
+        ),
+    )

@@ -561,3 +561,44 @@ def e13_activity_streaks(
 
     cat = load_testdata(spark, sf_dir)
     return longest_daily_streak(cat.table("events"), "user_id", "ts")
+
+
+@register(
+    "e14_running_distinct_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_keys
+      FROM firsts GROUP BY day
+    )
+    SELECT day, new_keys,
+           CAST(SUM(new_keys) OVER (
+             ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_keys
+    FROM daily
+    """,
+    doc="Running distinct users by day — the growth curve. Exact "
+    "distinct over an expanding window is intractable directly; the "
+    "standard reduction is first-seen day per user (one key-keyed "
+    "partial-agg min) + daily first-seen counts + a cumulative sum "
+    "over the CALENDAR-sized frame (the global window orders ~days "
+    "rows, never events — the e12 normalizing-window accounting; "
+    "DuckDB's HUGEINT window sum is re-cast to BIGINT per "
+    "CLAUDE.md). operators/sequence.running_distinct.",
+)
+def e14_running_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        running_distinct,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return running_distinct(cat.table("events"), "user_id", "ts")

@@ -405,3 +405,67 @@ def x68_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target_encoding(
         labeled, "c_mktsegment", "is_urgent", smoothing=25
     )
+
+
+def _drift_profile_sql(alias: str, src: str) -> str:
+    legs = []
+    for c in ("o_custkey", "o_orderstatus", "o_orderpriority"):
+        legs.append(f"""
+      SELECT '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS {alias}_rows,
+             CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS {alias}_nulls,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {alias}_distinct,
+             CAST(MIN({c}) AS VARCHAR) AS {alias}_mn,
+             CAST(MAX({c}) AS VARCHAR) AS {alias}_mx
+      FROM {src}""")
+    return "(" + "\n      UNION ALL".join(legs) + "\n    )"
+
+
+@register(
+    "u14_profile_drift",
+    oracle=f"""
+    WITH old_t AS (
+      SELECT * FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ),
+    new_t AS (
+      SELECT * FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ),
+    po AS {_drift_profile_sql("old", "old_t")},
+    pn AS {_drift_profile_sql("new", "new_t")}
+    SELECT column_name, old_rows, new_rows, old_nulls, new_nulls,
+           old_distinct, new_distinct,
+           CASE WHEN old_rows > 0 AND new_rows > 0 THEN
+             CAST(new_nulls AS DOUBLE) / CAST(new_rows AS DOUBLE)
+             - CAST(old_nulls AS DOUBLE) / CAST(old_rows AS DOUBLE)
+           END AS null_rate_delta,
+           NOT (old_mn IS NOT DISTINCT FROM new_mn) AS min_changed,
+           NOT (old_mx IS NOT DISTINCT FROM new_mx) AS max_changed
+    FROM po JOIN pn USING (column_name)
+    """,
+    doc="Snapshot-over-snapshot profile drift (schema/statistics "
+    "monitoring): per-column row/null/distinct counts of two order "
+    "snapshots (pre/post 1996), the null-RATE delta (two raw "
+    "BIGINT/BIGINT divisions + one subtract, same IEEE order in both "
+    "engines — the e10 rule; CASE-guarded on empty snapshots), and "
+    "null-safe min/max movement flags over the profile's "
+    "string-rendered extrema (BIGINT/VARCHAR columns only — "
+    "double→string rendering is NOT cross-engine-stable). Each "
+    "snapshot pays ONE wide aggregate (the table_profile shape; "
+    "exact_distinct=False swaps in HLL at 100 TB), the drift join "
+    "moves column-count rows — and in steady state the profiles are "
+    "persisted per snapshot, so drift is a join of two tiny stored "
+    "tables. operators/profile.profile_drift.",
+)
+def u14_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import profile_drift
+
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    pivot = F.lit("1996-01-01").cast("timestamp")
+    return profile_drift(
+        orders.where(F.col("o_orderdate") < pivot),
+        orders.where(F.col("o_orderdate") >= pivot),
+        ["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

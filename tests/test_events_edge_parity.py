@@ -81,6 +81,8 @@ EDGE_QUERIES = [
     # pinned by tests/test_sequence.py::test_null_ts_parity instead.
     "e12_markov_transitions",
     "e13_activity_streaks",
+    "e14_running_distinct_users",  # epoch-0 first-seen days + the
+    # HUGEINT-window-sum recast
 ]
 
 

@@ -79,6 +79,8 @@ EDGE_QUERIES = [n for n in load_all() if n[0] in "qpajwtuf"] + [
     # augmented basket table (HUGEINT lift operands via VARCHAR)
     "x71_also_bought_topk",  # (count DESC, neighbor) rank ties
     # resolve identically beyond the k cut
+    "u14_profile_drift",  # boundary-date snapshot split + null-rate
+    # deltas on the augmented order rows
 ]
 
 # appended customers: fuzzy-name edge shapes

@@ -232,3 +232,58 @@ def test_also_bought_plan_uses_window_group_limit(spark):
     with contextlib.redirect_stdout(buf):
         also_bought_topk(df, "basket", "item").explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_running_distinct_counts_first_seen_only(spark):
+    rows = [
+        (1, _ts(1), "x", 1),
+        (1, _ts(3), "x", 2),  # re-appearance: not a new key
+        (2, _ts(1), "x", 3),
+        (3, _ts(2), "x", 4),
+        (None, _ts(2), "x", 5),  # NULL key dropped
+        (4, None, "x", 6),  # NULL ts dropped
+    ]
+    from ods_to_datalake_spark.operators.sequence import (
+        running_distinct,
+    )
+
+    got = {
+        r.day.day: (r.new_keys, r.cumulative_keys)
+        for r in running_distinct(
+            spark.createDataFrame(rows, EV_SCHEMA), "user_id", "ts"
+        ).collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 3)}
+
+
+def test_profile_drift_rates_and_extrema_flags(spark):
+    from ods_to_datalake_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "b")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(5, "a"), (6, None), (7, None), (8, "z")], "k long, v string"
+    )
+    got = {
+        r.column_name: r
+        for r in profile_drift(old, new, ["k", "v"]).collect()
+    }
+    v = got["v"]
+    assert (v.old_nulls, v.new_nulls) == (1, 2)
+    assert v.null_rate_delta == 2 / 4 - 1 / 4
+    assert v.max_changed and not v.min_changed  # b->z, a stays
+    k = got["k"]
+    assert (k.old_distinct, k.new_distinct) == (4, 4)
+    assert k.min_changed and k.max_changed  # 1->5, 4->8
+
+
+def test_profile_drift_null_safe_extrema(spark):
+    from ods_to_datalake_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame([(None,)], "v string")
+    new = spark.createDataFrame([(None,)], "v string")
+    r = profile_drift(old, new, ["v"]).collect()[0]
+    # NULL min == NULL min: unchanged under null-safe equality
+    assert not r.min_changed and not r.max_changed
+    assert r.null_rate_delta == 0.0

@@ -255,6 +255,12 @@ SHUFFLE_BUDGET = {
     # agg (broadcast back); the orders-customer join broadcasts
     "x69_part_cooccurrence": 3,  # distinct (order, part), the
     # basket-keyed self-join, the pair count agg
+    "u14_profile_drift": 4,  # two one-pass wide profile aggregates
+    # (each with its distinct-count Expand) + the column-name join of
+    # two column-count-sized frames
+    "e14_running_distinct_users": 3,  # first-seen per user (partial
+    # min), daily count, and the single-partition running sum over
+    # the CALENDAR-sized daily frame (the e12 accounting)
     "x70_association_rules": 5,  # pair join + item-count joins over
     # the CHECKPOINTED item table (4 legs re-derived it: 9 measured);
     # the basket total is a 1-row broadcast crossJoin
