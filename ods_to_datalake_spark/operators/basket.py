@@ -69,6 +69,47 @@ def cooccurrence(
     )
 
 
+def _pair_stats(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int,
+) -> DataFrame:
+    """Shared rule-table scaffold: the co-occurrence pairs joined to
+    each side's item cardinality and the 1-row basket total —
+    (item_a, item_b, n_a, n_b, n_baskets, __N). The deduplicated item
+    table feeds FOUR plan legs (pair join ×2, item counts, basket
+    total), so it is localCheckpoint-materialized (the x25/g03
+    rule)."""
+    items = _basket_items(df, basket_col, item_col).localCheckpoint()
+    pairs = cooccurrence(
+        df, basket_col, item_col, min_count, items=items
+    )
+    item_counts = items.groupBy(
+        F.col("__item").alias("item")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    total = items.select("__basket").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__N")
+    )
+    return (
+        pairs.join(
+            item_counts.select(
+                F.col("item").alias("item_a"),
+                F.col("n_item").alias("n_a"),
+            ),
+            "item_a",
+        )
+        .join(
+            item_counts.select(
+                F.col("item").alias("item_b"),
+                F.col("n_item").alias("n_b"),
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
@@ -91,36 +132,8 @@ def association_rules(
     item-cardinality count table joined back on each side, and a
     1-row basket total broadcast via crossJoin — no window, no
     driver state; the rule table is a mergeable lake artifact like
-    the co-occurrence edges it extends. The deduplicated item table
-    feeds FOUR legs (pair join ×2, item counts, basket total), so it
-    is localCheckpoint-materialized (the x25/g03 rule)."""
-    items = _basket_items(df, basket_col, item_col).localCheckpoint()
-    pairs = cooccurrence(
-        df, basket_col, item_col, min_count, items=items
-    )
-    item_counts = items.groupBy(
-        F.col("__item").alias("item")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_item"))
-    total = items.select("__basket").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__N")
-    )
-    j = (
-        pairs.join(
-            item_counts.select(
-                F.col("item").alias("item_a"),
-                F.col("n_item").alias("n_a"),
-            ),
-            "item_a",
-        )
-        .join(
-            item_counts.select(
-                F.col("item").alias("item_b"),
-                F.col("n_item").alias("n_b"),
-            ),
-            "item_b",
-        )
-        .crossJoin(F.broadcast(total))
-    )
+    the co-occurrence edges it extends (`_pair_stats`)."""
+    j = _pair_stats(df, basket_col, item_col, min_count)
     dec = "decimal(38,0)"
     lift_num = (
         F.col("n_baskets").cast(dec) * F.col("__N").cast(dec)
@@ -143,6 +156,87 @@ def association_rules(
             / F.col("n_a").cast("double")
         ).alias("confidence"),
         (lift_num / lift_den).alias("lift"),
+    )
+
+
+def rule_information_scores(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Information-theoretic association scores for every co-occurring
+    pair (item_a < item_b): PMI and Dunning's log-likelihood ratio —
+    the two scores that separate "frequent because both items are
+    popular" from "genuinely associated" (lift's log-scale and
+    significance-weighted forms).
+
+        pmi = ln( n_ab·N / (n_a·n_b) ) = ln(lift)
+        llr = 2 · Σ_ij k_ij · ln( k_ij·N / (R_i·C_j) )
+
+    over the 2×2 contingency table k11=n_ab, k12=n_a−n_ab,
+    k21=n_b−n_ab, k22=N−n_a−n_b+n_ab with row/col totals R/C
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    and Coincidence"). Zero cells contribute 0 (the x·ln x → 0
+    limit), CASE-guarded so the ln never evaluates on them — an
+    unguarded zero cell is an ANSI ln(0)/divide-by-zero crash, and a
+    zero cell with a zero marginal (n_a = N) would divide 0/0.
+
+    Cross-engine exactness (the x38/x52 transcendental discipline):
+    every ln INPUT is one IEEE division of two correctly-rounded
+    count products (DECIMAL(38,0) products cast to DOUBLE — the
+    oracle round-trips DuckDB's HUGEINT products through VARCHAR,
+    whose parse is correctly rounded at every magnitude), so both
+    engines feed ln identical doubles; ln itself diverges by 1 ulp on
+    ~6% of integer-ratio inputs, so each ln is quantized to
+    DECIMAL(18,6) BEFORE any multiplication/summation, the k_ij
+    weights multiply in exact decimal, the 4-term sum and the ×2 stay
+    decimal, and the final decimal→double cast happens once per
+    output column (finalize_output / the double_cols VARCHAR
+    round-trip). Plan shape: identical to `association_rules` —
+    `_pair_stats` + row-local arithmetic, nothing new shuffles."""
+    j = _pair_stats(df, basket_col, item_col, min_count)
+    n_ab, n_a, n_b, nn = (
+        F.col("n_baskets"),
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("__N"),
+    )
+    d38 = "decimal(38,0)"
+
+    def ratio(num_l, num_r, den_l, den_r):
+        return (num_l.cast(d38) * num_r.cast(d38)).cast("double") / (
+            den_l.cast(d38) * den_r.cast(d38)
+        ).cast("double")
+
+    def term(k, row_total, col_total):
+        q = F.log(ratio(k, nn, row_total, col_total)).cast(
+            "decimal(18,6)"
+        )
+        return (
+            F.when(k == 0, F.lit(0).cast("decimal(30,6)"))
+            .otherwise(
+                (k.cast("decimal(18,0)") * q).cast("decimal(30,6)")
+            )
+        )
+
+    k11, k12 = n_ab, n_a - n_ab
+    k21, k22 = n_b - n_ab, nn - n_a - n_b + n_ab
+    llr = (
+        term(k11, n_a, n_b)
+        + term(k12, n_a, nn - n_b)
+        + term(k21, nn - n_a, n_b)
+        + term(k22, nn - n_a, nn - n_b)
+    ) * F.lit(2)
+    pmi = F.log(ratio(n_ab, nn, n_a, n_b)).cast("decimal(18,6)")
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        pmi.alias("pmi"),
+        llr.alias("llr"),
     )
 
 

@@ -293,3 +293,96 @@ def triangle_count(
     return wedges.join(closing, ["v", "w"], "inner").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(node, core_degree): the k-core of an UNDIRECTED graph — the
+    maximal subgraph in which every node has degree ≥ k (Seidman
+    1983) — with each surviving node's degree INSIDE the core. The
+    density filter behind community mining, spam/bot-ring detection,
+    and graph sparsification: a node kept by the raw degree filter can
+    still be propped up only by about-to-be-deleted neighbors, which
+    is exactly why this must iterate (peel) instead of filtering once.
+
+    Input normalization matches `triangle_count`: any direction /
+    duplication accepted, self-loops dropped, edges deduplicated
+    undirected. The peel is the standard fixpoint: drop nodes with
+    degree < k, drop edges touching them, recompute, repeat until no
+    node leaves (possibly an empty graph). Deletion is monotone, so
+    extra rounds past the fixpoint are no-ops — which is what makes a
+    fixed-depth unrolled-CTE oracle exact as long as it unrolls at
+    least as many rounds as convergence takes (the g01/x67 oracle
+    pattern; the registered g05 asserts its convergence margin in a
+    pytest so driver-data drift is caught locally, not as a red row).
+
+    Determinism: pure integer counting — no floats anywhere, so the
+    result is partitioning- and engine-independent by construction.
+
+    Scale shape: each round is one degree aggregate (map-side
+    partial) + two semi-joins of the edge table against the
+    surviving-node set, all keyed on node ids — never a window, never
+    a collect of node/edge data. The edge frame is localCheckpointed
+    every round (the connected_components O(k²)-Exchange rule) and
+    the convergence probe is one aggregated count per round (the same
+    1-row driver check as components' changed-label count). Rounds
+    needed is the graph's degeneracy ordering depth — typically tens
+    on real graphs; `max_rounds` bounds a pathological chain (a path
+    graph peels one layer per round) and raises instead of silently
+    returning a non-core."""
+    e = (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("__a").alias("node"))
+            .union(ed.select("__b"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        )
+
+    n_nodes = degrees(e).count()
+    for _ in range(max_rounds):
+        deg = degrees(e)
+        keep = deg.filter(F.col("core_degree") >= k)
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            return deg.filter(F.col("core_degree") >= k)
+        if n_keep == 0:
+            return keep.select("node", "core_degree")
+        n_nodes = n_keep
+        e = (
+            e.join(
+                keep.select(F.col("node").alias("__a")),
+                "__a",
+                "left_semi",
+            )
+            .join(
+                keep.select(F.col("node").alias("__b")),
+                "__b",
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds"
+    )

@@ -586,6 +586,175 @@ def x70_association_rules(
     )
 
 
+def _llr_term_sql(k: str, row_total: str, col_total: str) -> str:
+    """One k·ln(k·N/(R·C)) contingency term, zero-cell-guarded, with
+    the ln input built from VARCHAR-round-tripped HUGEINT products
+    (bit-identical to Spark's DECIMAL(38,0)→DOUBLE path) and the ln
+    output quantized to DECIMAL(18,6) BEFORE the exact-decimal
+    multiply (the x38 transcendental rule)."""
+    arg = (
+        f"CAST(CAST(CAST(({k}) AS HUGEINT) * tot.n AS VARCHAR)"
+        " AS DOUBLE)"
+        f" / CAST(CAST(CAST(({row_total}) AS HUGEINT) * ({col_total})"
+        " AS VARCHAR) AS DOUBLE)"
+    )
+    return (
+        f"CASE WHEN ({k}) = 0 THEN CAST(0 AS DECIMAL(30,6))"
+        f" ELSE CAST(CAST(({k}) AS DECIMAL(18,0))"
+        f" * CAST(ln({arg}) AS DECIMAL(18,6)) AS DECIMAL(30,6)) END"
+    )
+
+
+@register(
+    "x72_rule_information_scores",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS},
+    pairs AS {SQL_PART_PAIRS.replace(SQL_BASKET_ITEMS.strip(), "items")},
+    ic AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY item
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM items
+    )
+    SELECT p.item_a, p.item_b, ia.n_item AS n_a, ib.n_item AS n_b,
+           p.n_baskets,
+           CAST(ln(
+             CAST(CAST(CAST(p.n_baskets AS HUGEINT) * tot.n AS VARCHAR)
+                  AS DOUBLE)
+             / CAST(CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item
+                         AS VARCHAR) AS DOUBLE)
+           ) AS DECIMAL(18,6)) AS pmi,
+           ({_llr_term_sql(
+               "p.n_baskets", "ia.n_item", "ib.n_item")}
+            + {_llr_term_sql(
+               "ia.n_item - p.n_baskets", "ia.n_item",
+               "tot.n - ib.n_item")}
+            + {_llr_term_sql(
+               "ib.n_item - p.n_baskets", "tot.n - ia.n_item",
+               "ib.n_item")}
+            + {_llr_term_sql(
+               "tot.n - ia.n_item - ib.n_item + p.n_baskets",
+               "tot.n - ia.n_item", "tot.n - ib.n_item")}) * 2
+             AS llr
+    FROM pairs p
+    JOIN ic ia ON ia.item = p.item_a
+    JOIN ic ib ON ib.item = p.item_b
+    CROSS JOIN tot
+    """,
+    double_cols=["pmi", "llr"],
+    doc="PMI and Dunning log-likelihood-ratio association scores over "
+    "the >= 2-order part pairs — lift's log-scale and "
+    "significance-weighted forms (Dunning 1993): PMI = ln(lift) "
+    "measures association strength regardless of evidence volume; "
+    "LLR = 2·Σ k_ij·ln(k_ij·N/(R_i·C_j)) over the 2×2 contingency "
+    "table weights it by how much data backs it (the collocation / "
+    "related-items ranking statistic that doesn't promote rare "
+    "flukes). The transcendental-quantization exercise on x70's rule "
+    "table: ln is NOT cross-engine bit-stable (1 ulp on ~6% of "
+    "integer-ratio inputs, CLAUDE.md), so each ln input is ONE IEEE "
+    "division of correctly-rounded exact products (Spark "
+    "DECIMAL(38,0)→DOUBLE ≡ DuckDB HUGEINT→VARCHAR→DOUBLE), each ln "
+    "output is quantized to DECIMAL(18,6) BEFORE the exact-decimal "
+    "k_ij multiply and 4-term sum, zero cells are CASE-guarded to 0 "
+    "(the x·ln x limit — unguarded they are an ANSI ln(0) crash), "
+    "and the one decimal→double cast per output column rides the "
+    "double_cols VARCHAR round-trip. Same plan as x70 "
+    "(operators/basket.rule_information_scores via _pair_stats) — "
+    "row-local arithmetic, nothing new shuffles.",
+)
+def x72_rule_information_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import (
+        rule_information_scores,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return rule_information_scores(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+
+
+def _k_core_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE mirror of `graph.k_core` on the min_count=2
+    co-purchase graph: per round, recompute degrees and keep edges
+    whose BOTH endpoints still have degree >= k. Deletion is
+    monotone, so rounds past the fixpoint are no-ops — the unroll
+    depth only needs to exceed convergence (measured 10 rounds at
+    sf0.01; pytest asserts the margin). Every e{{r}} is referenced 3×
+    by round r+1, so each CTE is MATERIALIZED — left inlined, the
+    expression tree grows 3^rounds (measured: DuckDB exhausted file
+    handles re-opening the parquet before round 18)."""
+    ctes = [
+        f"items AS MATERIALIZED {SQL_BASKET_ITEMS}",
+        f"""e0 AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS cd FROM (
+        SELECT a AS node FROM e{r - 1}
+        UNION ALL SELECT b FROM e{r - 1}) AS _u
+      GROUP BY node
+    )""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{r - 1} e
+      JOIN d{r} da ON da.node = e.a AND da.cd >= {k}
+      JOIN d{r} db ON db.node = e.b AND db.cd >= {k}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+      SELECT a AS node FROM e{rounds}
+      UNION ALL SELECT b FROM e{rounds}) AS _f
+    GROUP BY node"""
+    )
+
+
+K_CORE_K = 3
+K_CORE_ORACLE_ROUNDS = 18
+
+
+@register(
+    "g05_k_core",
+    oracle=_k_core_oracle(K_CORE_K, K_CORE_ORACLE_ROUNDS),
+    doc=f"{K_CORE_K}-core decomposition of the >= 2-order part "
+    "co-purchase graph (Seidman 1983): iteratively peel nodes with "
+    "degree < k until the maximal subgraph where EVERY node has >= k "
+    "neighbors remains — the density filter behind community mining "
+    "and bot-ring detection, and the graph quartet's fourth member "
+    "(components, PageRank, triangles, cores). A one-shot degree "
+    "filter is NOT the k-core: a node can be propped up entirely by "
+    "about-to-be-peeled neighbors (sf0.01 cascades for 10 rounds, "
+    "peeling 945 of 1880 nodes). Pure integer counting — "
+    "partitioning/engine-independent by construction; the oracle "
+    f"unrolls {K_CORE_ORACLE_ROUNDS} peel rounds (monotone deletion "
+    "makes post-fixpoint rounds no-ops, the g01/x67 unroll rule; "
+    "tests/test_graph.py asserts the convergence margin). Each round "
+    "is one map-side-partial degree agg + two node-keyed semi-joins, "
+    "localCheckpointed (the connected-components O(k²)-Exchange "
+    "rule); the convergence probe is a 1-row count. "
+    "operators/graph.k_core.",
+)
+def g05_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import k_core
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    return k_core(edges, "item_a", "item_b", k=K_CORE_K)
+
+
 @register(
     "x71_also_bought_topk",
     oracle=f"""

@@ -360,3 +360,116 @@ def test_fuzz_events_parity(spark, tmp_path_factory, name, events):
         assert report["match"], f"{name} on {events!r}: {report}"
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# basket fuzz: degenerate basket shapes the hand-picked TPC-H slices
+# never produce — mega-baskets (a bot cart), single-item baskets,
+# duplicated (basket, item) rows, NULL keys, and near-empty corpora.
+# Tiny id pools force dense co-occurrence so the pair/rule/core legs
+# all fire; g05's fixed-depth oracle is safe here because a <= 8-node
+# co-occurrence graph peels to its fixpoint well inside 18 rounds.
+# ---------------------------------------------------------------------------
+
+_BASKET_ROW = st.tuples(
+    st.one_of(st.none(), st.integers(0, 4)),  # few baskets → overlap
+    st.one_of(st.none(), st.integers(0, 7)),  # few items → dense pairs
+)
+_BASKETS = st.lists(_BASKET_ROW, min_size=1, max_size=40)
+
+BASKET_FUZZ_QUERIES = [
+    "x69_part_cooccurrence",
+    "x70_association_rules",
+    "x71_also_bought_topk",
+    "x72_rule_information_scores",
+    "g05_k_core",
+]
+
+
+@pytest.mark.parametrize("name", BASKET_FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_BASKETS)
+def test_fuzz_basket_parity(spark, tmp_path_factory, name, rows):
+    d = tmp_path_factory.mktemp("bfuzz")
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {rows!r}: {report}"
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# sequence fuzz: the shapes e12/e13/e14's TPC-H-slice evidence never
+# covers — all-NULL ts streams, NULL user keys (a window partition of
+# their own in BOTH engines), a state vocabulary of 1, single-day
+# streaks, and exact-tie timestamps resolved by the event_id tiebreak
+# ---------------------------------------------------------------------------
+
+_SEQ_TS = st.one_of(
+    st.none(),  # the NULLS FIRST/LAST window hazard (r8 review catch)
+    st.sampled_from(
+        [
+            _dt.datetime(2024, 1, 1, 0, 0, 0),  # exact ties
+            _dt.datetime(2024, 1, 1, 5, 0, 0),
+            _dt.datetime(2024, 1, 2, 0, 0, 0),
+            _dt.datetime(2024, 1, 3, 0, 0, 0),
+            _dt.datetime(2024, 1, 7, 0, 0, 0),
+        ]
+    ),
+    st.datetimes(
+        min_value=_dt.datetime(2023, 12, 25),
+        max_value=_dt.datetime(2024, 1, 10),
+    ),
+)
+_SEQ_EVENT = st.tuples(
+    _SEQ_TS,
+    st.one_of(st.none(), st.integers(1, 3)),  # NULL user keys
+    st.one_of(
+        st.none(), st.sampled_from(["view", "click"])
+    ),  # vocab of <= 2 (+ NULL states)
+)
+_SEQ_EVENTS = st.lists(_SEQ_EVENT, min_size=1, max_size=16)
+
+SEQ_FUZZ_QUERIES = [
+    "e12_markov_transitions",
+    "e13_activity_streaks",
+    "e14_running_distinct_users",
+]
+
+
+@pytest.mark.parametrize("name", SEQ_FUZZ_QUERIES)
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_SEQ_EVENTS)
+def test_fuzz_sequence_parity(spark, tmp_path_factory, name, events):
+    d = tmp_path_factory.mktemp("sfuzz")
+    rows = [
+        (i, ts, uid, etype)
+        for i, (ts, uid, etype) in enumerate(events)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()[name]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"{name} on {events!r}: {report}"
+    finally:
+        con.close()

@@ -228,3 +228,124 @@ def test_cms_join_size_empty_side_is_zero(spark):
         cms_sketch(a, "k"), cms_sketch(empty, "k")
     ).collect()[0]["est_join_size"]
     assert est == 0
+
+
+def _core(spark, pairs, k, **kw):
+    from ods_to_datalake_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs] or [(0, 0)],
+        "src long, dst long",
+    )
+    if not pairs:
+        edges = edges.limit(0)
+    return {
+        r.node: r.core_degree
+        for r in k_core(edges, k=k, **kw).collect()
+    }
+
+
+def _py_k_core(pairs, k):
+    """Pure-Python peel reference (the test_bpe pattern)."""
+    edges = {
+        tuple(sorted((a, b))) for a, b in pairs if a != b
+    }
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {e for e in edges if bad.isdisjoint(e)}
+
+
+def test_k_core_triangle_sheds_pendant_chain(spark):
+    # triangle 1-2-3 with a pendant chain 3-4-5: a one-shot degree
+    # filter keeps node 4 (degree 2); the peel must cascade it away
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    assert _core(spark, pairs, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_path_peels_to_empty(spark):
+    # a path graph is the worst-case cascade: one layer per round
+    pairs = [(i, i + 1) for i in range(8)]
+    assert _core(spark, pairs, 2) == {}
+
+
+def test_k_core_direction_dups_loops_irrelevant(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    messy = tri + [(2, 1), (3, 2), (1, 3), (1, 1), (1, 2)]
+    assert _core(spark, messy, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_empty_edges(spark):
+    assert _core(spark, [], 2) == {}
+
+
+def test_k_core_max_rounds_raises(spark):
+    import pytest as _pytest
+
+    pairs = [(i, i + 1) for i in range(8)]
+    with _pytest.raises(RuntimeError, match="converge"):
+        _core(spark, pairs, 2, max_rounds=2)
+
+
+def test_k_core_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=0,
+            max_size=25,
+        ),
+        k=st.integers(2, 4),
+    )
+    def check(pairs, k):
+        assert _core(spark, pairs, k) == _py_k_core(pairs, k)
+
+    check()
+
+
+def test_g05_converges_well_inside_the_oracle_unroll(spark):
+    """Driver-data drift canary: the registered g05 oracle unrolls
+    K_CORE_ORACLE_ROUNDS peel rounds; the sf0.01 graph must converge
+    with a >= 5-round margin so regenerated testdata shows up here
+    (a local red) before it could show up as a red driver row."""
+    from ods_to_datalake_spark.catalog import load_testdata
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import k_core
+    from ods_to_datalake_spark.plans.suite_graph import (
+        K_CORE_K,
+        K_CORE_ORACLE_ROUNDS,
+    )
+
+    cat = load_testdata(spark, "/root/testdata/sf0.01")
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    # succeeding under the tightened cap proves convergence depth
+    out = k_core(
+        edges,
+        "item_a",
+        "item_b",
+        k=K_CORE_K,
+        max_rounds=K_CORE_ORACLE_ROUNDS - 5,
+    )
+    # and the core actually prunes (nodes leave) while staying
+    # non-trivial (a core survives) — the "2-core actually prunes"
+    # requirement from the round brief
+    n_core = out.count()
+    n_nodes = (
+        edges.select("item_a").union(edges.select("item_b")).distinct().count()
+    )
+    assert 0 < n_core < n_nodes

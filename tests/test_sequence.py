@@ -287,3 +287,96 @@ def test_profile_drift_null_safe_extrema(spark):
     # NULL min == NULL min: unchanged under null-safe equality
     assert not r.min_changed and not r.max_changed
     assert r.null_rate_delta == 0.0
+
+
+def _llr_reference(n_ab, n_a, n_b, nn):
+    """Float reference for Dunning's G² (quantization-free; the
+    operator quantizes each ln to 6 dp, so tolerance is
+    ~1e-6 · Σ k_ij)."""
+    import math
+
+    cells = [
+        (n_ab, n_a, n_b),
+        (n_a - n_ab, n_a, nn - n_b),
+        (n_b - n_ab, nn - n_a, n_b),
+        (nn - n_a - n_b + n_ab, nn - n_a, nn - n_b),
+    ]
+    return 2 * sum(
+        k * math.log(k * nn / (r * c)) for k, r, c in cells if k
+    )
+
+
+def test_rule_information_scores_match_float_reference(spark):
+    import math
+
+    from ods_to_datalake_spark.operators.basket import (
+        rule_information_scores,
+    )
+
+    # same corpus as the Apriori trio test: N=5, n_1=5, n_2=3,
+    # n_3=1, n_12=3, n_13=1 — (1,2)/(1,3) are independent (PMI 0);
+    # (2,3) never co-occur and is absent (PMI is pair-conditional)
+    rows = (
+        [(b, i) for b in (10, 11, 12) for i in (1, 2)]
+        + [(13, 1), (13, 3), (14, 1)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in rule_information_scores(df, "basket", "item").collect()
+    }
+    assert set(got) == {(1, 2), (1, 3)}
+    for (a, b), r in got.items():
+        ref_pmi = math.log(r.n_baskets * 5 / (r.n_a * r.n_b))
+        ref_llr = _llr_reference(r.n_baskets, r.n_a, r.n_b, 5)
+        assert abs(float(r.pmi) - ref_pmi) < 1e-5
+        assert abs(float(r.llr) - ref_llr) < 1e-5
+    # item 1 is in EVERY basket: for (1,2) the k21 and (with n_a=N)
+    # k22 cells are zero — the CASE guard must keep ANSI mode from
+    # evaluating ln(0) / 0-division on them (values checked above)
+    assert float(got[(1, 2)].pmi) == 0.0  # ln(lift)=ln(1)
+
+
+def test_rule_information_scores_positive_vs_negative_association(
+    spark,
+):
+    from ods_to_datalake_spark.operators.basket import (
+        rule_information_scores,
+    )
+
+    # items 1,2 always together; 1,3 co-occur once against the
+    # grain — PMI must split signs. LLR is sign-blind (G² on a
+    # permuted contingency table is identical — these two ARE
+    # permutations, asserted), but it must weight EVIDENCE: the same
+    # perfect association backed by 12 baskets (5,6) beats one
+    # backed by 4 (1,2), where PMI alone can't tell them apart
+    base = (
+        [(b, i) for b in (10, 11, 12, 13) for i in (1, 2)]
+        + [(b, 3) for b in (14, 15, 16)]
+        + [(17, 1), (17, 3)]
+    )
+    df = spark.createDataFrame(base, "basket long, item long")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in rule_information_scores(df, "basket", "item").collect()
+    }
+    assert float(got[(1, 2)].pmi) > 0
+    assert float(got[(1, 3)].pmi) < 0
+    # permuted tables → identical G² ((4,1,0,3) vs (1,4,3,0) over
+    # the same marginals): the documented sign-blindness, not a bug
+    assert float(got[(1, 2)].llr) == float(got[(1, 3)].llr)
+    # a SEPARATE corpus with the same structure replicated 3× (all
+    # ratios — and therefore PMI — identical): LLR must grow with
+    # evidence volume where PMI cannot tell the corpora apart
+    tripled = spark.createDataFrame(
+        [(b + 100 * r, i) for (b, i) in base for r in range(3)],
+        "basket long, item long",
+    )
+    got3 = {
+        (r.item_a, r.item_b): r
+        for r in rule_information_scores(
+            tripled, "basket", "item"
+        ).collect()
+    }
+    assert float(got3[(1, 2)].pmi) == float(got[(1, 2)].pmi)
+    assert float(got3[(1, 2)].llr) > float(got[(1, 2)].llr)

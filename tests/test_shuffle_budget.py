@@ -267,6 +267,14 @@ SHUFFLE_BUDGET = {
     "x71_also_bought_topk": 1,  # symmetric closure of the
     # CHECKPOINTED pair table + the per-item rank window, executed as
     # WindowGroupLimit (plan-asserted) — k rows per partition move
+    "x72_rule_information_scores": 5,  # x70's plan exactly (the
+    # _pair_stats scaffold) — the PMI/LLR arithmetic is row-local
+    "g05_k_core": 1,  # the final degree agg over the CHECKPOINTED
+    # converged edge set; each peel round paid its degree agg + two
+    # semi-joins at materialization (localCheckpoint per round, the
+    # g01/components iterative accounting — sf0.001's graph is
+    # denser than its 3-core threshold, so zero rounds fire there;
+    # sf0.01 cascades 10 rounds, asserted in test_graph.py)
     "g03_triangle_count": 5,  # wedge self-join + closing join + agg
     # over the CHECKPOINTED oriented edge table; the edge build paid
     # its exchanges at materialization (x25 funnel-truncation —
