@@ -189,6 +189,12 @@ def _dedup_words(words: DataFrame, word_col: str, block_fns):
             lambda c: F.substring(c, 1, 2),
             lambda c: F.expr("right(w, 2)"),
         ]
+    elif not block_fns:
+        # an explicit empty pass list would make the callers fold over
+        # nothing and return None — crashing far from the cause (r8
+        # advice); zero blocking passes is a contract error, not an
+        # empty result
+        raise ValueError("block_fns must be non-empty")
     return w, block_fns
 
 

@@ -192,10 +192,45 @@ def profile_drift(
     shape — at 100 TB swap ``exact_distinct=False`` for HLL
     registers); the drift join moves column-count rows. Profiles are
     the monitoring artifact a lake stores per snapshot, so in steady
-    state this is a join of two persisted tiny tables, not two
-    scans."""
-    po = table_profile(old, cols, exact_distinct)
-    pn = table_profile(new, cols, exact_distinct)
+    state this is a join of two persisted tiny tables, not two scans
+    — `build_profile` persists them, `profile_drift_tables` diffs two
+    stored profiles without touching the facts."""
+    return profile_drift_tables(
+        table_profile(old, cols, exact_distinct),
+        table_profile(new, cols, exact_distinct),
+    )
+
+
+def build_profile(
+    df: DataFrame,
+    path: str,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> None:
+    """Persist `table_profile` as a per-snapshot lake artifact (one
+    tiny parquet, column-count rows) — the steady-state face of
+    `profile_drift`: profile each snapshot ONCE when it lands, then
+    every later drift check joins two stored tables and never rescans
+    the facts (the build_lm/build_dsir train-once/apply-forever
+    split). Counts and string-rendered extrema are exact/deterministic,
+    so a rebuild over unchanged data is bit-identical
+    (replay-idempotent, tested)."""
+    table_profile(df, cols, exact_distinct).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_profile(spark, path: str) -> DataFrame:
+    """Read a `build_profile` artifact back."""
+    return spark.read.parquet(path)
+
+
+def profile_drift_tables(po: DataFrame, pn: DataFrame) -> DataFrame:
+    """`profile_drift` over two ALREADY-COMPUTED profiles (live
+    `table_profile` frames or `read_profile` artifacts) — the
+    column-name join + delta arithmetic alone, moving column-count
+    rows; diffing two persisted snapshots costs no fact scan at
+    all."""
     o = po.select(
         "column_name",
         F.col("n_rows").alias("old_rows"),

@@ -28,6 +28,10 @@ without a watermark). Observations at or before a key's frontier are
 dropped: the frontier never rewinds, exactly as an already-published
 grid row is immutable. Under that contract the union of all emitted
 partitions is bit-identical to batch `gap_fill` over the full history.
+Contract violations are OBSERVABLE, not silent: every dropped
+observation lands in ``out_dir/rejected/snapshot=<batch_id>``
+(`read_gap_fill_rejected`) — on an in-order stream a non-empty
+rejected partition means a bucket straddled two batches.
 
 Scale: per batch, state is one row per key (the frontier — bounded by
 key cardinality, not history), the resample/spine/fill share one
@@ -79,9 +83,26 @@ def gap_fill_sink(
                 key, F.col("bucket"), F.col(value_col)
             ).limit(0)
         # the frontier never rewinds: late observations at or before
-        # it are dropped (already-published grid rows are immutable)
-        obs = obs.join(prior.select(key, F.col("bucket").alias("__fb")),
-                       key, "left").filter(
+        # it are dropped (already-published grid rows are immutable).
+        # Dropped observations are EVIDENCE, not noise: on an in-order
+        # stream they mean a grid bucket straddled two micro-batches
+        # (the module contract was violated) — side-output them so the
+        # violation is observable instead of a silent batch/stream
+        # divergence (r8 advice). One materialization feeds both the
+        # kept and rejected branches (the x25 shared-frame rule).
+        tagged = obs.join(
+            prior.select(key, F.col("bucket").alias("__fb")),
+            key,
+            "left",
+        ).localCheckpoint()
+        rejected = tagged.filter(
+            F.col("__fb").isNotNull()
+            & (F.col("bucket") <= F.col("__fb"))
+        ).drop("__fb")
+        rejected.write.mode("overwrite").parquet(
+            f"{out_dir}/rejected/snapshot={batch_id}"
+        )
+        obs = tagged.filter(
             F.col("__fb").isNull() | (F.col("bucket") > F.col("__fb"))
         ).drop("__fb")
         # per-key emission window: (frontier + 1 unit | first obs)
@@ -205,12 +226,28 @@ def read_gap_fill_output(
     """Union of every COMMITTED emitted partition — the accumulated
     dense grid (``_SUCCESS``-gated, same reader discipline as
     `read_cdc_snapshot`; a crashed partial emission is invisible).
-    Returns None when nothing is committed yet."""
+    Returns None when nothing is committed yet. One flat multi-path
+    read (identical schemas) — a per-batch Union loop would grow the
+    plan tree linearly with stream lifetime (r8 advice)."""
     snaps = list_cdc_snapshots(spark, out_dir)
     if not snaps:
         return None
-    out = None
-    for b in snaps:
-        part = spark.read.parquet(f"{out_dir}/snapshot={b}")
-        out = part if out is None else out.unionByName(part)
-    return out
+    return spark.read.parquet(
+        *[f"{out_dir}/snapshot={b}" for b in snaps]
+    )
+
+
+def read_gap_fill_rejected(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    """(key, bucket, value) observations each batch dropped at or
+    below a key's frontier — contract-violation evidence (a grid
+    bucket straddled two micro-batches) or genuinely late data.
+    Empty ⇒ the emitted union is bit-identical to batch `gap_fill`
+    over the delivered history."""
+    snaps = list_cdc_snapshots(spark, f"{out_dir}/rejected")
+    if not snaps:
+        return None
+    return spark.read.parquet(
+        *[f"{out_dir}/rejected/snapshot={b}" for b in snaps]
+    )

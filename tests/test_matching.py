@@ -127,3 +127,18 @@ def test_cap_respects_custom_block_fns(spark):
         ).count()
         == 0
     )
+
+
+def test_empty_block_fns_raise(spark):
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.operators.matching import (
+        blocked_fuzzy_join,
+        oversized_blocks,
+    )
+
+    words = spark.createDataFrame([("abc",)], "w string")
+    with _pytest.raises(ValueError, match="block_fns"):
+        blocked_fuzzy_join(words, "w", block_fns=[])
+    with _pytest.raises(ValueError, match="block_fns"):
+        oversized_blocks(words, "w", max_block=5, block_fns=[])

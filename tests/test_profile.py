@@ -151,3 +151,32 @@ def test_survivorship_merge_rules(spark):
     assert got[2]["seg"] == "p"
     assert got[3]["seg"] is None
     assert got[3]["name"] == "w"
+
+
+def test_persisted_profiles_drift_equals_live_drift(spark, tmp_path):
+    from ods_to_datalake_spark.operators.profile import (
+        build_profile,
+        profile_drift,
+        profile_drift_tables,
+        read_profile,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (4, None), (9, "z")], "k long, v string"
+    )
+    po, pn = str(tmp_path / "po"), str(tmp_path / "pn")
+    build_profile(old, po, ["k", "v"])
+    build_profile(new, pn, ["k", "v"])
+    stored = profile_drift_tables(
+        read_profile(spark, po), read_profile(spark, pn)
+    )
+    live = profile_drift(old, new, ["k", "v"])
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(stored) == key(live)
+    # rebuild over unchanged data is bit-identical (replay-idempotent)
+    before = key(read_profile(spark, po))
+    build_profile(old, po, ["k", "v"])
+    assert key(read_profile(spark, po)) == before

@@ -163,3 +163,25 @@ def test_real_stream_matches_batch_grid(spark, tmp_path):
         q.stop()
     got = _grid(read_gap_fill_output(spark, str(tmp_path / "out")))
     assert got == _grid(_batch_reference(spark, ALL))
+
+
+def test_late_data_lands_in_rejected_side_output(spark, tmp_path):
+    from ods_to_datalake_spark.streaming.timeseries import (
+        read_gap_fill_rejected,
+    )
+
+    sink = _sink(tmp_path)
+    sink(_mk(spark, BATCH0), 0)
+    assert (
+        read_gap_fill_rejected(spark, str(tmp_path / "out")).count()
+        == 0
+    )
+    # the dropped straggler from the frontier test: observable now
+    sink(_mk(spark, [(1, _t(1, 30), 99.0, 999)]), 1)
+    rej = read_gap_fill_rejected(spark, str(tmp_path / "out"))
+    assert [
+        (r.user_id, r.bucket.hour, r.amount) for r in rej.collect()
+    ] == [(1, 1, 99.0)]
+    # published grid unchanged (same assertion as the frontier test)
+    got = _grid(read_gap_fill_output(spark, str(tmp_path / "out")))
+    assert got == _grid(_batch_reference(spark, [BATCH0]))
