@@ -32,7 +32,18 @@ import time
 from pyspark.sql import functions as F
 
 AMPLIFIED = {  # table -> key columns shifted per replica
-    "lineitem": ["l_orderkey"],
+    # l_partkey (r9): the basket/graph family (x69-x72, g03, g05)
+    # builds the part co-purchase graph from lineitem. With only
+    # l_orderkey offset, replicas SHARE the part catalog — the graph
+    # densifies with scale (per-node degree ∝ scale) instead of
+    # growing, and super-linear wedge/pair cells would measure a
+    # degree-structure change, not a data scale-up (the id-slicing
+    # trap's graph cousin: check what the replica scheme does to the
+    # DISTRIBUTION before trusting a cell). Offsetting l_partkey too
+    # makes each replica an isomorphic disjoint copy — degrees
+    # preserved exactly, the "catalog grows with the corpus" model.
+    # No stress query joins lineitem to the (copied) part table.
+    "lineitem": ["l_orderkey", "l_partkey"],
     "orders": ["o_orderkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
@@ -87,6 +98,16 @@ SUITE_QUERIES = [
     "x60_set_similarity_join",  # prefix-filtered exact similarity join
     "x61_fuzzy_name_match",  # blocked vocabulary join + Levenshtein
     "u13_golden_record",  # melted-stream survivorship merge
+    # round-9: the candidate-generating plans round 8 added (the two
+    # whose cost is super-linear in a skewed distribution — r8
+    # verdict ask #2). Replica part-graphs are DISJOINT isomorphic
+    # copies (l_partkey offset above), so ~linear medians mean the
+    # plan scales and anything super-linear is a plan defect, not a
+    # density artifact.
+    "g03_triangle_count",  # wedge self-join over the oriented graph
+    "x70_association_rules",  # basket self-join + rule arithmetic
+    "x71_also_bought_topk",  # WindowGroupLimit serving table
+    "g05_k_core",  # iterative peel: per-round degree agg + semi-joins
 ]
 
 
@@ -213,7 +234,7 @@ def main() -> int:
     # iterations materialized via localCheckpoint / per-round collect):
     # the noop write of the final frame re-reads a checkpoint, so the
     # timed region must include mk() itself
-    BUILD_TIMED = {"g01_pagerank", "x67_bpe_merges"}
+    BUILD_TIMED = {"g01_pagerank", "x67_bpe_merges", "g05_k_core"}
 
     def bench(name, mk):
         # The timed action is a `noop`-format write, NOT .count():
