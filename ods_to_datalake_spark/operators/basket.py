@@ -240,6 +240,52 @@ def rule_information_scores(
     )
 
 
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Item-item set similarity over basket memberships — the
+    memory-based collaborative-filtering neighborhood (Sarwar et al.
+    2001, item-based CF): for every co-occurring pair (item_a <
+    item_b), Jaccard = n_ab/(n_a+n_b−n_ab) and binary cosine =
+    n_ab/√(n_a·n_b) of the two items' basket SETS. Where x70's
+    lift/x72's PMI measure statistical association, these are the
+    bounded [0,1] neighborhood weights a recommender actually serves.
+
+    Exactness WITHOUT quantization: counts are exact BIGINTs
+    (< 2^53 — exact in DOUBLE); the cosine denominator product rides
+    DECIMAL(38,0) then one correctly-rounded cast (oracle mirrors via
+    HUGEINT→VARCHAR→DOUBLE, the x70 rule), and sqrt is IEEE
+    CORRECTLY ROUNDED — bit-stable cross-engine (the e10 z-score
+    precedent), unlike ln. Each score is then a single IEEE division
+    of identical doubles. Plan: `_pair_stats` + row-local arithmetic
+    (same as x70/x72)."""
+    j = _pair_stats(df, basket_col, item_col, min_count)
+    n_ab, n_a, n_b = (
+        F.col("n_baskets").cast("double"),
+        F.col("n_a"),
+        F.col("n_b"),
+    )
+    d38 = "decimal(38,0)"
+    denom = F.sqrt(
+        (n_a.cast(d38) * n_b.cast(d38)).cast("double")
+    )
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        (
+            n_ab
+            / (n_a + n_b - F.col("n_baskets")).cast("double")
+        ).alias("jaccard"),
+        (n_ab / denom).alias("cosine"),
+    )
+
+
 def also_bought_topk(
     df: DataFrame,
     basket_col: str,

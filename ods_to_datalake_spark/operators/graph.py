@@ -295,6 +295,86 @@ def triangle_count(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """(node, label) after ``rounds`` of SYNCHRONOUS label propagation
+    (Raghavan et al. 2007) over the undirected graph: labels start as
+    node ids; each round every node adopts the label most frequent
+    among its neighbors, ties broken to the SMALLEST label. The
+    community-detection baseline one step up from connected
+    components (which this degenerates to on disconnected cliques).
+
+    Fixed-round semantics on purpose: asynchronous LPA is
+    update-order-dependent and synchronous LPA can oscillate on
+    bipartite structures, so "run to convergence" is not well-defined
+    — the deterministic object is the label state after exactly R
+    synchronous rounds, which both the operator and the unrolled
+    oracle compute. Determinism inside a round: the (count DESC,
+    label ASC) argmax is a total order; all arithmetic is integer.
+
+    Scale shape: per round ONE neighbor-label join (the bidirectional
+    edge table against the label frame, node-keyed) + one
+    (node, label) partial-agg count + one per-node min-struct argmax
+    (never a window over the neighbor stream); labels frame is
+    nodes-sized and localCheckpointed per round (the g01/components
+    lineage rule). The bidirectional edge table is loop-invariant —
+    materialized once, like g01's e_deg."""
+    e = (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+    )
+    ee = (
+        e.unionByName(
+            e.select(
+                F.col("__b").alias("__a"), F.col("__a").alias("__b")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = ee.select(F.col("__a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nb = ee.join(
+            labels.select(
+                F.col("node").alias("__b"), F.col("label")
+            ),
+            "__b",
+        ).select(F.col("__a").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"),
+                        F.col("label").alias("__l"),
+                    )
+                ).alias("__top")
+            )
+            .select("node", F.col("__top.__l").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def k_core(
     edges: DataFrame,
     src: str = "src",

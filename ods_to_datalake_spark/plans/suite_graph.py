@@ -676,6 +676,51 @@ def x72_rule_information_scores(
     )
 
 
+@register(
+    "x73_item_similarity",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS},
+    pairs AS {SQL_PART_PAIRS.replace(SQL_BASKET_ITEMS.strip(), "items")},
+    ic AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM items GROUP BY item
+    )
+    SELECT p.item_a, p.item_b, ia.n_item AS n_a, ib.n_item AS n_b,
+           p.n_baskets,
+           CAST(p.n_baskets AS DOUBLE)
+             / CAST(ia.n_item + ib.n_item - p.n_baskets AS DOUBLE)
+             AS jaccard,
+           CAST(p.n_baskets AS DOUBLE)
+             / sqrt(CAST(CAST(CAST(ia.n_item AS HUGEINT) * ib.n_item
+                             AS VARCHAR) AS DOUBLE)) AS cosine
+    FROM pairs p
+    JOIN ic ia ON ia.item = p.item_a
+    JOIN ic ib ON ib.item = p.item_b
+    """,
+    doc="Item-item collaborative-filtering similarity (Sarwar 2001): "
+    "Jaccard and binary cosine of each co-ordered pair's basket "
+    "SETS — the bounded [0,1] neighborhood weights a recommender "
+    "serves, where x70's lift / x72's PMI are unbounded association "
+    "statistics. Bit-stable WITHOUT quantization: counts are exact "
+    "BIGINTs (< 2^53, exact in DOUBLE), the cosine denominator "
+    "product rides DECIMAL(38,0)/HUGEINT-via-VARCHAR (the x70 rule), "
+    "and sqrt — unlike ln — is IEEE correctly rounded in both "
+    "engines (the e10 z-score precedent), so each score is one IEEE "
+    "division of identical doubles. Same _pair_stats plan as "
+    "x70/x72; row-local arithmetic. "
+    "operators/basket.item_similarity.",
+)
+def x73_item_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import item_similarity
+
+    cat = load_testdata(spark, sf_dir)
+    return item_similarity(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+
+
 def _k_core_oracle(k: int, rounds: int) -> str:
     """Unrolled-CTE mirror of `graph.k_core` on the min_count=2
     co-purchase graph: per round, recompute degrees and keep edges
@@ -716,6 +761,86 @@ def _k_core_oracle(k: int, rounds: int) -> str:
       SELECT a AS node FROM e{rounds}
       UNION ALL SELECT b FROM e{rounds}) AS _f
     GROUP BY node"""
+    )
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled mirror of `graph.label_propagation` on the
+    min_count=2 co-purchase graph: per synchronous round, neighbor
+    labels via ONE join against the bidirectional edge table,
+    (node, label) counts, (count DESC, label ASC) argmax. MATERIALIZED
+    for the same 3^rounds inlining reason as the k-core oracle."""
+    ctes = [
+        f"items AS MATERIALIZED {SQL_BASKET_ITEMS}",
+        """e0 AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    )""",
+        """ee AS MATERIALIZED (
+      SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+    )""",
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS label FROM ee
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""c{r} AS MATERIALIZED (
+      SELECT ee.a AS node, l.label, COUNT(*) AS c
+      FROM ee JOIN l{r - 1} l ON l.node = ee.b
+      GROUP BY ee.a, l.label
+    )""")
+        ctes.append(f"""l{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c{r}) AS _r
+      WHERE rn = 1
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, label FROM l{rounds}"
+    )
+
+
+LPA_ROUNDS = 4
+
+
+@register(
+    "g06_label_propagation",
+    oracle=_lpa_oracle(LPA_ROUNDS),
+    doc=f"Synchronous label propagation ({LPA_ROUNDS} rounds, "
+    "Raghavan 2007) over the >= 2-order co-purchase graph: labels "
+    "start as node ids, each round every node adopts its neighbors' "
+    "most frequent label with ties to the smallest — the "
+    "community-detection baseline between connected components "
+    "(which it degenerates to on disconnected cliques) and modularity "
+    "methods. FIXED-round semantics on purpose: async LPA is "
+    "update-order-dependent and sync LPA can oscillate on bipartite "
+    "structures, so the deterministic object is the state after "
+    "exactly R synchronous rounds — operator and unrolled oracle "
+    "compute the same one. Per round: ONE node-keyed neighbor-label "
+    "join + a (node,label) partial-agg count + a min-struct argmax "
+    "(total order: count DESC, label ASC), labels localCheckpointed "
+    "(the g01/components rule); the bidirectional edge table is "
+    "loop-invariant, materialized once. All-integer — engine/"
+    "partitioning-independent. operators/graph.label_propagation.",
+)
+def g06_label_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import label_propagation
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    return label_propagation(
+        edges, "item_a", "item_b", rounds=LPA_ROUNDS
     )
 
 

@@ -382,7 +382,9 @@ BASKET_FUZZ_QUERIES = [
     "x70_association_rules",
     "x71_also_bought_topk",
     "x72_rule_information_scores",
+    "x73_item_similarity",
     "g05_k_core",
+    "g06_label_propagation",
 ]
 
 

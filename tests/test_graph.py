@@ -349,3 +349,85 @@ def test_g05_converges_well_inside_the_oracle_unroll(spark):
         edges.select("item_a").union(edges.select("item_b")).distinct().count()
     )
     assert 0 < n_core < n_nodes
+
+
+def _lpa(spark, pairs, rounds=4):
+    from ods_to_datalake_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs] or [(0, 0)],
+        "src long, dst long",
+    )
+    if not pairs:
+        edges = edges.limit(0)
+    return {
+        r.node: r.label
+        for r in label_propagation(edges, rounds=rounds).collect()
+    }
+
+
+def _py_lpa(pairs, rounds):
+    """Pure-Python synchronous LPA reference: most frequent neighbor
+    label, ties to the smallest label."""
+    edges = {tuple(sorted((a, b))) for a, b in pairs if a != b}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            freq: dict = {}
+            for m in nbrs:
+                freq[labels[m]] = freq.get(labels[m], 0) + 1
+            nxt[n] = min(freq, key=lambda l: (-freq[l], l))
+        labels = nxt
+    return labels
+
+
+def test_lpa_disconnected_cliques_get_one_label_each(spark):
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    got = _lpa(spark, tri1 + tri2)
+    assert set(got[n] for n in (1, 2, 3)) == {1}
+    assert set(got[n] for n in (10, 11, 12)) == {10}
+
+
+def test_lpa_fixed_rounds_are_the_semantics(spark):
+    # a single edge oscillates under synchronous updates: after an
+    # even round count each node holds its OWN label again — the
+    # documented reason the operator pins fixed-round semantics
+    # rather than claiming convergence
+    assert _lpa(spark, [(1, 2)], rounds=4) == {1: 1, 2: 2}
+    assert _lpa(spark, [(1, 2)], rounds=3) == {1: 2, 2: 1}
+
+
+def test_lpa_direction_dups_loops_irrelevant(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    messy = tri + [(2, 1), (3, 2), (1, 3), (1, 1)]
+    assert _lpa(spark, messy) == _lpa(spark, tri)
+
+
+def test_lpa_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=0,
+            max_size=20,
+        ),
+        rounds=st.integers(1, 4),
+    )
+    def check(pairs, rounds):
+        assert _lpa(spark, pairs, rounds) == _py_lpa(pairs, rounds)
+
+    check()

@@ -380,3 +380,35 @@ def test_rule_information_scores_positive_vs_negative_association(
     }
     assert float(got3[(1, 2)].pmi) == float(got[(1, 2)].pmi)
     assert float(got3[(1, 2)].llr) > float(got[(1, 2)].llr)
+
+
+def test_item_similarity_matches_set_reference(spark):
+    import math
+
+    from ods_to_datalake_spark.operators.basket import item_similarity
+
+    # item 1 in baskets {10,11,12,13}, item 2 in {10,11,14},
+    # item 3 in {13}: (1,2) share 2, (1,3) share 1
+    rows = (
+        [(b, 1) for b in (10, 11, 12, 13)]
+        + [(b, 2) for b in (10, 11, 14)]
+        + [(13, 3)]
+    )
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in item_similarity(df, "basket", "item").collect()
+    }
+    r12 = got[(1, 2)]
+    assert r12.jaccard == 2 / (4 + 3 - 2)
+    assert r12.cosine == 2 / math.sqrt(4 * 3)
+    r13 = got[(1, 3)]
+    assert r13.jaccard == 1 / 4
+    assert r13.cosine == 1 / math.sqrt(4)
+    # identical basket sets → both scores exactly 1.0
+    twin = spark.createDataFrame(
+        [(b, i) for b in (1, 2) for i in (7, 8)],
+        "basket long, item long",
+    )
+    t = item_similarity(twin, "basket", "item").collect()[0]
+    assert t.jaccard == 1.0 and t.cosine == 1.0

@@ -269,6 +269,14 @@ SHUFFLE_BUDGET = {
     # WindowGroupLimit (plan-asserted) — k rows per partition move
     "x72_rule_information_scores": 5,  # x70's plan exactly (the
     # _pair_stats scaffold) — the PMI/LLR arithmetic is row-local
+    "x73_item_similarity": 4,  # the _pair_stats scaffold minus the
+    # basket-total broadcast (Jaccard/cosine need no corpus size) —
+    # the similarity arithmetic is row-local
+    "g06_label_propagation": 0,  # the final plan reads the per-round
+    # localCheckpointed label RDD (the g01/components iterative
+    # accounting); each materialized round paid ONE neighbor-label
+    # join + the (node,label) count + the per-node argmax agg over
+    # the loop-invariant checkpointed bidirectional edge table
     "g05_k_core": 1,  # the final degree agg over the CHECKPOINTED
     # converged edge set; each peel round paid its degree agg + two
     # semi-joins at materialization (localCheckpoint per round, the
