@@ -70,3 +70,55 @@ def target_encoding(
         "hits",
         (num.cast("double") / den.cast("double")).alias("enc"),
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(id, bucket, value) — the hashing trick (Weinberger et al.
+    2009): each token hashes to one of ``n_buckets`` feature indices
+    plus an independent ±1 sign, and the feature value is the signed
+    token count — the fixed-width, vocabulary-free featurizer that
+    turns unbounded text into model input with NO trained state (no
+    vocab table to build, ship, or keep consistent across corpus
+    versions; collisions cancel in expectation because of the sign).
+
+    Determinism: md5 is the one hash both engines share (CLAUDE.md),
+    so bucket = first 8 md5 hex chars of ``'fh:'+token`` mod
+    n_buckets and sign = +1 iff the 9th hex char's high bit is clear
+    ('0'-'7') — all integer arithmetic on non-negative operands.
+    Zero-sum buckets (a +1 and a −1 colliding) stay in the output:
+    they are computed values, and dropping them would make the frame
+    depend on collision luck instead of the corpus.
+
+    Scale: explode to the token stream (whitespace tokens of
+    lowercased text — the corpus-wide tokenization every text
+    operator here shares), one (id, bucket) partial-aggregated
+    groupBy — output is at most min(doc tokens, n_buckets) rows per
+    document, map-side combinable, and needs no join at apply time
+    (the whole point vs a vocab featurizer like x41's)."""
+    from ods_to_datalake_spark.functions import text as X
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(X.tokens(text_col)).alias("__tok"),
+    )
+    digest = F.md5(F.concat(F.lit("fh:"), F.col("__tok")))
+    bucket = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+    sign = F.when(
+        F.substring(digest, 9, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7"
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("id", bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("__s").cast("long").alias("value"))
+    )

@@ -375,6 +375,197 @@ def label_propagation(
     return labels
 
 
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Classic neighborhood link-prediction scores (Liben-Nowell &
+    Kleinberg 2003) for every NON-adjacent node pair at distance 2 in
+    an undirected graph — the "who should connect next" table behind
+    friend/item suggestion and graph completion:
+
+        common_neighbors  |Γ(a) ∩ Γ(b)|           (exact BIGINT)
+        jaccard           cn / |Γ(a) ∪ Γ(b)|      (one IEEE division)
+        adamic_adar       Σ_w 1/ln(deg w)          (hub-discounted cn)
+        pref_attachment   deg(a)·deg(b)            (the null model)
+
+    Input normalization matches `triangle_count`/`k_core`: any
+    direction/duplication accepted, self-loops dropped. Candidates are
+    generated at wedge centers (each common neighbor w emits its
+    C(deg w, 2) neighbor pairs), aggregated per pair, then
+    anti-joined against the edge set — only distance-2 non-edges
+    survive, which is the standard evaluation universe (an existing
+    edge needs no prediction; a pair with no common neighbor scores 0
+    on every neighborhood statistic and would be |V|²-sized noise).
+
+    Determinism (cross-engine): counts/degrees are exact BIGINTs;
+    jaccard = cn/(deg a + deg b − cn) is ONE IEEE division (union is
+    ≥ 1 because cn ≥ 1 — never a 0/0); pref_attachment multiplies in
+    DECIMAL(38,0) then casts once (the x70 HUGEINT-product rule).
+    adamic_adar sums a TRANSCENDENTAL per common neighbor, and a
+    double sum is partition-order-dependent — so each term rides the
+    x38/x72 quantization discipline end-to-end: ln(deg w) is quantized
+    to DECIMAL(18,6) (deg w ≥ 2 by construction — w has two distinct
+    neighbors — so ln ≥ ln 2 > 0, never a 1/0), the reciprocal is one
+    IEEE division of identical doubles, re-quantized to DECIMAL(18,12),
+    and the SUM is decimal — exact and order-free in both engines.
+
+    Scale shape: degree agg (map-side partial) + one wedge self-join
+    + one (a,b) partial-agg + one anti-join + two degree joins, all
+    node-keyed — no windows, no driver state. The adjacency table
+    feeds three legs and the edge set two, so both are
+    localCheckpoint-materialized (the x25/g03 rule). The hazard is the
+    wedge fan-out: a degree-d hub emits C(d,2) candidate pairs, and
+    unlike `triangle_count` the scores NEED every wedge (orientation
+    would undercount cn), so the bound is the opt-in ``max_degree``
+    cap — drop hub CENTERS before the self-join (standard in the LP
+    literature: a mega-hub's endorsement carries ~no signal, which is
+    exactly what Adamic-Adar's 1/ln(deg) already encodes) — with
+    `oversized_hubs` reporting what a capped run skipped (the
+    cap_bucket_width contract). The registered g07 runs uncapped; its
+    oracle matches exactly."""
+    e = (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = e.select(
+        F.col("__a").alias("node"), F.col("__b").alias("nb")
+    ).unionByName(
+        e.select(
+            F.col("__b").alias("node"), F.col("__a").alias("nb")
+        )
+    ).localCheckpoint()
+    # nodes-sized, feeds THREE legs (centers + both endpoint degree
+    # joins) — uncheckpointed each leg re-aggregates adj (x25 rule)
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    ).localCheckpoint()
+    centers = adj.join(deg, "node")
+    if max_degree is not None:
+        centers = centers.filter(F.col("__deg") <= max_degree)
+    # per-wedge Adamic-Adar term, quantized BEFORE the sum. Guarded:
+    # only deg >= 2 centers can FORM a wedge, but the projection
+    # evaluates on every adjacency row BEFORE the self-join filters
+    # degree-1 centers out — unguarded, ln(1) = 0 is an ANSI
+    # divide-by-zero on rows that never reach the output (caught at
+    # sf0.01; the guard can't change any emitted value)
+    aa_term = F.when(
+        F.col("__deg") >= 2,
+        F.lit(1.0)
+        / F.log(F.col("__deg").cast("double"))
+        .cast("decimal(18,6)")
+        .cast("double"),
+    ).otherwise(F.lit(0.0)).cast("decimal(18,12)")
+    left = centers.select(
+        "node", F.col("nb").alias("__pa"), aa_term.alias("__aa")
+    )
+    right = centers.select("node", F.col("nb").alias("__pb"))
+    cand = (
+        left.join(right, "node")
+        .where(F.col("__pa") < F.col("__pb"))
+        .groupBy(
+            F.col("__pa").alias("node_a"),
+            F.col("__pb").alias("node_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum("__aa").alias("__aasum"),
+        )
+        .join(
+            e.select(
+                F.col("__a").alias("node_a"),
+                F.col("__b").alias("node_b"),
+            ),
+            ["node_a", "node_b"],
+            "left_anti",
+        )
+    )
+    d38 = "decimal(38,0)"
+    return (
+        cand.join(
+            deg.select(
+                F.col("node").alias("node_a"),
+                F.col("__deg").alias("deg_a"),
+            ),
+            "node_a",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("node_b"),
+                F.col("__deg").alias("deg_b"),
+            ),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "deg_a",
+            "deg_b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_a")
+                    + F.col("deg_b")
+                    - F.col("common_neighbors")
+                ).cast("double")
+            ).alias("jaccard"),
+            F.col("__aasum").alias("adamic_adar"),
+            (
+                F.col("deg_a").cast(d38) * F.col("deg_b").cast(d38)
+            ).cast("double").alias("pref_attachment"),
+        )
+    )
+
+
+def oversized_hubs(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 1000,
+) -> DataFrame:
+    """(node, degree) for nodes whose degree exceeds ``max_degree`` —
+    the wedge centers `link_prediction_scores(max_degree=...)` would
+    skip (a degree-d center emits C(d,2) candidates; a capped pipeline
+    reports its spills, never silently reads as complete)."""
+    e = (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+    )
+    return (
+        e.select(F.col("__a").alias("node"))
+        .union(e.select("__b"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") > max_degree)
+    )
+
+
 def k_core(
     edges: DataFrame,
     src: str = "src",

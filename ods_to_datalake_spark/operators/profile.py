@@ -135,6 +135,43 @@ def check_satisfies(
     )
 
 
+def check_functional_dependency(
+    df: DataFrame, determinant: list[str], dependent: str
+) -> DataFrame:
+    """Violations = determinant groups mapping to MORE THAN ONE
+    dependent value — the functional-dependency audit (``lhs → rhs``)
+    behind schema normalization checks, denormalized-copy drift
+    detection, and key discovery (an FD whose determinant is every
+    other column's determinant is a candidate key; `check_unique`
+    covers that case directly).
+
+    Semantics pinned cross-engine: determinant NULLs group together
+    (SQL GROUP BY in both engines); the dependent's distinct count
+    treats NULL as ONE extra value (COUNT(DISTINCT x) skips NULLs in
+    both engines, so a MAX(is-null flag) adds it back) — a group
+    mapping to {5, NULL} IS a violation, the conservative audit
+    reading. ``n_checked`` counts determinant GROUPS (the unit the
+    constraint quantifies over), like `check_unique` counts rows.
+
+    Scale: two partial-aggregated shuffles on the determinant — the
+    distinct-dependent count rides Spark's Expand exactly like
+    `table_profile`'s distinct counts; never a window, never a
+    self-join."""
+    name = f"fd({','.join(determinant)}->{dependent})"
+    dep = F.col(dependent)
+    per_group = df.groupBy(*determinant).agg(
+        (
+            F.count_distinct(dep)
+            + F.max(F.when(dep.isNull(), 1).otherwise(0))
+        ).alias("__nd")
+    )
+    return per_group.agg(
+        F.lit(name).alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("__nd") > 1, 1)).alias("n_violations"),
+    )
+
+
 def check_foreign_key(
     child: DataFrame,
     child_col: str,

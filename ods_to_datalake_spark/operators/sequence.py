@@ -112,6 +112,83 @@ def longest_daily_streak(
     )
 
 
+def seasonal_profile(
+    events: DataFrame, ts_col: str
+) -> DataFrame:
+    """(day, dow, n_events, dow_mean, seasonal_index, residual) — the
+    classical-decomposition day-of-week seasonality profile of the
+    daily event volume: each calendar day's count, its weekday's mean
+    count, the multiplicative seasonal index (dow mean / grand mean),
+    and the additive residual (count − dow mean) — the "is Monday's
+    dip seasonal or an incident" baseline behind e10's anomaly scores
+    and every ingest-volume dashboard.
+
+    Determinism: the weekday is computed engine-neutrally as
+    pmod(days since Monday 1970-01-05, 7) — Spark's dayofweek
+    (1=Sunday) and DuckDB's dayofweek (0=Sunday) disagree, date
+    arithmetic doesn't (and pmod keeps pre-1970 days positive where
+    raw % truncates negative). dow_mean and grand mean are each ONE
+    IEEE division of exact BIGINTs (the q02 raw-quotient rule);
+    seasonal_index and residual are one further IEEE op on those
+    identical doubles — bit-stable without quantization (nothing
+    transcendental, nothing order-dependent).
+
+    Scale: ONE event shuffle (the day groupBy, map-side partial);
+    everything after runs on the CALENDAR-sized daily frame — the
+    7-row weekday profile broadcasts back, the grand mean is a 1-row
+    crossJoin (the e12/e14 accounting)."""
+    daily = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias(
+                "day"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn(
+            "dow",
+            F.pmod(
+                F.datediff(
+                    F.col("day"), F.to_date(F.lit("1970-01-05"))
+                ),
+                F.lit(7),
+            ).cast("long"),
+        )
+        # feeds THREE legs (weekday profile, grand mean, output join)
+        # — uncheckpointed, each leg re-runs the full event scan+agg
+        # (the x25/g03 shared-frame rule); the frame is calendar-sized
+        .localCheckpoint()
+    )
+    dowp = daily.groupBy("dow").agg(
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dow_mean")
+    )
+    grand = daily.agg(
+        (
+            F.sum("n_events").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__grand")
+    )
+    return (
+        daily.join(F.broadcast(dowp), "dow")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "day",
+            "dow",
+            "n_events",
+            "dow_mean",
+            (F.col("dow_mean") / F.col("__grand")).alias(
+                "seasonal_index"
+            ),
+            (
+                F.col("n_events").cast("double") - F.col("dow_mean")
+            ).alias("residual"),
+        )
+    )
+
+
 def running_distinct(
     events: DataFrame, key: str, ts_col: str
 ) -> DataFrame:

@@ -602,3 +602,62 @@ def e14_running_distinct_users(
 
     cat = load_testdata(spark, sf_dir)
     return running_distinct(cat.table("events"), "user_id", "ts")
+
+
+@register(
+    "e15_seasonal_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, n_events,
+             CAST((((day - DATE '1970-01-05') % 7) + 7) % 7
+               AS BIGINT) AS dow
+      FROM daily
+    ),
+    dowp AS (
+      SELECT dow,
+             CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dow_mean
+      FROM dd GROUP BY dow
+    ),
+    g AS (
+      SELECT CAST(CAST(SUM(n_events) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS grand
+      FROM dd
+    )
+    SELECT d.day, d.dow, d.n_events, p.dow_mean,
+           p.dow_mean / g.grand AS seasonal_index,
+           CAST(d.n_events AS DOUBLE) - p.dow_mean AS residual
+    FROM dd d JOIN dowp p USING (dow) CROSS JOIN g
+    """,
+    doc="Day-of-week seasonal decomposition of daily event volume "
+    "(classical decomposition's seasonal term): per calendar day, the "
+    "count, its weekday's mean, the multiplicative seasonal index "
+    "(dow mean / grand mean) and additive residual (count − dow mean) "
+    "— the 'is Monday's dip seasonal or an incident' baseline behind "
+    "e10's anomaly z-scores and every ingest-volume dashboard. The "
+    "weekday is pmod(days since Monday 1970-01-05, 7) — Spark "
+    "dayofweek (1=Sunday) and DuckDB dayofweek (0=Sunday) DISAGREE, "
+    "date arithmetic doesn't, and pmod keeps pre-1970 days positive "
+    "where raw % truncates negative. Each mean is ONE IEEE division "
+    "of exact BIGINTs; index and residual are one further IEEE op on "
+    "those identical doubles — bit-stable with no quantization "
+    "needed. ONE event shuffle (the day groupBy), then calendar-sized "
+    "frames: the 7-row weekday profile broadcasts back, the grand "
+    "mean is a 1-row crossJoin (the e12/e14 accounting). "
+    "operators/sequence.seasonal_profile.",
+)
+def e15_seasonal_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        seasonal_profile,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return seasonal_profile(cat.table("events"), "ts")

@@ -844,6 +844,91 @@ def g06_label_propagation(
     )
 
 
+@register(
+    "g07_link_prediction",
+    oracle=f"""
+    WITH items AS MATERIALIZED {SQL_BASKET_ITEMS},
+    e AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY node
+    ),
+    cand AS (
+      SELECT x.nb AS node_a, y.nb AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(CAST(CAST(1 AS DOUBLE)
+                 / CAST(CAST(ln(CAST(dw.d AS DOUBLE))
+                        AS DECIMAL(18,6)) AS DOUBLE)
+                 AS DECIMAL(18,12))) AS adamic_adar
+      FROM adj x
+      JOIN adj y ON x.node = y.node AND x.nb < y.nb
+      JOIN deg dw ON dw.node = x.node
+      GROUP BY x.nb, y.nb
+    ),
+    nonedge AS (
+      SELECT c.* FROM cand c
+      LEFT JOIN e ON e.a = c.node_a AND e.b = c.node_b
+      WHERE e.a IS NULL
+    )
+    SELECT n.node_a, n.node_b, da.d AS deg_a, db.d AS deg_b,
+           n.common_neighbors,
+           CAST(n.common_neighbors AS DOUBLE)
+             / CAST(da.d + db.d - n.common_neighbors AS DOUBLE)
+             AS jaccard,
+           n.adamic_adar,
+           CAST(CAST(CAST(da.d AS HUGEINT) * db.d AS VARCHAR)
+                AS DOUBLE) AS pref_attachment
+    FROM nonedge n
+    JOIN deg da ON da.node = n.node_a
+    JOIN deg db ON db.node = n.node_b
+    """,
+    double_cols=["adamic_adar"],
+    doc="Neighborhood link prediction (Liben-Nowell & Kleinberg 2003) "
+    "over the >= 2-order co-purchase graph: for every NON-adjacent "
+    "part pair at distance 2, the four classic scores — "
+    "common-neighbor count, Jaccard of the neighborhoods, Adamic-Adar "
+    "(hub-discounted: each shared neighbor w contributes 1/ln(deg w)), "
+    "and preferential attachment deg_a·deg_b (the null model) — the "
+    "'customers who bought these will meet at X' / graph-completion "
+    "table. Candidates generate at wedge CENTERS (each common "
+    "neighbor emits its C(deg,2) pairs — unlike g03, every wedge is "
+    "needed, so the hub bound is the opt-in max_degree cap + "
+    "oversized_hubs report, not orientation), aggregate per pair, "
+    "then anti-join the edge set. Adamic-Adar sums a transcendental, "
+    "so each term rides the x38/x72 discipline end-to-end: ln "
+    "quantized to DECIMAL(18,6) (deg >= 2 by construction — never "
+    "ln(1)=0 in a denominator), one IEEE reciprocal of identical "
+    "doubles, re-quantized to DECIMAL(18,12), decimal SUM — exact "
+    "and partition-order-free in both engines; jaccard is one IEEE "
+    "division (union >= 1 since cn >= 1), pref_attachment rides "
+    "DECIMAL(38,0)/HUGEINT-via-VARCHAR (the x70 rule). "
+    "operators/graph.link_prediction_scores.",
+)
+def g07_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    return link_prediction_scores(edges, "item_a", "item_b")
+
+
 K_CORE_K = 3
 K_CORE_ORACLE_ROUNDS = 18
 

@@ -1637,3 +1637,49 @@ def x67_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_testdata(spark, sf_dir)
     return bpe_train(word_counts(cat.table("documents")), 8)
+
+
+FEATURE_HASH_BUCKETS = 1024
+
+
+@register(
+    "x74_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({SQL_TOKENS}) AS tok
+      FROM documents
+    )
+    SELECT id,
+           CAST(CAST(concat('0x', substring(
+                 md5(concat('fh:', tok)), 1, 8)) AS BIGINT)
+               % {FEATURE_HASH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(SUM(CASE WHEN substring(md5(concat('fh:', tok)), 9, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+                 THEN 1 ELSE -1 END) AS BIGINT) AS value
+    FROM tok
+    GROUP BY 1, 2
+    """,
+    doc=f"Hashing-trick featurization (Weinberger et al. 2009): each "
+    f"token hashes to one of {FEATURE_HASH_BUCKETS} feature indices "
+    "(first 8 md5 hex chars mod buckets) plus an independent ±1 sign "
+    "(9th hex char's high bit), feature value = signed token count — "
+    "the fixed-width, vocabulary-FREE text featurizer: no vocab "
+    "table to build, broadcast, or version across corpus snapshots "
+    "(the whole point vs x41's vocab path), collisions cancel in "
+    "expectation. md5 is the one hash both engines share; bucket and "
+    "sign are integer arithmetic on non-negative operands; zero-sum "
+    "collision buckets stay (computed values, not collision luck). "
+    "Plan: token explode + ONE (id, bucket) partial-agg groupBy — "
+    "map-side combinable, nothing to join at apply time. "
+    "operators/features.feature_hash.",
+)
+def x74_feature_hashing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.features import feature_hash
+
+    cat = load_testdata(spark, sf_dir)
+    return feature_hash(
+        cat.table("documents"), "doc_id", "text",
+        n_buckets=FEATURE_HASH_BUCKETS,
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ods_to_datalake_spark.catalog import load_testdata
 from ods_to_datalake_spark.operators.profile import (
     check_foreign_key,
+    check_functional_dependency,
     check_in_set,
     check_not_null,
     check_satisfies,
@@ -404,6 +405,82 @@ def x68_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return target_encoding(
         labeled, "c_mktsegment", "is_urgent", smoothing=25
+    )
+
+
+def _fd_leg_sql(det: list[str], dep: str, table: str) -> str:
+    name = f"fd({','.join(det)}->{dep})"
+    return f"""
+    SELECT '{name}' AS constraint_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+             AS n_violations,
+           COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS passed
+    FROM (
+      SELECT COUNT(DISTINCT {dep})
+               + MAX(CASE WHEN {dep} IS NULL THEN 1 ELSE 0 END) AS nd
+      FROM {table} GROUP BY {", ".join(det)}
+    ) AS _g"""
+
+
+@register(
+    "u15_fd_audit",
+    oracle="\n    UNION ALL\n".join(
+        [
+            _fd_leg_sql(["l_orderkey"], "l_suppkey", "lineitem"),
+            _fd_leg_sql(
+                ["l_orderkey", "l_linenumber"],
+                "l_quantity",
+                "lineitem",
+            ),
+            _fd_leg_sql(["l_partkey"], "l_returnflag", "lineitem"),
+            _fd_leg_sql(["o_custkey"], "o_orderpriority", "orders"),
+            _fd_leg_sql(["n_nationkey"], "n_regionkey", "nation"),
+        ]
+    ),
+    doc="Functional-dependency audit (lhs → rhs) over "
+    "lineitem/orders/nation — the normalization/key-discovery "
+    "counterpart of u12's row constraints: per declared FD, how many "
+    "determinant GROUPS exist and how many map to more than one "
+    "dependent value. Deliberately mixes holding FDs (the "
+    "(l_orderkey, l_linenumber) key determines everything; nation → "
+    "region is a true hierarchy) with violated ones (an order draws "
+    "on several suppliers, a customer uses several priorities) so "
+    "the violation-counting path is exercised. NULL semantics pinned: "
+    "determinant NULLs group together (SQL GROUP BY both engines); "
+    "the dependent's distinct count adds NULL back as one value via a "
+    "MAX(is-null) flag (COUNT DISTINCT skips NULLs in both engines), "
+    "so {x, NULL} IS a violation — the conservative audit reading. "
+    "Each FD is two partial-aggregated shuffles on its determinant "
+    "(the distinct ride Spark's Expand); the report is a union of "
+    "1-row frames, constraint count bounds the plan. "
+    "operators/profile.check_functional_dependency.",
+)
+def u15_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = load_testdata(spark, sf_dir)
+    lineitem = cat.table("lineitem")
+    orders = cat.table("orders")
+    nation = cat.table("nation")
+    return constraint_report(
+        [
+            check_functional_dependency(
+                lineitem, ["l_orderkey"], "l_suppkey"
+            ),
+            check_functional_dependency(
+                lineitem,
+                ["l_orderkey", "l_linenumber"],
+                "l_quantity",
+            ),
+            check_functional_dependency(
+                lineitem, ["l_partkey"], "l_returnflag"
+            ),
+            check_functional_dependency(
+                orders, ["o_custkey"], "o_orderpriority"
+            ),
+            check_functional_dependency(
+                nation, ["n_nationkey"], "n_regionkey"
+            ),
+        ]
     )
 
 

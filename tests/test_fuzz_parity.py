@@ -54,6 +54,9 @@ FUZZ_QUERIES = [
     # round-7: prefix-filtered exact set-similarity join (tiny-alphabet
     # corpora are Jaccard-dense, so the verify leg really fires)
     "x60_set_similarity_join",
+    # round-9: hashing-trick featurizer (empty/whitespace docs hash
+    # the '' token; sign cancellation must match bit-for-bit)
+    "x74_feature_hashing",
 ]
 
 
@@ -385,6 +388,7 @@ BASKET_FUZZ_QUERIES = [
     "x73_item_similarity",
     "g05_k_core",
     "g06_label_propagation",
+    "g07_link_prediction",
 ]
 
 
@@ -446,6 +450,7 @@ SEQ_FUZZ_QUERIES = [
     "e12_markov_transitions",
     "e13_activity_streaks",
     "e14_running_distinct_users",
+    "e15_seasonal_profile",
 ]
 
 

@@ -431,3 +431,103 @@ def test_lpa_matches_python_reference(spark):
         assert _lpa(spark, pairs, rounds) == _py_lpa(pairs, rounds)
 
     check()
+
+
+# --- link prediction (g07) -------------------------------------------
+
+
+def test_link_prediction_path_graph(spark):
+    # P4: 1-2-3-4. Distance-2 non-edges: (1,3) via 2, (2,4) via 3.
+    # (1,4) is distance 3 — no common neighbor, excluded.
+    from ods_to_datalake_spark.operators.graph import (
+        link_prediction_scores,
+    )
+    import math
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {
+        (r.node_a, r.node_b): r
+        for r in link_prediction_scores(edges).collect()
+    }
+    assert set(rows) == {(1, 3), (2, 4)}
+    r13 = rows[(1, 3)]
+    assert r13.common_neighbors == 1
+    assert (r13.deg_a, r13.deg_b) == (1, 2)
+    # jaccard = 1 / (1 + 2 - 1)
+    assert r13.jaccard == 0.5
+    assert r13.pref_attachment == 2.0
+    # adamic_adar = 1/ln(deg(2)) = 1/ln(2), through the quantization
+    q = float(round(__import__("decimal").Decimal(math.log(2)), 6))
+    assert abs(float(r13.adamic_adar) - round(1.0 / q, 12)) < 1e-9
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle: every distance-2 pair is ALSO an edge — empty output
+    from ods_to_datalake_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert link_prediction_scores(edges).count() == 0
+
+
+def test_link_prediction_square_counts_both_wedges(spark):
+    # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each have TWO
+    # common neighbors
+    from ods_to_datalake_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    rows = {
+        (r.node_a, r.node_b): r
+        for r in link_prediction_scores(edges).collect()
+    }
+    assert set(rows) == {(1, 3), (2, 4)}
+    assert rows[(1, 3)].common_neighbors == 2
+    # jaccard = 2 / (2 + 2 - 2) = 1.0 (identical neighborhoods)
+    assert rows[(1, 3)].jaccard == 1.0
+
+
+def test_link_prediction_max_degree_and_hub_report(spark):
+    # star center 0 with leaves 1..5 plus a P3 off to the side:
+    # capping max_degree=2 drops the hub CENTER, so no leaf pairs
+    from ods_to_datalake_spark.operators.graph import (
+        link_prediction_scores,
+        oversized_hubs,
+    )
+
+    star = [(0, leaf) for leaf in range(1, 6)]
+    edges = spark.createDataFrame(
+        star + [(10, 11), (11, 12)], "src long, dst long"
+    )
+    uncapped = link_prediction_scores(edges)
+    # C(5,2) leaf pairs + (10,12)
+    assert uncapped.count() == 11
+    capped = link_prediction_scores(edges, max_degree=2)
+    assert {
+        (r.node_a, r.node_b) for r in capped.collect()
+    } == {(10, 12)}
+    hubs = oversized_hubs(edges, max_degree=2)
+    assert {(r.node, r.degree) for r in hubs.collect()} == {(0, 5)}
+
+
+def test_link_prediction_degree_one_center_is_guarded(spark):
+    # a pendant edge's degree-1 endpoint appears as a wedge CENTER row
+    # whose Adamic-Adar term would be 1/ln(1) — the ANSI
+    # divide-by-zero the projection guard exists for
+    from ods_to_datalake_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    rows = link_prediction_scores(edges).collect()
+    assert {(r.node_a, r.node_b) for r in rows} == {(1, 3)}

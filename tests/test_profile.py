@@ -180,3 +180,68 @@ def test_persisted_profiles_drift_equals_live_drift(spark, tmp_path):
     before = key(read_profile(spark, po))
     build_profile(old, po, ["k", "v"])
     assert key(read_profile(spark, po)) == before
+
+
+# --- functional-dependency audit (u15) --------------------------------
+
+
+def test_fd_holds_and_violates(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        check_functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 11),  # same det -> same dep: fine
+            (2, "b", 20),
+            (2, "c", 21),  # det 2 -> {b, c}: violation
+            (3, "d", 30),
+        ],
+        "k long, dep string, other long",
+    )
+    r = check_functional_dependency(df, ["k"], "dep").collect()[0]
+    assert r.constraint_name == "fd(k->dep)"
+    assert r.n_checked == 3  # determinant GROUPS
+    assert r.n_violations == 1
+    ok = check_functional_dependency(df, ["k", "dep"], "k").collect()[0]
+    assert ok.n_violations == 0
+
+
+def test_fd_null_dependent_is_a_second_value(spark):
+    # {10, NULL} under one determinant IS a violation (conservative
+    # reading); an all-NULL dependent group maps to ONE value — not
+    from ods_to_datalake_spark.operators.profile import (
+        check_functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, None), (2, None), (2, None)],
+        "k long, dep long",
+    )
+    r = check_functional_dependency(df, ["k"], "dep").collect()[0]
+    assert r.n_checked == 2
+    assert r.n_violations == 1
+
+
+def test_fd_null_determinants_group_together(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        check_functional_dependency,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "k long, dep long"
+    )
+    r = check_functional_dependency(df, ["k"], "dep").collect()[0]
+    assert r.n_checked == 1
+    assert r.n_violations == 1
+
+
+def test_fd_empty_input(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        check_functional_dependency,
+    )
+
+    df = spark.createDataFrame([], "k long, dep long")
+    r = check_functional_dependency(df, ["k"], "dep").collect()[0]
+    assert (r.n_checked, r.n_violations) == (0, 0)

@@ -412,3 +412,100 @@ def test_item_similarity_matches_set_reference(spark):
     )
     t = item_similarity(twin, "basket", "item").collect()[0]
     assert t.jaccard == 1.0 and t.cosine == 1.0
+
+
+# --- day-of-week seasonal profile (e15) -------------------------------
+
+
+def test_seasonal_profile_values(spark):
+    import datetime as dt
+
+    from ods_to_datalake_spark.operators.sequence import (
+        seasonal_profile,
+    )
+
+    # two Mondays (3 and 1 events), one Tuesday (2 events)
+    rows = (
+        [(dt.datetime(2024, 1, 1, h),) for h in (1, 2, 3)]
+        + [(dt.datetime(2024, 1, 8, 9),)]
+        + [(dt.datetime(2024, 1, 2, h),) for h in (4, 5)]
+        + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.day: r for r in seasonal_profile(df, "ts").collect()}
+    assert len(out) == 3
+    mon1 = out[dt.date(2024, 1, 1)]
+    # 2024-01-01 is a Monday -> dow 0 (days since 1970-01-05 mod 7)
+    assert mon1.dow == 0
+    assert mon1.n_events == 3
+    assert mon1.dow_mean == 2.0  # (3 + 1) / 2
+    assert mon1.residual == 1.0
+    tue = out[dt.date(2024, 1, 2)]
+    assert tue.dow == 1
+    assert tue.dow_mean == 2.0
+    # grand mean = (3 + 1 + 2) / 3 days = 2.0
+    assert tue.seasonal_index == 1.0
+    assert tue.residual == 0.0
+
+
+def test_seasonal_profile_pre_epoch_dow_is_positive(spark):
+    import datetime as dt
+
+    from ods_to_datalake_spark.operators.sequence import (
+        seasonal_profile,
+    )
+
+    # 1969-12-31 was a Wednesday: pmod keeps pre-1970 days at dow 2
+    # where raw % would truncate negative
+    df = spark.createDataFrame(
+        [(dt.datetime(1969, 12, 31, 12),)], "ts timestamp"
+    )
+    (r,) = seasonal_profile(df, "ts").collect()
+    assert r.dow == 2
+
+
+# --- feature hashing (x74) --------------------------------------------
+
+
+def test_feature_hash_is_signed_token_count(spark):
+    import hashlib
+
+    from ods_to_datalake_spark.operators.features import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat dog"), (2, "dog")],
+        "doc_id long, text string",
+    )
+    out = feature_hash(docs, "doc_id", "text", n_buckets=64)
+    rows = {(r.id, r.bucket): r.value for r in out.collect()}
+
+    def expected(tok):
+        d = hashlib.md5(f"fh:{tok}".encode()).hexdigest()
+        return int(d[:8], 16) % 64, 1 if d[8] in "01234567" else -1
+
+    agg: dict[tuple, int] = {}
+    for doc, toks in ((1, ["the", "cat", "the", "cat", "dog"]),
+                      (2, ["dog"])):
+        for t in toks:
+            b, s = expected(t)
+            agg[(doc, b)] = agg.get((doc, b), 0) + s
+    assert rows == agg
+
+
+def test_feature_hash_bucket_range_and_determinism(spark):
+    from ods_to_datalake_spark.operators.features import feature_hash
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 3} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = feature_hash(docs, "doc_id", "text", n_buckets=16)
+    assert a.filter(
+        (a.bucket < 0) | (a.bucket >= 16)
+    ).count() == 0
+    b = feature_hash(
+        docs.repartition(7), "doc_id", "text", n_buckets=16
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )

@@ -316,6 +316,19 @@ SHUFFLE_BUDGET = {
     "x63_hybrid_rrf": 7,  # the x56 BM25 leg's exchanges (term-filtered
     # tf/df/dl aggs) + the rank windows; the cosine leg broadcasts the
     # query vector and the fusion joins two 20-row lists
+    "g07_link_prediction": 10,  # wedge self-join + (a,b) pair agg +
+    # edge anti-join + two endpoint degree joins, all node/pair-keyed
+    # over the CHECKPOINTED adjacency and degree tables (x25 rule);
+    # every exchange moves candidate-pair- or edge-scale rows once
+    "u15_fd_audit": 15,  # 5 FDs x (determinant groupBy with its
+    # distinct-count Expand + the 1-row rollup) — every exchange moves
+    # group counts, never data rows; constraint count bounds the plan
+    "e15_seasonal_profile": 2,  # the day groupBy is paid once at the
+    # daily frame's localCheckpoint (it feeds 3 legs); the final plan
+    # pays the 7-row weekday agg + 1-row grand mean, both broadcast
+    # back onto the calendar-sized frame
+    "x74_feature_hashing": 1,  # token explode + ONE (id, bucket)
+    # partial-aggregated groupBy — map-side combinable, no joins
 }
 
 
