@@ -292,6 +292,7 @@ def also_bought_topk(
     item_col: str,
     k: int = 5,
     min_count: int = 1,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(item, neighbor, n_baskets, rank) — each item's top-``k``
     co-purchased neighbors by (n_baskets DESC, neighbor ASC), the
@@ -301,10 +302,14 @@ def also_bought_topk(
     partition keeps a k-heap BEFORE the one exchange, so a blockbuster
     item moves k rows per input partition, never its full neighbor
     list. The pair table feeds both closure legs, so it is
-    localCheckpoint-materialized (the x25/g03 rule)."""
-    pairs = cooccurrence(
-        df, basket_col, item_col, min_count
-    ).localCheckpoint()
+    localCheckpoint-materialized (the x25/g03 rule). ``pairs`` lets a
+    caller that already materialized the co-occurrence table (x75
+    shares it between the rec and truth legs) pass it in — it must
+    already be checkpointed/persisted."""
+    if pairs is None:
+        pairs = cooccurrence(
+            df, basket_col, item_col, min_count
+        ).localCheckpoint()
     sym = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),
@@ -340,4 +345,139 @@ def oversized_baskets(
         .groupBy(F.col("__basket").alias("basket"))
         .agg(F.count(F.lit(1)).alias("n_items"))
         .filter(F.col("n_items") > max_basket)
+    )
+
+
+def dcg_gain_table(k: int) -> list[tuple[int, object, object]]:
+    """(rank, gain, idcg) for ranks 1..k with gain = 1/log2(rank+1)
+    quantized per the x38/g07 transcendental discipline and idcg the
+    exact-decimal prefix sum — computed ONCE in Python so both the
+    Spark plan and the SQL oracle share the IDENTICAL literals (no
+    cross-engine log2 at all: bit-stability by construction)."""
+    import decimal as _d
+    import math as _m
+
+    rows: list[tuple[int, object, object]] = []
+    acc = _d.Decimal(0)
+    for r in range(1, k + 1):
+        q = _d.Decimal(_m.log2(r + 1)).quantize(
+            _d.Decimal("0.000001")
+        )
+        gain = _d.Decimal(1.0 / float(q)).quantize(
+            _d.Decimal("0.000000000001")
+        )
+        acc += gain
+        rows.append((r, gain, acc))
+    return rows
+
+
+def ranking_metrics(
+    recs: DataFrame,
+    truth: DataFrame,
+    k: int,
+) -> DataFrame:
+    """(qid, n_rec, n_rel, hits, precision_at_k, recall_at_k, ndcg_at_k)
+    — offline ranking evaluation of a recommendation/retrieval run
+    against a relevance set (the eval loop behind every recommender /
+    search / RAG-retrieval pipeline): ``recs`` is (qid, item, rank)
+    with rank 1-based and unique per qid, ``truth`` is (qid, item)
+    relevant pairs. Only ranks <= ``k`` count.
+
+        precision@k = hits / k          (a query that served fewer
+                                         than k rows is penalized for
+                                         the gap — the standard @k
+                                         convention)
+        recall@k    = hits / |truth|
+        ndcg@k      = DCG / IDCG,  DCG = Σ_hits 1/log2(rank+1),
+                      IDCG = Σ_{i=1..min(k,|truth|)} 1/log2(i+1)
+
+    Truth-only qids appear with all-miss zeros (that is what aggregate
+    metrics are made of); rec-only qids appear with n_rel = 0 and NULL
+    recall/ndcg — no relevance set to score against, and emitting 0
+    would conflate "nothing relevant exists" with "missed everything"
+    (CASE-guarded identically in both engines).
+
+    Determinism: counts are exact BIGINTs; precision/recall are ONE
+    IEEE division each (the q02 rule). The DCG gains are a
+    TRANSCENDENTAL, so they are computed ONCE in driver Python
+    (`dcg_gain_table` — quantized DECIMAL(18,12) literals shared
+    verbatim with the SQL oracle: no cross-engine log2 anywhere), the
+    per-qid DCG is an exact decimal SUM (order-free), IDCG is the
+    exact-decimal prefix sum joined from the same k-row literal, and
+    ndcg is one IEEE division of two identically-derived doubles (the
+    oracle round-trips its decimals through VARCHAR per the
+    DECIMAL(38)→DOUBLE 1-ulp note).
+
+    Scale shape: one (qid, item) equi-join (the hit test) + qid-keyed
+    partial aggs; the gain/idcg tables are k-row broadcast literals;
+    metric tables are query-set sized — nothing corpus-scale survives
+    the first join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    spark = recs.sparkSession
+    table = dcg_gain_table(k)
+    gains = spark.createDataFrame(
+        [(r, g) for r, g, _ in table],
+        "rank long, gain decimal(18,12)",
+    )
+    idcg = spark.createDataFrame(
+        [(r, i) for r, _, i in table],
+        "rank long, idcg decimal(28,12)",
+    )
+    r = (
+        recs.select(
+            F.col(recs.columns[0]).alias("qid"),
+            F.col(recs.columns[1]).alias("item"),
+            F.col(recs.columns[2]).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .join(F.broadcast(gains), "rank")
+    )
+    t = truth.select(
+        F.col(truth.columns[0]).alias("qid"),
+        F.col(truth.columns[1]).alias("item"),
+    ).distinct()
+    per_rec = r.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rec")
+    )
+    per_truth = t.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = r.join(t, ["qid", "item"]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.sum("gain").alias("__dcg"),
+    )
+    out = (
+        per_truth.join(per_rec, "qid", "full_outer")
+        .join(hits, "qid", "left")
+        .withColumn(
+            "__clamped",
+            F.least(F.coalesce("n_rel", F.lit(0)), F.lit(k)),
+        )
+        .join(
+            F.broadcast(idcg),
+            F.col("__clamped") == F.col("rank"),
+            "left",
+        )
+    )
+    return out.select(
+        "qid",
+        F.coalesce("n_rec", F.lit(0)).alias("n_rec"),
+        F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        (
+            F.coalesce("hits", F.lit(0)).cast("double") / F.lit(k)
+        ).alias("precision_at_k"),
+        F.when(
+            F.coalesce("n_rel", F.lit(0)) > 0,
+            F.coalesce("hits", F.lit(0)).cast("double")
+            / F.col("n_rel").cast("double"),
+        ).alias("recall_at_k"),
+        F.when(
+            F.coalesce("n_rel", F.lit(0)) > 0,
+            F.coalesce(
+                F.col("__dcg"), F.lit(0).cast("decimal(28,12)")
+            ).cast("double")
+            / F.col("idcg").cast("double"),
+        ).alias("ndcg_at_k"),
     )

@@ -657,3 +657,102 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row (n_nodes, n_edges, assortativity) — Newman's degree
+    assortativity coefficient (Newman 2002): the Pearson correlation
+    of the degrees at either end of an edge. Positive = hubs link to
+    hubs (social networks), negative = hubs link to leaves
+    (technological/biological nets, retail co-purchase) — the one
+    scalar that says which regime a graph is in, and the first thing
+    to check before trusting a degree-based plan bound.
+
+    Over the symmetric directed edge list (each undirected edge in
+    both orientations, M = 2m rows; x = deg(u), y = deg(v); by
+    symmetry Σx = Σy):
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+
+    Determinism: every sum is exact DECIMAL(38,0) (degree products
+    overflow int64 near 1e9·1e9; the oracle's HUGEINT sums mirror),
+    numerator and denominator are exact integer expressions (M·Σxy ~
+    1e30 fits precision 38), each casts once through the
+    VARCHAR-round-trip rule, and r is ONE IEEE division. A
+    degree-regular graph has zero variance — denominator 0 is
+    CASE-guarded to NULL in both engines (the cosine/zero-norm rule).
+
+    Scale shape: degree agg + two node-keyed joins decorating the
+    edge list with endpoint degrees + ONE global aggregate — no
+    windows, no driver state; adjacency and degree tables are
+    localCheckpointed (each feeds 2-3 legs, the x25 rule)."""
+    e = (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = e.select(
+        F.col("__a").alias("node"), F.col("__b").alias("nb")
+    ).unionByName(
+        e.select(
+            F.col("__b").alias("node"), F.col("__a").alias("nb")
+        )
+    ).localCheckpoint()
+    deg = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    ).localCheckpoint()
+    d38 = "decimal(38,0)"
+    j = (
+        adj.join(deg, "node")
+        .withColumnRenamed("__deg", "__dx")
+        .join(
+            deg.select(
+                F.col("node").alias("nb"),
+                F.col("__deg").alias("__dy"),
+            ),
+            "nb",
+        )
+    )
+    sums = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("__m"),
+        F.sum(F.col("__dx").cast(d38)).alias("__sx"),
+        F.sum(
+            (F.col("__dx").cast(d38) * F.col("__dy").cast(d38))
+        ).alias("__sxy"),
+        F.sum(
+            (F.col("__dx").cast(d38) * F.col("__dx").cast(d38))
+        ).alias("__sxx"),
+    )
+    num = F.col("__m") * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    den = F.col("__m") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    n_nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    n_edges = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(
+                den != F.lit(0).cast(d38),
+                num.cast("double") / den.cast("double"),
+            ).alias("assortativity"),
+        )
+    )

@@ -1002,3 +1002,211 @@ def x71_also_bought_topk(
         cat.table("lineitem"), "l_orderkey", "l_partkey",
         k=5, min_count=2,
     )
+
+
+# x75: ranking eval of x71's serving table against a stricter
+# relevance set — the DCG gain/idcg literals are computed ONCE in
+# Python (operators/basket.dcg_gain_table) and shared VERBATIM by the
+# Spark plan and this oracle: no cross-engine log2 anywhere
+RANK_K = 5
+TRUTH_MIN = 3
+from ods_to_datalake_spark.operators.basket import (  # noqa: E402
+    dcg_gain_table,
+)
+
+_GAIN_ROWS = dcg_gain_table(RANK_K)
+SQL_GAINS = ", ".join(
+    f"({r}, CAST('{g}' AS DECIMAL(18,12)))" for r, g, _ in _GAIN_ROWS
+)
+SQL_IDCG = ", ".join(f"({r}, '{i}')" for r, _, i in _GAIN_ROWS)
+
+
+@register(
+    "x75_ranking_eval",
+    oracle=f"""
+    WITH items AS MATERIALIZED {SQL_BASKET_ITEMS},
+    pairs AS MATERIALIZED (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT item_a AS qid, item_b AS item, n_baskets FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, n_baskets FROM pairs
+    ),
+    gains(rank, gain) AS (VALUES {SQL_GAINS}),
+    idcgs(rank, idcg) AS (VALUES {SQL_IDCG}),
+    r AS (
+      SELECT qid, item, g.gain FROM (
+        SELECT qid, item, ROW_NUMBER() OVER (
+          PARTITION BY qid
+          ORDER BY n_baskets DESC, item) AS rank
+        FROM sym
+      ) AS _r JOIN gains g USING (rank)
+      WHERE rank <= {RANK_K}
+    ),
+    truth AS (
+      SELECT qid, item FROM sym WHERE n_baskets >= {TRUTH_MIN}
+    ),
+    per_rec AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rec
+      FROM r GROUP BY qid
+    ),
+    per_truth AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM truth GROUP BY qid
+    ),
+    h AS (
+      SELECT r.qid, CAST(COUNT(*) AS BIGINT) AS hits,
+             SUM(r.gain) AS dcg
+      FROM r JOIN truth t ON r.qid = t.qid AND r.item = t.item
+      GROUP BY r.qid
+    ),
+    base AS (
+      SELECT COALESCE(pt.qid, pr.qid) AS qid,
+             COALESCE(pr.n_rec, 0) AS n_rec,
+             COALESCE(pt.n_rel, 0) AS n_rel,
+             COALESCE(h.hits, 0) AS hits, h.dcg,
+             LEAST(COALESCE(pt.n_rel, 0), {RANK_K}) AS clamped
+      FROM per_truth pt
+      FULL OUTER JOIN per_rec pr ON pt.qid = pr.qid
+      LEFT JOIN h ON h.qid = COALESCE(pt.qid, pr.qid)
+    )
+    SELECT qid, n_rec, n_rel, hits,
+           CAST(hits AS DOUBLE) / CAST({RANK_K} AS DOUBLE)
+             AS precision_at_k,
+           CASE WHEN n_rel > 0 THEN
+             CAST(hits AS DOUBLE) / CAST(n_rel AS DOUBLE)
+           END AS recall_at_k,
+           CASE WHEN n_rel > 0 THEN
+             CAST(CAST(COALESCE(dcg, 0) AS VARCHAR) AS DOUBLE)
+             / CAST(i.idcg AS DOUBLE)
+           END AS ndcg_at_k
+    FROM base LEFT JOIN idcgs i ON i.rank = base.clamped
+    """,
+    doc=f"Offline ranking evaluation (precision@{RANK_K}, "
+    f"recall@{RANK_K}, NDCG@{RANK_K}) of the x71 also-bought serving "
+    f"table against a stricter relevance set (pairs co-ordered >= "
+    f"{TRUTH_MIN} times) — the recommender/retrieval eval loop, per "
+    "query id. The DCG gains are a transcendental, so they are "
+    "computed ONCE in driver Python (operators/basket.dcg_gain_table, "
+    "quantized DECIMAL(18,12)) and shared VERBATIM as plan literals "
+    "by both engines — no cross-engine log2 at all; per-qid DCG is an "
+    "exact decimal SUM (order-free), IDCG joins the same k-row "
+    "literal's exact prefix sum on the clamped relevant count, and "
+    "NDCG is one IEEE division (the oracle's decimal operand "
+    "round-trips through VARCHAR). Truth-only qids score all-miss "
+    "zeros; rec-only qids emit NULL recall/ndcg (no relevance set — 0 "
+    "would conflate 'nothing relevant' with 'missed everything'). "
+    "Plan: the checkpointed pair table feeds BOTH the rec and truth "
+    "legs; one (qid, item) hit join + qid-keyed partial aggs — "
+    "metric frames are query-set sized. "
+    "operators/basket.ranking_metrics.",
+)
+def x75_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import (
+        also_bought_topk,
+        cooccurrence,
+        ranking_metrics,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem")
+    pairs = cooccurrence(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).localCheckpoint()
+    recs = also_bought_topk(
+        li, "l_orderkey", "l_partkey", k=RANK_K, min_count=2,
+        pairs=pairs,
+    ).select("item", "neighbor", "rank")
+    sym = pairs.select(
+        F.col("item_a").alias("qid"),
+        F.col("item_b").alias("item"),
+        "n_baskets",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("qid"),
+            F.col("item_a").alias("item"),
+            "n_baskets",
+        )
+    )
+    truth = sym.where(F.col("n_baskets") >= TRUTH_MIN).select(
+        "qid", "item"
+    )
+    return ranking_metrics(recs, truth, k=RANK_K)
+
+
+@register(
+    "g08_degree_assortativity",
+    oracle=f"""
+    WITH items AS MATERIALIZED {SQL_BASKET_ITEMS},
+    e AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM adj GROUP BY node
+    ),
+    j AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM adj a
+      JOIN deg dx ON dx.node = a.node
+      JOIN deg dy ON dy.node = a.nb
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM j
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           CASE WHEN m * sxx - sx * sx <> 0 THEN
+             CAST(CAST(m * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(m * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+           END AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity (Newman 2002) of the >= 2-order "
+    "co-purchase graph: the Pearson correlation of endpoint degrees "
+    "over the symmetric edge list — positive means hubs link to hubs "
+    "(social nets), negative means hubs link to leaves (retail "
+    "co-purchase, technological nets); the one scalar that says which "
+    "regime a graph is in before trusting any degree-based plan "
+    "bound. r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) with every sum an "
+    "exact DECIMAL(38,0)/HUGEINT (degree products overflow int64 near "
+    "1e9 degrees; M·Σxy ~ 1e30 fits precision 38), both exact integer "
+    "operands round-tripped through VARCHAR, ONE IEEE division; a "
+    "degree-regular graph has zero variance — denominator 0 is "
+    "CASE-guarded to NULL (the cosine/zero-norm rule). Plan: degree "
+    "agg + two node-keyed joins decorating edges with endpoint "
+    "degrees + ONE global aggregate, adjacency/degree tables "
+    "checkpointed (the x25 rule) — no windows, no driver state. "
+    "operators/graph.degree_assortativity.",
+)
+def g08_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    )
+    return degree_assortativity(edges, "item_a", "item_b")

@@ -389,6 +389,8 @@ BASKET_FUZZ_QUERIES = [
     "g05_k_core",
     "g06_label_propagation",
     "g07_link_prediction",
+    "g08_degree_assortativity",
+    "x75_ranking_eval",
 ]
 
 

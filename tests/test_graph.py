@@ -531,3 +531,60 @@ def test_link_prediction_degree_one_center_is_guarded(spark):
     )
     rows = link_prediction_scores(edges).collect()
     assert {(r.node_a, r.node_b) for r in rows} == {(1, 3)}
+
+
+# --- degree assortativity (g08) ----------------------------------------
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from ods_to_datalake_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, leaf) for leaf in range(1, 6)], "src long, dst long"
+    )
+    (r,) = degree_assortativity(edges).collect()
+    assert (r.n_nodes, r.n_edges) == (6, 5)
+    assert r.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from ods_to_datalake_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # triangle: every degree equal -> zero variance -> NULL, not crash
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    (r,) = degree_assortativity(edges).collect()
+    assert r.assortativity is None
+
+
+def test_assortativity_path_p3(spark):
+    from ods_to_datalake_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    (r,) = degree_assortativity(edges).collect()
+    # M=4, Sx=6, Sxy=8, Sxx=10 -> (32-36)/(40-36) = -1
+    assert r.assortativity == -1.0
+
+
+def test_assortativity_mixed_graph(spark):
+    from ods_to_datalake_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # P4 1-2-3-4: degrees 1,2,2,1; adj pairs x,y:
+    # (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) -> M=6, Sx=10, Sxy=16,
+    # Sxx=18 -> (96-100)/(108-100) = -0.5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    (r,) = degree_assortativity(edges).collect()
+    assert r.assortativity == -0.5

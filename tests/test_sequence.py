@@ -509,3 +509,69 @@ def test_feature_hash_bucket_range_and_determinism(spark):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, b.collect())
     )
+
+
+# --- ranking-metric evaluation (x75) ------------------------------------
+
+
+def test_ranking_metrics_hand_case(spark):
+    from ods_to_datalake_spark.operators.basket import (
+        dcg_gain_table,
+        ranking_metrics,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (9, "z", 1)],
+        "qid long, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "c"), (1, "d"), (1, "e"), (7, "q")],
+        "qid long, item string",
+    )
+    out = {r.qid: r for r in ranking_metrics(recs, truth, 3).collect()}
+    assert set(out) == {1, 7, 9}
+    r1 = out[1]
+    assert (r1.n_rec, r1.n_rel, r1.hits) == (3, 4, 2)
+    assert r1.precision_at_k == 2.0 / 3.0
+    assert r1.recall_at_k == 0.5
+    gains = {r: float(g) for r, g, _ in dcg_gain_table(3)}
+    idcg3 = float(dcg_gain_table(3)[2][2])
+    assert abs(r1.ndcg_at_k - (gains[1] + gains[3]) / idcg3) < 1e-12
+    # truth-only qid: all-miss zeros
+    r7 = out[7]
+    assert (r7.n_rec, r7.hits, r7.precision_at_k, r7.recall_at_k,
+            r7.ndcg_at_k) == (0, 0, 0.0, 0.0, 0.0)
+    # rec-only qid: no relevance set -> NULL recall/ndcg, not 0
+    r9 = out[9]
+    assert (r9.n_rel, r9.hits) == (0, 0)
+    assert r9.recall_at_k is None and r9.ndcg_at_k is None
+
+
+def test_ranking_metrics_rank_beyond_k_ignored_and_k_validated(spark):
+    import pytest
+
+    from ods_to_datalake_spark.operators.basket import ranking_metrics
+
+    recs = spark.createDataFrame(
+        [(1, "a", 4)], "qid long, item string, rank long"
+    )
+    truth = spark.createDataFrame(
+        [(1, "a")], "qid long, item string"
+    )
+    (r,) = ranking_metrics(recs, truth, 3).collect()
+    assert (r.n_rec, r.hits) == (0, 0)  # rank 4 outside @3
+    with pytest.raises(ValueError):
+        ranking_metrics(recs, truth, 0)
+
+
+def test_ranking_metrics_perfect_list(spark):
+    from ods_to_datalake_spark.operators.basket import ranking_metrics
+
+    recs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "qid long, item string, rank long"
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "qid long, item string"
+    )
+    (r,) = ranking_metrics(recs, truth, 2).collect()
+    assert r.ndcg_at_k == 1.0 and r.recall_at_k == 1.0

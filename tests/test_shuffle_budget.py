@@ -329,6 +329,13 @@ SHUFFLE_BUDGET = {
     # back onto the calendar-sized frame
     "x74_feature_hashing": 1,  # token explode + ONE (id, bucket)
     # partial-aggregated groupBy — map-side combinable, no joins
+    "x75_ranking_eval": 8,  # rec/truth legs over the CHECKPOINTED
+    # pair table: the hit equi-join + qid-keyed partial aggs + the
+    # full-outer metric join; gain/idcg tables are k-row broadcast
+    # literals — every exchange moves query-set-sized metric rows
+    "g08_degree_assortativity": 7,  # degree agg + two node-keyed
+    # degree-decoration joins + ONE global sum over the CHECKPOINTED
+    # adjacency/degree tables; the n_nodes/n_edges legs are 1-row aggs
 }
 
 
