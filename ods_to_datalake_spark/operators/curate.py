@@ -277,3 +277,58 @@ def curate_corpus(
         n_in = advance("mixture_resample", resampled, n_in)
 
     return cur, report
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+[0-9]{8,15}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, clean_text, n_emails, n_phones, n_ips) — rule-based PII
+    redaction, the compliance pass every shared training corpus runs
+    before release: e-mail addresses, international-format phone
+    numbers (+ and 8-15 digits), and dotted-quad IPs are replaced by
+    typed placeholder tags, with per-document match counts kept as the
+    audit trail (a scrub that doesn't count what it removed can't be
+    reviewed).
+
+    Patterns are deliberately restricted to the regex subset Java
+    (Spark) and RE2 (DuckDB) interpret identically — character
+    classes, bounded repetition, word boundaries; no lookaround, no
+    backreferences — so the oracle runs the SAME expressions.
+    Replacement order is fixed (email → phone → IP: an email can
+    contain dots and digits, so it must leave the text before the IP
+    pass); counts are measured on the ORIGINAL text, non-overlapping
+    matches in both engines. NULL text stays NULL with zero counts.
+
+    Scale: pure map-side string work — zero shuffles, whole-stage
+    codegen, no UDFs; the scrubbed column replaces the original in
+    the write path, the counts feed the u12-style audit report."""
+    txt = F.col(text_col)
+    counts = [
+        F.coalesce(
+            F.regexp_count(txt, F.lit(p)), F.lit(0)
+        ).cast("long").alias(a)
+        for p, a in (
+            (PII_EMAIL, "n_emails"),
+            (PII_PHONE, "n_phones"),
+            (PII_IPV4, "n_ips"),
+        )
+    ]
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        clean.alias("clean_text"),
+        *counts,
+    )

@@ -44,6 +44,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel as _SL
+
+# Graph-scale checkpoints (edge tables, adjacency, per-round peel/label
+# state) store DISK_ONLY: localCheckpoint's default memory-resident
+# blocks are never freed across rounds/reps — the g01 e_deg OOM
+# precedent (CLAUDE.md), re-confirmed when the 30× g03 stress cell
+# OOMed the 8g heap on memory-resident edge checkpoints. Disk blocks
+# cost nothing on-heap and each frame is read back at most a few
+# times. Nodes-sized PageRank state keeps the default (measured fine).
+_DISK_ONLY = _SL.DISK_ONLY
+
 PR_SCALE = 10**12
 PR_NUM, PR_DEN = 85, 100  # damping d = 0.85 as an integer split
 
@@ -235,7 +246,7 @@ def triangle_count(
             F.greatest("__a", "__b").alias("__b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
     deg = (
         e.select(F.col("__a").alias("node"))
@@ -277,7 +288,7 @@ def triangle_count(
             )
         )
         .alias("kv"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     o1 = oriented.select("u", "v", "kv")
     o2 = oriented.select(
         F.col("u").alias("u2"),
@@ -344,7 +355,7 @@ def label_propagation(
                 F.col("__b").alias("__a"), F.col("__a").alias("__b")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
     labels = ee.select(F.col("__a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -370,7 +381,7 @@ def label_propagation(
                 ).alias("__top")
             )
             .select("node", F.col("__top.__l").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
         )
     return labels
 
@@ -440,7 +451,7 @@ def link_prediction_scores(
             F.greatest("__a", "__b").alias("__b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
     adj = e.select(
         F.col("__a").alias("node"), F.col("__b").alias("nb")
@@ -448,12 +459,12 @@ def link_prediction_scores(
         e.select(
             F.col("__b").alias("node"), F.col("__a").alias("nb")
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     # nodes-sized, feeds THREE legs (centers + both endpoint degree
     # joins) — uncheckpointed each leg re-aggregates adj (x25 rule)
     deg = adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("__deg")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     centers = adj.join(deg, "node")
     if max_degree is not None:
         centers = centers.filter(F.col("__deg") <= max_degree)
@@ -620,7 +631,7 @@ def k_core(
             F.greatest("__a", "__b").alias("__b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -652,7 +663,7 @@ def k_core(
                 "__b",
                 "left_semi",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
         )
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds"
@@ -702,7 +713,7 @@ def degree_assortativity(
             F.greatest("__a", "__b").alias("__b"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
     adj = e.select(
         F.col("__a").alias("node"), F.col("__b").alias("nb")
@@ -710,10 +721,10 @@ def degree_assortativity(
         e.select(
             F.col("__b").alias("node"), F.col("__a").alias("nb")
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     deg = adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("__deg")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     d38 = "decimal(38,0)"
     j = (
         adj.join(deg, "node")

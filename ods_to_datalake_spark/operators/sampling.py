@@ -280,3 +280,91 @@ def leakage_free_split(
     return labeled.withColumn(
         "split", assignment.otherwise(F.lit("unlabeled"))
     )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """Draw EXACTLY ``k`` rows with per-stratum quotas allocated by the
+    largest-remainder method (Hamilton apportionment): stratum s gets
+    floor(n_s·k/N) rows plus one of the k − Σfloor leftovers, awarded
+    by (remainder DESC, stratum ASC) — the proportional allocation
+    with zero rounding drift that `stratified_sample`'s per-10k rates
+    can't promise (rate-based sampling is Binomial per stratum; this
+    is the fixed-budget eval-set / annotation-batch draw). With
+    k <= N the draw is exactly k rows; k > N degrades gracefully to
+    every row (each quota clamps at its population — checking would
+    cost an extra action).
+
+    Within a stratum, rows are the bottom-quota by (md5(id), id) —
+    the x59 deterministic-sample rule: content-blind, seedless,
+    reproducible, and md5 is the hash both engines share. All
+    arithmetic is integer (n_s·k div N / mod N — never a float rate,
+    the sampling-boundary rule); remainder ranking is a window over
+    the STRATA-sized frame; row selection is a per-stratum rank the
+    engine executes as WindowGroupLimit, so a huge stratum moves
+    quota-ish rows per partition, never its population.
+
+    Output: the sampled rows as (stratum, id, quota). NULL strata
+    form their own stratum (SQL GROUP BY — the quota join is
+    NULL-SAFE, a plain equi-join would silently drop the whole NULL
+    stratum); NULL ids are excluded (no deterministic hash
+    position)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k}")
+    rows = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+    ).where(F.col(id_col).isNotNull())
+    per = rows.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    from pyspark.sql import Window
+
+    # total via a whole-frame window over the STRATA-sized frame (a
+    # crossJoin with an agg of the same lineage trips Spark's
+    # ambiguous-attribute resolution), named __tot NOT __N: Spark
+    # column resolution is case-INSENSITIVE by default, so __N and
+    # __n are the SAME name and the window silently replaced the
+    # per-stratum count (caught by the x77 oracle)
+    wall = Window.partitionBy()
+    alloc = per.withColumn(
+        "__tot", F.sum("__n").over(wall)
+    ).select(
+        "stratum",
+        "__n",
+        "__tot",
+        F.expr(f"(__n * {k}) div __tot").alias("__base"),
+        F.expr(f"(__n * {k}) % __tot").alias("__rem"),
+    )
+    wrank = Window.orderBy(
+        F.desc("__rem"), F.asc_nulls_first("stratum")
+    )
+    alloc = alloc.withColumn(
+        "__extras", F.lit(k) - F.sum("__base").over(wall)
+    ).withColumn("__rk", F.row_number().over(wrank))
+    quotas = alloc.select(
+        "stratum",
+        (
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__extras"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    ranked = rows.withColumn("__p", F.row_number().over(w))
+    q = quotas.select(
+        F.col("stratum").alias("__qs"), "quota"
+    )
+    return (
+        ranked.join(
+            F.broadcast(q),
+            ranked["stratum"].eqNullSafe(q["__qs"]),
+        )
+        .where(F.col("__p") <= F.col("quota"))
+        .select("stratum", "id", "quota")
+    )

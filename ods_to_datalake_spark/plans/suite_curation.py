@@ -1176,3 +1176,180 @@ def x51_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_testdata(spark, sf_dir)
     return gopher_repetition(cat.table("documents"), "doc_id", "text")
+
+
+# x76: the synthetic PII text is BUILT identically in both engines
+# from customer columns (the corpus has no real PII to scrub), with a
+# no-PII cohort (custkey % 3 = 0) so zero counts are exercised too
+_PII_TEXT_SPARK = None  # built inline in the query fn
+SQL_PII_TEXT = """(
+      SELECT c_custkey AS id,
+             concat(
+               COALESCE(c_name, ''), ' can be reached',
+               CASE WHEN c_custkey % 3 = 0 THEN ' at the office'
+                    ELSE concat(' at user', CAST(c_custkey AS VARCHAR),
+                                '@example.com') END,
+               CASE WHEN c_custkey % 4 = 0 THEN ''
+                    ELSE concat(' or +1555',
+                                lpad(CAST(c_custkey % 10000000
+                                          AS VARCHAR), 7, '0')) END,
+               ' from host 10.', CAST(c_custkey % 200 AS VARCHAR),
+               '.', CAST(c_custkey % 250 AS VARCHAR),
+               '.', CAST(c_custkey % 100 AS VARCHAR),
+               ' re ', COALESCE(c_mktsegment, '')
+             ) AS text
+      FROM customer WHERE c_custkey IS NOT NULL
+    )"""
+
+
+@register(
+    "x76_pii_scrub",
+    oracle=f"""
+    WITH src AS {SQL_PII_TEXT}
+    SELECT id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g'),
+               '\\+[0-9]{{8,15}}', '<PHONE>', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+             '<IP>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+[0-9]{{8,15}}'))
+             AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+             AS BIGINT) AS n_ips
+    FROM src
+    """,
+    doc="Rule-based PII redaction with an audit trail — the compliance "
+    "pass a shared training corpus runs before release: e-mails, "
+    "international-format phones (+, 8-15 digits), and dotted-quad "
+    "IPs replaced by typed placeholder tags, per-document match "
+    "counts kept (a scrub that doesn't count what it removed can't "
+    "be reviewed). Patterns restricted to the regex subset Java "
+    "(Spark) and RE2 (DuckDB) interpret identically — classes, "
+    "bounded repetition, word boundaries; no lookaround/backrefs — "
+    "so the oracle runs the SAME expressions; replacement order is "
+    "pinned email → phone → IP (an email contains dots+digits and "
+    "must leave before the IP pass); counts measure the ORIGINAL "
+    "text. The demo text is synthesized identically in both engines "
+    "from customer columns (the corpus has no real PII), with no-PII "
+    "cohorts so zero counts are exercised. Pure map-side codegen "
+    "string work — zero shuffles, no UDFs. operators/curate.pii_scrub.",
+)
+def x76_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.curate import pii_scrub
+
+    cat = load_testdata(spark, sf_dir)
+    cust = cat.table("customer").where(
+        F.col("c_custkey").isNotNull()
+    )
+    k = F.col("c_custkey")
+    # coalesced per the suite null rule: Spark CONCAT nulls the
+    # whole result where DuckDB's skips the part (fuzz tier has NULLs)
+    text = F.concat(
+        F.coalesce(F.col("c_name"), F.lit("")),
+        F.lit(" can be reached"),
+        F.when(k % 3 == 0, F.lit(" at the office")).otherwise(
+            F.concat(
+                F.lit(" at user"),
+                k.cast("string"),
+                F.lit("@example.com"),
+            )
+        ),
+        F.when(k % 4 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(" or +1555"),
+                F.lpad((k % 10000000).cast("string"), 7, "0"),
+            )
+        ),
+        F.lit(" from host 10."),
+        (k % 200).cast("string"),
+        F.lit("."),
+        (k % 250).cast("string"),
+        F.lit("."),
+        (k % 100).cast("string"),
+        F.lit(" re "),
+        F.coalesce(F.col("c_mktsegment"), F.lit("")),
+    )
+    src = cust.select(k.alias("id"), text.alias("text"))
+    return pii_scrub(src, "id", "text")
+
+
+SAMPLE_K = 997  # prime, forces non-zero remainders at every sf
+
+
+@register(
+    "x77_stratified_allocation",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT o_orderpriority AS stratum, o_orderkey AS id
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    per AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows_ GROUP BY stratum
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per),
+    alloc AS (
+      SELECT stratum, n,
+             (n * {SAMPLE_K}) // nn AS base,
+             (n * {SAMPLE_K}) % nn AS rem
+      FROM per CROSS JOIN tot
+    ),
+    ex AS (
+      SELECT CAST({SAMPLE_K} - SUM(base) AS BIGINT) AS extras
+      FROM alloc
+    ),
+    q AS (
+      SELECT stratum,
+             CAST(base + CASE WHEN ROW_NUMBER() OVER (
+                 ORDER BY rem DESC, stratum ASC NULLS FIRST)
+               <= ex.extras THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM alloc CROSS JOIN ex
+    ),
+    ranked AS (
+      SELECT stratum, id, ROW_NUMBER() OVER (
+          PARTITION BY stratum
+          ORDER BY md5(CAST(id AS VARCHAR)), id) AS p
+      FROM rows_
+    )
+    SELECT r.stratum, r.id, q.quota
+    FROM ranked r JOIN q
+      ON r.stratum IS NOT DISTINCT FROM q.stratum
+    WHERE r.p <= q.quota
+    """,
+    doc=f"Fixed-budget stratified sample: exactly {SAMPLE_K} orders "
+    "with per-priority quotas allocated by the largest-remainder "
+    "method (Hamilton apportionment) — floor(n_s·k/N) each plus one "
+    "of the leftovers by (remainder DESC, stratum ASC NULLS FIRST) — "
+    "the zero-rounding-drift draw behind eval sets and annotation "
+    "batches, where x42's rate-based mixture is Binomial per stratum "
+    "and can't promise a total. All arithmetic integer (n·k div N / "
+    "mod N — never a float rate, the sampling-boundary rule); "
+    "remainder ranking is a window over the STRATA-sized frame; "
+    "within a stratum rows are the bottom-quota by (md5(id), id) — "
+    "seedless, reproducible, engine-shared — executed as "
+    "WindowGroupLimit so a huge stratum moves ~quota rows per "
+    "partition. The quota join is NULL-SAFE (a plain equi-join would "
+    "silently drop a NULL stratum). "
+    "operators/sampling.stratified_exact_sample.",
+)
+def x77_stratified_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return stratified_exact_sample(
+        cat.table("orders"), "o_orderkey", "o_orderpriority",
+        k=SAMPLE_K,
+    )

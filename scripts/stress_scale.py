@@ -108,6 +108,8 @@ SUITE_QUERIES = [
     "x70_association_rules",  # basket self-join + rule arithmetic
     "x71_also_bought_topk",  # WindowGroupLimit serving table
     "g05_k_core",  # iterative peel: per-round degree agg + semi-joins
+    "g07_link_prediction",  # unoriented wedge fan-out + pair agg +
+    # anti-join (the round-9 candidate generator; C(deg,2) per center)
 ]
 
 

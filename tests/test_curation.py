@@ -807,3 +807,54 @@ def test_curate_corpus_repetition_tier(spark):
     assert [r.doc_id for r in curated.collect()] == [1]
     stages = {s.stage: (s.docs_in, s.docs_out) for s in report}
     assert stages["repetition_rules"] == (2, 1)
+
+
+# --- PII scrub (x76) ----------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from ods_to_datalake_spark.operators.curate import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co or +4915551234567 via 10.0.0.1"),
+            (2, "two mails p@q.io q@p.io and 999.999.999.999"),
+            (3, "nothing sensitive here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in pii_scrub(docs, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1.clean_text == "mail <EMAIL> or <PHONE> via <IP>"
+    assert (r1.n_emails, r1.n_phones, r1.n_ips) == (1, 1, 1)
+    r2 = rows[2]
+    # syntactic scrub: 999.* is a dotted quad to the rule, by design
+    assert r2.clean_text == "two mails <EMAIL> <EMAIL> and <IP>"
+    assert (r2.n_emails, r2.n_phones, r2.n_ips) == (2, 0, 1)
+    assert rows[3].clean_text == "nothing sensitive here"
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (
+        0, 0, 0,
+    )
+    # NULL text stays NULL with zero counts
+    assert rows[4].clean_text is None
+    assert (rows[4].n_emails, rows[4].n_phones, rows[4].n_ips) == (
+        0, 0, 0,
+    )
+
+
+def test_pii_scrub_order_email_before_ip(spark):
+    # an address like 1.2.3.4@host.com must scrub as ONE email, not
+    # leave an <IP> fragment — the pinned replacement order
+    from ods_to_datalake_spark.operators.curate import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "from 1.2.3.4@host.com end")], "doc_id long, text string"
+    )
+    (r,) = pii_scrub(docs, "doc_id", "text").collect()
+    assert r.clean_text == "from <EMAIL> end"
+    # counts measure the ORIGINAL text per pattern independently: the
+    # dotted quad inside the address is both an email hit and an IP
+    # hit — the audit counts every rule's matches, the redaction
+    # order decides which tag survives
+    assert (r.n_emails, r.n_ips) == (1, 1)

@@ -176,6 +176,10 @@ _CUSTOMERS = st.lists(
 MATCH_FUZZ_QUERIES = [
     "x61_fuzzy_name_match",
     "u13_golden_record",
+    # round-9: the PII scrub builds its text from these customer
+    # columns — unicode names exercise the ASCII regex classes, NULL
+    # name/segment the cross-engine CONCAT null rule
+    "x76_pii_scrub",
 ]
 
 
@@ -480,5 +484,42 @@ def test_fuzz_sequence_parity(spark, tmp_path_factory, name, events):
         q = load_all()[name]
         report = compare(q.fn(spark, str(d)), con, q.oracle)
         assert report["match"], f"{name} on {events!r}: {report}"
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# allocation fuzz: tiny order tables for the largest-remainder draw —
+# NULL strata (their own stratum, null-safe quota join), NULL ids
+# (excluded), single-stratum corpora, k far above N (quotas clamp at
+# population in BOTH engines), remainder ties (stratum-ASC tiebreak)
+# ---------------------------------------------------------------------------
+
+_ALLOC_ROW = st.tuples(
+    st.one_of(st.none(), st.integers(0, 50)),
+    st.one_of(
+        st.none(), st.sampled_from(["1-URGENT", "5-LOW", "x"])
+    ),
+)
+_ALLOC_ROWS = st.lists(_ALLOC_ROW, min_size=1, max_size=25)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ALLOC_ROWS)
+def test_fuzz_allocation_parity(spark, tmp_path_factory, rows):
+    d = tmp_path_factory.mktemp("afuzz")
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string"
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    con = duckdb_conn(str(d))
+    try:
+        q = load_all()["x77_stratified_allocation"]
+        report = compare(q.fn(spark, str(d)), con, q.oracle)
+        assert report["match"], f"x77 on {rows!r}: {report}"
     finally:
         con.close()

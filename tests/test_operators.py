@@ -720,3 +720,61 @@ def test_cdc_apply_semantics(spark):
     out = cdc_apply(base, changes, ["k"], op_col="op", version_col="ver")
     got = {r.k: r.v for r in out.collect()}
     assert got == {1: "a2", 3: "c", 4: "d"}
+
+
+# --- stratified largest-remainder sample (x77) --------------------------
+
+
+def test_stratified_exact_sample_hits_k_exactly(spark):
+    from ods_to_datalake_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [(i, "a" if i % 7 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = stratified_exact_sample(df, "id", "s", k=13).collect()
+    assert len(out) == 13
+    # proportional: stratum a has 86 rows, b 14 -> quotas 11.18/1.82
+    # -> bases 11/1, one leftover goes to the larger remainder (b)
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append(r)
+    assert {s: len(v) for s, v in by.items()} == {"a": 11, "b": 2}
+    assert {r.quota for r in by["a"]} == {11}
+
+
+def test_stratified_exact_sample_deterministic_and_null_stratum(spark):
+    from ods_to_datalake_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    rows = [(i, None if i % 3 == 0 else "x") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])
+    a = sorted(((r.stratum, r.id) for r in
+                stratified_exact_sample(df, "id", "s", k=9).collect()),
+               key=key)
+    b = sorted(((r.stratum, r.id) for r in
+                stratified_exact_sample(
+                    df.repartition(7), "id", "s", k=9).collect()),
+               key=key)
+    assert a == b and len(a) == 9
+    # the NULL stratum participates (10 of 30 rows -> quota 3)
+    assert sum(1 for s, _ in a if s is None) == 3
+
+
+def test_stratified_exact_sample_k_edge_cases(spark):
+    import pytest
+
+    from ods_to_datalake_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, s string"
+    )
+    assert stratified_exact_sample(df, "id", "s", k=0).count() == 0
+    # k > N degrades to every row
+    assert stratified_exact_sample(df, "id", "s", k=99).count() == 3
+    with pytest.raises(ValueError):
+        stratified_exact_sample(df, "id", "s", k=-1)

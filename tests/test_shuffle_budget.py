@@ -336,6 +336,11 @@ SHUFFLE_BUDGET = {
     "g08_degree_assortativity": 7,  # degree agg + two node-keyed
     # degree-decoration joins + ONE global sum over the CHECKPOINTED
     # adjacency/degree tables; the n_nodes/n_edges legs are 1-row aggs
+    "x76_pii_scrub": 0,  # pure map-side codegen string work — the
+    # regex count/replace chain never leaves the scan stage
+    "x77_stratified_allocation": 3,  # stratum count agg + the
+    # strata-sized allocation windows + the per-stratum selection rank
+    # (WindowGroupLimit); the quota join-back is a broadcast
 }
 
 
