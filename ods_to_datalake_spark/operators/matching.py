@@ -55,6 +55,7 @@ def set_similarity_join(
     text_col: str,
     t_num: int,
     t_den: int,
+    max_prefix_bucket: int | None = None,
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= t_num/t_den:
     (doc_a, doc_b, overlap, size_a, size_b, jaccard), doc_a < doc_b.
@@ -64,6 +65,19 @@ def set_similarity_join(
     (small buckets — see module docstring), then a candidate-bounded
     overlap count. Every shuffle is keyed by token or doc id with
     map-side partials; nothing is all-pairs.
+
+    ``max_prefix_bucket`` is the cap_bucket_width/max_basket contract
+    applied to the prefix join's candidate stream: prefix tokens whose
+    bucket holds more than this many documents are dropped BEFORE the
+    self-join (a width-B bucket emits ~B²/2 candidates — a single
+    corpus-common prefix token turns the stream quadratic, which is
+    exactly what exhausted this VM's scratch at the 60× stress cell).
+    CAPPED SEMANTICS ARE A LOWER BOUND on recall: a qualifying pair
+    whose every shared prefix token was oversized is missed, so a
+    capped pipeline must read `oversized_prefix_tokens` and
+    alert/widen rather than report full recall (the
+    oversized_baskets/oversized_blocks rule). The registered x60 runs
+    uncapped; the guarded form is the 100-TB operating mode.
     """
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
@@ -110,6 +124,16 @@ def set_similarity_join(
     prefix = ranked.where(F.col("rn") <= prefix_len).select(
         "_doc", "token", "sz"
     )
+    if max_prefix_bucket is not None:
+        widths = prefix.groupBy("token").agg(
+            F.count(F.lit(1)).alias("__w")
+        )
+        prefix = prefix.join(
+            widths.filter(F.col("__w") <= max_prefix_bucket).drop(
+                "__w"
+            ),
+            "token",
+        )
     pa = prefix.select(
         F.col("_doc").alias("doc_a"), "token", F.col("sz").alias("size_a")
     )
@@ -143,6 +167,56 @@ def set_similarity_join(
     return verified.select(
         "doc_a", "doc_b", "overlap", "size_a", "size_b",
         jaccard.alias("jaccard"),
+    )
+
+
+def oversized_prefix_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    max_prefix_bucket: int,
+) -> DataFrame:
+    """(token, n_docs) for prefix-filter tokens whose bucket exceeds
+    ``max_prefix_bucket`` — what `set_similarity_join(...,
+    max_prefix_bucket=...)` would drop, with the df-rank prefix
+    computed exactly as the join computes it. The skew report that
+    accompanies the capped form: a width-B prefix bucket emits ~B²/2
+    candidate pairs, and a capped pipeline that doesn't surface this
+    report silently reads as full recall (the oversized_baskets /
+    oversized_blocks contract)."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    toks = doc_token_sets(docs, id_col, text_col)
+    dfreq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn(
+            "sz",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_doc"))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_doc").orderBy("_df", "token")
+            ),
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    )
+    return (
+        ranked.where(F.col("rn") <= prefix_len)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_prefix_bucket)
     )
 
 

@@ -273,12 +273,32 @@ def main() -> int:
     #   aggregate, HLL registers instead of exact count_distinct); no
     #   registered query exercises it because HLL estimates have no
     #   exact cross-engine oracle
+    # - x60_capped: the GUARDED set-similarity join (max_prefix_bucket
+    #   — the 100-TB operating mode whose candidate stream is bounded
+    #   by construction; the registered x60 stays uncapped and exact,
+    #   so this is a custom cell). Capped recall is a lower bound —
+    #   the oversized_prefix_tokens report is the other half of the
+    #   contract; the cell exists to give the family a measured upper
+    #   scale point on a machine whose scratch the uncapped candidate
+    #   stream exhausts (45x fits, 60x did not).
+    from ods_to_datalake_spark.operators.matching import (
+        set_similarity_join,
+    )
+    from ods_to_datalake_spark.plans.suite_match import (
+        SSJ_DEN,
+        SSJ_NUM,
+    )
+
     CUSTOM = {
         "fact_join": lambda: li.join(
             orders, li["l_orderkey"] == orders["o_orderkey"]
         ),
         "u11_profile_hll": lambda: table_profile(
             li, exact_distinct=False
+        ),
+        "x60_capped": lambda: set_similarity_join(
+            docs, "doc_id", "text", SSJ_NUM, SSJ_DEN,
+            max_prefix_bucket=2000,
         ),
     }
 

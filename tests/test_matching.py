@@ -142,3 +142,53 @@ def test_empty_block_fns_raise(spark):
         blocked_fuzzy_join(words, "w", block_fns=[])
     with _pytest.raises(ValueError, match="block_fns"):
         oversized_blocks(words, "w", max_block=5, block_fns=[])
+
+
+# --- prefix-bucket cap on the set-similarity join -----------------------
+
+
+def test_ssj_capped_equals_uncapped_when_cap_is_loose(spark):
+    from ods_to_datalake_spark.operators.matching import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    un = sorted(
+        map(tuple, set_similarity_join(docs, "doc_id", "text", 1, 2)
+            .collect())
+    )
+    cap = sorted(
+        map(tuple, set_similarity_join(
+            docs, "doc_id", "text", 1, 2, max_prefix_bucket=10_000
+        ).collect())
+    )
+    assert un == cap and len(un) == 1
+
+
+def test_ssj_cap_drops_oversized_bridge_and_reports_it(spark):
+    from ods_to_datalake_spark.operators.matching import (
+        oversized_prefix_tokens,
+        set_similarity_join,
+    )
+
+    # six single-token docs share ONLY the universal token "u" (every
+    # pair J=1, bridged solely by u's corpus-wide prefix bucket); one
+    # rare-token pair must survive the cap
+    rows = [(i, "u") for i in range(1, 7)] + [
+        (7, "v w x"),
+        (8, "v w y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    un = set_similarity_join(docs, "doc_id", "text", 1, 2)
+    assert un.count() == 15 + 1  # C(6,2) u-pairs + (7, 8)
+    cap = set_similarity_join(
+        docs, "doc_id", "text", 1, 2, max_prefix_bucket=3
+    )
+    assert {(r.doc_a, r.doc_b) for r in cap.collect()} == {(7, 8)}
+    rep = oversized_prefix_tokens(
+        docs, "doc_id", "text", 1, 2, max_prefix_bucket=3
+    )
+    assert {(r.token, r.n_docs) for r in rep.collect()} == {("u", 6)}
