@@ -145,20 +145,27 @@ def seasonal_profile(
             )
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .withColumn(
-            "dow",
-            F.pmod(
-                F.datediff(
-                    F.col("day"), F.to_date(F.lit("1970-01-05"))
-                ),
-                F.lit(7),
-            ).cast("long"),
-        )
-        # feeds THREE legs (weekday profile, grand mean, output join)
-        # — uncheckpointed, each leg re-runs the full event scan+agg
-        # (the x25/g03 shared-frame rule); the frame is calendar-sized
-        .localCheckpoint()
     )
+    return profile_from_daily(daily)
+
+
+def profile_from_daily(daily: DataFrame) -> DataFrame:
+    """`seasonal_profile`'s arithmetic over an ALREADY-AGGREGATED
+    (day, n_events) frame — shared verbatim by the batch operator and
+    the streaming artifact read (`streaming/seasonal.py`), so the two
+    faces are bit-identical by construction."""
+    daily = daily.withColumn(
+        "dow",
+        F.pmod(
+            F.datediff(
+                F.col("day"), F.to_date(F.lit("1970-01-05"))
+            ),
+            F.lit(7),
+        ).cast("long"),
+        # feeds THREE legs (weekday profile, grand mean, output join)
+        # — uncheckpointed, each leg re-runs the upstream scan+agg
+        # (the x25/g03 shared-frame rule); the frame is calendar-sized
+    ).localCheckpoint()
     dowp = daily.groupBy("dow").agg(
         (
             F.sum("n_events").cast("double")
