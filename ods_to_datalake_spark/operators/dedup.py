@@ -1037,3 +1037,88 @@ def paragraph_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows: int = 2,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """One row — (n_true_pairs, n_candidates, n_hits, recall,
+    precision): how well the MinHash/LSH candidate layer recovers the
+    EXACT shingle-Jaccard >= t_num/t_den pairs, and how much of its
+    candidate stream is noise. The measure-don't-guess audit for the
+    dedup stack: LSH's recall is a probability (1 − (1 − J^rows)^bands
+    per pair), and a pipeline that tunes bands/rows without measuring
+    realized recall on ITS corpus is guessing — shingle-length and
+    skew move the curve. Run at a sampled scale, then trust (or fix)
+    the banding at full scale.
+
+    Ground truth is the prefix-filtered exact set-similarity join
+    (`matching.set_similarity_join`) over the SAME shingle sets the
+    MinHash signatures hash (`token_sets` — the quantity LSH
+    estimates), so there is no tokenizer drift between the layers.
+    Counts are exact BIGINTs; recall = hits/true and precision =
+    hits/candidates are ONE IEEE division each, CASE-guarded when the
+    denominator is 0 (an empty corpus has no recall, not recall 0).
+
+    Scale: the candidate leg is x04's banded self-join, the truth leg
+    x60's prefix join — both candidate-bounded, never all-pairs; the
+    hit test is one (a, b)-keyed equi-join; each pair frame feeds two
+    legs (hit join + its count) so both are localCheckpointed."""
+    from ods_to_datalake_spark.functions import text as X
+    from ods_to_datalake_spark.operators.matching import (
+        set_similarity_join,
+    )
+
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col,
+        shingle_n=shingle_n, k=k, bands=bands, rows=rows,
+    ).localCheckpoint()
+    sh_sets = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                X.shingles(X.tokens(text_col), shingle_n)
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    truth = set_similarity_join(
+        df, id_col, text_col, t_num, t_den, token_sets=sh_sets
+    ).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    ).localCheckpoint()
+    hits = cands.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    )
+    nc = cands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_candidates").cast("double"),
+            ).alias("precision"),
+        )
+    )

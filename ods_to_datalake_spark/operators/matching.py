@@ -56,9 +56,16 @@ def set_similarity_join(
     t_num: int,
     t_den: int,
     max_prefix_bucket: int | None = None,
+    token_sets: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with token-set Jaccard >= t_num/t_den:
     (doc_a, doc_b, overlap, size_a, size_b, jaccard), doc_a < doc_b.
+
+    ``token_sets`` swaps the default whitespace tokenization for a
+    caller-built (id, element) frame — the exact join is
+    set-representation-agnostic (x78 audits the LSH layer against
+    exact SHINGLE-set Jaccard, the quantity MinHash estimates;
+    deduplicated here, so duplicates are harmless).
 
     Exact — no LSH recall loss. Plan shape: one (doc, token) distinct,
     a vocabulary-sized df count, a rank join, the prefix self-join
@@ -85,7 +92,16 @@ def set_similarity_join(
     # ×2, verify ×2) — materialize it once (the x25 funnel-truncation
     # pattern; in a lake pipeline this is the persisted artifact, like
     # x05's shingle tables)
-    toks = doc_token_sets(docs, id_col, text_col).localCheckpoint()
+    if token_sets is None:
+        toks = doc_token_sets(docs, id_col, text_col)
+    else:
+        toks = token_sets.select(
+            F.col(token_sets.columns[0]).alias("_doc"),
+            F.col(token_sets.columns[1]).alias("token"),
+        ).where(
+            F.col("_doc").isNotNull() & F.col("token").isNotNull()
+        ).distinct()
+    toks = toks.localCheckpoint()
     # df via groupBy + join-back, NOT count(*) over (partition by
     # token): a window partition cannot be AQE-split, so a universal
     # token ("the" in a billion docs) would funnel its entire

@@ -1683,3 +1683,91 @@ def x74_feature_hashing(
         cat.table("documents"), "doc_id", "text",
         n_buckets=FEATURE_HASH_BUCKETS,
     )
+
+
+AUDIT_T_NUM, AUDIT_T_DEN = 1, 2
+
+
+@register(
+    "x78_lsh_recall_audit",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_sql_shingles(SQL_TOKENS)} AS sh FROM documents
+    ), {_sql_minhash_ctes()}, bands AS (
+      SELECT doc_id, {_BAND_SQL} FROM sig
+    ), banded AS (
+      {_BAND_UNION}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), shx AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM sh_t
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM shx GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM shx a JOIN shx b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.o * {AUDIT_T_DEN + AUDIT_T_NUM}
+            >= {AUDIT_T_NUM} * (sa.n_sh + sb.n_sh)
+    ), hits AS (
+      SELECT c.id_a FROM cand c
+      JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ), counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+               AS n_true_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+               AS n_candidates,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits
+    )
+    SELECT n_true_pairs, n_candidates, n_hits,
+           CASE WHEN n_true_pairs > 0 THEN
+             CAST(n_hits AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+           END AS recall,
+           CASE WHEN n_candidates > 0 THEN
+             CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+           END AS precision
+    FROM counts
+    """,
+    doc=f"LSH-layer quality audit: realized recall and precision of "
+    f"the x04 MinHash/LSH candidate generator ({LSH_BANDS} bands × "
+    f"{LSH_ROWS} rows) against the EXACT shingle-Jaccard >= "
+    f"{AUDIT_T_NUM}/{AUDIT_T_DEN} truth over the SAME shingle sets "
+    "the signatures hash (the Spark truth leg is x60's prefix-"
+    "filtered exact join with token_sets swapped to shingles — no "
+    "tokenizer drift between layers; the oracle's truth leg is the "
+    "simple shared-shingle join, fine at oracle scale). LSH recall "
+    "is a per-pair probability (1 − (1 − J^r)^b) that shingle-length "
+    "and corpus skew move — a pipeline that tunes bands/rows without "
+    "measuring realized recall on ITS corpus is guessing; this is "
+    "the measured answer, and the audit a dedup run ships next to "
+    "its drop list. Counts exact BIGINTs; recall/precision one "
+    "IEEE division each, CASE-guarded on empty denominators. "
+    "operators/dedup.lsh_recall_audit.",
+)
+def x78_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import lsh_recall_audit
+
+    cat = load_testdata(spark, sf_dir)
+    return lsh_recall_audit(
+        cat.table("documents"),
+        "doc_id",
+        "text",
+        shingle_n=SHINGLE_N,
+        k=MINHASH_K,
+        bands=LSH_BANDS,
+        rows=LSH_ROWS,
+        t_num=AUDIT_T_NUM,
+        t_den=AUDIT_T_DEN,
+    )

@@ -858,3 +858,40 @@ def test_pii_scrub_order_email_before_ip(spark):
     # hit — the audit counts every rule's matches, the redaction
     # order decides which tag survives
     assert (r.n_emails, r.n_ips) == (1, 1)
+
+
+# --- LSH recall audit (x78) ----------------------------------------------
+
+
+def test_lsh_recall_audit_exact_dups_always_recalled(spark):
+    # identical docs have identical signatures -> every band collides
+    # -> candidates superset of truth -> recall exactly 1.0
+    from ods_to_datalake_spark.operators.dedup import lsh_recall_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "q r s t u v w x"),
+            (4, "q r s t u v w x"),
+            (5, "totally different words here now ok fine yes"),
+        ],
+        "doc_id long, text string",
+    )
+    (r,) = lsh_recall_audit(docs, "doc_id", "text").collect()
+    assert r.n_true_pairs == 2  # (1,2) and (3,4)
+    assert r.n_hits == 2 and r.recall == 1.0
+    assert r.n_candidates >= r.n_hits
+    assert 0.0 < r.precision <= 1.0
+
+
+def test_lsh_recall_audit_empty_guards(spark):
+    from ods_to_datalake_spark.operators.dedup import lsh_recall_audit
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "three four")],  # < shingle_n tokens
+        "doc_id long, text string",
+    )
+    (r,) = lsh_recall_audit(docs, "doc_id", "text").collect()
+    assert (r.n_true_pairs, r.n_candidates, r.n_hits) == (0, 0, 0)
+    assert r.recall is None and r.precision is None

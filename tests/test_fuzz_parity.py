@@ -57,6 +57,9 @@ FUZZ_QUERIES = [
     # round-9: hashing-trick featurizer (empty/whitespace docs hash
     # the '' token; sign cancellation must match bit-for-bit)
     "x74_feature_hashing",
+    # round-9: LSH recall audit — tiny corpora exercise the
+    # empty-truth/empty-candidate CASE guards and sub-shingle docs
+    "x78_lsh_recall_audit",
 ]
 
 

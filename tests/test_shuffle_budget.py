@@ -341,6 +341,11 @@ SHUFFLE_BUDGET = {
     "x77_stratified_allocation": 3,  # stratum count agg + the
     # strata-sized allocation windows + the per-stratum selection rank
     # (WindowGroupLimit); the quota join-back is a broadcast
+    "x78_lsh_recall_audit": 5,  # the final plan reads the two
+    # CHECKPOINTED pair frames (each built once for its hit-join +
+    # count legs): the hit equi-join + three 1-row count aggs; the
+    # x04 banded self-join and the x60 prefix join paid their
+    # exchanges at materialization
 }
 
 
