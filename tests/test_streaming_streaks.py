@@ -204,3 +204,66 @@ def test_real_stream_matches_batch_streaks(spark, tmp_path):
         q.stop()
     got = _table(read_streaks(spark, str(tmp_path / "state")))
     assert got == _table(_batch_reference(spark, ALL))
+
+
+def test_middle_island_best_and_cross_boundary_tie(spark, tmp_path):
+    # batch 0 has three islands where the MIDDLE one is longest (the
+    # __midbest leg, neither mergeable-first nor current-last); batch
+    # 1 then merges across the boundary into a run that TIES it — the
+    # batch tiebreak (earlier start) must win in the streaming state
+    sink = _sink(tmp_path)
+    b0 = [(1, _d(1)), (1, _d(5)), (1, _d(6)), (1, _d(7)),
+          (1, _d(8)), (1, _d(20))]
+    sink(_mk(spark, b0), 0)
+    assert _table(read_streaks(spark, str(tmp_path / "state"))) == _table(
+        _batch_reference(spark, [b0])
+    )
+    b1 = [(1, _d(21)), (1, _d(22)), (1, _d(23))]
+    sink(_mk(spark, b1), 1)
+    got = _table(read_streaks(spark, str(tmp_path / "state")))
+    assert got == _table(_batch_reference(spark, [b0, b1]))
+    (row,) = got
+    # 20-23 (merged, 4 days) ties 5-8 (4 days): earlier start wins
+    assert row[1] == 4 and row[2].isoformat() == "2024-03-05"
+
+
+def test_streaks_hypothesis_parity_with_batch(spark, tmp_path):
+    # derandomized mini-property check: random per-user day sets,
+    # split into contract-respecting batches (each user's days sorted,
+    # chunked in order) — the streamed state must equal batch e13
+    # after the last batch, for every corpus
+    import itertools
+    import random
+
+    rnd = random.Random(90210)
+    for case in range(4):
+        days = {
+            u: sorted(
+                rnd.sample(range(1, 25), rnd.randint(1, 8))
+            )
+            for u in range(1, rnd.randint(2, 5))
+        }
+        cut = rnd.random()
+        batches = [[], [], []]
+        for u, ds in days.items():
+            # contract: each user's days are split ORDER-PRESERVING
+            # across batches (cut points per user)
+            c1 = int(len(ds) * cut)
+            c2 = c1 + max(0, int((len(ds) - c1) * rnd.random()))
+            for i, chunk in enumerate(
+                (ds[:c1], ds[c1:c2], ds[c2:])
+            ):
+                batches[i].extend((u, _d(d)) for d in chunk)
+        base = tmp_path / f"case{case}"
+        sink = streaks_sink(
+            str(base / "state"), str(base / "out"), "user_id", "ts"
+        )
+        delivered = []
+        for i, rows in enumerate(batches):
+            if not rows:
+                continue
+            delivered.append(rows)
+            sink(_mk(spark, rows), i)
+        got = _table(read_streaks(spark, str(base / "state")))
+        ref = _table(_batch_reference(spark, delivered))
+        assert got == ref, f"case {case}: {days} -> {got} != {ref}"
