@@ -17,6 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel as _SL
+
+# corpus-scale checkpoints (the deduplicated item table, the pair
+# table) store DISK_ONLY — the graph.py rule: memory-resident
+# checkpoint blocks are never freed across stress cells/reps and
+# OOMed the 8g heap at 30x on the same-scale edge tables
+_DISK_ONLY = _SL.DISK_ONLY
+
 
 def _basket_items(
     df: DataFrame, basket_col: str, item_col: str
@@ -81,7 +89,9 @@ def _pair_stats(
     table feeds FOUR plan legs (pair join ×2, item counts, basket
     total), so it is localCheckpoint-materialized (the x25/g03
     rule)."""
-    items = _basket_items(df, basket_col, item_col).localCheckpoint()
+    items = _basket_items(df, basket_col, item_col).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
+    )
     pairs = cooccurrence(
         df, basket_col, item_col, min_count, items=items
     )
@@ -309,7 +319,7 @@ def also_bought_topk(
     if pairs is None:
         pairs = cooccurrence(
             df, basket_col, item_col, min_count
-        ).localCheckpoint()
+        ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     sym = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),

@@ -1081,14 +1081,14 @@ def lsh_recall_audit(
         df, id_col, text_col,
         shingle_n=shingle_n, k=k, bands=bands, rows=rows,
     ).localCheckpoint()
-    sh_sets = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                X.shingles(X.tokens(text_col), shingle_n)
-            ).alias("sh"),
-        )
-        .distinct()
+    # no .distinct() here: set_similarity_join dedups its token_sets
+    # input itself, and a second corpus-scale distinct of the exploded
+    # shingle stream would not collapse across the interposed project
+    sh_sets = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            X.shingles(X.tokens(text_col), shingle_n)
+        ).alias("sh"),
     )
     truth = set_similarity_join(
         df, id_col, text_col, t_num, t_den, token_sets=sh_sets

@@ -59,6 +59,34 @@ PR_SCALE = 10**12
 PR_NUM, PR_DEN = 85, 100  # damping d = 0.85 as an integer split
 
 
+def _undirected_edges(
+    edges: "DataFrame", src: str, dst: str
+) -> "DataFrame":
+    """Shared input normalization for every undirected-graph operator
+    (triangle_count / label_propagation / link_prediction / k_core /
+    assortativity and their reports): any direction/duplication
+    accepted, NULL endpoints and self-loops dropped, one row per
+    undirected edge as (__a < __b). One definition so the operators
+    documented as sharing this normalization cannot drift apart (and
+    a report can never count different edges than its capped
+    operator drops)."""
+    return (
+        edges.select(
+            F.col(src).alias("__a"), F.col(dst).alias("__b")
+        )
+        .where(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",
@@ -232,21 +260,8 @@ def triangle_count(
     uncheckpointed, every leg re-ran the whole upstream edge build:
     77 Exchanges measured vs 5 checkpointed; in a lake pipeline the
     oriented edge table is the persisted artifact)."""
-    e = (
-        edges.select(
-            F.col(src).alias("__a"), F.col(dst).alias("__b")
-        )
-        .where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(
-            F.least("__a", "__b").alias("__a"),
-            F.greatest("__a", "__b").alias("__b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
     )
     deg = (
         e.select(F.col("__a").alias("node"))
@@ -334,21 +349,7 @@ def label_propagation(
     nodes-sized and localCheckpointed per round (the g01/components
     lineage rule). The bidirectional edge table is loop-invariant —
     materialized once, like g01's e_deg."""
-    e = (
-        edges.select(
-            F.col(src).alias("__a"), F.col(dst).alias("__b")
-        )
-        .where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(
-            F.least("__a", "__b").alias("__a"),
-            F.greatest("__a", "__b").alias("__b"),
-        )
-        .distinct()
-    )
+    e = _undirected_edges(edges, src, dst)
     ee = (
         e.unionByName(
             e.select(
@@ -437,21 +438,8 @@ def link_prediction_scores(
     `oversized_hubs` reporting what a capped run skipped (the
     cap_bucket_width contract). The registered g07 runs uncapped; its
     oracle matches exactly."""
-    e = (
-        edges.select(
-            F.col(src).alias("__a"), F.col(dst).alias("__b")
-        )
-        .where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(
-            F.least("__a", "__b").alias("__a"),
-            F.greatest("__a", "__b").alias("__b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
     )
     adj = e.select(
         F.col("__a").alias("node"), F.col("__b").alias("nb")
@@ -553,21 +541,7 @@ def oversized_hubs(
     the wedge centers `link_prediction_scores(max_degree=...)` would
     skip (a degree-d center emits C(d,2) candidates; a capped pipeline
     reports its spills, never silently reads as complete)."""
-    e = (
-        edges.select(
-            F.col(src).alias("__a"), F.col(dst).alias("__b")
-        )
-        .where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(
-            F.least("__a", "__b").alias("__a"),
-            F.greatest("__a", "__b").alias("__b"),
-        )
-        .distinct()
-    )
+    e = _undirected_edges(edges, src, dst)
     return (
         e.select(F.col("__a").alias("node"))
         .union(e.select("__b"))
@@ -617,21 +591,8 @@ def k_core(
     on real graphs; `max_rounds` bounds a pathological chain (a path
     graph peels one layer per round) and raises instead of silently
     returning a non-core."""
-    e = (
-        edges.select(
-            F.col(src).alias("__a"), F.col(dst).alias("__b")
-        )
-        .where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(
-            F.least("__a", "__b").alias("__a"),
-            F.greatest("__a", "__b").alias("__b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
     )
 
     def degrees(ed: DataFrame) -> DataFrame:
@@ -699,21 +660,8 @@ def degree_assortativity(
     edge list with endpoint degrees + ONE global aggregate — no
     windows, no driver state; adjacency and degree tables are
     localCheckpointed (each feeds 2-3 legs, the x25 rule)."""
-    e = (
-        edges.select(
-            F.col(src).alias("__a"), F.col(dst).alias("__b")
-        )
-        .where(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(
-            F.least("__a", "__b").alias("__a"),
-            F.greatest("__a", "__b").alias("__b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
     )
     adj = e.select(
         F.col("__a").alias("node"), F.col("__b").alias("nb")

@@ -49,6 +49,52 @@ def doc_token_sets(
     )
 
 
+def _prefix_table(
+    toks: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """The PPJoin prefix frame (_doc, token, sz) — each document's
+    sz − ceil(t·sz) + 1 globally-rarest tokens by (df, token) rank.
+    ONE definition shared by `set_similarity_join` and
+    `oversized_prefix_tokens`: the report's whole contract is that
+    its prefix is computed EXACTLY as the join computes it, and two
+    copies would desync silently on any future change (the review
+    catch this helper exists for). df via groupBy + join-back, NOT a
+    window over the token partition — a universal token would funnel
+    its occurrence list through one unsplittable task (r7 verdict);
+    the sz/rn windows stay: their partition key is the doc id,
+    bounded by document length."""
+    dfreq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn(
+            "sz",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("_doc"))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                # global rarest-first order; token breaks df ties so
+                # the rank is total
+                Window.partitionBy("_doc").orderBy("_df", "token")
+            ),
+        )
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all-integer:
+    # ceil(a/b) = (a + b - 1) div b for non-negative a
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    )
+    return ranked.where(F.col("rn") <= prefix_len).select(
+        "_doc", "token", "sz"
+    )
+
+
 def set_similarity_join(
     docs: DataFrame,
     id_col: str,
@@ -102,44 +148,7 @@ def set_similarity_join(
             F.col("_doc").isNotNull() & F.col("token").isNotNull()
         ).distinct()
     toks = toks.localCheckpoint()
-    # df via groupBy + join-back, NOT count(*) over (partition by
-    # token): a window partition cannot be AQE-split, so a universal
-    # token ("the" in a billion docs) would funnel its entire
-    # occurrence list through ONE task — the exact degenerate-bucket
-    # shape the prefix join avoids (r7 verdict). The groupBy combines
-    # map-side (vocabulary-sized output) and the join-back is an AQE
-    # skew-splittable equi-join. The sz/rn windows stay: their
-    # partition key is the doc id, bounded by document length.
-    dfreq = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("_df")
-    )
-    ranked = (
-        toks.join(dfreq, "token")
-        .withColumn(
-            "sz",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("_doc"))
-            .cast("long"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                # global rarest-first order; token breaks df ties so
-                # the rank is total
-                Window.partitionBy("_doc").orderBy("_df", "token")
-            ),
-        )
-    )
-    # prefix length = sz - ceil(t*sz) + 1, all-integer:
-    # ceil(a/b) = (a + b - 1) div b for non-negative a
-    prefix_len = (
-        F.col("sz")
-        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
-        + F.lit(1)
-    )
-    prefix = ranked.where(F.col("rn") <= prefix_len).select(
-        "_doc", "token", "sz"
-    )
+    prefix = _prefix_table(toks, t_num, t_den)
     if max_prefix_bucket is not None:
         widths = prefix.groupBy("token").agg(
             F.count(F.lit(1)).alias("__w")
@@ -204,32 +213,10 @@ def oversized_prefix_tokens(
     oversized_blocks contract)."""
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
-    toks = doc_token_sets(docs, id_col, text_col)
-    dfreq = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("_df")
-    )
-    ranked = (
-        toks.join(dfreq, "token")
-        .withColumn(
-            "sz",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("_doc"))
-            .cast("long"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("_doc").orderBy("_df", "token")
-            ),
-        )
-    )
-    prefix_len = (
-        F.col("sz")
-        - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}")
-        + F.lit(1)
-    )
     return (
-        ranked.where(F.col("rn") <= prefix_len)
+        _prefix_table(
+            doc_token_sets(docs, id_col, text_col), t_num, t_den
+        )
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .filter(F.col("n_docs") > max_prefix_bucket)

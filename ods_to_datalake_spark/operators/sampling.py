@@ -356,7 +356,16 @@ def stratified_exact_sample(
     w = Window.partitionBy("stratum").orderBy(
         F.md5(F.col("id").cast("string")), F.col("id")
     )
-    ranked = rows.withColumn("__p", F.row_number().over(w))
+    # rank <= LITERAL k first: no quota exceeds k (base = k only in
+    # the single-stratum case, where extras = 0), and only a literal
+    # bound lets InferWindowGroupLimit rewrite the window so each
+    # partition keeps a k-heap BEFORE the exchange — filtered against
+    # the join-derived quota column alone, a huge stratum would sort
+    # its whole population (plan-asserted in tests). The exact
+    # per-stratum quota filter then runs on <= k rows per stratum.
+    ranked = rows.withColumn("__p", F.row_number().over(w)).where(
+        F.col("__p") <= F.lit(k)
+    )
     q = quotas.select(
         F.col("stratum").alias("__qs"), "quota"
     )

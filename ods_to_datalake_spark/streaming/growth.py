@@ -76,11 +76,12 @@ def running_distinct_sink(state_dir: str, out_dir: str, key: str, ts_col: str):
         if prior is None:
             prior = firsts.limit(0)
         # first-seen is immutable: keys already in the state are not
-        # new, whatever day this batch saw them on. Materialize ONCE —
-        # the frame feeds the daily emission AND the state write (the
-        # persist-across-two-writes rule), and lazy persist is not a
-        # barrier (CLAUDE.md foreachBatch note).
-        new = firsts.join(prior, key, "left_anti").localCheckpoint()
+        # new, whatever day this batch saw them on. The anti-join is
+        # NOT checkpointed here — the late-tagged frame built from it
+        # just below is, and nothing else reads this intermediate (a
+        # second eager checkpoint would materialize the same
+        # batch-key-sized frame twice per batch).
+        new = firsts.join(prior, key, "left_anti")
         # day-alignment contract violations are observable: a new key
         # first seen at or before the newest already-emitted day means
         # some earlier emission undercounted that day (its row is

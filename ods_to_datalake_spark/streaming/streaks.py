@@ -105,7 +105,10 @@ def streaks_sink(state_dir: str, out_dir: str, key: str, ts_col: str):
             "__late",
             F.col("cur_end").isNotNull()
             & (F.col("__day") <= F.col("cur_end")),
-        )
+        ).localCheckpoint()  # feeds the rejected write AND the
+        # fresh/state branch — unmaterialized, each leg re-runs the
+        # batch distinct + state join (the x25 rule, as the sibling
+        # markov/growth sinks do)
         rejected = tagged.filter(F.col("__late")).select(
             key, F.col("__day").alias("day")
         )

@@ -778,3 +778,23 @@ def test_stratified_exact_sample_k_edge_cases(spark):
     assert stratified_exact_sample(df, "id", "s", k=99).count() == 3
     with pytest.raises(ValueError):
         stratified_exact_sample(df, "id", "s", k=-1)
+
+
+def test_stratified_exact_sample_uses_window_group_limit(spark):
+    # the literal-k rank pre-filter is what lets Spark plan the
+    # per-stratum selection as WindowGroupLimit (a k-heap per
+    # partition BEFORE the exchange); the join-derived quota filter
+    # alone would full-sort every stratum — plan-asserted so a
+    # refactor can't silently lose it
+    from ods_to_datalake_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(200)],
+        "id long, s string",
+    )
+    out = stratified_exact_sample(df, "id", "s", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert out.count() == 10

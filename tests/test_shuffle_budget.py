@@ -340,7 +340,9 @@ SHUFFLE_BUDGET = {
     # regex count/replace chain never leaves the scan stage
     "x77_stratified_allocation": 3,  # stratum count agg + the
     # strata-sized allocation windows + the per-stratum selection rank
-    # (WindowGroupLimit); the quota join-back is a broadcast
+    # (WindowGroupLimit via the literal-k pre-filter — the
+    # quota-column filter alone would full-sort each stratum); the
+    # quota join-back is a broadcast
     "x78_lsh_recall_audit": 5,  # the final plan reads the two
     # CHECKPOINTED pair frames (each built once for its hit-join +
     # count legs): the hit equi-join + three 1-row count aggs; the
