@@ -178,3 +178,76 @@ def gopher_repetition(
             "passes"
         ),
     )
+
+
+def zipf_profile(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 100
+) -> DataFrame:
+    """(rank, token, n_occurrences, cum_share, n_total_tokens,
+    n_types) — the corpus rank-frequency profile: the top-``k`` tokens
+    by (count DESC, token ASC — deterministic at every tie), each
+    with its cumulative share of all token occurrences, plus the
+    corpus totals (token instances and distinct types, the two Heaps-
+    law coordinates). The corpus-health diagnostic read before any
+    text pipeline decision: a natural corpus is Zipfian (top-100
+    covering ~40-50%); boilerplate-dominated crawls spike the head,
+    OCR noise and tokenizer bugs fatten the tail — and this repo's
+    own stress work hit exactly that (the synthetic 31-word corpus's
+    missing Zipf tail is PPJoin's documented worst case, CLAUDE.md),
+    so the profile is also the check that a corpus is fit for
+    prefix-filter joins at all.
+
+    Determinism: counts are exact BIGINTs; cum_share is ONE IEEE
+    division per row of the exact cumulative BIGINT by the exact
+    total (identical operands both engines — the q02 rule).
+
+    Scale: one corpus token shuffle (the count groupBy, map-side
+    partial); top-k is orderBy+limit — Spark plans
+    TakeOrderedAndProject (a k-heap per partition, never a global
+    sort); the cum-share window orders K rows; the totals ride the
+    SAME vocabulary-sized count table (one extra agg over it, no
+    second corpus pass) and broadcast as a 1-row crossJoin."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(X.tokens(text_col)).alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint()  # feeds top-k AND the totals (x25 rule) —
+    # vocabulary-sized
+    totals = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0))
+        .cast("long")
+        .alias("n_total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("tok"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "__cum",
+            F.sum("n").over(
+                Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        F.col("tok").alias("token"),
+        F.col("n").alias("n_occurrences"),
+        (
+            F.col("__cum").cast("double")
+            / F.col("n_total_tokens").cast("double")
+        ).alias("cum_share"),
+        "n_total_tokens",
+        "n_types",
+    )

@@ -1771,3 +1771,62 @@ def x78_lsh_recall_audit(
         t_num=AUDIT_T_NUM,
         t_den=AUDIT_T_DEN,
     )
+
+
+ZIPF_K = 100
+
+
+@register(
+    "x79_zipf_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY tok
+    ),
+    totals AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts
+    ),
+    top AS (
+      SELECT tok, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+               AS BIGINT) AS rank,
+             CAST(SUM(n) OVER (ORDER BY n DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM counts ORDER BY n DESC, tok LIMIT {ZIPF_K}
+    )
+    SELECT rank, tok AS token, n AS n_occurrences,
+           CAST(cum AS DOUBLE) / CAST(t.n_total_tokens AS DOUBLE)
+             AS cum_share,
+           t.n_total_tokens, t.n_types
+    FROM top CROSS JOIN totals t
+    """,
+    doc=f"Corpus rank-frequency (Zipf) profile: top-{ZIPF_K} tokens "
+    "by (count DESC, token ASC — deterministic at every tie), each "
+    "with its cumulative share of all occurrences, plus the corpus "
+    "totals (token instances and distinct types — the Heaps-law "
+    "coordinates). The corpus-health diagnostic read before any text "
+    "pipeline decision: a natural corpus is Zipfian, boilerplate "
+    "crawls spike the head, OCR noise fattens the tail — and a "
+    "MISSING tail is PPJoin's documented worst case (this repo's own "
+    "stress corpus, CLAUDE.md), so the profile is also the fit check "
+    "for prefix-filter joins. One corpus token shuffle; top-k is "
+    "orderBy+limit (TakeOrderedAndProject — a k-heap per partition, "
+    "never a global sort); the cum window orders K rows; totals ride "
+    "the SAME vocabulary-sized count table (checkpointed, one extra "
+    "agg, no second corpus pass; DuckDB's HUGEINT window sum recast "
+    "to BIGINT per CLAUDE.md). cum_share is one IEEE division per "
+    "row of exact BIGINTs. operators/quality.zipf_profile.",
+)
+def x79_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.quality import zipf_profile
+
+    cat = load_testdata(spark, sf_dir)
+    return zipf_profile(
+        cat.table("documents"), "doc_id", "text", k=ZIPF_K
+    )

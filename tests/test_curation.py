@@ -895,3 +895,37 @@ def test_lsh_recall_audit_empty_guards(spark):
     (r,) = lsh_recall_audit(docs, "doc_id", "text").collect()
     assert (r.n_true_pairs, r.n_candidates, r.n_hits) == (0, 0, 0)
     assert r.recall is None and r.precision is None
+
+
+# --- Zipf rank-frequency profile (x79) -----------------------------------
+
+
+def test_zipf_profile_values_and_tiebreak(spark):
+    from ods_to_datalake_spark.operators.quality import zipf_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b d")], "doc_id long, text string"
+    )
+    rows = {r.rank: r for r in
+            zipf_profile(docs, "doc_id", "text", k=3).collect()}
+    # counts: a=3, b=3, c=1, d=1 -> tie at 3 broken token-ASC
+    assert [rows[i].token for i in (1, 2, 3)] == ["a", "b", "c"]
+    assert rows[1].n_occurrences == 3
+    assert rows[1].n_total_tokens == 8 and rows[1].n_types == 4
+    assert rows[1].cum_share == 3 / 8
+    assert rows[2].cum_share == 6 / 8
+    assert rows[3].cum_share == 7 / 8
+
+
+def test_zipf_profile_k_cut_and_plan(spark):
+    from ods_to_datalake_spark.operators.quality import zipf_profile
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i))) for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    out = zipf_profile(docs, "doc_id", "text", k=5)
+    assert out.count() == 5
+    # top-k must be a per-partition heap, never a global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -60,6 +60,9 @@ FUZZ_QUERIES = [
     # round-9: LSH recall audit — tiny corpora exercise the
     # empty-truth/empty-candidate CASE guards and sub-shingle docs
     "x78_lsh_recall_audit",
+    # round-9: rank-frequency profile — whitespace/unicode token ties
+    # at the k-cut, and the all-NULL corpus (zero totals, no rows)
+    "x79_zipf_profile",
 ]
 
 

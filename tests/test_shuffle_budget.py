@@ -343,6 +343,10 @@ SHUFFLE_BUDGET = {
     # (WindowGroupLimit via the literal-k pre-filter — the
     # quota-column filter alone would full-sort each stratum); the
     # quota join-back is a broadcast
+    "x79_zipf_profile": 1,  # the K-row rank/cum windows + the 1-row
+    # totals broadcast read the CHECKPOINTED vocabulary count table;
+    # the top-k itself is TakeOrderedAndProject (plan-asserted), and
+    # the corpus token shuffle was paid at the checkpoint
     "x78_lsh_recall_audit": 5,  # the final plan reads the two
     # CHECKPOINTED pair frames (each built once for its hit-join +
     # count legs): the hit equi-join + three 1-row count aggs; the
