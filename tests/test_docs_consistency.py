@@ -46,6 +46,19 @@ def test_coverage_md_mentions_every_registered_query():
     assert not missing, missing
 
 
+def test_coverage_md_is_single_copy():
+    """COVERAGE.md is hand-maintained; a bad paste in round 8 spliced a
+    stale full copy of the document into a table row (VERDICT r9 wrong #1).
+    The header and intro sentence must each appear exactly once so a
+    re-corruption fails loudly instead of silently shadowing new rows."""
+    text = _read("COVERAGE.md")
+    header = "# COVERAGE — SURVEY §2 inventory → engine implementation"
+    intro = "Every operator row from `SURVEY.md §2`"
+    assert text.count(header) == 1, "COVERAGE.md header duplicated — stale copy spliced in"
+    assert text.count(intro) == 1, "COVERAGE.md intro duplicated — stale copy spliced in"
+    assert text.startswith(header), "COVERAGE.md must start at the header"
+
+
 def test_readme_has_no_stale_registry_count():
     """README must not hard-code a query count (it drifted 106→131 in
     round 6); counts live in the auto-generated QUERIES.md only."""
