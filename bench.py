@@ -35,6 +35,7 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from ods_to_datalake_spark.plans.suite import headline_queries, load_all
+    from ods_to_datalake_spark.runcond import run_conditions
     from ods_to_datalake_spark.session import build_session
 
     load_all()
@@ -57,6 +58,13 @@ def main() -> int:
         df = fn(spark, sf_dir)
         counts[name] = df.count()
         df.write.mode("overwrite").format("noop").save()
+
+    # Run-condition provenance (VERDICT r9, Missing #1): loadavg / free
+    # memory / a fixed data-free probe timing, bracketed around the
+    # timed suite so the series carries its own noise context — a
+    # headline swing whose probe moved with it is machine drift, not a
+    # plan regression.
+    cond_start = run_conditions(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     timings: dict[str, float] = {}
@@ -83,6 +91,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "conditions": {
+                    "start": cond_start,
+                    "end": run_conditions(spark),
+                },
             }
         )
     )

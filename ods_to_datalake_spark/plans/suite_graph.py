@@ -339,6 +339,11 @@ def x69_part_cooccurrence(
 
 @register(
     "g03_triangle_count",
+    headline=True,  # graph-family bench trend line (VERDICT r9 ask #6):
+    # the headline set predated the graph/basket families entirely; the
+    # degree-oriented wedge join is the family's heaviest registered
+    # plan shape. Added round 10 — BENCH_r10 onward reports 13 queries;
+    # keep the set stable so the series stays comparable.
     oracle=f"""
     WITH items AS {SQL_BASKET_ITEMS},
     e AS (
@@ -1115,10 +1120,15 @@ def x75_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cat = load_testdata(spark, sf_dir)
+    from ods_to_datalake_spark.operators.basket import _DISK_ONLY
+
     li = cat.table("lineitem")
+    # corpus-scale pair table shared by the rec and truth legs: DISK_ONLY
+    # like every graph/basket-scale checkpoint (the r9 OOM rule) —
+    # memory-resident checkpoint blocks are never freed across reps
     pairs = cooccurrence(
         li, "l_orderkey", "l_partkey", min_count=2
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     recs = also_bought_topk(
         li, "l_orderkey", "l_partkey", k=RANK_K, min_count=2,
         pairs=pairs,

@@ -120,6 +120,7 @@ def main() -> int:
 
     sys.path.insert(0, ".")
     from ods_to_datalake_spark.plans.suite import load_all
+    from ods_to_datalake_spark.runcond import run_conditions
     from ods_to_datalake_spark.session import build_session
 
     queries = load_all()
@@ -229,6 +230,12 @@ def main() -> int:
     docs = spark.read.parquet(f"{workdir}/documents.parquet")
     print(f"lineitem rows: {li.count():,}  documents: {docs.count():,}")
 
+    # Run-condition provenance (VERDICT r9, Missing #1): stress cells
+    # on this shared VM have swung 3.5× on cross-session interference
+    # alone (x34, CLAUDE.md) — bracket the matrix with load/memory/probe
+    # snapshots so a suspicious cell can be triaged from the artifact.
+    cond_start = run_conditions(spark)
+
     timings: dict[str, float] = {}
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
@@ -327,7 +334,17 @@ def main() -> int:
             q = queries[name]
             bench(name, lambda q=q: q.fn(spark, workdir))
 
-    print({"scale": scale, "timings": timings})
+    print(
+        {
+            "scale": scale,
+            "timings": timings,
+            "reps": reps,
+            "conditions": {
+                "start": cond_start,
+                "end": run_conditions(spark),
+            },
+        }
+    )
     if not os.environ.get("SPARK_GRAFT_STRESS_REUSE"):
         # keep the amplified dir only when the operator opted into
         # reuse — the flag is useless if this cleanup always runs
