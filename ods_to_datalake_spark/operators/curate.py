@@ -302,7 +302,12 @@ def pii_scrub(
     Replacement order is fixed (email → phone → IP: an email can
     contain dots and digits, so it must leave the text before the IP
     pass); counts are measured on the ORIGINAL text, non-overlapping
-    matches in both engines. NULL text stays NULL with zero counts.
+    matches in both engines. NOTE: the counts are per-rule matches on
+    the RAW text, NOT placeholder insertions — a phone or IP nested
+    inside an email (``1.2.3.4@host.com``) is counted by its own rule
+    even though the email pass removes it first, so counts can exceed
+    replacements made (test-pinned; do not read them as a redaction
+    tally). NULL text stays NULL with zero counts.
 
     Scale: pure map-side string work — zero shuffles, whole-stage
     codegen, no UDFs; the scrubbed column replaces the original in

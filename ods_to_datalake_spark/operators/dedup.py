@@ -23,6 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel as _SL
+
+# Candidate/truth pair frames are corpus-scale: memory-resident
+# localCheckpoint blocks are never freed across rounds/reps (the 30×
+# g03 OOM — CLAUDE.md), so every corpus-scale checkpoint here pins
+# DISK_ONLY like operators/graph.py and operators/basket.py.
+_DISK_ONLY = _SL.DISK_ONLY
 
 from ods_to_datalake_spark.functions import text as X
 
@@ -1080,7 +1087,7 @@ def lsh_recall_audit(
     cands = minhash_lsh_candidates(
         df, id_col, text_col,
         shingle_n=shingle_n, k=k, bands=bands, rows=rows,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     # no .distinct() here: set_similarity_join dedups its token_sets
     # input itself, and a second corpus-scale distinct of the exploded
     # shingle stream would not collapse across the interposed project
@@ -1094,7 +1101,7 @@ def lsh_recall_audit(
         df, id_col, text_col, t_num, t_den, token_sets=sh_sets
     ).select(
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     hits = cands.join(truth, ["id_a", "id_b"])
     nt = truth.agg(
         F.count(F.lit(1)).cast("long").alias("n_true_pairs")
