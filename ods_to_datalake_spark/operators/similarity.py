@@ -871,6 +871,79 @@ def pq_topk(
     )
 
 
+def ann_recall_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    approx: DataFrame,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """One-row quality report for an ANN layer: realized recall@k and
+    precision@k of `approx` — the (query_id, id) neighbor set any
+    approximate method produced (`ivf_topk`, `pq_topk`, hyperplane
+    LSH…) — against the EXACT brute-force cosine top-k truth on the
+    same queries. The x78 contract applied to the vector index family
+    (VERDICT r9 ask #4): an IVF/PQ index trades recall for bytes and
+    probes, and a pipeline that picks nprobe/codebook size without
+    measuring realized recall on ITS vectors is guessing. This is the
+    measured number an index ships with.
+
+    Columns: (n_true_pairs, n_approx_pairs, n_hits, recall, precision)
+    — counts exact BIGINTs over (query, neighbor) pairs; recall =
+    hits/truth and precision = hits/approx are ONE IEEE division each,
+    CASE-guarded on empty denominators (no queries → NULL, not 0).
+    With both lists of length k, precision@k == recall@k; they diverge
+    when the approx layer returns < k (probed cells smaller than k).
+
+    Scale: the truth leg is ONE exact pass over the corpus per query
+    batch — run the audit on a SAMPLED query set (hundreds of queries,
+    not the corpus), which estimates recall as tightly as a binomial
+    proportion needs; the approx leg is whatever the index already
+    does. Both result frames are |queries| × k rows — driver-tiny —
+    but carry corpus-scale lineage feeding two legs each (hit join +
+    count), so both are eagerly checkpointed (tiny frames: memory
+    residency is fine here, unlike the corpus-scale pair frames in
+    dedup/graph).
+    """
+    truth = (
+        brute_force_topk(corpus, queries, id_col, vec_col, k, query_id)
+        .select(query_id, id_col)
+        .localCheckpoint(eager=True)
+    )
+    appx = (
+        approx.select(query_id, id_col).localCheckpoint(eager=True)
+    )
+    hits = appx.join(truth, [query_id, id_col])
+    nt = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    )
+    na = appx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx_pairs")
+    )
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        nt.crossJoin(na)
+        .crossJoin(nh)
+        .select(
+            "n_true_pairs",
+            "n_approx_pairs",
+            "n_hits",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_approx_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_approx_pairs").cast("double"),
+            ).alias("precision"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style clustered embedding dedup)
 # ---------------------------------------------------------------------------

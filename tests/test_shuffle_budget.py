@@ -352,6 +352,10 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "x80_ann_recall_audit": 5,  # the final plan reads the two
+    # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
+    # hit equi-join + three 1-row count aggs; the brute-force truth
+    # and IVF probe legs paid their exchanges at materialization
 }
 
 

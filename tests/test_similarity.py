@@ -459,3 +459,53 @@ def test_ivf_pq_narrow_knobs_trade_recall_not_correctness(spark, emb, tmp_path):
 
     assert recall(4, 20) <= recall(4, 200)
     assert recall(4, 200) > 0.5
+
+
+def test_ann_recall_audit_identical_legs(spark, emb):
+    """Feeding the exact brute-force list back as the approx leg must
+    read recall 1.0 / precision 1.0 — the audit's fixed point."""
+    from ods_to_datalake_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    q = _queries(emb)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", 5)
+    row = ann_recall_audit(
+        emb, q, "vec_id", "embedding", 5, exact
+    ).collect()[0]
+    assert row.n_true_pairs == row.n_approx_pairs == row.n_hits == 40
+    assert row.recall == 1.0 and row.precision == 1.0
+
+
+def test_ann_recall_audit_disjoint_legs(spark, emb):
+    """An approx leg that returns only the query itself (excluded from
+    truth) scores recall 0 with the approx count still reported."""
+    from ods_to_datalake_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    q = _queries(emb)
+    wrong = q.select("query_id", F.col("query_id").alias("vec_id"))
+    row = ann_recall_audit(
+        emb, q, "vec_id", "embedding", 5, wrong
+    ).collect()[0]
+    assert row.n_true_pairs == 40 and row.n_approx_pairs == 8
+    assert row.n_hits == 0
+    assert row.recall == 0.0 and row.precision == 0.0
+
+
+def test_ann_recall_audit_empty_queries_null_guards(spark, emb):
+    """Zero queries → zero counts and NULL ratios (an empty audit has
+    no recall, not recall 0) — the ANSI divide-by-zero guard."""
+    from ods_to_datalake_spark.operators.similarity import (
+        ann_recall_audit,
+    )
+
+    q = _queries(emb).filter(F.col("query_id") < 0)
+    empty = q.select("query_id", F.col("query_id").alias("vec_id"))
+    row = ann_recall_audit(
+        emb, q, "vec_id", "embedding", 5, empty
+    ).collect()[0]
+    assert row.n_true_pairs == 0 and row.n_approx_pairs == 0
+    assert row.n_hits == 0
+    assert row.recall is None and row.precision is None
