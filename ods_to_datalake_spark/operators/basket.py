@@ -407,6 +407,18 @@ def ranking_metrics(
     would conflate "nothing relevant exists" with "missed everything"
     (CASE-guarded identically in both engines).
 
+    Malformed input is scored AS-IS, deterministically (pinned by
+    test): a well-formed producer emits unique ranks and unique items
+    per qid, but if it doesn't, every (qid, item, rank <= k) row
+    scores independently — n_rec counts rows, a truth item served
+    twice hits twice, each row adds its rank's gain — so duplicate
+    serving INFLATES precision/ndcg (possibly past 1.0), which is the
+    honest reading: the list really did spend two of its k slots on
+    one item. No ordering dependence, no validation scan on the hot
+    path (an eager uniqueness check would cost a corpus-scale count
+    per call; callers who need the guarantee dedupe upstream).
+    ``truth`` duplicates are deduped (a relevance SET).
+
     Determinism: counts are exact BIGINTs; precision/recall are ONE
     IEEE division each (the q02 rule). The DCG gains are a
     TRANSCENDENTAL, so they are computed ONCE in driver Python

@@ -207,15 +207,25 @@ def zipf_profile(
     sort); the cum-share window orders K rows; the totals ride the
     SAME vocabulary-sized count table (one extra agg over it, no
     second corpus pass) and broadcast as a 1-row crossJoin."""
-    from pyspark.sql import Window
-
     tok = docs.select(
         F.explode(X.tokens(text_col)).alias("tok")
     )
     counts = tok.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    ).localCheckpoint()  # feeds top-k AND the totals (x25 rule) —
-    # vocabulary-sized
+    )
+    return zipf_from_counts(counts, k=k)
+
+
+def zipf_from_counts(counts: DataFrame, k: int = 100) -> DataFrame:
+    """`zipf_profile`'s rank/share arithmetic over a pre-built
+    (tok, n) vocabulary count table — split out so the STREAMING face
+    (which folds per-batch additive partial counts from the lake) and
+    the batch operator derive the profile through the SAME expressions
+    and stay bit-identical by construction."""
+    from pyspark.sql import Window
+
+    counts = counts.localCheckpoint()  # feeds top-k AND the totals
+    # (x25 rule) — vocabulary-sized
     totals = counts.agg(
         F.coalesce(F.sum("n"), F.lit(0))
         .cast("long")

@@ -110,6 +110,10 @@ SUITE_QUERIES = [
     "g05_k_core",  # iterative peel: per-round degree agg + semi-joins
     "g07_link_prediction",  # unoriented wedge fan-out + pair agg +
     # anti-join (the round-9 candidate generator; C(deg,2) per center)
+    # round-10: the one round-9 iterative plan without a cell (VERDICT
+    # r9 ask #5) — per-round neighbor join + min-struct argmax over the
+    # bidirectional edge table, same scale shape as PageRank
+    "g06_label_propagation",
 ]
 
 
@@ -243,7 +247,12 @@ def main() -> int:
     # iterations materialized via localCheckpoint / per-round collect):
     # the noop write of the final frame re-reads a checkpoint, so the
     # timed region must include mk() itself
-    BUILD_TIMED = {"g01_pagerank", "x67_bpe_merges", "g05_k_core"}
+    BUILD_TIMED = {
+        "g01_pagerank",
+        "x67_bpe_merges",
+        "g05_k_core",
+        "g06_label_propagation",
+    }
 
     def bench(name, mk):
         # The timed action is a `noop`-format write, NOT .count():

@@ -575,3 +575,33 @@ def test_ranking_metrics_perfect_list(spark):
     )
     (r,) = ranking_metrics(recs, truth, 2).collect()
     assert r.ndcg_at_k == 1.0 and r.recall_at_k == 1.0
+
+
+def test_ranking_metrics_duplicate_ranks_scored_as_is(spark):
+    """Malformed producers (duplicate ranks / items per qid) score
+    AS-IS and deterministically (VERDICT r9 ask #7): each surviving
+    row contributes its gain and hit independently, so a truth item
+    served twice hits twice and precision can honestly exceed 1.0 —
+    two of the k slots really went to one item."""
+    from ods_to_datalake_spark.operators.basket import (
+        dcg_gain_table,
+        ranking_metrics,
+    )
+
+    recs = spark.createDataFrame(
+        # rank 1 duplicated; item 'a' served at ranks 1, 1 and 2
+        [(1, "a", 1), (1, "a", 1), (1, "a", 2), (1, "b", 2)],
+        "qid long, item string, rank long",
+    )
+    truth = spark.createDataFrame(
+        # truth duplicates are deduped: a relevance SET
+        [(1, "a"), (1, "a")], "qid long, item string"
+    )
+    (r,) = ranking_metrics(recs, truth, 2).collect()
+    assert (r.n_rec, r.n_rel, r.hits) == (4, 1, 3)
+    assert r.precision_at_k == 3.0 / 2.0  # > 1.0: double-served slots
+    assert r.recall_at_k == 3.0
+    gains = {rk: float(g) for rk, g, _ in dcg_gain_table(2)}
+    idcg1 = float(dcg_gain_table(2)[0][2])
+    expect = (2 * gains[1] + gains[2]) / idcg1
+    assert abs(r.ndcg_at_k - expect) < 1e-12
