@@ -154,3 +154,102 @@ def oversized_spans(
         .filter(F.col("span_buckets") > F.lit(max_buckets_per_key))
         .drop("__diff")
     )
+
+
+def cusum_shift_scores(
+    df: DataFrame,
+    ts_col: str,
+    h_num: int = 2,
+    h_den: int = 1,
+) -> DataFrame:
+    """(day, n_events, cusum_pos, cusum_neg, is_shift) — Page's CUSUM
+    level-shift detector over the daily event-volume series: the
+    "did ingest volume step up/down, and when" panel that a
+    mean±z-score test (e10) structurally misses, because a small
+    sustained shift never trips a per-day threshold while its
+    CUMULATIVE sum grows linearly (Page 1954 — the sequential-analysis
+    classic).
+
+    Exact-integer formulation: with N observed days and T total
+    events, the per-day deviation is d_t = N·n_t − T (an integer that
+    sums to 0 over the series — no mean division anywhere); the
+    one-sided statistics use the prefix-sum identity
+
+        cusum_pos_t = max(0, cusum_pos_{t-1} + d_t)
+                    = S_t − min(0, min_{i<=t} S_i)   (S = prefix sum)
+
+    (the min/max clamp includes the VIRTUAL S_0 = 0 origin — Page's
+    statistic starts at 0, so a first-day deficit already registers
+    on the negative side)
+
+    so the sequential recurrence becomes TWO stacked windows (prefix
+    sum, then running min/max of it) instead of a per-row loop —
+    the same trick both engines compute identically on BIGINTs.
+    `is_shift` flags days where either side exceeds the equivalent of
+    ``h_num/h_den`` days of average volume: cusum·h_den > T·h_num,
+    an ALL-integer comparison (the x42 boundary rule — never a float
+    threshold). Zero-slack CUSUM on purpose: slack k trades detection
+    delay for run length, and k=0 keeps the statistic an exact
+    integer with no rate parameter to tune cross-engine.
+
+    The series is the OBSERVED days (NULL timestamps excluded);
+    days with zero events are absent — compose with `gap_fill` first
+    if silence itself should register as a downward shift.
+
+    Scale: ONE day-keyed partial agg over the events (map-side
+    combinable), then windows over the CALENDAR-sized daily frame —
+    the prefix windows order ~days rows, never events (the e14 rule);
+    the 1-row totals broadcast; the daily frame feeds the window leg
+    and the totals agg, so it is localCheckpointed (calendar-sized)."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .localCheckpoint()
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.coalesce(F.sum("n_events"), F.lit(0))
+        .cast("long")
+        .alias("__tot"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = (
+        daily.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__s",
+            F.sum(
+                F.col("n_events") * F.col("__nd") - F.col("__tot")
+            ).over(w_cum),
+        )
+        .withColumn(
+            "cusum_pos",
+            F.col("__s")
+            - F.least(F.lit(0).cast("long"), F.min("__s").over(w_cum)),
+        )
+        .withColumn(
+            "cusum_neg",
+            F.greatest(
+                F.lit(0).cast("long"), F.max("__s").over(w_cum)
+            )
+            - F.col("__s"),
+        )
+    )
+    return scored.select(
+        "day",
+        "n_events",
+        "cusum_pos",
+        "cusum_neg",
+        (
+            (
+                F.greatest("cusum_pos", "cusum_neg") * F.lit(h_den)
+                > F.col("__tot") * F.lit(h_num)
+            )
+        ).alias("is_shift"),
+    )

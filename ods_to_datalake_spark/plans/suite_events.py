@@ -661,3 +661,68 @@ def e15_seasonal_profile(
 
     cat = load_testdata(spark, sf_dir)
     return seasonal_profile(cat.table("events"), "ts")
+
+
+@register(
+    "e16_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS t
+      FROM daily
+    ),
+    s AS (
+      SELECT day, n_events, t,
+             CAST(SUM(n_events * nd - t) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS sv
+      FROM daily CROSS JOIN tot
+    ),
+    g AS (
+      SELECT day, n_events, t,
+             CAST(sv - LEAST(CAST(0 AS BIGINT), CAST(MIN(sv) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT)) AS BIGINT) AS cusum_pos,
+             CAST(GREATEST(CAST(0 AS BIGINT), CAST(MAX(sv) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT)) - sv AS BIGINT) AS cusum_neg
+      FROM s
+    )
+    SELECT day, n_events, cusum_pos, cusum_neg,
+           (GREATEST(cusum_pos, cusum_neg) * 1 > t * 2) AS is_shift
+    FROM g
+    """,
+    doc="Page's CUSUM level-shift detector over daily event volume: "
+    "the 'did ingest volume step up/down, and when' panel that e10's "
+    "per-day z-score structurally misses (a small SUSTAINED shift "
+    "never trips a daily threshold while its cumulative sum grows "
+    "linearly). Exact-integer formulation: deviations d_t = N·n_t − T "
+    "sum to zero with no mean division; the sequential max(0, ·) "
+    "recurrence becomes prefix-sum minus running-min (and running-max "
+    "minus prefix-sum for the downward side), each clamped through "
+    "the VIRTUAL S_0 = 0 origin Page's statistic starts from — two "
+    "stacked BIGINT windows both engines compute identically; the "
+    "shift flag is the "
+    "all-integer comparison cusum·h_den > T·h_num (x42 boundary "
+    "rule), h = 2 average days of volume. One event shuffle, then "
+    "calendar-sized windows (the e14 rule); DuckDB's HUGEINT window "
+    "sums recast to BIGINT. operators/timeseries.cusum_shift_scores.",
+)
+def e16_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.timeseries import (
+        cusum_shift_scores,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return cusum_shift_scores(cat.table("events"), "ts")

@@ -546,3 +546,74 @@ def u14_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.where(F.col("o_orderdate") >= pivot),
         ["o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@register(
+    "u16_robust_outliers",
+    oracle="""
+    WITH vals AS (
+      SELECT o_orderpriority AS grp,
+             CAST(o_totalprice * 100 AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT grp, v,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM vals
+    ),
+    med AS (
+      SELECT grp, v AS median_v, n
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT d.grp, ABS(d.v - m.median_v) AS ad, m.median_v, m.n
+      FROM vals d JOIN med m ON d.grp = m.grp
+    ),
+    dranked AS (
+      SELECT grp, ad, median_v, n,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ad) AS rn
+      FROM dev
+    ),
+    mad AS (
+      SELECT grp, ad AS mad_v FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.grp AS o_orderpriority,
+           CAST(d.n AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS n_null,
+           d.median_v, m.mad_v,
+           CAST(SUM(CASE WHEN d.ad > 3 * m.mad_v THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.grp = m.grp
+    GROUP BY d.grp, d.n, d.median_v, m.mad_v
+    """,
+    doc="Per-priority robust outlier audit of order value: exact "
+    "median and MAD over CENTS (the Decimal·100 rule) with the "
+    "Hampel 3-MAD flag — the outlier count a mean±stddev audit gets "
+    "wrong on exactly the data it exists for (an extreme order drags "
+    "the mean AND inflates the stddev, masking itself; median and "
+    "MAD have 50% breakdown). The median is the LOWER-MIDDLE order "
+    "statistic ((n+1) div 2), an ELEMENT of the data, so every "
+    "downstream quantity — deviations, MAD, the k·MAD comparison — "
+    "is exact BIGINT with no float anywhere in either engine (DuckDB "
+    "// truncation matches `div` on these non-negative ranks). One "
+    "group-key shuffle, two in-partition sort passes (value ranks, "
+    "then deviation ranks — same partitioning), group-count-sized "
+    "median/MAD frames broadcast back; the exact sort is the honest "
+    "cost of exact order statistics at scale — the approximate tier "
+    "is the GK sketch (u03). "
+    "operators/profile.robust_outlier_report.",
+)
+def u16_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        robust_outlier_report,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return robust_outlier_report(
+        cat.table("orders"),
+        ["o_orderpriority"],
+        F.col("o_totalprice") * 100,
+        k=3,
+    )

@@ -463,6 +463,9 @@ SEQ_FUZZ_QUERIES = [
     "e13_activity_streaks",
     "e14_running_distinct_users",
     "e15_seasonal_profile",
+    # round-10: CUSUM — all-NULL ts (empty series after the filter),
+    # single-day series (all deviations 0), exact-tie timestamps
+    "e16_cusum_changepoint",
 ]
 
 

@@ -245,3 +245,63 @@ def test_fd_empty_input(spark):
     df = spark.createDataFrame([], "k long, dep long")
     r = check_functional_dependency(df, ["k"], "dep").collect()[0]
     assert (r.n_checked, r.n_violations) == (0, 0)
+
+
+# --- robust outlier report (u16) ----------------------------------------
+
+
+def test_robust_outliers_hand_case(spark):
+    """Median/MAD mask nothing: one extreme value flags itself and
+    doesn't move the robust center (the mean±stddev failure mode)."""
+    from ods_to_datalake_spark.operators.profile import (
+        robust_outlier_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", v) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("a", None),
+        ("b", 5),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r.grp: r
+        for r in robust_outlier_report(
+            df, ["grp"], F.col("v"), k=3
+        ).collect()
+    }
+    a = out["a"]
+    # lower-middle of [10,11,12,13,14,1000] is 12; |dev| sorted
+    # [0,1,1,2,2,988] -> MAD = 1; only 1000 exceeds 12±3
+    assert (a.n, a.n_null, a.median_v, a.mad_v, a.n_outliers) == (
+        6, 1, 12, 1, 1,
+    )
+    b = out["b"]  # single row: MAD 0, never its own outlier
+    assert (b.n, b.median_v, b.mad_v, b.n_outliers) == (1, 5, 0, 0)
+
+
+def test_robust_outliers_constant_group_with_stray(spark):
+    """All-equal majority: MAD 0, so any nonzero deviation flags —
+    the documented MAD-filter behavior on constant data."""
+    from ods_to_datalake_spark.operators.profile import (
+        robust_outlier_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("a", 7)] * 9 + [("a", 8)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    (r,) = robust_outlier_report(df, ["grp"], F.col("v")).collect()
+    assert (r.median_v, r.mad_v, r.n_outliers) == (7, 0, 1)
+
+
+def test_robust_outliers_all_null_group_absent(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        robust_outlier_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1), ("z", None)], "grp string, v long"
+    )
+    got = {r.grp for r in
+           robust_outlier_report(df, ["grp"], F.col("v")).collect()}
+    assert got == {"a"}

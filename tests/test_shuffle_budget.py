@@ -352,6 +352,14 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "u16_robust_outliers": 2,  # ONE group-key exchange reused by the
+    # whole rank/median/MAD window chain + final agg (the order
+    # statistics spread via conditional window maxes, never a join
+    # back — the join form measured 5); + the null-count leg's agg
+    # exchange (its join side broadcasts)
+    "e16_cusum_changepoint": 2,  # the calendar-sized single-partition
+    # prefix windows + the 1-row totals broadcast read the
+    # CHECKPOINTED daily frame (which paid the event shuffle)
     "x80_ann_recall_audit": 5,  # the final plan reads the two
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth

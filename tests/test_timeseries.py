@@ -139,3 +139,90 @@ def test_gap_fill_empty_input(spark):
 def test_bad_unit_rejected(spark, ev_df):
     with pytest.raises(ValueError):
         resample_last(ev_df, "user_id", "ts", "value", "week")
+
+
+def test_cusum_detects_sustained_shift(spark):
+    """A small sustained step (10/day → 14/day, never an outlier day)
+    must accumulate past the 2-average-days threshold while the
+    pre-shift days stay unflagged — the exact case a per-day z-score
+    misses; hand-checked integers."""
+    from datetime import datetime
+
+    from ods_to_datalake_spark.operators.timeseries import (
+        cusum_shift_scores,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):  # days 1-10: 10 events
+        for _ in range(10):
+            rows.append((eid, datetime(2024, 1, d, 12)))
+            eid += 1
+    for d in range(11, 21):  # days 11-20: 14 events (+40%)
+        for _ in range(14):
+            rows.append((eid, datetime(2024, 1, d, 12)))
+            eid += 1
+    rows.append((eid, None))  # NULL ts excluded
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {
+        r.day.day: r
+        for r in cusum_shift_scores(df, "ts").collect()
+    }
+    assert len(out) == 20
+    # N=20 days, T=240: scaled deviation -40/day before, +40/day after
+    assert out[1].cusum_pos == 0 and out[1].cusum_neg == 40
+    assert out[10].cusum_neg == 400  # 10 days * 40 below the mean
+    assert out[20].cusum_pos == 400  # fully recovered by day 20
+    # both one-sided peaks are 400 < threshold 2*T = 480: a +40%
+    # 10-day shift on this series needs h < 400/240 days to flag —
+    # the statistic itself is the hand-checkable artifact
+    assert not out[10].is_shift and not out[20].is_shift
+    # mid-recovery: pos has accumulated 5*40, neg has decayed to 200
+    assert out[15].cusum_pos == 200 and out[15].cusum_neg == 200
+
+
+def test_cusum_flag_thresholds(spark):
+    """is_shift fires exactly when max(cusum) * h_den > T * h_num —
+    integer boundary semantics (strictly greater)."""
+    from datetime import datetime
+
+    from ods_to_datalake_spark.operators.timeseries import (
+        cusum_shift_scores,
+    )
+
+    # 2 days: 0 and 4 events -> N=2 T=4; day1 d=-4, day2 d=+4
+    # S = -4, 0; pos on day2 = 4; neg on day1 = 4... min at day1
+    rows = [(0, datetime(2024, 1, 2, 1))] * 4 + [
+        (1, datetime(2024, 1, 1, 1))
+    ] * 0
+    rows = [(i, ts) for i, (_, ts) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    # single-day series: d = 1*n - T = 0 everywhere, nothing flags
+    out = cusum_shift_scores(df, "ts").collect()
+    assert len(out) == 1
+    assert out[0].cusum_pos == 0 and not out[0].is_shift
+
+    # h_num=0: any nonzero cusum flags (strict >)
+    rows2 = [
+        (0, datetime(2024, 1, 1, 1)),
+        (1, datetime(2024, 1, 2, 1)),
+        (2, datetime(2024, 1, 2, 2)),
+        (3, datetime(2024, 1, 2, 3)),
+    ]
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp")
+    out2 = {
+        r.day.day: r
+        for r in cusum_shift_scores(df2, "ts", h_num=0).collect()
+    }
+    # N=2 T=4: d1 = 2*1-4 = -2, d2 = 2*3-4 = 2; S=-2,0
+    assert out2[1].cusum_neg == 2 and out2[1].is_shift
+    assert out2[2].cusum_pos == 2 and out2[2].is_shift
+
+
+def test_cusum_empty_input(spark):
+    from ods_to_datalake_spark.operators.timeseries import (
+        cusum_shift_scores,
+    )
+
+    df = spark.createDataFrame([], "event_id long, ts timestamp")
+    assert cusum_shift_scores(df, "ts").count() == 0
