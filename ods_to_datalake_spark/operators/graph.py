@@ -715,3 +715,121 @@ def degree_assortativity(
             ).alias("assortativity"),
         )
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """(node, hub, authority) after ``iterations`` rounds of HITS
+    (Kleinberg 1999) over the DIRECTED edge set, in EXACT integer
+    arithmetic — the hub/authority decomposition behind "who
+    aggregates the good sources / who are the good sources"; on a
+    bipartite buyer→seller graph the hub side ranks buyers by the
+    quality-weighted breadth of their supplier set and the authority
+    side ranks suppliers by the hubs that buy from them.
+
+    Update (synchronous, mutual recursion): each round
+    ``a_raw(v) = Σ_{u→v} h(u)`` then ``h_raw(u) = Σ_{u→v} a(v)``,
+    each half-step max-normalized. The float algorithm L2-normalizes
+    — partition-order-dependent float sums, not reproducible — so
+    this operator normalizes by INTEGER division with the round's
+    maximum:
+
+        x = x_raw div max(1, m div scale),   m = max over nodes
+
+    DIVIDE-FIRST on purpose: the naive ``(x_raw · scale) div m``
+    overflows BIGINT once max weighted in-degree × scale² exceeds
+    2^63 (in-degree ~9e6 at scale 1e6); dividing by the pre-shrunk
+    quotient is exact-integer, deterministic under any partitioning,
+    keeps every score in [0, 2·scale) (the max node reads
+    m div (m div scale) ∈ [scale, 2·scale) once m ≥ scale — ranking
+    POSITIONS, the object HITS is used for, are what the contract
+    pins; absolute float values were never comparable across
+    implementations anyway), and is safe to weighted in-degrees of
+    ~9e12. Nodes unreachable by a side (no in-edges / no out-edges)
+    score 0 on it.
+
+    Scale shape: per round TWO node-keyed equi-joins (edges against
+    the node-sized score frame) + two partial aggs + two 1-row max
+    broadcasts; score frames are nodes-sized and localCheckpointed
+    per round (the g01 lineage rule — nodes-sized state keeps the
+    default storage); the edge table is loop-invariant, materialized
+    once DISK_ONLY (graph-scale, the r9 OOM rule). Cites Kleinberg
+    1999 (Authoritative sources in a hyperlinked environment)."""
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    )
+    h = nodes.select(
+        "node", F.lit(scale).cast("long").alias("score")
+    )
+    a = None
+    for _ in range(iterations):
+        a = _hits_half_step(e, h, "__s", "__d", scale)
+        h = _hits_half_step(e, a, "__d", "__s", scale)
+    return (
+        nodes.join(
+            h.select(F.col("node"), F.col("score").alias("hub")),
+            "node",
+            "left",
+        )
+        .join(
+            a.select(
+                F.col("node"), F.col("score").alias("authority")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("authority", F.lit(0))
+            .cast("long")
+            .alias("authority"),
+        )
+    )
+
+
+def _hits_half_step(
+    e: DataFrame, scores: DataFrame, from_col: str, to_col: str,
+    scale: int,
+) -> DataFrame:
+    """One HITS half-step: fold `scores` across edges from `from_col`
+    onto `to_col`, then integer max-normalize (module contract)."""
+    raw = (
+        e.join(
+            scores.select(
+                F.col("node").alias(from_col), F.col("score")
+            ),
+            from_col,
+        )
+        .groupBy(F.col(to_col).alias("node"))
+        .agg(F.sum("score").cast("long").alias("__raw"))
+    )
+    m = raw.agg(F.max("__raw").alias("__m"))
+    return (
+        raw.crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            F.expr(
+                f"__raw div greatest(CAST(1 AS BIGINT),"
+                f" __m div CAST({scale} AS BIGINT))"
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=True)
+    )

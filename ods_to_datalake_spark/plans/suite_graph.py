@@ -1220,3 +1220,109 @@ def g08_degree_assortativity(
         cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
     )
     return degree_assortativity(edges, "item_a", "item_b")
+
+
+HITS_ITERS = 4
+
+
+def _hits_oracle(iterations: int, scale: int) -> str:
+    """Unrolled-CTE mirror of `hits_integer` on the directed
+    customer→supplier purchase graph (g01 unroll discipline: every
+    step integer-exact; DuckDB `//` matches `div` on these
+    non-negative sums; HUGEINT sums recast to BIGINT; chained CTEs
+    MATERIALIZED — edges is referenced 2·iterations times and DuckDB
+    inlines by default, the g05 3^rounds blowup)."""
+    g1 = "GREATEST(CAST(1 AS BIGINT), m // " + str(scale) + ")"
+    ctes = [
+        """edges AS MATERIALIZED (
+      SELECT DISTINCT 2*o.o_custkey AS s, 2*l.l_suppkey+1 AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_suppkey IS NOT NULL AND o.o_custkey IS NOT NULL
+    )""",
+        """nodes AS MATERIALIZED (
+      SELECT s AS node FROM edges UNION SELECT d FROM edges
+    )""",
+        f"""h0 AS (
+      SELECT node, CAST({scale} AS BIGINT) AS score FROM nodes
+    )""",
+    ]
+    prev_h = "h0"
+    for r in range(1, iterations + 1):
+        ctes.append(
+            f"""a{r}_raw AS MATERIALIZED (
+      SELECT e.d AS node, CAST(SUM(h.score) AS BIGINT) AS raw
+      FROM edges e JOIN {prev_h} h ON h.node = e.s GROUP BY e.d
+    )"""
+        )
+        ctes.append(f"a{r}m AS (SELECT MAX(raw) AS m FROM a{r}_raw)")
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT node, CAST(raw // {g1} AS BIGINT) AS score
+      FROM a{r}_raw CROSS JOIN a{r}m
+    )"""
+        )
+        ctes.append(
+            f"""h{r}_raw AS MATERIALIZED (
+      SELECT e.s AS node, CAST(SUM(a.score) AS BIGINT) AS raw
+      FROM edges e JOIN a{r} a ON a.node = e.d GROUP BY e.s
+    )"""
+        )
+        ctes.append(f"h{r}m AS (SELECT MAX(raw) AS m FROM h{r}_raw)")
+        ctes.append(
+            f"""h{r} AS MATERIALIZED (
+      SELECT node, CAST(raw // {g1} AS BIGINT) AS score
+      FROM h{r}_raw CROSS JOIN h{r}m
+    )"""
+        )
+        prev_h = f"h{r}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT n.node, CAST(COALESCE(h.score, 0) AS BIGINT) AS hub,
+           CAST(COALESCE(a.score, 0) AS BIGINT) AS authority
+    FROM nodes n
+    LEFT JOIN h{iterations} h ON h.node = n.node
+    LEFT JOIN a{iterations} a ON a.node = n.node
+    """
+    )
+
+
+@register(
+    "g09_hits",
+    oracle=_hits_oracle(HITS_ITERS, 10**6),
+    doc="HITS hubs & authorities (Kleinberg 1999) over the directed "
+    "customer→supplier purchase graph, fixed 4 synchronous rounds in "
+    "EXACT integer arithmetic: the float algorithm's L2 "
+    "normalization is a partition-order-dependent float sum, so each "
+    "half-step max-normalizes by INTEGER division instead — "
+    "divide-FIRST (raw div max(1, m div scale)), because the naive "
+    "(raw·scale) div m overflows BIGINT at weighted in-degree ~9e6; "
+    "this form is safe to ~9e12 and bit-identical under any "
+    "partitioning/engine. On the bipartite graph the hub side ranks "
+    "buyers by quality-weighted supplier breadth, the authority side "
+    "ranks suppliers by who buys from them; unreachable sides score "
+    "0. Oracle = fully unrolled per-round CTEs (the g01 discipline; "
+    "MATERIALIZED per the g05 inlining rule). Per round: two "
+    "node-keyed joins + two partial aggs + two 1-row max broadcasts; "
+    "per-round nodes-sized checkpoints, loop-invariant edge table "
+    "DISK_ONLY. operators/graph.hits_integer.",
+)
+def g09_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.graph import hits_integer
+
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.col("l_suppkey").isNotNull()
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return hits_integer(edges, iterations=HITS_ITERS)

@@ -114,6 +114,9 @@ SUITE_QUERIES = [
     # r9 ask #5) — per-round neighbor join + min-struct argmax over the
     # bidirectional edge table, same scale shape as PageRank
     "g06_label_propagation",
+    # round-10: HITS — two joins + two 1-row max broadcasts per round
+    # over the directed purchase graph
+    "g09_hits",
 ]
 
 
@@ -252,6 +255,7 @@ def main() -> int:
         "x67_bpe_merges",
         "g05_k_core",
         "g06_label_propagation",
+        "g09_hits",
     }
 
     def bench(name, mk):

@@ -588,3 +588,64 @@ def test_assortativity_mixed_graph(spark):
     )
     (r,) = degree_assortativity(edges).collect()
     assert r.assortativity == -0.5
+
+
+# --- HITS (g09) ----------------------------------------------------------
+
+
+def test_hits_star_ordering_and_zero_sides(spark):
+    """Hand bipartite graph: buyer 1 spans 3 sellers, buyer 3 spans 1;
+    seller 10 has 3 buyers, seller 12 has 1. Hub/authority ORDER must
+    follow breadth, the max node reads exactly scale, and nodes
+    unreachable on a side score 0 on it."""
+    from ods_to_datalake_spark.operators.graph import (
+        HITS_SCALE,
+        hits_integer,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 10), (1, 11), (1, 12),
+            (2, 10), (2, 11),
+            (3, 10),
+        ],
+        "src long, dst long",
+    )
+    out = {r.node: r for r in hits_integer(edges).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    # max-normalization contract: the top node of each side lands in
+    # [scale, 2*scale) — m div (m div scale) — and dominates its side
+    assert HITS_SCALE <= out[1].hub < 2 * HITS_SCALE
+    assert out[1].hub > out[2].hub > out[3].hub > 0
+    assert HITS_SCALE <= out[10].authority < 2 * HITS_SCALE
+    assert out[10].authority > out[11].authority > out[12].authority
+    # bipartite: sellers have no out-edges, buyers no in-edges
+    assert all(out[s].hub == 0 for s in (10, 11, 12))
+    assert all(out[b].authority == 0 for b in (1, 2, 3))
+
+
+def test_hits_partition_invariance(spark):
+    """Integer arithmetic promise: identical scores under any input
+    partitioning (the reason L2 float normalization was rejected)."""
+    from ods_to_datalake_spark.operators.graph import hits_integer
+
+    rows = [(i % 7, 100 + (i * 3) % 5) for i in range(40)] + [
+        (100 + i, i % 7) for i in range(5)
+    ]
+    df1 = spark.createDataFrame(rows, "src long, dst long")
+    df32 = df1.repartition(32)
+    a = sorted(map(tuple, hits_integer(df1, iterations=3).collect()))
+    b = sorted(map(tuple, hits_integer(df32, iterations=3).collect()))
+    assert a == b
+
+
+def test_hits_null_and_dup_edges_normalized(spark):
+    from ods_to_datalake_spark.operators.graph import hits_integer
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 10), (None, 10), (1, None), (2, 10)],
+        "src long, dst long",
+    )
+    out = {r.node: r for r in hits_integer(edges).collect()}
+    assert set(out) == {1, 2, 10}
+    assert out[1].hub == out[2].hub  # the duplicate edge deduped

@@ -352,6 +352,10 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "g09_hits": 3,  # the FINAL plan only: nodes ⋈ checkpointed h4/a4
+    # (two node-keyed sort-merge exchanges + one for nodes side); the
+    # per-round join/agg exchanges were paid at the per-half-step
+    # localCheckpoints (the g01 iterative-loop accounting)
     "u16_robust_outliers": 2,  # ONE group-key exchange reused by the
     # whole rank/median/MAD window chain + final agg (the order
     # statistics spread via conditional window maxes, never a join
