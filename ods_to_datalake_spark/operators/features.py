@@ -122,3 +122,92 @@ def feature_hash(
         .groupBy("id", "bucket")
         .agg(F.sum("__s").cast("long").alias("value"))
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    pred_num,
+    pred_den,
+    label,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, n_pos, mean_pred, frac_pos, abs_gap, ece) — reliability
+    diagram + Expected Calibration Error (Naeini et al. 2015; Guo et
+    al. 2017) of a [0,1] score used as a probability: bin rows by
+    predicted score, compare each bin's mean prediction with its
+    realized positive rate, and weight the absolute gaps into one ECE
+    number (repeated on every row of the bin-count-sized report). The
+    eval that decides whether a quality/relevance score's VALUE is
+    trustworthy as a probability, or only its ranking (x75 evaluates
+    ranking; this evaluates the scale).
+
+    Exactness contract: the prediction enters as an INTEGER rational
+    ``pred_num / pred_den`` (scores in real pipelines are ratios of
+    counts; a float column has no engine-stable bin assignment at bin
+    boundaries). Binning is the all-integer comparison
+    ``least(n_bins−1, (n_bins·num) div den)`` — the x42 boundary rule,
+    exact at every edge. Rows with ``pred_den <= 0`` (empty docs) have
+    no defined score and are excluded; ``label`` must be 0/1.
+    Per-bin mean_pred: each row's IEEE quotient (deterministic,
+    correctly rounded) is quantized to DECIMAL(18,12) BEFORE the sum
+    (float sums are partition-order-dependent; decimal sums are
+    order-free), then ONE cast + ONE division; frac_pos is one IEEE
+    division of exact BIGINTs; ECE folds the per-bin |gap|·n terms
+    through DECIMAL(28,12) the same way (10 doubles summed in
+    partition order would already be unstable).
+
+    Scale: one bin-keyed partial agg over the scored stream (map-side
+    combinable, n_bins groups), then 1-row totals crossJoined back —
+    nothing after the first agg exceeds n_bins rows."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    num = pred_num.cast("long")
+    den = pred_den.cast("long")
+    base = df.select(
+        num.alias("__num"), den.alias("__den"), label.alias("__y")
+    ).where(F.col("__den") > 0)
+    binned = base.select(
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.expr(f"(CAST({n_bins} AS BIGINT) * __num) div __den"),
+        ).alias("bin"),
+        (F.col("__num").cast("double") / F.col("__den").cast("double"))
+        .cast("decimal(18,12)")
+        .alias("__p"),
+        F.col("__y").cast("long").alias("__y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum("__p").alias("__sp"),
+    )
+    scored = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("__sp").cast("double") / F.col("n").cast("double"))
+        .alias("mean_pred"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+        .alias("frac_pos"),
+    ).withColumn(
+        "abs_gap", F.abs(F.col("mean_pred") - F.col("frac_pos"))
+    ).localCheckpoint()  # n_bins rows; feeds the report AND the ECE agg
+    tot = scored.agg(
+        F.sum(
+            (F.col("abs_gap") * F.col("n").cast("double")).cast(
+                "decimal(28,12)"
+            )
+        ).alias("__gsum"),
+        F.sum("n").cast("long").alias("__N"),
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_pred",
+        "frac_pos",
+        "abs_gap",
+        (
+            F.col("__gsum").cast("double") / F.col("__N").cast("double")
+        ).alias("ece"),
+    )

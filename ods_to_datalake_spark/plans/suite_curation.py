@@ -1353,3 +1353,119 @@ def x77_stratified_allocation(
         cat.table("orders"), "o_orderkey", "o_orderpriority",
         k=SAMPLE_K,
     )
+
+
+CAL_BINS = 10
+
+
+def _calibration_oracle() -> str:
+    """x81: the reliability/ECE arithmetic over (stopword count /
+    token count) as the score and x51's Gopher-repetition pass flag
+    as the label — the label CTE embeds x51's full oracle verbatim
+    (the x25 single-source rule). Every engine-hazard in the chain
+    has a named rule: all-integer bin edges (x42), per-row quotient
+    quantized to DECIMAL before the order-free sum (x38's class), and
+    HUGEINT/DECIMAL sums recast before the final divisions."""
+    from ods_to_datalake_spark.plans.suite_llm import _sql_stop_count
+
+    return f"""
+    WITH lbl AS ({_repetition_oracle()}),
+    feat AS (
+      SELECT doc_id,
+             CAST({_sql_stop_count('en')} AS BIGINT) AS num,
+             CAST(len(toks) AS BIGINT) AS den
+      FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+    ),
+    binned AS (
+      SELECT LEAST(CAST({CAL_BINS - 1} AS BIGINT),
+                   (CAST({CAL_BINS} AS BIGINT) * f.num) // f.den)
+               AS bin,
+             CAST(CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE)
+               AS DECIMAL(18,12)) AS p,
+             l.passes AS y
+      FROM feat f JOIN lbl l USING (doc_id)
+      WHERE f.den > 0
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             SUM(p) AS sp
+      FROM binned GROUP BY bin
+    ),
+    scored AS (
+      SELECT bin, n, n_pos,
+             CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+               AS mean_pred,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+      FROM per_bin
+    ),
+    gapped AS (
+      SELECT *, ABS(mean_pred - frac_pos) AS abs_gap FROM scored
+    ),
+    tot AS (
+      SELECT SUM(CAST(abs_gap * CAST(n AS DOUBLE)
+               AS DECIMAL(28,12))) AS gsum,
+             CAST(SUM(n) AS BIGINT) AS nn
+      FROM gapped
+    )
+    SELECT g.bin, g.n, g.n_pos, g.mean_pred, g.frac_pos, g.abs_gap,
+           CAST(CAST(t.gsum AS VARCHAR) AS DOUBLE)
+             / CAST(t.nn AS DOUBLE) AS ece
+    FROM gapped g CROSS JOIN tot t
+    """
+
+
+@register(
+    "x81_score_calibration",
+    oracle=_calibration_oracle(),
+    doc=f"Reliability diagram + Expected Calibration Error (Naeini "
+    "2015 / Guo 2017) of the stopword-ratio quality score as a "
+    "predictor of the Gopher-repetition pass flag — x75 evaluates a "
+    "score's RANKING, this evaluates its SCALE: whether 0.8 means "
+    "80%, the property that decides if a score can gate thresholds "
+    "or price sampling directly. The prediction enters as the exact "
+    f"integer rational stops/tokens; {CAL_BINS} bins with all-integer "
+    "edges (least(9, (10·num) div den) — the x42 rule, exact at "
+    "every boundary); per-row quotients quantized DECIMAL(18,12) "
+    "before the order-free per-bin sum; the ECE fold runs the per-bin "
+    "|gap|·n terms through DECIMAL(28,12) the same way (even 10 "
+    "doubles sum in partition order); label CTE embeds x51's oracle "
+    "verbatim (single-source). One bin-keyed partial agg over the "
+    "doc-keyed feature⋈label join, then nothing exceeds 10 rows. "
+    "operators/features.calibration_report.",
+)
+def x81_score_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.functions import text as X
+    from ods_to_datalake_spark.operators.features import (
+        calibration_report,
+    )
+    from ods_to_datalake_spark.operators.quality import (
+        gopher_repetition,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    toks = X.tokens("text")
+    feat = docs.select(
+        "doc_id",
+        X.stopword_count(toks, X.STOPWORDS["en"])
+        .cast("long")
+        .alias("__stops"),
+        F.size(toks).cast("long").alias("__ntok"),
+    )
+    lbl = gopher_repetition(docs, "doc_id", "text").select(
+        "doc_id", "passes"
+    )
+    joined = feat.join(lbl, "doc_id")
+    return calibration_report(
+        joined,
+        F.col("__stops"),
+        F.col("__ntok"),
+        F.col("passes"),
+        n_bins=CAL_BINS,
+    )

@@ -929,3 +929,65 @@ def test_zipf_profile_k_cut_and_plan(spark):
     # top-k must be a per-partition heap, never a global sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- score calibration / ECE (x81) ---------------------------------------
+
+
+def test_calibration_perfectly_calibrated_score(spark):
+    """A score whose bin-mean equals its bin positive rate reads
+    ECE 0 — the fixed point of the reliability diagram."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.features import (
+        calibration_report,
+    )
+
+    # 4 rows at p=1/2 with exactly 2 positives: gap 0
+    rows = [(1, 2, 1), (1, 2, 1), (1, 2, 0), (1, 2, 0)]
+    df = spark.createDataFrame(rows, "num long, den long, y long")
+    (r,) = calibration_report(
+        df, F.col("num"), F.col("den"), F.col("y"), n_bins=4
+    ).collect()
+    assert r.bin == 2  # 4 * 1/2 = 2
+    assert r.mean_pred == 0.5 and r.frac_pos == 0.5
+    assert r.abs_gap == 0.0 and r.ece == 0.0
+
+
+def test_calibration_bin_edges_and_overconfidence(spark):
+    """All-integer bin edges: p = 1.0 clamps into the top bin; an
+    always-wrong confident score reads ECE 1.0."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.features import (
+        calibration_report,
+    )
+
+    rows = [(1, 1, 0), (1, 1, 0)]  # p=1.0, never positive
+    df = spark.createDataFrame(rows, "num long, den long, y long")
+    (r,) = calibration_report(
+        df, F.col("num"), F.col("den"), F.col("y"), n_bins=10
+    ).collect()
+    assert r.bin == 9  # clamped, not bin 10
+    assert r.mean_pred == 1.0 and r.frac_pos == 0.0
+    assert r.ece == 1.0
+
+
+def test_calibration_zero_denominator_excluded(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.features import (
+        calibration_report,
+    )
+
+    rows = [(1, 2, 1), (0, 0, 1), (3, None, 0)]
+    df = spark.createDataFrame(rows, "num long, den long, y long")
+    out = calibration_report(
+        df, F.col("num"), F.col("den"), F.col("y")
+    ).collect()
+    assert len(out) == 1 and out[0].n == 1  # only the defined score
+    with pytest.raises(ValueError):
+        calibration_report(
+            df, F.col("num"), F.col("den"), F.col("y"), n_bins=0
+        )

@@ -63,6 +63,9 @@ FUZZ_QUERIES = [
     # round-9: rank-frequency profile — whitespace/unicode token ties
     # at the k-cut, and the all-NULL corpus (zero totals, no rows)
     "x79_zipf_profile",
+    # round-10: reliability/ECE — zero-token docs excluded, empty
+    # corpus -> empty report, integer bin edges at exact boundaries
+    "x81_score_calibration",
 ]
 
 

@@ -352,6 +352,9 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "x81_score_calibration": 1,  # the feature⋈label doc join is one
+    # doc-keyed exchange pair collapsed by AQE at this SF; the 10-bin
+    # agg and ECE fold read the CHECKPOINTED n_bins-row frame
     "g09_hits": 3,  # the FINAL plan only: nodes ⋈ checkpointed h4/a4
     # (two node-keyed sort-merge exchanges + one for nodes side); the
     # per-round join/agg exchanges were paid at the per-half-step
