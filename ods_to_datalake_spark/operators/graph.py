@@ -833,3 +833,75 @@ def _hits_half_step(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(node, dist) — exact hop distance from the seed SET over the
+    undirected graph, for every node within ``max_hops`` (multi-source
+    BFS): the "degrees of separation from a trusted/known cohort"
+    feature behind trust propagation, blast-radius analysis, and k-hop
+    neighborhood extraction. Deliberately HOP-LIMITED semantics: the
+    result is exact for every emitted node and simply omits nodes
+    farther than ``max_hops`` — a truncated BFS is a correct k-hop
+    query, not an approximation, so there is no fixpoint contract to
+    violate (contrast k_core, where stopping early would LIE; here
+    rounds past the eccentricity are empty and the loop exits).
+
+    Seeds are distance 0 (deduped, NULLs dropped) whether or not they
+    appear in the edge set — an isolated seed is at distance 0 from
+    itself. Frontier expansion is level-synchronous: per round ONE
+    node-keyed join of the bidirectional edge table against the
+    frontier + one anti-join against the visited set — never a
+    weighted relaxation (BFS ≡ unit-weight Dijkstra, so layers ARE
+    distances). All arithmetic is integers; the result is unique
+    regardless of partitioning or visit order.
+
+    Scale: the bidirectional edge table is loop-invariant, DISK_ONLY
+    (the r9 rule); visited/frontier are nodes-sized, checkpointed per
+    round (the g01 lineage rule); one 1-row emptiness probe per round
+    ends the loop at the seed set's eccentricity if that comes before
+    ``max_hops``."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0: {max_hops}")
+    e = _undirected_edges(edges, src, dst)
+    ee = (
+        e.unionByName(
+            e.select(
+                F.col("__b").alias("__a"), F.col("__a").alias("__b")
+            )
+        )
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    )
+    seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_hops + 1):
+        nxt = (
+            ee.join(
+                frontier.select(F.col("node").alias("__a")), "__a"
+            )
+            .select(F.col("__b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select(
+                "node", F.lit(r).cast("long").alias("dist")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

@@ -1326,3 +1326,99 @@ def g09_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hits_integer(edges, iterations=HITS_ITERS)
+
+
+BFS_HOPS = 6
+
+
+def _bfs_oracle(hops: int) -> str:
+    """Unrolled-CTE mirror of `bfs_layers` on the supplier↔customer
+    trade graph, seeded at the nation-0 supplier cohort. Hop-limited
+    semantics make the unroll EXACT by construction (a round past the
+    eccentricity contributes zero rows — no fixpoint margin needed);
+    d{r} is referenced twice (next frontier's anti filter + the
+    union), so every chained CTE is MATERIALIZED (the g05 rule)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+      SELECT DISTINCT 2*l_suppkey AS a, 2*o_custkey+1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
+    )""",
+        """edges AS MATERIALIZED (
+      SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    )""",
+        """f0 AS MATERIALIZED (
+      SELECT DISTINCT 2*s_suppkey AS node FROM supplier
+      WHERE s_nationkey = 0 AND s_suppkey IS NOT NULL
+    )""",
+        """d0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM f0
+    )""",
+    ]
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"""f{r} AS MATERIALIZED (
+      SELECT DISTINCT e.b AS node
+      FROM edges e JOIN f{r - 1} f ON e.a = f.node
+      WHERE e.b NOT IN (SELECT node FROM d{r - 1})
+    )"""
+        )
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT node, dist FROM d{r - 1}
+      UNION ALL
+      SELECT node, CAST({r} AS BIGINT) FROM f{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node, dist FROM d{hops}"
+    )
+
+
+@register(
+    "g10_bfs_layers",
+    oracle=_bfs_oracle(BFS_HOPS),
+    doc=f"Multi-source BFS hop distances (≤ {BFS_HOPS}) from the "
+    "nation-0 supplier cohort over the undirected supplier↔customer "
+    "trade graph — 'degrees of separation from a trusted set', the "
+    "feature behind trust propagation, blast-radius analysis, and "
+    "k-hop neighborhood extraction. HOP-LIMITED semantics on "
+    "purpose: every emitted distance is exact and nodes farther "
+    "than the limit are absent, so a truncated run is a correct "
+    "k-hop query and the unrolled oracle is exact by construction "
+    "(rounds past the seed set's eccentricity contribute zero rows — "
+    "no fixpoint margin, unlike g05). Level-synchronous expansion: "
+    "per round one node-keyed edge⋈frontier join + one visited "
+    "anti-join, a 1-row emptiness probe ends the loop early; all "
+    "integers, unique result under any partitioning. Per-round "
+    "frontier/visited checkpoints, loop-invariant bidirectional edge "
+    "table DISK_ONLY. operators/graph.bfs_layers.",
+)
+def g10_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.graph import bfs_layers
+
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.col("l_suppkey").isNotNull()
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+    )
+    seeds = (
+        cat.table("supplier")
+        .where(
+            (F.col("s_nationkey") == 0)
+            & F.col("s_suppkey").isNotNull()
+        )
+        .select((F.col("s_suppkey") * 2).alias("node"))
+    )
+    return bfs_layers(edges, seeds, max_hops=BFS_HOPS)

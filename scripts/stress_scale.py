@@ -117,6 +117,10 @@ SUITE_QUERIES = [
     # round-10: HITS — two joins + two 1-row max broadcasts per round
     # over the directed purchase graph
     "g09_hits",
+    # round-10: multi-source BFS — per-round frontier join +
+    # visited anti-join over the trade graph (fixed-nodes regime,
+    # like g09)
+    "g10_bfs_layers",
 ]
 
 
@@ -256,6 +260,7 @@ def main() -> int:
         "g05_k_core",
         "g06_label_propagation",
         "g09_hits",
+        "g10_bfs_layers",
     }
 
     def bench(name, mk):

@@ -649,3 +649,57 @@ def test_hits_null_and_dup_edges_normalized(spark):
     out = {r.node: r for r in hits_integer(edges).collect()}
     assert set(out) == {1, 2, 10}
     assert out[1].hub == out[2].hub  # the duplicate edge deduped
+
+
+# --- BFS layers (g10) -----------------------------------------------------
+
+
+def test_bfs_path_graph_distances(spark):
+    """Path 1-2-3-4-5: distances from {1} are the hop counts; the
+    hop limit truncates exactly (a correct k-hop query, not an
+    approximation)."""
+    from ods_to_datalake_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    full = {
+        r.node: r.dist for r in bfs_layers(edges, seeds).collect()
+    }
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    two = {
+        r.node: r.dist
+        for r in bfs_layers(edges, seeds, max_hops=2).collect()
+    }
+    assert two == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    from ods_to_datalake_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1,), (5,), (None,), (5,)], "node long"
+    )
+    got = {
+        r.node: r.dist for r in bfs_layers(edges, seeds).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_isolated_seed_and_disconnected_component(spark):
+    """A seed absent from the edge set is still at distance 0 from
+    itself; nodes in other components never appear."""
+    from ods_to_datalake_spark.operators.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r.node: r.dist for r in bfs_layers(edges, seeds).collect()
+    }
+    assert got == {1: 0, 99: 0, 2: 1}

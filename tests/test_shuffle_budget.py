@@ -352,6 +352,10 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "g10_bfs_layers": 0,  # the final plan reads only the per-round
+    # CHECKPOINTED visited unions (the g01 iterative accounting —
+    # every frontier join/anti-join exchange was paid at its
+    # localCheckpoint; measures 0 like x25/g01)
     "x81_score_calibration": 1,  # the feature⋈label doc join is one
     # doc-keyed exchange pair collapsed by AQE at this SF; the 10-bin
     # agg and ECE fold read the CHECKPOINTED n_bins-row frame
