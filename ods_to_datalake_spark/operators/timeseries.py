@@ -201,16 +201,28 @@ def cusum_shift_scores(
     the prefix windows order ~days rows, never events (the e14 rule);
     the 1-row totals broadcast; the daily frame feeds the window leg
     and the totals agg, so it is localCheckpointed (calendar-sized)."""
-    from pyspark.sql import Window
-
     daily = (
         df.filter(F.col(ts_col).isNotNull())
         .groupBy(
             F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-        .localCheckpoint()
     )
+    return cusum_from_daily(daily, h_num=h_num, h_den=h_den)
+
+
+def cusum_from_daily(
+    daily: DataFrame, h_num: int = 2, h_den: int = 1
+) -> DataFrame:
+    """`cusum_shift_scores`'s window arithmetic over a pre-built
+    (day, n_events) frame — split out so the STREAMING face (which
+    folds per-batch additive daily counts from the lake) and the
+    batch operator derive the statistic through the SAME expressions
+    and stay bit-identical by construction (the zipf_from_counts /
+    profile_from_daily pattern)."""
+    from pyspark.sql import Window
+
+    daily = daily.localCheckpoint()  # feeds totals AND the window leg
     totals = daily.agg(
         F.count(F.lit(1)).cast("long").alias("__nd"),
         F.coalesce(F.sum("n_events"), F.lit(0))
