@@ -233,3 +233,84 @@ def running_distinct(
             "cumulative_keys"
         ),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(key, n_events, n_gaps, sum_gap_s, mean_gap_s, std_gap_s,
+    burstiness) — per-key inter-arrival-time statistics over the
+    event stream, with the Goh–Barabási burstiness coefficient
+    B = (σ−μ)/(σ+μ) (Goh & Barabási 2008): B → −1 is a metronome,
+    B ≈ 0 is Poisson, B → 1 is bursty — the behavioral feature that
+    separates schedulers/bots (periodic) from humans (bursty) at
+    identical event VOLUMES, where rate-based features are blind.
+
+    Exactness: gaps are INTEGER seconds between consecutive events
+    sorted by (ts, id) — the id tiebreak makes the order total, and
+    the gap multiset depends only on the sorted timestamps, so every
+    downstream sum is over the same integers in both engines. The
+    variance uses the integer identity n·Σg² − (Σg)² over
+    DECIMAL(38,0) (g² sums overflow BIGINT at ~1e3 year-scale gaps —
+    the e10/g08 rule); σ is ONE IEEE sqrt of one IEEE division (sqrt
+    is correctly rounded, unlike ln — no quantization needed), and
+    mean/burstiness are further IEEE ops on identically-derived
+    doubles. Single-event keys have no gaps → NULL stats (not 0 — no
+    evidence is not zero dispersion); an all-simultaneous key has
+    σ+μ = 0 → NULL burstiness (CASE-guarded: unguarded it is an ANSI
+    DIVIDE_BY_ZERO). NULL timestamps are excluded.
+
+    Scale: ONE key shuffle — the lag window and the per-key aggregate
+    reuse the same partitioning; output is key-count-sized."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            key,
+            id_col,
+            F.unix_timestamp(F.col(ts_col)).alias("__t"),
+        )
+        .withColumn(
+            "__gap",
+            F.col("__t")
+            - F.lag("__t").over(
+                Window.partitionBy(key).orderBy("__t", id_col)
+            ),
+        )
+    )
+    agg = gaps.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("__gap").cast("long").alias("n_gaps"),
+        F.sum("__gap").cast("long").alias("sum_gap_s"),
+        F.sum(F.col("__gap").cast(d38) * F.col("__gap").cast(d38))
+        .alias("__sq"),
+    )
+    mean = F.col("sum_gap_s").cast("double") / F.col(
+        "n_gaps"
+    ).cast("double")
+    var = (
+        F.col("n_gaps").cast(d38) * F.col("__sq")
+        - F.col("sum_gap_s").cast(d38) * F.col("sum_gap_s").cast(d38)
+    ).cast("double") / (
+        F.col("n_gaps").cast("double") * F.col("n_gaps").cast("double")
+    )
+    return agg.select(
+        key,
+        "n_events",
+        "n_gaps",
+        F.when(F.col("n_gaps") > 0, F.col("sum_gap_s")).alias(
+            "sum_gap_s"
+        ),
+        F.when(F.col("n_gaps") > 0, mean).alias("mean_gap_s"),
+        F.when(F.col("n_gaps") > 0, F.sqrt(var)).alias("std_gap_s"),
+        F.when(
+            (F.col("n_gaps") > 0)
+            & (F.sqrt(var) + mean != F.lit(0.0)),
+            (F.sqrt(var) - mean) / (F.sqrt(var) + mean),
+        ).alias("burstiness"),
+    )

@@ -726,3 +726,80 @@ def e16_cusum_changepoint(
 
     cat = load_testdata(spark, sf_dir)
     return cusum_shift_scores(cat.table("events"), "ts")
+
+
+@register(
+    "e17_interarrival_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS t
+      FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id,
+             t - LAG(t) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+             ) AS gap
+      FROM ev
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sq
+      FROM g GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, n_events, n_gaps, sg,
+             CASE WHEN n_gaps > 0 THEN
+               CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+             END AS mu,
+             CASE WHEN n_gaps > 0 THEN
+               sqrt(CAST(CAST(CAST(n_gaps AS HUGEINT) * sq
+                      - CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)
+                      AS VARCHAR) AS DOUBLE)
+                    / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE)))
+             END AS sigma
+      FROM a
+    )
+    SELECT user_id, n_events, n_gaps,
+           CASE WHEN n_gaps > 0 THEN sg END AS sum_gap_s,
+           mu AS mean_gap_s,
+           sigma AS std_gap_s,
+           CASE WHEN n_gaps > 0 AND sigma + mu <> 0 THEN
+             (sigma - mu) / (sigma + mu)
+           END AS burstiness
+    FROM s
+    """,
+    doc="Per-user inter-arrival statistics with the Goh–Barabási "
+    "burstiness coefficient B = (σ−μ)/(σ+μ): B→−1 metronome, B≈0 "
+    "Poisson, B→1 bursty — the behavioral feature separating "
+    "schedulers/bots from humans at identical event VOLUMES, where "
+    "rate features are blind. Gaps are integer seconds between "
+    "(ts, event_id)-sorted events (total order; the gap multiset "
+    "depends only on sorted timestamps — Spark unix_timestamp ≡ "
+    "DuckDB epoch_us // 1e6 on the post-1970 domain; bare epoch() is "
+    "DOUBLE with fraction); variance via the integer identity "
+    "n·Σg²−(Σg)² over DECIMAL(38,0)/HUGEINT (the e10/g08 rule — the "
+    "operand crosses 1e13, so the oracle VARCHAR-round-trips its "
+    "HUGEINT→DOUBLE cast per CLAUDE.md); σ is ONE correctly-rounded "
+    "IEEE sqrt — no quantization needed, unlike ln. Single-event "
+    "users → NULL stats (no evidence ≠ zero dispersion); "
+    "all-simultaneous users → NULL burstiness (σ+μ=0 is an ANSI "
+    "DIVIDE_BY_ZERO unguarded). ONE user shuffle — the lag window "
+    "and the aggregate reuse the same partitioning. "
+    "operators/sequence.interarrival_stats.",
+)
+def e17_interarrival_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        interarrival_stats,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return interarrival_stats(
+        cat.table("events"), "user_id", "ts", "event_id"
+    )

@@ -469,6 +469,9 @@ SEQ_FUZZ_QUERIES = [
     # round-10: CUSUM — all-NULL ts (empty series after the filter),
     # single-day series (all deviations 0), exact-tie timestamps
     "e16_cusum_changepoint",
+    # round-10: burstiness — single-event users, exact-tie timestamps
+    # (zero gaps; σ+μ=0 guard), fractional-second epoch truncation
+    "e17_interarrival_stats",
 ]
 
 

@@ -605,3 +605,66 @@ def test_ranking_metrics_duplicate_ranks_scored_as_is(spark):
     idcg1 = float(dcg_gain_table(2)[0][2])
     expect = (2 * gains[1] + gains[2]) / idcg1
     assert abs(r.ndcg_at_k - expect) < 1e-12
+
+
+# --- inter-arrival / burstiness (e17) ------------------------------------
+
+
+def test_interarrival_metronome_reads_minus_one(spark):
+    """Perfectly periodic events: σ = 0, so B = (0−μ)/(0+μ) = −1 —
+    the scheduler/bot signature."""
+    from datetime import datetime
+
+    from ods_to_datalake_spark.operators.sequence import (
+        interarrival_stats,
+    )
+
+    rows = [(i, 1, datetime(2024, 1, 1, i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    (r,) = interarrival_stats(df, "user_id", "ts", "event_id").collect()
+    assert (r.n_events, r.n_gaps, r.sum_gap_s) == (5, 4, 4 * 3600)
+    assert r.mean_gap_s == 3600.0 and r.std_gap_s == 0.0
+    assert r.burstiness == -1.0
+
+
+def test_interarrival_bursty_and_degenerate_guards(spark):
+    from datetime import datetime
+
+    from ods_to_datalake_spark.operators.sequence import (
+        interarrival_stats,
+    )
+
+    d = datetime
+    rows = [
+        # user 1: bursty — gaps 1, 1, 10798 s (B > 0)
+        (0, 1, d(2024, 1, 1, 0, 0, 0)),
+        (1, 1, d(2024, 1, 1, 0, 0, 1)),
+        (2, 1, d(2024, 1, 1, 0, 0, 2)),
+        (3, 1, d(2024, 1, 1, 3, 0, 0)),
+        # user 2: single event — no gaps, NULL stats
+        (4, 2, d(2024, 1, 1)),
+        # user 3: all simultaneous — μ = σ = 0, NULL burstiness
+        (5, 3, d(2024, 1, 1)),
+        (6, 3, d(2024, 1, 1)),
+        # NULL ts excluded
+        (7, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    out = {
+        r.user_id: r
+        for r in interarrival_stats(
+            df, "user_id", "ts", "event_id"
+        ).collect()
+    }
+    # finite-size ceiling (Kim & Jo 2016): for n gaps the population
+    # σ/μ maxes at sqrt(n−1), so 3 gaps cap B at (√2−1)/(√2+1) ≈ 0.172
+    # — this burst is ~at the ceiling, nowhere near the naive 1.0
+    assert 0.15 < out[1].burstiness < 0.1716
+    assert out[2].n_gaps == 0
+    assert out[2].mean_gap_s is None and out[2].burstiness is None
+    assert out[3].n_gaps == 1 and out[3].sum_gap_s == 0
+    assert out[3].std_gap_s == 0.0 and out[3].burstiness is None

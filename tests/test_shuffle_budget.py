@@ -352,6 +352,8 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "e17_interarrival_stats": 1,  # ONE user-key exchange reused by
+    # the lag window and the per-user aggregate
     "g10_bfs_layers": 0,  # the final plan reads only the per-round
     # CHECKPOINTED visited unions (the g01 iterative accounting —
     # every frontier join/anti-join exchange was paid at its
