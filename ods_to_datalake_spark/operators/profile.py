@@ -407,3 +407,112 @@ def robust_outlier_report(
         "mad_v",
         "n_outliers",
     )
+
+
+def benford_table() -> list[tuple[int, str]]:
+    """The nine Benford first-digit probabilities p_d = log10(1+1/d)
+    as 12-decimal STRING literals, computed ONCE in driver Python and
+    shared VERBATIM by the Spark plan and the SQL oracle — the x75
+    enumerable-domain rule: a transcendental whose input domain is 9
+    values never crosses engines at all (JVM log10 and libm log10
+    diverge by 1 ulp on some inputs; two identical literals cannot)."""
+    import math
+
+    return [
+        (d, f"{math.log10(1.0 + 1.0 / d):.12f}") for d in range(1, 10)
+    ]
+
+
+def benford_audit(df: DataFrame, value: Column) -> DataFrame:
+    """(digit, n_obs, obs_share, expected_share, chi2_term, n_total,
+    chi2) — first-digit frequency of a positive integer measure vs
+    Benford's law (Newcomb 1881; Benford 1938), with the χ² statistic
+    — the fraud/fabrication screen for financial and count data
+    (invented amounts are uniform-ish in the leading digit; organic
+    multiplicative data is logarithmic). Money enters as CENTS: a
+    ×100 scaling appends zeros and never changes the leading digit.
+
+    Exactness: the leading digit is the first character of the
+    BIGINT's decimal rendering (integer→string is identical in both
+    engines — no float log10 digit extraction); NULL and ≤ 0 values
+    are excluded (Benford is defined on positive magnitudes). The
+    expected shares are driver-literal decimals (`benford_table`), so
+    the only floats are per-digit IEEE ops on identical operands; the
+    9 χ² terms are quantized DECIMAL(28,12) before the order-free
+    total (the ECE fold rule — even 9 doubles sum in partition
+    order). All 9 digits always appear (a digit with ZERO
+    observations is evidence, not absence — its χ² term is N·p_d);
+    an empty input emits the 9-row spine with zero counts and NULL
+    shares/χ² (CASE-guarded divisions).
+
+    Scale: one partial-aggregated groupBy over the measure (9
+    groups), a 9-row literal spine join, everything after is
+    9-row arithmetic."""
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, Decimal(p)) for d, p in benford_table()],
+        "digit long, expected_share decimal(18,12)",
+    )
+    counts = (
+        df.select(value.cast("long").alias("__v"))
+        .where(F.col("__v") > 0)
+        .select(
+            F.substring(F.col("__v").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("n_obs"), F.lit(0))
+        .cast("long")
+        .alias("n_total")
+    )
+    per = (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "expected_share",
+            "n_total",
+        )
+        .withColumn(
+            "obs_share",
+            F.when(
+                F.col("n_total") > 0,
+                F.col("n_obs").cast("double")
+                / F.col("n_total").cast("double"),
+            ),
+        )
+        .withColumn(
+            "__exp_n",
+            F.col("expected_share").cast("double")
+            * F.col("n_total").cast("double"),
+        )
+        .withColumn(
+            "chi2_term",
+            F.when(
+                F.col("n_total") > 0,
+                (F.col("n_obs").cast("double") - F.col("__exp_n"))
+                * (F.col("n_obs").cast("double") - F.col("__exp_n"))
+                / F.col("__exp_n"),
+            ),
+        )
+        .localCheckpoint()  # 9 rows; feeds the report AND the χ² fold
+    )
+    chi = per.agg(
+        F.sum(F.col("chi2_term").cast("decimal(28,12)")).alias("__c")
+    )
+    return per.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "n_obs",
+        F.col("obs_share"),
+        F.col("expected_share").cast("double").alias("expected_share"),
+        "chi2_term",
+        "n_total",
+        F.col("__c").cast("double").alias("chi2"),
+    )

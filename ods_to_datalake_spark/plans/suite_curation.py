@@ -1380,8 +1380,11 @@ def _calibration_oracle() -> str:
       SELECT LEAST(CAST({CAL_BINS - 1} AS BIGINT),
                    (CAST({CAL_BINS} AS BIGINT) * f.num) // f.den)
                AS bin,
-             CAST(CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE)
-               AS DECIMAL(18,12)) AS p,
+             -- VARCHAR hop (the u17 rule): Spark's double→DECIMAL
+             -- rounds the shortest string repr, DuckDB the exact
+             -- binary — hop through the (identical) shortest repr
+             CAST(CAST(CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE)
+               AS VARCHAR) AS DECIMAL(18,12)) AS p,
              l.passes AS y
       FROM feat f JOIN lbl l USING (doc_id)
       WHERE f.den > 0
@@ -1404,8 +1407,8 @@ def _calibration_oracle() -> str:
       SELECT *, ABS(mean_pred - frac_pos) AS abs_gap FROM scored
     ),
     tot AS (
-      SELECT SUM(CAST(abs_gap * CAST(n AS DOUBLE)
-               AS DECIMAL(28,12))) AS gsum,
+      SELECT SUM(CAST(CAST(abs_gap * CAST(n AS DOUBLE)
+               AS VARCHAR) AS DECIMAL(28,12))) AS gsum,
              CAST(SUM(n) AS BIGINT) AS nn
       FROM gapped
     )

@@ -553,7 +553,12 @@ def u14_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vals AS (
       SELECT o_orderpriority AS grp,
-             CAST(o_totalprice * 100 AS BIGINT) AS v
+             -- through DECIMAL(18,2) first (the money rule): the raw
+             -- double*100 rounds in DuckDB's double→BIGINT cast but
+             -- TRUNCATES in Spark's (2997.58*100 = 299757.99…), a
+             -- 1-cent drift that moved a median element (edge tier)
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS v
       FROM orders
       WHERE o_totalprice IS NOT NULL
     ),
@@ -614,6 +619,107 @@ def u16_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_outlier_report(
         cat.table("orders"),
         ["o_orderpriority"],
-        F.col("o_totalprice") * 100,
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
         k=3,
+    )
+
+
+def _benford_oracle() -> str:
+    """u17: the Benford audit's SQL mirror. The nine expected shares
+    are the SAME driver-Python literals the Spark plan uses
+    (profile.benford_table — the x75 enumerable-domain rule: a 9-value
+    transcendental domain never crosses engines); χ² terms fold
+    through DECIMAL(28,12) like the x81 ECE."""
+    from ods_to_datalake_spark.operators.profile import benford_table
+
+    spine = ", ".join(f"({d}, {p})" for d, p in benford_table())
+    return f"""
+    WITH spine(digit, expected_share) AS (
+      SELECT CAST(d AS BIGINT), CAST(p AS DECIMAL(18,12))
+      FROM (VALUES {spine}) AS v(d, p)
+    ),
+    vals AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    ),
+    counts AS (
+      SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM vals GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(n_obs), 0) AS BIGINT) AS n_total
+      FROM counts
+    ),
+    per AS (
+      SELECT s.digit,
+             CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+             s.expected_share, t.n_total,
+             CASE WHEN t.n_total > 0 THEN
+               CAST(COALESCE(c.n_obs, 0) AS DOUBLE)
+                 / CAST(t.n_total AS DOUBLE)
+             END AS obs_share,
+             CAST(s.expected_share AS DOUBLE)
+               * CAST(t.n_total AS DOUBLE) AS exp_n
+      FROM spine s LEFT JOIN counts c ON c.digit = s.digit
+      CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT digit, n_obs, obs_share, expected_share, n_total,
+             CASE WHEN n_total > 0 THEN
+               (CAST(n_obs AS DOUBLE) - exp_n)
+                 * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n
+             END AS chi2_term
+      FROM per
+    ),
+    chi AS (
+      -- VARCHAR hop: DuckDB's double→DECIMAL cast rounds the EXACT
+      -- binary expansion while Spark's rounds the shortest string
+      -- repr (BigDecimal.valueOf) — they disagree when the shortest
+      -- repr lands exactly on a rounding halfway point (…2445 vs
+      -- …24446, found by u17's χ² fold); both engines' double→VARCHAR
+      -- is the identical shortest round-trip string, so rounding THAT
+      -- is engine-stable
+      SELECT SUM(CAST(CAST(chi2_term AS VARCHAR) AS DECIMAL(28,12))) AS c FROM terms
+    )
+    SELECT t.digit, t.n_obs, t.obs_share,
+           CAST(t.expected_share AS DOUBLE) AS expected_share,
+           t.chi2_term, t.n_total,
+           CAST(CAST(c.c AS VARCHAR) AS DOUBLE) AS chi2
+    FROM terms t CROSS JOIN chi c
+    """
+
+
+@register(
+    "u17_benford_audit",
+    oracle=_benford_oracle(),
+    doc="Benford first-digit audit of order value (Newcomb 1881 / "
+    "Benford 1938) with the χ² statistic — the fraud/fabrication "
+    "screen for financial data: organic multiplicative magnitudes "
+    "are logarithmic in the leading digit, invented ones uniform-ish "
+    "(TPC-H's synthetic uniform prices FAIL the test, which is the "
+    "honest reading and exactly what the audit detects). Money as "
+    "cents (×100 appends zeros, leading digit invariant); the digit "
+    "is the first char of the BIGINT's decimal rendering — integer→"
+    "string identical cross-engine, no float log10 extraction; the "
+    "nine expected shares are driver-literal decimals shared "
+    "verbatim by both engines (the x75 enumerable-domain rule — a "
+    "transcendental on a 9-value domain never crosses engines); the "
+    "nine χ² terms fold through DECIMAL(28,12) (the x81 ECE rule). "
+    "All 9 digits always appear — zero observations is evidence "
+    "(term N·p_d), not absence; empty input emits the spine with "
+    "NULL shares (CASE-guarded). One 9-group partial agg over the "
+    "fact, then 9-row arithmetic. "
+    "operators/profile.benford_audit.",
+)
+def u17_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import benford_audit
+
+    cat = load_testdata(spark, sf_dir)
+    return benford_audit(
+        cat.table("orders").where(F.col("o_totalprice") > 0),
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
     )

@@ -305,3 +305,55 @@ def test_robust_outliers_all_null_group_absent(spark):
     got = {r.grp for r in
            robust_outlier_report(df, ["grp"], F.col("v")).collect()}
     assert got == {"a"}
+
+
+# --- Benford audit (u17) ---------------------------------------------------
+
+
+def test_benford_digit_extraction_and_spine(spark):
+    """Leading digits via string head (999→9, 100→1); all 9 digits
+    present even with zero observations; NULL/non-positive excluded."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import benford_audit
+
+    rows = [(999,), (100,), (1,), (12,), (95,), (0,), (-7,), (None,)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r.digit: r for r in benford_audit(df, F.col("v")).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1].n_obs == 3 and out[9].n_obs == 2
+    assert out[1].n_total == 5  # 0, -7, NULL excluded
+    assert out[2].n_obs == 0
+    assert out[2].chi2_term is not None  # zero-count digit still scores
+    assert out[1].chi2 == out[9].chi2  # one total on every row
+
+
+def test_benford_empty_input_null_guards(spark):
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import benford_audit
+
+    df = spark.createDataFrame([], "v long")
+    out = benford_audit(df, F.col("v")).collect()
+    assert len(out) == 9
+    assert all(r.n_obs == 0 and r.n_total == 0 for r in out)
+    assert all(r.obs_share is None and r.chi2_term is None for r in out)
+
+
+def test_benford_logarithmic_data_scores_low(spark):
+    """A geometric series (organic multiplicative growth) must score
+    a far smaller chi2 than a uniform block at the same N — the
+    discrimination the audit exists for."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import benford_audit
+
+    geo = [int(1.05**i) + 1 for i in range(1, 300)]
+    uni = list(range(400, 400 + len(geo)))  # all leading-digit 4..5
+    chi_geo = benford_audit(
+        spark.createDataFrame([(v,) for v in geo], "v long"), F.col("v")
+    ).collect()[0].chi2
+    chi_uni = benford_audit(
+        spark.createDataFrame([(v,) for v in uni], "v long"), F.col("v")
+    ).collect()[0].chi2
+    assert chi_geo < chi_uni / 5

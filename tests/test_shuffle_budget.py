@@ -352,6 +352,9 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "u17_benford_audit": 1,  # one 9-group partial agg over the fact;
+    # the spine join and totals broadcast; the chi2 fold reads the
+    # CHECKPOINTED 9-row frame
     "e17_interarrival_stats": 1,  # ONE user-key exchange reused by
     # the lag window and the per-user aggregate
     "g10_bfs_layers": 0,  # the final plan reads only the per-round
