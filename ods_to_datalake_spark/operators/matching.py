@@ -407,3 +407,127 @@ def survivorship_merge(
         *[F.min(c).alias(f"min_{c}") for c in min_cols],
     )
     return aggs.join(modes, cluster_col, "left")
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    max_token_bucket: int | None = None,
+    token_sets: DataFrame | None = None,
+) -> DataFrame:
+    """All ORDERED document pairs where a's token set is mostly inside
+    b's: |a ∩ b| / |a| >= t_num/t_den, a ≠ b — set CONTAINMENT, the
+    asymmetric sibling of `set_similarity_join`'s Jaccard: quote /
+    excerpt / subset detection ("this doc is a fragment of that one"),
+    which a symmetric threshold structurally misses because a big
+    container dilutes Jaccard (a 20-token quote inside a 2000-token
+    page has J ≈ 0.01 but containment 1.0).
+
+    Returns (doc_a, doc_b, overlap, size_a, size_b, containment) with
+    doc_a the CONTAINED side; mutually-containing near-equal docs
+    appear in both orders — directed semantics, deliberately.
+
+    Prefix filter (Chaudhuri et al. ICDE'06, adapted): the required
+    overlap ceil(t·|a|) depends ONLY on the contained side, so a's
+    prefix is the same |a| − ceil(t·|a|) + 1 rarest-token rule the
+    Jaccard join uses (`_prefix_table`, shared — one definition), but
+    the CONTAINER side must be indexed on ALL its tokens (|b| is
+    unbounded, no prefix shrinks it). Candidate buckets are therefore
+    bounded by each prefix token's full corpus df, not its prefix df
+    — worse skew than the Jaccard join by construction, which is what
+    ``max_token_bucket`` guards: container-index tokens with corpus
+    df above the cap are dropped BEFORE the join (capped recall is a
+    LOWER bound — pair it with `oversized_container_tokens`, the
+    oversized_* contract). Threshold math all-integer
+    (o·t_den ≥ t_num·|a|); containment itself is ONE IEEE division.
+
+    Scale: one (doc, token) distinct + df count + doc-keyed prefix
+    windows (the Jaccard join's exact shape), then a token-keyed
+    candidate join and a candidate-bounded verify count — nothing
+    all-pairs; the token-set table feeds four legs and is
+    materialized once."""
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be in (0, 1]: {t_num}/{t_den}")
+    if token_sets is None:
+        toks = doc_token_sets(docs, id_col, text_col)
+    else:
+        toks = token_sets.select(
+            F.col(token_sets.columns[0]).alias("_doc"),
+            F.col(token_sets.columns[1]).alias("token"),
+        ).where(
+            F.col("_doc").isNotNull() & F.col("token").isNotNull()
+        ).distinct()
+    toks = toks.localCheckpoint()
+    pa = _prefix_table(toks, t_num, t_den).select(
+        F.col("_doc").alias("doc_a"),
+        "token",
+        F.col("sz").alias("size_a"),
+    )
+    container = toks
+    if max_token_bucket is not None:
+        widths = toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("__w")
+        )
+        container = toks.join(
+            widths.filter(F.col("__w") <= max_token_bucket).drop(
+                "__w"
+            ),
+            "token",
+        )
+    tb_sz = container.withColumn(
+        "size_b",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("_doc"))
+        .cast("long"),
+    ).select(F.col("_doc").alias("doc_b"), "token", "size_b")
+    cand = (
+        pa.join(tb_sz, "token")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("_doc").alias("doc_a"), "token")
+    tb = toks.select(F.col("_doc").alias("doc_b"), "token")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .where(
+            F.col("overlap") * F.lit(t_den)
+            >= F.lit(t_num) * F.col("size_a")
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "overlap",
+        "size_a",
+        "size_b",
+        (
+            F.col("overlap").cast("double")
+            / F.col("size_a").cast("double")
+        ).alias("containment"),
+    )
+
+
+def oversized_container_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_token_bucket: int,
+) -> DataFrame:
+    """(token, n_docs) for container-index tokens whose corpus df
+    exceeds ``max_token_bucket`` — what `containment_join(...,
+    max_token_bucket=...)` drops from the container index, computed
+    from the SAME distinct token sets (the oversized_* contract:
+    capped recall is a lower bound only if this report is read)."""
+    return (
+        doc_token_sets(docs, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_token_bucket)
+    )

@@ -360,3 +360,85 @@ def x63_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([bm, cos], "doc_id", RRF_TOPK, c=RRF_C)
+
+
+CONT_NUM, CONT_DEN = 19, 20
+
+
+@register(
+    "x82_containment_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+      ) AS _u WHERE token <> ''
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM toks GROUP BY doc_id
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS dfr
+      FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.token, s.sz,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id ORDER BY d.dfr, t.token
+             ) AS rn
+      FROM toks t JOIN dfreq d USING (token) JOIN sizes s USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, token FROM ranked
+      WHERE rn <= sz
+            - (({CONT_NUM}*sz + {CONT_DEN} - 1) // {CONT_DEN}) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN toks b
+        ON a.token = b.token AND a.doc_id <> b.doc_id
+    ),
+    ov AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT ov.doc_a, ov.doc_b, overlap,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(overlap AS DOUBLE) / CAST(sa.sz AS DOUBLE)
+             AS containment
+    FROM ov
+    JOIN sizes sa ON sa.doc_id = ov.doc_a
+    JOIN sizes sb ON sb.doc_id = ov.doc_b
+    WHERE overlap * {CONT_DEN} >= {CONT_NUM} * sa.sz
+    """,
+    doc=f"Exact set-CONTAINMENT join at |a∩b|/|a| >= "
+    f"{CONT_NUM}/{CONT_DEN} — the asymmetric sibling of x60's "
+    "Jaccard join: quote/excerpt/subset detection, which a symmetric "
+    "threshold structurally misses (a 20-token quote inside a "
+    "2000-token page has J≈0.01 but containment 1.0 — exactly the "
+    "doc-in-doc duplication a training corpus wants found before "
+    "the page and its fragment both ship). ORDERED pairs, doc_a the "
+    "contained side. Prefix filter on the CONTAINED side only (the "
+    "required overlap ceil(t·|a|) depends only on |a| — the same "
+    "shared `_prefix_table` rule as x60), container indexed on ALL "
+    "tokens (|b| is unbounded, no prefix shrinks it — worse skew by "
+    "construction, which `max_token_bucket` + "
+    "`oversized_container_tokens` guard at 100 TB; registered form "
+    "uncapped, oracle exact). All-integer threshold math; "
+    "containment one IEEE division. "
+    "operators/matching.containment_join.",
+)
+def x82_containment_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.matching import (
+        containment_join,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return containment_join(
+        cat.table("documents"), "doc_id", "text", CONT_NUM, CONT_DEN
+    )

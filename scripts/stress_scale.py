@@ -121,6 +121,10 @@ SUITE_QUERIES = [
     # visited anti-join over the trade graph (fixed-nodes regime,
     # like g09)
     "g10_bfs_layers",
+    # round-10: containment join — x60's prefix machinery with an
+    # UNPREFIXED container index (worse skew by construction); same
+    # exact-copy-output hazard as x60, so same PERTURB gate
+    "x82_containment_join",
 ]
 
 
@@ -334,14 +338,15 @@ def main() -> int:
         only.split(",") if only else list(CUSTOM) + SUITE_QUERIES
     )
     for name in selected:
-        if name == "x60_set_similarity_join" and not os.environ.get(
-            "SPARK_GRAFT_STRESS_PERTURB_DOCS"
-        ):
+        if name in (
+            "x60_set_similarity_join",
+            "x82_containment_join",
+        ) and not os.environ.get("SPARK_GRAFT_STRESS_PERTURB_DOCS"):
             # on exact-copy replicas every cross-replica pair is a
             # TRUE near-dup: the cell's output/candidates go quadratic
             # and the 30x run filled the disk — never run it unguarded
             print(
-                "skip x60_set_similarity_join: set "
+                f"skip {name}: set "
                 "SPARK_GRAFT_STRESS_PERTURB_DOCS=1 (exact-copy "
                 "replicas make its output quadratic; see README)"
             )

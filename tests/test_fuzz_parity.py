@@ -66,6 +66,10 @@ FUZZ_QUERIES = [
     # round-10: reliability/ECE — zero-token docs excluded, empty
     # corpus -> empty report, integer bin edges at exact boundaries
     "x81_score_calibration",
+    # round-10: containment join — tiny-alphabet corpora are
+    # containment-dense; single-token docs make prefix length 1 and
+    # t=1 boundary pairs
+    "x82_containment_join",
 ]
 
 

@@ -192,3 +192,90 @@ def test_ssj_cap_drops_oversized_bridge_and_reports_it(spark):
         docs, "doc_id", "text", 1, 2, max_prefix_bucket=3
     )
     assert {(r.token, r.n_docs) for r in rep.collect()} == {("u", 6)}
+
+
+# --- containment join (x82) ------------------------------------------------
+
+
+def _brute_containment(corpus, t_num, t_den):
+    sets = {i: set(t.split()) for i, t in corpus if t and t.split()}
+    out = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b and len(sa & sb) * t_den >= t_num * len(sa):
+                out.add((a, b))
+    return out
+
+
+def test_containment_matches_brute_force(spark):
+    from ods_to_datalake_spark.operators.matching import (
+        containment_join,
+    )
+
+    corpus = [
+        (1, "rare quote words here"),  # fully inside doc 2
+        (2, "rare quote words here plus a lot of page body text"),
+        (3, "rare quote words differ"),  # 3/4 inside doc 2
+        (4, "unrelated tokens entirely zq"),
+        (5, None),
+        (6, ""),
+        (7, "rare quote words here"),  # exact dup of 1: mutual
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    for num, den in [(1, 1), (3, 4), (1, 2)]:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in containment_join(
+                df, "doc_id", "text", num, den
+            ).collect()
+        }
+        assert got == _brute_containment(corpus, num, den), (num, den)
+
+
+def test_containment_is_asymmetric_where_jaccard_is_blind(spark):
+    """The quote-in-page case: containment 1.0 one way, tiny Jaccard
+    — the pair x60 at 0.9 cannot emit."""
+    from ods_to_datalake_spark.operators.matching import (
+        containment_join,
+        set_similarity_join,
+    )
+
+    page = "q1 q2 q3 " + " ".join(f"body{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "q1 q2 q3"), (2, page)], "doc_id long, text string"
+    )
+    cont = containment_join(df, "doc_id", "text", 1, 1).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    assert (
+        set_similarity_join(df, "doc_id", "text", 9, 10).count() == 0
+    )
+
+
+def test_containment_cap_is_lower_bound_with_report(spark):
+    """Dropping a corpus-wide token from the container index loses
+    only pairs bridged solely by it, and the report names it."""
+    from ods_to_datalake_spark.operators.matching import (
+        containment_join,
+        oversized_container_tokens,
+    )
+
+    rows = [(i, f"common u{i}") for i in range(6)] + [
+        (100, "common u0")  # contained in doc 0 via both tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_join(df, "doc_id", "text", 1, 2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in containment_join(
+            df, "doc_id", "text", 1, 2, max_token_bucket=3
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 0) in capped  # still bridged by the rare u0
+    rep = oversized_container_tokens(df, "doc_id", "text", 3).collect()
+    assert [(r.token, r.n_docs) for r in rep] == [("common", 7)]

@@ -352,6 +352,10 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "x82_containment_join": 5,  # df count + the contained-side
+    # prefix windows + the token-keyed candidate join + the
+    # candidate-bounded verify count — the x60 shape with the
+    # container side unprefixed (reads the CHECKPOINTED token sets)
     "u17_benford_audit": 1,  # one 9-group partial agg over the fact;
     # the spine join and totals broadcast; the chi2 fold reads the
     # CHECKPOINTED 9-row frame
