@@ -290,6 +290,19 @@ def interarrival_stats(
         F.sum(F.col("__gap").cast(d38) * F.col("__gap").cast(d38))
         .alias("__sq"),
     )
+    return gap_stats_from_sums(agg, key)
+
+
+def gap_stats_from_sums(agg: DataFrame, key: str) -> DataFrame:
+    """`interarrival_stats`' final μ/σ/burstiness arithmetic over a
+    pre-built (key, n_events, n_gaps, sum_gap_s, __sq DECIMAL(38,0))
+    frame — split out so the STREAMING face (which maintains the four
+    sums as per-key state) derives the statistics through the SAME
+    expressions and stays bit-identical by construction (the
+    zipf_from_counts / cusum_from_daily pattern; gap sums are
+    mergeable because the gap multiset depends only on sorted
+    timestamps)."""
+    d38 = "decimal(38,0)"
     mean = F.col("sum_gap_s").cast("double") / F.col(
         "n_gaps"
     ).cast("double")
