@@ -905,3 +905,116 @@ def bfs_layers(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """(community, n_nodes, internal_edges, degree_sum, contribution,
+    modularity) — Newman–Girvan modularity of a community assignment
+    over the undirected graph: per community c,
+
+        Q_c = L_c/m − (D_c / 2m)²
+
+    (L_c intra-community edges, D_c summed degree, m total edges),
+    with Q = Σ_c Q_c repeated on every row — the quality number a
+    community detector (g06 LPA) ships with, the same
+    eval-the-component contract as x78 (LSH recall) and x80 (ANN
+    recall): a partition chosen without measuring Q on ITS graph is
+    guessing. Q ∈ [−1/2, 1); 0 is the random-graph baseline (Newman
+    2004, "Finding and evaluating community structure in networks").
+
+    Exactness: everything is INTEGER until one final division —
+    Q_c = (4·m·L_c − D_c²) / (4m²) with the numerator in
+    DECIMAL(38,0) (D_c² crosses int64 at D_c ~ 3e9), the per-community
+    numerators summed exactly (order-free), and ONE IEEE division per
+    emitted value; both operands cross 1e13 at real scale, so the
+    oracle VARCHAR-hops its HUGEINT→DOUBLE casts (the u17/CLAUDE
+    rule). Edge normalization is the shared `_undirected_edges`
+    (dedup, self-loops dropped); only LABELED nodes participate —
+    an edge with an unlabeled endpoint is external by definition
+    (LPA labels every graph node, so the inner join is total there).
+
+    Scale: the normalized edge table feeds the degree agg and two
+    label attachments (3 legs → checkpointed DISK_ONLY, the x25/r9
+    rule); labels are node-sized and join node-keyed; everything
+    after the two aggs is community-count-sized."""
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
+    )
+    lab = labels.select(
+        F.col(node_col).alias("__n"), F.col(label_col).alias("__c")
+    ).where(F.col(node_col).isNotNull())
+    m_row = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionByName(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    per_c = (
+        deg.join(lab, "__n")
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("__d").cast("long").alias("degree_sum"),
+        )
+    )
+    la = lab.select(F.col("__n").alias("__a"), F.col("__c").alias("__ca"))
+    lb = lab.select(F.col("__n").alias("__b"), F.col("__c").alias("__cb"))
+    internal = (
+        e.join(la, "__a")
+        .join(lb, "__b")
+        .where(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        per_c.join(internal, "__c", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("__c").alias("community"),
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+            "degree_sum",
+            (
+                F.lit(4).cast(d38)
+                * F.col("__m").cast(d38)
+                * F.coalesce("internal_edges", F.lit(0)).cast(d38)
+                - F.col("degree_sum").cast(d38)
+                * F.col("degree_sum").cast(d38)
+            ).alias("__num"),
+            (
+                F.lit(4).cast(d38)
+                * F.col("__m").cast(d38)
+                * F.col("__m").cast(d38)
+            ).alias("__den"),
+        )
+        .withColumn(
+            "contribution",
+            F.col("__num").cast("double")
+            / F.col("__den").cast("double"),
+        )
+        .localCheckpoint()  # community-count-sized; feeds report + Q
+    )
+    q_row = scored.agg(
+        F.sum("__num").alias("__qn"), F.max("__den").alias("__qd")
+    )
+    return scored.crossJoin(F.broadcast(q_row)).select(
+        "community",
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        "contribution",
+        (
+            F.col("__qn").cast("double") / F.col("__qd").cast("double")
+        ).alias("modularity"),
+    )

@@ -1422,3 +1422,102 @@ def g10_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") * 2).alias("node"))
     )
     return bfs_layers(edges, seeds, max_hops=BFS_HOPS)
+
+
+def _modularity_oracle() -> str:
+    """g11: Newman modularity of the g06 LPA labels over the SAME
+    ≥2-order co-purchase graph — the labels CTE embeds g06's full
+    unrolled oracle verbatim (the x25 single-source rule). Integer
+    numerators in HUGEINT; every HUGEINT→DOUBLE cast VARCHAR-hops
+    (the u17 rule: operands cross 1e13)."""
+    lpa = _lpa_oracle(LPA_ROUNDS)
+    return f"""
+    WITH lbl AS ({lpa}),
+    items2 AS MATERIALIZED {SQL_BASKET_ITEMS},
+    e2 AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items2 a JOIN items2 b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e2),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) AS _u
+      GROUP BY n
+    ),
+    per_c AS (
+      SELECT l.label AS community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      FROM deg JOIN lbl l ON l.node = deg.n
+      GROUP BY l.label
+    ),
+    internal AS (
+      SELECT la.label AS community,
+             CAST(COUNT(*) AS BIGINT) AS internal_edges
+      FROM e2
+      JOIN lbl la ON la.node = e2.a
+      JOIN lbl lb ON lb.node = e2.b
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ),
+    scored AS (
+      SELECT p.community, p.n_nodes,
+             CAST(COALESCE(i.internal_edges, 0) AS BIGINT)
+               AS internal_edges,
+             p.degree_sum,
+             4 * CAST(m.m AS HUGEINT)
+               * CAST(COALESCE(i.internal_edges, 0) AS HUGEINT)
+               - CAST(p.degree_sum AS HUGEINT)
+               * CAST(p.degree_sum AS HUGEINT) AS num,
+             4 * CAST(m.m AS HUGEINT) * CAST(m.m AS HUGEINT) AS den
+      FROM per_c p LEFT JOIN internal i USING (community)
+      CROSS JOIN m
+    ),
+    q AS (
+      SELECT SUM(num) AS qn, MAX(den) AS qd FROM scored
+    )
+    SELECT s.community, s.n_nodes, s.internal_edges, s.degree_sum,
+           CAST(CAST(s.num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(s.den AS VARCHAR) AS DOUBLE) AS contribution,
+           CAST(CAST(q.qn AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(q.qd AS VARCHAR) AS DOUBLE) AS modularity
+    FROM scored s CROSS JOIN q
+    """
+
+
+@register(
+    "g11_modularity",
+    oracle=_modularity_oracle(),
+    doc=f"Newman–Girvan modularity of the g06 LPA partition over the "
+    "SAME ≥2-order co-purchase graph — the eval-the-component "
+    "contract (x78/x80's sibling for the graph family): per community "
+    "Q_c = L_c/m − (D_c/2m)² and the total Q a community detector "
+    "ships with (0 = random baseline; Newman 2004). Exact-integer "
+    "formulation: Q_c = (4mL_c − D_c²)/(4m²) with DECIMAL(38,0)/"
+    "HUGEINT numerators (D_c² crosses int64), numerators summed "
+    "exactly (order-free), ONE IEEE division per value; every "
+    "oracle-side HUGEINT→DOUBLE cast VARCHAR-hops (operands cross "
+    "1e13 — the u17 rule). Labels CTE embeds g06's unrolled oracle "
+    "verbatim (single-source); unlabeled endpoints are external by "
+    "definition. Plan: normalized edge table checkpointed DISK_ONLY "
+    "(3 legs), degree agg + two node-keyed label attachments, then "
+    "community-sized arithmetic. operators/graph.modularity.",
+)
+def g11_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    labels = label_propagation(edges, rounds=LPA_ROUNDS)
+    return modularity(edges, labels)

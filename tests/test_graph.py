@@ -703,3 +703,59 @@ def test_bfs_isolated_seed_and_disconnected_component(spark):
         r.node: r.dist for r in bfs_layers(edges, seeds).collect()
     }
     assert got == {1: 0, 99: 0, 2: 1}
+
+
+# --- modularity (g11) -------------------------------------------------------
+
+
+def test_modularity_two_cliques_perfect_partition(spark):
+    """Two disjoint triangles, each its own community: Q = 1/2 exactly
+    (per triangle: 3/6 − (6/12)² = 1/4)."""
+    from ods_to_datalake_spark.operators.graph import modularity
+
+    edges = _edges(
+        spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)]
+    )
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, label long",
+    )
+    out = modularity(edges, labels).collect()
+    assert len(out) == 2
+    for r in out:
+        assert (r.n_nodes, r.internal_edges, r.degree_sum) == (3, 3, 6)
+        assert r.contribution == 0.25
+        assert r.modularity == 0.5
+
+
+def test_modularity_degenerate_partitions(spark):
+    """One community holding everything scores exactly 0 (the
+    random-graph baseline); singleton communities on a triangle score
+    the known −1/3."""
+    from ods_to_datalake_spark.operators.graph import modularity
+
+    tri = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    one = spark.createDataFrame(
+        [(n, 9) for n in (1, 2, 3)], "node long, label long"
+    )
+    (r,) = modularity(tri, one).collect()
+    assert r.modularity == 0.0 and r.internal_edges == 3
+    singles = spark.createDataFrame(
+        [(n, n) for n in (1, 2, 3)], "node long, label long"
+    )
+    out = modularity(tri, singles).collect()
+    assert len(out) == 3
+    assert all(r.internal_edges == 0 for r in out)
+    assert abs(out[0].modularity - (-1.0 / 3.0)) < 1e-15
+
+
+def test_modularity_unlabeled_endpoint_is_external(spark):
+    from ods_to_datalake_spark.operators.graph import modularity
+
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "node long, label long"  # 3 unlabeled
+    )
+    (r,) = modularity(edges, labels).collect()
+    # edge (2,3) is external; degrees still count both edges at node 2
+    assert (r.n_nodes, r.internal_edges, r.degree_sum) == (2, 1, 3)

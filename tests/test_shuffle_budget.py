@@ -352,6 +352,9 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "g11_modularity": 1,  # the final plan reads the CHECKPOINTED
+    # community-scored frame (edge/label work paid at the LPA and
+    # edge checkpoints) + the 1-row Q broadcast; one visible exchange
     "x82_containment_join": 5,  # df count + the contained-side
     # prefix windows + the token-keyed candidate join + the
     # candidate-bounded verify count — the x60 shape with the
