@@ -68,6 +68,51 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact SQUARED-L2 top-k neighbors per query row — the L2-metric
+    sibling of `brute_force_topk` (ranking by d² ascending, id
+    tiebreak, self-matches excluded): the exact truth leg for auditing
+    an L2-ranked index (PQ's ADC is squared L2 — x83). The d² fold is
+    the SAME zip_with diff-square + left-fold the PQ/k-means paths
+    use, so both engines and both legs share one IEEE order."""
+    from ods_to_datalake_spark.operators.agg import top_k_per_group
+
+    q = queries.select(
+        F.col(query_id), V.to_double(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), V.to_double(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id) != F.col(id_col))
+        .select(
+            query_id,
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.col("__cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        [query_id],
+        [F.col("d2").asc(), F.col(id_col)],
+        k,
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries_local: list[tuple],
@@ -813,6 +858,7 @@ def pq_topk(
     query_id_col: str,
     query_vec_col: str,
     k: int,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over a PQ-encoded
     corpus: for each query, distance ≈ Σ_m lut_m[code_m] where lut_m
@@ -830,6 +876,9 @@ def pq_topk(
     Returns (query_id, id, approx_d2, rn) for rn ≤ k, ties broken by
     corpus id. Exactness property: approx_d2 equals the true squared
     distance to the *reconstructed* (codeword-concatenated) vector.
+    ``exclude_self`` drops rows where the corpus id equals the query
+    id BEFORE ranking (the audit convention — x80/x83's truth legs
+    exclude self-matches, so the approx leg must rank without them).
     """
     from pyspark.sql import Window
 
@@ -864,6 +913,8 @@ def pq_topk(
     scored = encoded.crossJoin(F.broadcast(luts)).select(
         "query_id", F.col(id_col), d2.alias("approx_d2")
     )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy("approx_d2", id_col)
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -879,12 +930,17 @@ def ann_recall_audit(
     k: int,
     approx: DataFrame,
     query_id: str = "query_id",
+    truth: DataFrame | None = None,
 ) -> DataFrame:
     """One-row quality report for an ANN layer: realized recall@k and
     precision@k of `approx` — the (query_id, id) neighbor set any
     approximate method produced (`ivf_topk`, `pq_topk`, hyperplane
     LSH…) — against the EXACT brute-force cosine top-k truth on the
-    same queries. The x78 contract applied to the vector index family
+    same queries. Pass ``truth`` (a (query_id, id) frame) to audit
+    against a different exact metric — a PQ index ranks by squared
+    L2, so its audit supplies the exact-L2 top-k truth; measuring an
+    L2 index against cosine truth would conflate quantization loss
+    with metric mismatch (x83 vs x80). The x78 contract applied to the vector index family
     (VERDICT r9 ask #4): an IVF/PQ index trades recall for bytes and
     probes, and a pipeline that picks nprobe/codebook size without
     measuring realized recall on ITS vectors is guessing. This is the
@@ -907,11 +963,11 @@ def ann_recall_audit(
     residency is fine here, unlike the corpus-scale pair frames in
     dedup/graph).
     """
-    truth = (
-        brute_force_topk(corpus, queries, id_col, vec_col, k, query_id)
-        .select(query_id, id_col)
-        .localCheckpoint(eager=True)
-    )
+    if truth is None:
+        truth = brute_force_topk(
+            corpus, queries, id_col, vec_col, k, query_id
+        )
+    truth = truth.select(query_id, id_col).localCheckpoint(eager=True)
     appx = (
         approx.select(query_id, id_col).localCheckpoint(eager=True)
     )

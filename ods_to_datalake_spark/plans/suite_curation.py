@@ -1472,3 +1472,145 @@ def x81_score_calibration(
         F.col("passes"),
         n_bins=CAL_BINS,
     )
+
+
+PQR_K = 5  # recall@k of the PQ layer vs exact-L2 truth
+
+
+_SQL_L2D2 = (
+    "list_dot_product("
+    "list_transform(list_zip({a}, {b}), z -> z[1] - z[2]), "
+    "list_transform(list_zip({a}, {b}), z -> z[1] - z[2]))"
+)
+
+
+@register(
+    "x83_pq_recall_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), {_SQL_PQ_CB}, dpre AS (
+      SELECT c.vec_id, s.m, s.code,
+             list_transform(
+               list_zip(c.v[s.m * {PQ_SUB} + 1 : s.m * {PQ_SUB} + {PQ_SUB}],
+                        s.cw),
+               z -> z[1] - z[2]) AS dv
+      FROM c CROSS JOIN sub s
+    ), d AS (
+      SELECT vec_id, m, code, list_dot_product(dv, dv) AS d2 FROM dpre
+    ), codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d2, code
+               ) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM c
+      WHERE vec_id < 8
+    ), qdpre AS (
+      SELECT q.query_id, s.m, s.code,
+             list_transform(
+               list_zip(q.qv[s.m * {PQ_SUB} + 1 : s.m * {PQ_SUB} + {PQ_SUB}],
+                        s.cw),
+               z -> z[1] - z[2]) AS dv
+      FROM q CROSS JOIN sub s
+    ), qd AS (
+      SELECT query_id, m, code, list_dot_product(dv, dv) AS d2
+      FROM qdpre
+    ), ad AS (
+      SELECT qd.query_id, cs.vec_id,
+             MAX(CASE WHEN qd.m = 0 THEN qd.d2 END)
+               + MAX(CASE WHEN qd.m = 1 THEN qd.d2 END)
+               + MAX(CASE WHEN qd.m = 2 THEN qd.d2 END)
+               + MAX(CASE WHEN qd.m = 3 THEN qd.d2 END) AS approx_d2
+      FROM codes cs
+      JOIN qd ON qd.m = cs.m AND qd.code = cs.code
+      WHERE qd.query_id <> cs.vec_id
+      GROUP BY qd.query_id, cs.vec_id
+    ), approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_d2, vec_id
+        ) AS rn FROM ad
+      ) WHERE rn <= {PQR_K}
+    ), ts AS (
+      SELECT q.query_id, c.vec_id,
+             {_SQL_L2D2.format(a="q.qv", b="c.v")} AS d2
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ), truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY d2, vec_id
+        ) AS rn FROM ts
+      ) WHERE rn <= {PQR_K}
+    ), hits AS (
+      SELECT a.query_id FROM approx a
+      JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    ), counts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+               AS n_true_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM approx)
+               AS n_approx_pairs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits
+    )
+    SELECT n_true_pairs, n_approx_pairs, n_hits,
+           CASE WHEN n_true_pairs > 0 THEN
+             CAST(n_hits AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+           END AS recall,
+           CASE WHEN n_approx_pairs > 0 THEN
+             CAST(n_hits AS DOUBLE) / CAST(n_approx_pairs AS DOUBLE)
+           END AS precision
+    FROM counts
+    """,
+    doc=f"PQ-layer quality audit (x80's sibling for the compression "
+    f"tier — together they close VERDICT r9 ask #4's IVF/PQ pair): "
+    f"realized recall@{PQR_K} / precision@{PQR_K} of ADC top-k over "
+    f"the x35 PQ codes ({PQ_M}×{PQ_KS} seeded codebooks) against the "
+    "EXACT squared-L2 top-k truth on the same query vectors — L2 "
+    "truth deliberately, the index's own metric, so the audit "
+    "measures QUANTIZATION loss alone (cosine truth would conflate "
+    "it with metric mismatch). Self-matches excluded from BOTH legs "
+    "(pq_topk exclude_self=True). Every d² is the shared zip-diff "
+    "IEEE fold (bit-identical cross-engine, proven by x35/x36); "
+    "approx distances sum the 4 LUT terms in fixed m order both "
+    "sides; counts exact BIGINTs, CASE-guarded ratios. "
+    "operators/similarity.ann_recall_audit(truth=exact-L2) + "
+    "brute_force_topk_l2 + pq_topk.",
+)
+def x83_pq_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.similarity import (
+        ann_recall_audit,
+        brute_force_topk_l2,
+        pq_encode,
+        pq_seed_codebooks,
+        pq_topk,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    books = pq_seed_codebooks(
+        emb, "vec_id", "embedding", PQ_M * PQ_SUB, PQ_M, PQ_KS
+    )
+    encoded = pq_encode(emb, "vec_id", "embedding", books)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk(
+        encoded, queries, books, "vec_id", "query_id", "embedding",
+        PQR_K, exclude_self=True,
+    )
+    truth = brute_force_topk_l2(
+        emb, queries, "vec_id", "embedding", PQR_K
+    )
+    return ann_recall_audit(
+        emb, queries, "vec_id", "embedding", PQR_K, approx,
+        truth=truth,
+    )

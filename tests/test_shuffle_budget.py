@@ -352,6 +352,10 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "x83_pq_recall_audit": 5,  # the x80 report shape: hit join +
+    # three 1-row count aggs over the two CHECKPOINTED query-sized
+    # neighbor frames (the PQ ADC and exact-L2 legs paid their
+    # exchanges at materialization)
     "g11_modularity": 1,  # the final plan reads the CHECKPOINTED
     # community-scored frame (edge/label work paid at the LPA and
     # edge checkpoints) + the 1-row Q broadcast; one visible exchange

@@ -509,3 +509,27 @@ def test_ann_recall_audit_empty_queries_null_guards(spark, emb):
     assert row.n_true_pairs == 0 and row.n_approx_pairs == 0
     assert row.n_hits == 0
     assert row.recall is None and row.precision is None
+
+
+def test_pq_topk_exclude_self(spark, emb):
+    """exclude_self drops the query's own (near-zero recon-distance)
+    row BEFORE ranking — the audit convention, so rank k really holds
+    k candidate neighbors."""
+    from ods_to_datalake_spark.operators.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+        pq_topk,
+    )
+
+    books = pq_seed_codebooks(emb, "vec_id", "embedding", 64, 4, 4)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    q = _queries(emb)
+    with_self = pq_topk(
+        enc, q, books, "vec_id", "query_id", "embedding", 3
+    )
+    without = pq_topk(
+        enc, q, books, "vec_id", "query_id", "embedding", 3,
+        exclude_self=True,
+    )
+    assert without.filter("vec_id = query_id").count() == 0
+    assert with_self.count() == without.count()  # k rows per query
