@@ -516,3 +516,89 @@ def benford_audit(df: DataFrame, value: Column) -> DataFrame:
         "n_total",
         F.col("__c").cast("double").alias("chi2"),
     )
+
+
+def concentration_profile(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """(column_name, n_rows, n_distinct, top_value, top_count,
+    top_share, gini_impurity) — per-column value-concentration
+    profile: the Gini impurity 1 − Σ(nᵢ/N)² and the modal value's
+    share — the "is this column a key, a category, or a constant"
+    diagnostic that row/null counts (u11) don't answer: impurity ≈ 1
+    with distinct ≈ N is key-like, impurity ≈ 0 is near-constant
+    (a candidate for dictionary encoding, partition pruning, or a
+    broken upstream join), and a high top_share flags the hot key
+    every skew mitigation (operators/skew) wants named BEFORE the
+    shuffle that hits it.
+
+    Exactness: Gini = (N² − Σnᵢ²) / N² — all-integer numerator and
+    denominator over DECIMAL(38,0) (Σnᵢ² crosses int64 when one value
+    dominates ~3e9 rows), ONE IEEE division per column (operands
+    VARCHAR-hopped in the oracle — u17's cast rule); top value by
+    (count DESC, value ASC — deterministic at ties) rendered as a
+    string (only string-stable types, the u11 rule — cast DOUBLE
+    columns to DECIMAL first); NULL is a value here (profiled as the
+    literal string 'NULL'), because a 99%-NULL column IS concentrated
+    — that is the finding.
+
+    Scale: one partial-aggregated groupBy per column over its value
+    counts (map-side combinable), each collapsing to a 1-row frame;
+    the per-column frames union — column count, not data size, bounds
+    everything after the first agg."""
+    d38 = "decimal(38,0)"
+    parts = []
+    for c in cols:
+        counts = (
+            df.select(
+                F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                .alias("__v")
+            )
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        row = counts.agg(
+            F.lit(c).alias("column_name"),
+            F.coalesce(F.sum("__n"), F.lit(0))
+            .cast("long")
+            .alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.min(
+                F.struct(
+                    (-F.col("__n")).alias("__nc"),
+                    F.col("__v").alias("__val"),
+                )
+            ).alias("__top"),
+            F.coalesce(
+                F.sum(F.col("__n").cast(d38) * F.col("__n").cast(d38)),
+                F.lit(0).cast(d38),
+            ).alias("__sq"),
+        ).select(
+            "column_name",
+            "n_rows",
+            "n_distinct",
+            F.col("__top.__val").alias("top_value"),
+            (-F.col("__top.__nc")).cast("long").alias("top_count"),
+            F.when(
+                F.col("n_rows") > 0,
+                (-F.col("__top.__nc")).cast("double")
+                / F.col("n_rows").cast("double"),
+            ).alias("top_share"),
+            F.when(
+                F.col("n_rows") > 0,
+                (
+                    F.col("n_rows").cast(d38)
+                    * F.col("n_rows").cast(d38)
+                    - F.col("__sq")
+                ).cast("double")
+                / (
+                    F.col("n_rows").cast(d38)
+                    * F.col("n_rows").cast(d38)
+                ).cast("double"),
+            ).alias("gini_impurity"),
+        )
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -723,3 +723,73 @@ def u17_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.table("orders").where(F.col("o_totalprice") > 0),
         F.col("o_totalprice").cast("decimal(18,2)") * 100,
     )
+
+
+U18_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"]
+
+
+def _concentration_oracle() -> str:
+    """u18: one UNION ALL block per profiled column, each the Gini/
+    top-share arithmetic over that column's value counts. HUGEINT
+    numerators VARCHAR-hop their DOUBLE casts (the u17 rule: N²
+    crosses 1e13 at ~3e6 rows)."""
+    blocks = []
+    for c in U18_COLS:
+        blocks.append(f"""
+    SELECT '{c}' AS column_name,
+           CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           MIN(CASE WHEN rn = 1 THEN v END) AS top_value,
+           CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT)
+             AS top_count,
+           CASE WHEN SUM(n) > 0 THEN
+             CAST(MAX(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE)
+           END AS top_share,
+           CASE WHEN SUM(n) > 0 THEN
+             CAST(CAST(CAST(SUM(n) AS HUGEINT) * CAST(SUM(n) AS HUGEINT)
+                    - SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+                  AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(SUM(n) AS HUGEINT)
+                    * CAST(SUM(n) AS HUGEINT) AS VARCHAR) AS DOUBLE)
+           END AS gini_impurity
+    FROM (
+      SELECT v, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, v) AS rn
+      FROM (
+        SELECT COALESCE(CAST({c} AS VARCHAR), 'NULL') AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+      ) AS _c
+    ) AS _r""")
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "u18_concentration_profile",
+    oracle=_concentration_oracle(),
+    doc="Per-column value-concentration profile of orders: exact Gini "
+    "impurity 1 − Σ(nᵢ/N)² and the modal value's share — the 'is "
+    "this column a key, a category, or a constant' diagnostic u11's "
+    "row/null counts don't answer, and the hot-key report every skew "
+    "mitigation (operators/skew) wants named BEFORE the shuffle that "
+    "hits it. Gini = (N² − Σnᵢ²)/N², ALL-integer numerator/"
+    "denominator over DECIMAL(38,0)/HUGEINT (Σnᵢ² crosses int64 on a "
+    "dominant value), ONE IEEE division per column with VARCHAR-"
+    "hopped oracle casts (the u17 rule); top value by (count DESC, "
+    "value ASC) — deterministic at ties; NULL profiles as the "
+    "literal 'NULL' because a 99%-NULL column IS concentrated — "
+    "that's the finding. One partial-agg groupBy per column, "
+    "column-count-sized output. "
+    "operators/profile.concentration_profile.",
+)
+def u18_concentration_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        concentration_profile,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return concentration_profile(cat.table("orders"), U18_COLS)

@@ -357,3 +357,44 @@ def test_benford_logarithmic_data_scores_low(spark):
         spark.createDataFrame([(v,) for v in uni], "v long"), F.col("v")
     ).collect()[0].chi2
     assert chi_geo < chi_uni / 5
+
+
+# --- concentration profile (u18) -------------------------------------------
+
+
+def test_concentration_profile_hand_cases(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        concentration_profile,
+    )
+
+    rows = [
+        ("c", 1, None),
+        ("c", 2, None),
+        ("c", 3, None),
+        ("c", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, u long, z string")
+    out = {
+        r.column_name: r
+        for r in concentration_profile(df, ["k", "u", "z"]).collect()
+    }
+    k = out["k"]  # constant column: impurity exactly 0
+    assert (k.n_distinct, k.top_value, k.top_count) == (1, "c", 4)
+    assert k.gini_impurity == 0.0 and k.top_share == 1.0
+    u = out["u"]  # all-distinct: impurity (N-1)/N, tie -> value ASC
+    assert u.n_distinct == 4 and u.top_value == "1"
+    assert u.gini_impurity == 0.75
+    z = out["z"]  # all-NULL: NULL is the (only) value — the finding
+    assert (z.n_distinct, z.top_value, z.top_share) == (1, "NULL", 1.0)
+    assert z.gini_impurity == 0.0
+
+
+def test_concentration_profile_empty_table(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        concentration_profile,
+    )
+
+    df = spark.createDataFrame([], "k string")
+    (r,) = concentration_profile(df, ["k"]).collect()
+    assert (r.n_rows, r.n_distinct, r.top_count) == (0, 0, None)
+    assert r.gini_impurity is None and r.top_share is None

@@ -352,6 +352,9 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "u18_concentration_profile": 8,  # one value-count partial agg
+    # per profiled column (4) + each column's 1-row global rollup (4)
+    # — per-column frames union; column count, not data, bounds it
     "x83_pq_recall_audit": 5,  # the x80 report shape: hit join +
     # three 1-row count aggs over the two CHECKPOINTED query-sized
     # neighbor frames (the PQ ADC and exact-L2 legs paid their
