@@ -183,3 +183,67 @@ def scd2_apply(
         .unionByName(closed_now)
         .unionByName(new_versions)
     )
+
+
+def rising_runs(
+    df: DataFrame,
+    key: str,
+    order_cols: Seq[Column | str],
+    value: Column,
+    min_run: int = 3,
+) -> DataFrame:
+    """(key, n_rows, longest_rising_run, n_runs_at_min) — maximal
+    strictly-increasing runs of ``value`` per key in ``order_cols``
+    order: the ordered-pattern primitive (SQL:2016 MATCH_RECOGNIZE's
+    bread-and-butter case) behind "3 green days", escalating-spend
+    alerts, and monotone-drift detection, built from plain windows —
+    no per-row state machine.
+
+    Derivation is the gaps-and-islands parity trick's monotone
+    cousin: flag each row that RISES above its predecessor, then a
+    run id = row_number − running count of risers (constant exactly
+    while consecutive rows rise), then per-run lengths. A maximal
+    run's LENGTH counts rows (a run of r rises spans r+1 rows);
+    ``longest_rising_run`` is 1 for a single-row key (a row is a
+    trivial run) and ``n_runs_at_min`` counts maximal runs spanning
+    at least ``min_run`` rows.
+
+    Determinism: the caller's ``order_cols`` must be a total order
+    per key (include a unique tiebreaker — the w01/topk rule);
+    comparisons on DECIMAL/integer values are exact. NULL values
+    never rise and are never risen above (SQL comparison semantics:
+    the flag is TRUE only when both sides are non-NULL and greater) —
+    a NULL breaks any run, pinned by test.
+
+    Scale: ONE key shuffle; the flag lag, the two running windows,
+    and the final per-key aggregate all reuse the same
+    partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*_cols(order_cols))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = df.withColumn("__v", value).withColumn(
+        "__rise",
+        F.when(
+            F.col("__v").isNotNull()
+            & F.lag("__v").over(w).isNotNull()
+            & (F.col("__v") > F.lag("__v").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    runs = (
+        flagged.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__rsum", F.sum("__rise").over(wrun))
+        .withColumn("__run", F.col("__rn") - F.col("__rsum"))
+        .groupBy(key, "__run")
+        .agg(F.count(F.lit(1)).cast("long").alias("__len"))
+    )
+    return runs.groupBy(key).agg(
+        F.sum("__len").cast("long").alias("n_rows"),
+        F.max("__len").cast("long").alias("longest_rising_run"),
+        F.sum(
+            F.when(F.col("__len") >= min_run, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_runs_at_min"),
+    )

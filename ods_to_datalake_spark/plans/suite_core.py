@@ -1825,3 +1825,74 @@ def u10_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "o_orderkey", "o_custkey", "version", "c_mktsegment"
     )
+
+
+@register(
+    "w08_rising_runs",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             o_orderdate, o_orderkey
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_custkey, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+             ) AS rn,
+             CASE WHEN v IS NOT NULL
+                   AND LAG(v) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                   ) IS NOT NULL
+                   AND v > LAG(v) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                   )
+                  THEN 1 ELSE 0 END AS rise
+      FROM o
+    ),
+    rid AS (
+      SELECT o_custkey,
+             rn - CAST(SUM(rise) OVER (
+               PARTITION BY o_custkey ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS run_id
+      FROM flagged
+    ),
+    runs AS (
+      SELECT o_custkey, run_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM rid GROUP BY o_custkey, run_id
+    )
+    SELECT o_custkey,
+           CAST(SUM(len) AS BIGINT) AS n_rows,
+           CAST(MAX(len) AS BIGINT) AS longest_rising_run,
+           CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_runs_at_min
+    FROM runs GROUP BY o_custkey
+    """,
+    doc="Maximal strictly-rising order-value runs per customer "
+    "(escalating-spend pattern) — the ordered-pattern primitive "
+    "(SQL:2016 MATCH_RECOGNIZE's core case) from plain windows via "
+    "the gaps-and-islands monotone trick: rise flag, run id = "
+    "row_number − running rise count (constant exactly while "
+    "consecutive rows rise), per-run lengths, per-key rollup. Total "
+    "order per key via (o_orderdate, o_orderkey — the w01 tiebreak "
+    "rule); DECIMAL money comparisons exact; NULL values break runs "
+    "(SQL comparison semantics, pinned by test). ONE customer "
+    "shuffle reused by every window and the final agg. "
+    "operators/windows.rising_runs.",
+)
+def w08_rising_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.windows import rising_runs
+
+    cat = load_testdata(spark, sf_dir)
+    return rising_runs(
+        cat.table("orders"),
+        "o_custkey",
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        min_run=3,
+    )

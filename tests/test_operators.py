@@ -798,3 +798,32 @@ def test_stratified_exact_sample_uses_window_group_limit(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert out.count() == 10
+
+
+# --- rising runs (w08) ------------------------------------------------------
+
+
+def test_rising_runs_hand_case(spark):
+    """values 1,2,3,1,2 → runs [1,2,3] and [1,2]: longest 3, one run
+    at min 3; a NULL breaks any run."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.windows import rising_runs
+
+    rows = [
+        (1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 1), (1, 5, 2),
+        # key 2: 1,2,NULL,3,4 — the NULL splits [1,2] from [3,4]
+        (2, 1, 1), (2, 2, 2), (2, 3, None), (2, 4, 3), (2, 5, 4),
+        (3, 1, 7),  # single row: trivial run of 1
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, v long")
+    out = {
+        r.k: r
+        for r in rising_runs(
+            df, "k", [F.col("seq")], F.col("v"), min_run=3
+        ).collect()
+    }
+    assert (out[1].n_rows, out[1].longest_rising_run,
+            out[1].n_runs_at_min) == (5, 3, 1)
+    assert (out[2].longest_rising_run, out[2].n_runs_at_min) == (2, 0)
+    assert (out[3].n_rows, out[3].longest_rising_run) == (1, 1)

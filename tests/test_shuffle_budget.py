@@ -352,6 +352,8 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "w08_rising_runs": 1,  # ONE customer exchange reused by the
+    # rise-flag lag, both running windows, and the final rollup
     "u18_concentration_profile": 8,  # one value-count partial agg
     # per profiled column (4) + each column's 1-row global rollup (4)
     # — per-column frames union; column count, not data, bounds it
