@@ -265,3 +265,91 @@ def cusum_from_daily(
             )
         ).alias("is_shift"),
     )
+
+
+def volume_autocorrelation(
+    df: DataFrame,
+    ts_col: str,
+    lag_days: int = 7,
+) -> DataFrame:
+    """(n_days, n_pairs, autocorr) — lag-``lag_days`` autocorrelation
+    of the daily event-volume series: r_L = Σ d_t·d_{t+L} / Σ d_t²
+    with d_t the deviation from the series mean — the "is volume
+    actually weekly-periodic" NUMBER behind e15's seasonal profile
+    (a profile computed on a non-periodic series is noise dressed as
+    seasonality; r_7 near its ceiling says the weekday decomposition
+    is earning its keep, near 0 says don't ship it). Standard
+    (biased) estimator: the lag pairs' products divide by ALL N
+    squared deviations, so even a strict period reads (N−L)/N, not
+    1.0 — compare r against that ceiling, not against 1 (pinned by
+    test).
+
+    Exact-integer formulation: d_t = N·n_t − T (the e16 scaled
+    deviation — no mean division anywhere); both Σ d_t·d_{t+L} and
+    Σ d_t² are exact DECIMAL(38,0) sums (products reach ~1e30 at
+    daily volumes of 1e6 over 1e3 days — far past int64, fine in
+    decimal38/HUGEINT), and the ratio is ONE IEEE division whose
+    operands the oracle VARCHAR-hops (the u17 rule). Lag pairs are
+    CALENDAR-lagged (a self-join on day = day + L days), not
+    row-lagged — an observed-day gap must break the pair, not
+    silently shift it. r is scale-free: the common N² factor in
+    numerator and denominator cancels mathematically and is kept in
+    BOTH (exactness beats simplification the engines might disagree
+    on).
+
+    Edge semantics: fewer than 2 days, or no lag pairs, or a
+    zero-variance series (all days equal → Σd² = 0) → NULL autocorr
+    (CASE-guarded; an ANSI divide-by-zero unguarded).
+
+    Scale: ONE day agg over the events, then calendar-sized frames —
+    the lag self-join and both sums move ~days rows."""
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()  # feeds totals, the dev frame ×2 legs
+    )
+    d38 = "decimal(38,0)"
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("__t"),
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(totals))
+        .select(
+            "day",
+            (
+                F.col("n").cast(d38) * F.col("__nd").cast(d38)
+                - F.col("__t").cast(d38)
+            ).alias("__d"),
+        )
+        .localCheckpoint()  # feeds the denominator AND the lag join
+    )
+    den = dev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.coalesce(
+            F.sum(F.col("__d") * F.col("__d")), F.lit(0).cast(d38)
+        ).alias("__den"),
+    )
+    lagged = dev.select(
+        F.date_sub(F.col("day"), lag_days).alias("day"),
+        F.col("__d").alias("__dl"),
+    )
+    num = dev.join(lagged, "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.col("__d") * F.col("__dl")), F.lit(0).cast(d38)
+        ).alias("__num"),
+    )
+    return den.crossJoin(F.broadcast(num)).select(
+        "n_days",
+        "n_pairs",
+        F.when(
+            (F.col("n_pairs") > 0)
+            & (F.col("__den") != F.lit(0).cast(d38)),
+            F.col("__num").cast("double")
+            / F.col("__den").cast("double"),
+        ).alias("autocorr"),
+    )

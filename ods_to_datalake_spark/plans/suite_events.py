@@ -803,3 +803,73 @@ def e17_interarrival_stats(
     return interarrival_stats(
         cat.table("events"), "user_id", "ts", "event_id"
     )
+
+
+AC_LAG = 7
+
+
+@register(
+    "e18_weekly_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t
+      FROM daily
+    ),
+    dev AS (
+      SELECT day,
+             CAST(n AS HUGEINT) * nd - t AS d
+      FROM daily CROSS JOIN tot
+    ),
+    den AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             COALESCE(SUM(d * d), 0) AS dd
+      FROM dev
+    ),
+    num AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             COALESCE(SUM(a.d * b.d), 0) AS nn
+      FROM dev a JOIN dev b
+        ON b.day = a.day + INTERVAL {AC_LAG} DAY
+    )
+    SELECT den.n_days, num.n_pairs,
+           CASE WHEN num.n_pairs > 0 AND den.dd <> 0 THEN
+             CAST(CAST(num.nn AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(den.dd AS VARCHAR) AS DOUBLE)
+           END AS autocorr
+    FROM den CROSS JOIN num
+    """,
+    doc=f"Lag-{AC_LAG} autocorrelation of daily event volume — the "
+    "'is volume actually weekly-periodic' NUMBER behind e15's "
+    "seasonal profile (a weekday decomposition of a non-periodic "
+    "series is noise dressed as seasonality; r₇ near +1 says ship "
+    "it, near 0 says don't). Exact-integer: deviations d_t = N·n_t−T "
+    "(the e16 scaling — no mean division), Σd_t·d_{t+7} and Σd_t² "
+    "exact DECIMAL(38,0)/HUGEINT sums (products reach ~1e30 at "
+    "scale), ONE IEEE division with VARCHAR-hopped oracle casts (the "
+    "u17 rule); the common N² factor cancels mathematically but is "
+    "KEPT in both operands — exactness beats a simplification the "
+    "engines might disagree on. Lag pairs are CALENDAR-lagged "
+    "(day+7 self-join) — an observed-day gap breaks the pair, never "
+    "silently shifts it (a row-lag would). Sub-2-day / no-pair / "
+    "zero-variance series → NULL (ANSI guard). One event shuffle, "
+    "then calendar-sized frames. "
+    "operators/timeseries.volume_autocorrelation.",
+)
+def e18_weekly_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.timeseries import (
+        volume_autocorrelation,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return volume_autocorrelation(
+        cat.table("events"), "ts", lag_days=AC_LAG
+    )

@@ -121,10 +121,11 @@ SUITE_QUERIES = [
     # visited anti-join over the trade graph (fixed-nodes regime,
     # like g09)
     "g10_bfs_layers",
-    # round-10: containment join — x60's prefix machinery with an
-    # UNPREFIXED container index (worse skew by construction); same
-    # exact-copy-output hazard as x60, so same PERTURB gate
-    "x82_containment_join",
+    # round-10: the containment join's stress cell is the CAPPED
+    # custom form (x82_capped in CUSTOM): the uncapped registered
+    # query is non-viable on amplified corpora by construction —
+    # the container index holds corpus-wide tokens, so replica-0
+    # prefixes hit quadratic buckets (10x GC-thrashed the VM)
 ]
 
 
@@ -313,7 +314,12 @@ def main() -> int:
     from ods_to_datalake_spark.operators.matching import (
         set_similarity_join,
     )
+    from ods_to_datalake_spark.operators.matching import (
+        containment_join,
+    )
     from ods_to_datalake_spark.plans.suite_match import (
+        CONT_DEN,
+        CONT_NUM,
         SSJ_DEN,
         SSJ_NUM,
     )
@@ -328,6 +334,19 @@ def main() -> int:
         "x60_capped": lambda: set_similarity_join(
             docs, "doc_id", "text", SSJ_NUM, SSJ_DEN,
             max_prefix_bucket=2000,
+        ),
+        # x82_capped: the GUARDED containment join (max_token_bucket)
+        # — the registered x82 stays uncapped/exact, but the UNCAPPED
+        # form is non-viable on amplified corpora BY CONSTRUCTION,
+        # worse than x60: the container side indexes ALL tokens, so
+        # every replica-0 (unperturbed) doc's prefix hits a
+        # corpus-wide container bucket (10x uncapped GC-thrashed this
+        # VM; see README). The capped form is the 100-TB operating
+        # mode; recall is a LOWER bound read with
+        # oversized_container_tokens.
+        "x82_capped": lambda: containment_join(
+            docs, "doc_id", "text", CONT_NUM, CONT_DEN,
+            max_token_bucket=2000,
         ),
     }
 

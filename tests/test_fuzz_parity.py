@@ -476,6 +476,9 @@ SEQ_FUZZ_QUERIES = [
     # round-10: burstiness — single-event users, exact-tie timestamps
     # (zero gaps; σ+μ=0 guard), fractional-second epoch truncation
     "e17_interarrival_stats",
+    # round-10: autocorrelation — sub-lag series (no pairs), constant
+    # series (zero variance), all-NULL ts
+    "e18_weekly_autocorrelation",
 ]
 
 

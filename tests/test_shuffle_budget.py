@@ -352,6 +352,9 @@ SHUFFLE_BUDGET = {
     # count legs): the hit equi-join + three 1-row count aggs; the
     # x04 banded self-join and the x60 prefix join paid their
     # exchanges at materialization
+    "e18_weekly_autocorrelation": 3,  # the den agg + the lag
+    # self-join of the CHECKPOINTED calendar-sized dev frame + the
+    # num agg; the event shuffle was paid at the daily checkpoint
     "w08_rising_runs": 1,  # ONE customer exchange reused by the
     # rise-flag lag, both running windows, and the final rollup
     "u18_concentration_profile": 8,  # one value-count partial agg

@@ -226,3 +226,48 @@ def test_cusum_empty_input(spark):
 
     df = spark.createDataFrame([], "event_id long, ts timestamp")
     assert cusum_shift_scores(df, "ts").count() == 0
+
+
+def test_autocorr_perfect_weekly_period(spark):
+    """A strict 7-day-periodic series reads r7 = 1.0 exactly on whole
+    periods (every pair multiplies identical deviations)."""
+    from datetime import datetime
+
+    from ods_to_datalake_spark.operators.timeseries import (
+        volume_autocorrelation,
+    )
+
+    rows = []
+    eid = 0
+    pattern = [10, 2, 2, 2, 2, 2, 1]  # one week, repeated exactly
+    for week in range(3):
+        for dow, n in enumerate(pattern):
+            for _ in range(n):
+                rows.append((eid, datetime(2024, 1, 1 + week * 7 + dow)))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    (r,) = volume_autocorrelation(df, "ts").collect()
+    assert (r.n_days, r.n_pairs) == (21, 14)
+    # the standard (biased) estimator divides the 14 pair products by
+    # all 21 squared deviations, so perfect periodicity reads exactly
+    # (N−L)/N = 14/21 — the ceiling, hit only by a strict period
+    assert r.autocorr == 14.0 / 21.0
+
+
+def test_autocorr_calendar_lag_breaks_on_gaps_and_guards(spark):
+    from datetime import datetime
+
+    from ods_to_datalake_spark.operators.timeseries import (
+        volume_autocorrelation,
+    )
+
+    # days 1 and 5 only: no day+7 partner -> no pairs -> NULL
+    rows = [(0, datetime(2024, 1, 1)), (1, datetime(2024, 1, 5))]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    (r,) = volume_autocorrelation(df, "ts").collect()
+    assert r.n_pairs == 0 and r.autocorr is None
+    # constant series: zero variance -> NULL, not a divide crash
+    rows2 = [(i, datetime(2024, 1, 1 + i)) for i in range(10)]
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp")
+    (r2,) = volume_autocorrelation(df2, "ts").collect()
+    assert r2.n_pairs == 3 and r2.autocorr is None
