@@ -357,9 +357,9 @@ SHUFFLE_BUDGET = {
     # num agg; the event shuffle was paid at the daily checkpoint
     "w08_rising_runs": 1,  # ONE customer exchange reused by the
     # rise-flag lag, both running windows, and the final rollup
-    "u18_concentration_profile": 8,  # one value-count partial agg
-    # per profiled column (4) + each column's 1-row global rollup (4)
-    # — per-column frames union; column count, not data, bounds it
+    "u18_concentration_profile": 2,  # the columns MELT into one long
+    # stream: ONE value-count partial agg + ONE column-keyed rollup
+    # for ALL profiled columns (the per-column-chain form measured 8)
     "x83_pq_recall_audit": 5,  # the x80 report shape: hit join +
     # three 1-row count aggs over the two CHECKPOINTED query-sized
     # neighbor frames (the PQ ADC and exact-L2 legs paid their
