@@ -360,6 +360,12 @@ def main() -> int:
         if name in (
             "x60_set_similarity_join",
             "x82_containment_join",
+            # the CAPPED custom forms too: a cap bounds candidate
+            # buckets, not TRUE output — exact-copy replicas make
+            # every cross-replica pair qualify, so output itself is
+            # quadratic without the perturbation
+            "x60_capped",
+            "x82_capped",
         ) and not os.environ.get("SPARK_GRAFT_STRESS_PERTURB_DOCS"):
             # on exact-copy replicas every cross-replica pair is a
             # TRUE near-dup: the cell's output/candidates go quadratic
