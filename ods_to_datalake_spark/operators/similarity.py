@@ -883,6 +883,16 @@ def pq_topk(
     from pyspark.sql import Window
 
     m = len(codebooks)
+    if not m or not codebooks[0]:
+        # empty-corpus seeding (no codewords) → nothing to rank;
+        # schema-stable empty result, kept lazy (pq_encode's rule —
+        # caught by the empty-tables tier running x83 end-to-end)
+        return queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.lit(None).cast("long").alias(id_col),
+            F.lit(0.0).alias("approx_d2"),
+            F.lit(0).alias("rn"),
+        ).where(F.lit(False))
     sub = len(codebooks[0][0])
     qv = V.to_double(query_vec_col)
     luts = queries.select(
