@@ -1129,3 +1129,54 @@ def lsh_recall_audit(
             ).alias("precision"),
         )
     )
+
+
+def dup_multiplicity_histogram(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(multiplicity, n_groups, n_docs, doc_share) — the exact-dup
+    multiplicity spectrum: how many content-hash groups exist at each
+    copy count, and what fraction of the CORPUS sits at that
+    multiplicity — the "how duplicated is this crawl, and how" panel
+    read before paying for dedup (a corpus that is 40% multiplicity-2
+    wants exact dedup and nothing else; a long multiplicity tail
+    means boilerplate; multiplicity-1 share is the unique mass that
+    survives x01 untouched). x01 lists the duplicate groups; this is
+    their distribution.
+
+    Exactness: groups by md5(text) (NULL text is one NULL-hash group
+    in both engines — a corpus of missing text IS duplicated
+    missingness); counts exact BIGINTs, doc_share ONE IEEE division.
+    Scale: one content-hash shuffle (x01's), one multiplicity-keyed
+    rollup over the GROUP table, a 1-row total broadcast — the
+    histogram is at most max-multiplicity rows."""
+    groups = (
+        docs.select(F.md5(F.col(text_col)).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    hist = groups.groupBy(F.col("__n").alias("multiplicity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    ).localCheckpoint()  # ≤ max-multiplicity rows; feeds the total
+    # agg AND the report (uncheckpointed, each leg re-runs the
+    # corpus hash agg — the x25 rule)
+    tot = hist.agg(
+        F.coalesce(
+            F.sum(F.col("multiplicity") * F.col("n_groups")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__t")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "multiplicity",
+        "n_groups",
+        (F.col("multiplicity") * F.col("n_groups"))
+        .cast("long")
+        .alias("n_docs"),
+        F.when(
+            F.col("__t") > 0,
+            (F.col("multiplicity") * F.col("n_groups")).cast("double")
+            / F.col("__t").cast("double"),
+        ).alias("doc_share"),
+    )

@@ -1018,3 +1018,96 @@ def modularity(
             F.col("__qn").cast("double") / F.col("__qd").cast("double")
         ).alias("modularity"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: list[int],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(k, n_nodes, n_internal_edges, phi) — rich-club coefficient
+    Φ(k) = 2·E_k / (N_k·(N_k−1)) for each degree threshold in ``ks``:
+    of the nodes with degree > k, what fraction of their possible
+    mutual edges exist (Zhou & Mondragón 2004) — "do the hubs talk to
+    each other", the structural question behind core-infrastructure
+    detection and influence-concentration audits that degree
+    assortativity (g08, a single correlation) summarizes away.
+
+    Exactness: N_k and E_k are exact BIGINT conditional counts; the
+    denominator N_k·(N_k−1) multiplies in DECIMAL(38,0) (crosses
+    int64 at ~3e9 nodes); Φ is ONE IEEE division per k, CASE-guarded
+    NULL when N_k < 2 (no possible edges is no evidence, not Φ = 0).
+    An edge is internal iff its MIN endpoint degree > k, so the whole
+    k-spine folds in ONE pass over the degree-attached edge table —
+    K conditional sums inside a single aggregate, zero per-k joins
+    (the table_profile wide-agg shape).
+
+    Scale: the normalized edge table feeds the degree agg and the
+    two degree attachments (3 legs → DISK_ONLY checkpoint, the
+    x25/r9 rule); after the attachments everything is two 1-row
+    aggregates cross-joined and exploded to K rows."""
+    if not ks or any(k < 0 for k in ks):
+        raise ValueError(f"ks must be non-empty, non-negative: {ks}")
+    d38 = "decimal(38,0)"
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
+    )
+    deg = (
+        e.select(F.col("__a").alias("node"))
+        .unionByName(e.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    da = deg.select(F.col("node").alias("__a"), F.col("__d").alias("__da"))
+    db = deg.select(F.col("node").alias("__b"), F.col("__d").alias("__db"))
+    em = (
+        e.join(da, "__a")
+        .join(db, "__b")
+        .select(F.least("__da", "__db").alias("__m"))
+    )
+    e_row = em.agg(
+        *[
+            F.sum(F.when(F.col("__m") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__e_{i}")
+            for i, k in enumerate(ks)
+        ]
+    )
+    n_row = deg.agg(
+        *[
+            F.sum(F.when(F.col("__d") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n_{i}")
+            for i, k in enumerate(ks)
+        ]
+    )
+    wide = e_row.crossJoin(F.broadcast(n_row))
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        F.col(f"__n_{i}").alias("n_nodes"),
+                        F.col(f"__e_{i}").alias("n_internal_edges"),
+                    )
+                    for i, k in enumerate(ks)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return stacked.select(
+        "k",
+        "n_nodes",
+        "n_internal_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            (F.lit(2).cast(d38) * F.col("n_internal_edges").cast(d38))
+            .cast("double")
+            / (
+                F.col("n_nodes").cast(d38)
+                * (F.col("n_nodes").cast(d38) - F.lit(1).cast(d38))
+            ).cast("double"),
+        ).alias("phi"),
+    )

@@ -1521,3 +1521,71 @@ def g11_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(edges, rounds=LPA_ROUNDS)
     return modularity(edges, labels)
+
+
+RC_KS = [1, 2, 4, 8, 16, 32]
+
+
+@register(
+    "g12_rich_club",
+    oracle=f"""
+    WITH items AS MATERIALIZED {SQL_BASKET_ITEMS},
+    e AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) AS _u
+      GROUP BY n
+    ),
+    em AS MATERIALIZED (
+      SELECT LEAST(da.d, db.d) AS m
+      FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+    ),
+    spine(k) AS (
+      SELECT CAST(unnest(ARRAY{RC_KS}) AS BIGINT)
+    )
+    SELECT s.k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > s.k)
+             AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM em WHERE m > s.k)
+             AS n_internal_edges,
+           CASE WHEN (SELECT COUNT(*) FROM deg WHERE d > s.k) >= 2
+             THEN CAST(2 * CAST((SELECT COUNT(*) FROM em
+                                 WHERE m > s.k) AS HUGEINT) AS DOUBLE)
+                  / CAST(CAST((SELECT COUNT(*) FROM deg WHERE d > s.k)
+                           AS HUGEINT)
+                         * (CAST((SELECT COUNT(*) FROM deg
+                                  WHERE d > s.k) AS HUGEINT) - 1)
+                         AS DOUBLE)
+           END AS phi
+    FROM spine s
+    """,
+    doc=f"Rich-club coefficient Φ(k) = 2·E_k/(N_k·(N_k−1)) at degree "
+    f"thresholds {RC_KS} over the ≥2-order co-purchase graph (Zhou & "
+    "Mondragón 2004): of the nodes with degree > k, what fraction of "
+    "their possible mutual edges exist — 'do the hubs talk to each "
+    "other', the structural audit g08's single correlation summarizes "
+    "away. Exact BIGINT conditional counts; an edge is internal iff "
+    "its MIN endpoint degree > k, so the whole spine folds in ONE "
+    "pass over the degree-attached edge table (K conditional sums in "
+    "one aggregate — zero per-k joins); denominator in "
+    "DECIMAL(38,0)/HUGEINT, Φ one CASE-guarded IEEE division (N_k<2 "
+    "→ NULL: no possible edges is no evidence). Edge table "
+    "DISK_ONLY-checkpointed (3 legs). operators/graph.rich_club.",
+)
+def g12_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import rich_club
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return rich_club(edges, RC_KS)

@@ -1944,3 +1944,53 @@ def x80_ann_recall_audit(
     return ann_recall_audit(
         emb, queries, "vec_id", "embedding", IVF_TOPK, approx
     )
+
+
+@register(
+    "x84_dup_multiplicity",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY md5(text)
+    ),
+    hist AS (
+      SELECT n AS multiplicity,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM g GROUP BY n
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(multiplicity * n_groups), 0) AS BIGINT)
+        AS t
+      FROM hist
+    )
+    SELECT multiplicity, n_groups,
+           CAST(multiplicity * n_groups AS BIGINT) AS n_docs,
+           CASE WHEN t > 0 THEN
+             CAST(multiplicity * n_groups AS DOUBLE)
+               / CAST(t AS DOUBLE)
+           END AS doc_share
+    FROM hist CROSS JOIN tot
+    """,
+    doc="Exact-duplicate multiplicity spectrum: content-hash group "
+    "counts by copy count plus each multiplicity's share of the "
+    "corpus — the 'how duplicated is this crawl, and how' panel read "
+    "BEFORE paying for dedup (40% at multiplicity 2 → exact dedup "
+    "suffices; a long tail → boilerplate; the multiplicity-1 share "
+    "is the unique mass x01 leaves untouched). x01 lists duplicate "
+    "groups, this is their distribution. NULL text is one NULL-hash "
+    "group in both engines (duplicated missingness); counts exact, "
+    "doc_share one CASE-guarded IEEE division. One content-hash "
+    "shuffle + a multiplicity rollup over the GROUP table + a 1-row "
+    "total. operators/dedup.dup_multiplicity_histogram.",
+)
+def x84_dup_multiplicity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        dup_multiplicity_histogram,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return dup_multiplicity_histogram(
+        cat.table("documents"), "doc_id", "text"
+    )

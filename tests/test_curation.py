@@ -991,3 +991,28 @@ def test_calibration_zero_denominator_excluded(spark):
         calibration_report(
             df, F.col("num"), F.col("den"), F.col("y"), n_bins=0
         )
+
+
+def test_dup_multiplicity_hand_case(spark):
+    from ods_to_datalake_spark.operators.dedup import (
+        dup_multiplicity_histogram,
+    )
+
+    rows = [
+        (1, "a"), (2, "a"), (3, "a"),  # one group at multiplicity 3
+        (4, "b"), (5, "b"),            # one at 2
+        (6, "c"),                      # one at 1
+        (7, None), (8, None),          # NULL-hash group at 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.multiplicity: r
+        for r in dup_multiplicity_histogram(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    assert out[3].n_groups == 1 and out[3].n_docs == 3
+    assert out[2].n_groups == 2 and out[2].n_docs == 4
+    assert out[1].n_groups == 1
+    assert abs(out[3].doc_share - 3 / 8) < 1e-15
+    assert sum(r.n_docs for r in out.values()) == 8

@@ -70,6 +70,9 @@ FUZZ_QUERIES = [
     # containment-dense; single-token docs make prefix length 1 and
     # t=1 boundary pairs
     "x82_containment_join",
+    # round-10: multiplicity spectrum — tiny corpora duplicate
+    # constantly (incl. NULL-hash groups and all-dup corpora)
+    "x84_dup_multiplicity",
 ]
 
 

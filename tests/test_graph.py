@@ -759,3 +759,42 @@ def test_modularity_unlabeled_endpoint_is_external(spark):
     (r,) = modularity(edges, labels).collect()
     # edge (2,3) is external; degrees still count both edges at node 2
     assert (r.n_nodes, r.internal_edges, r.degree_sum) == (2, 1, 3)
+
+
+# --- rich club (g12) --------------------------------------------------------
+
+
+def test_rich_club_complete_graph_is_one(spark):
+    """K5: every node has degree 4, all edges internal at k < 4 —
+    Φ = 1.0 exactly; at k ≥ 4 the club is empty → NULL."""
+    from ods_to_datalake_spark.operators.graph import rich_club
+
+    k5 = _edges(
+        spark, [(a, b) for a in range(5) for b in range(5) if a < b]
+    )
+    out = {r.k: r for r in rich_club(k5, [1, 3, 4]).collect()}
+    assert out[1].phi == 1.0 and out[3].phi == 1.0
+    assert (out[1].n_nodes, out[1].n_internal_edges) == (5, 10)
+    assert out[4].n_nodes == 0 and out[4].phi is None
+
+
+def test_rich_club_star_hub_has_no_club(spark):
+    """A star's hub is the only node above degree 1: a 1-node club
+    has no possible edges → NULL, never 0 or a crash."""
+    from ods_to_datalake_spark.operators.graph import rich_club
+
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    out = {r.k: r for r in rich_club(star, [1]).collect()}
+    assert out[1].n_nodes == 1 and out[1].phi is None
+
+
+def test_rich_club_validates_ks(spark):
+    import pytest as _pytest
+
+    from ods_to_datalake_spark.operators.graph import rich_club
+
+    e = _edges(spark, [(1, 2)])
+    with _pytest.raises(ValueError):
+        rich_club(e, [])
+    with _pytest.raises(ValueError):
+        rich_club(e, [1, -2])

@@ -360,10 +360,17 @@ SHUFFLE_BUDGET = {
     "u18_concentration_profile": 2,  # the columns MELT into one long
     # stream: ONE value-count partial agg + ONE column-keyed rollup
     # for ALL profiled columns (the per-column-chain form measured 8)
+    "x84_dup_multiplicity": 1,  # the final plan reads the
+    # CHECKPOINTED histogram (content-hash + rollup exchanges paid at
+    # materialization); visible: the 1-row total's single-partition agg
     "x83_pq_recall_audit": 5,  # the x80 report shape: hit join +
     # three 1-row count aggs over the two CHECKPOINTED query-sized
     # neighbor frames (the PQ ADC and exact-L2 legs paid their
     # exchanges at materialization)
+    "g12_rich_club": 7,  # degree agg (union of both endpoint
+    # projections) + the two degree attachments to the CHECKPOINTED
+    # edge table + the two 1-row wide aggs (the k-spine folds as
+    # conditional sums — zero per-k joins)
     "g11_modularity": 1,  # the final plan reads the CHECKPOINTED
     # community-scored frame (edge/label work paid at the LPA and
     # edge checkpoints) + the 1-row Q broadcast; one visible exchange
