@@ -1066,9 +1066,14 @@ def rich_club(
         .join(db, "__b")
         .select(F.least("__da", "__db").alias("__m"))
     )
+    # COALESCE each conditional sum: SUM over an EMPTY frame is NULL
+    # in Spark while the oracle's COUNT(*) reads 0 (empty-tables tier)
     e_row = em.agg(
         *[
-            F.sum(F.when(F.col("__m") > k, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__m") > k, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"__e_{i}")
             for i, k in enumerate(ks)
@@ -1076,7 +1081,10 @@ def rich_club(
     )
     n_row = deg.agg(
         *[
-            F.sum(F.when(F.col("__d") > k, 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col("__d") > k, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"__n_{i}")
             for i, k in enumerate(ks)
