@@ -261,3 +261,64 @@ def zipf_from_counts(counts: DataFrame, k: int = 100) -> DataFrame:
         "n_total_tokens",
         "n_types",
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_tokens, n_types, entropy_bits) — per-document Shannon
+    entropy of the within-doc token distribution, in bits: the
+    canonical repetitiveness feature (a doc that repeats one token
+    reads 0; a doc of n distinct tokens reads log2 n) that the
+    Gopher-style ratio rules (x22/x51) approximate piecewise —
+    low-entropy docs are templates, keyword stuffing, or decode loops,
+    and entropy is the single knob quality pipelines threshold on.
+
+    Identity used: H = log2(n) − (Σ_i c_i·log2(c_i)) / n over the
+    token counts c_i — only log2 of INTEGER counts ever crosses
+    engines, never a per-token probability. Each transcendental term
+    is quantized DECIMAL(18,6) BEFORE the multiply/sum (the x38/x72
+    rule: JVM log and libm diverge by 1 ulp; quantizing first bounds
+    the flip odds per term) and the oracle mirrors the quantization
+    through a VARCHAR hop (the u17 rule: Spark's double→DECIMAL cast
+    rounds the shortest repr, DuckDB the exact binary). log2(n) is
+    quantized the same way; the final H is IEEE ops on
+    identically-derived operands — emitted raw (the q02 rule, never
+    re-rounded). Singleton counts contribute log2(1) = 0 exactly.
+    NULL/empty docs have no distribution → NULL entropy (not 0 —
+    a one-token doc reads 0; no tokens reads nothing).
+
+    Scale: one (doc, token) partial-agg groupBy + one doc-keyed
+    rollup — doc-parallel, no cross-document anything."""
+    from ods_to_datalake_spark.functions import text as X
+
+    counts = (
+        docs.select(
+            F.col(id_col), F.explode(X.tokens(text_col)).alias("__t")
+        )
+        .where(F.col("__t") != "")  # the doc_token_sets rule: an
+        # empty/whitespace doc has NO distribution, not one '' token
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(
+            F.col("__c").cast("decimal(18,6)")
+            * F.log2(F.col("__c")).cast("decimal(18,6)")
+        ).alias("__clog"),
+    )
+    ent = (
+        F.log2(F.col("n_tokens")).cast("decimal(18,6)").cast("double")
+        - F.col("__clog").cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    return docs.select(F.col(id_col)).join(
+        per_doc, id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        F.when(F.col("n_tokens") > 0, ent).alias("entropy_bits"),
+    )

@@ -1994,3 +1994,56 @@ def x84_dup_multiplicity(
     return dup_multiplicity_histogram(
         cat.table("documents"), "doc_id", "text"
     )
+
+
+@register(
+    "x85_token_entropy",
+    oracle=f"""
+    WITH counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS tok
+            FROM documents) AS _t
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(CAST(c AS DECIMAL(18,6))
+                 * CAST(CAST(log2(c) AS VARCHAR)
+                     AS DECIMAL(18,6))) AS clog
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_types, 0) AS BIGINT) AS n_types,
+           CASE WHEN p.n_tokens > 0 THEN
+             CAST(CAST(CAST(log2(p.n_tokens) AS VARCHAR)
+                    AS DECIMAL(18,6)) AS DOUBLE)
+               - CAST(p.clog AS DOUBLE)
+                 / CAST(p.n_tokens AS DOUBLE)
+           END AS entropy_bits
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Per-document Shannon token entropy (bits) — the canonical "
+    "repetitiveness feature the Gopher ratio rules (x22/x51) "
+    "approximate piecewise: one-token spam reads 0, n distinct "
+    "tokens read log2 n; the single knob quality pipelines threshold "
+    "on. Identity H = log2(n) − Σc·log2(c)/n so only log2 of INTEGER "
+    "counts crosses engines; each transcendental term quantized "
+    "DECIMAL(18,6) BEFORE the multiply/sum (the x38/x72 rule) with "
+    "the oracle's double→DECIMAL casts VARCHAR-hopped (the u17 "
+    "rule); singleton counts contribute exactly 0; final H is raw "
+    "IEEE ops on identical operands (q02 rule). NULL/empty docs → "
+    "NULL entropy (a one-token doc reads 0; no tokens reads "
+    "nothing). One (doc, token) partial agg + one doc rollup — "
+    "doc-parallel at any scale. operators/quality.token_entropy.",
+)
+def x85_token_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.quality import token_entropy
+
+    cat = load_testdata(spark, sf_dir)
+    return token_entropy(cat.table("documents"), "doc_id", "text")

@@ -1016,3 +1016,27 @@ def test_dup_multiplicity_hand_case(spark):
     assert out[1].n_groups == 1
     assert abs(out[3].doc_share - 3 / 8) < 1e-15
     assert sum(r.n_docs for r in out.values()) == 8
+
+
+def test_token_entropy_hand_cases(spark):
+    """Uniform 4 distinct tokens → exactly 2 bits; all-same → 0;
+    NULL/empty → NULL (no distribution is not zero entropy)."""
+    from ods_to_datalake_spark.operators.quality import token_entropy
+
+    rows = [
+        (1, "a b c d"),
+        (2, "x x x x x"),
+        (3, None),
+        (4, ""),
+        (5, "a a b b"),  # uniform 2 -> exactly 1 bit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in token_entropy(df, "doc_id", "text").collect()
+    }
+    assert out[1].entropy_bits == 2.0 and out[1].n_types == 4
+    assert out[2].entropy_bits == 0.0 and out[2].n_types == 1
+    assert out[3].entropy_bits is None and out[3].n_tokens == 0
+    assert out[4].entropy_bits is None
+    assert out[5].entropy_bits == 1.0

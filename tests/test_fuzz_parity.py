@@ -73,6 +73,10 @@ FUZZ_QUERIES = [
     # round-10: multiplicity spectrum — tiny corpora duplicate
     # constantly (incl. NULL-hash groups and all-dup corpora)
     "x84_dup_multiplicity",
+    # round-10: token entropy — empty/whitespace docs (no
+    # distribution), single-token docs (exactly 0 bits), the
+    # quantized log2 terms under unicode token counts
+    "x85_token_entropy",
 ]
 
 

@@ -360,6 +360,8 @@ SHUFFLE_BUDGET = {
     "u18_concentration_profile": 2,  # the columns MELT into one long
     # stream: ONE value-count partial agg + ONE column-keyed rollup
     # for ALL profiled columns (the per-column-chain form measured 8)
+    "x85_token_entropy": 2,  # the (doc, token) count partial agg +
+    # the doc rollup; the final left attach joins doc-keyed
     "x84_dup_multiplicity": 1,  # the final plan reads the
     # CHECKPOINTED histogram (content-hash + rollup exchanges paid at
     # materialization); visible: the 1-row total's single-partition agg
