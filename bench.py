@@ -29,6 +29,28 @@ import statistics
 import sys
 import time
 
+# The cross-round comparison set, FROZEN at the BENCH_r05 membership
+# (the first honest noop-write round). The headline set may grow —
+# g03 joined at r10 — but round-over-round ratios are only meaningful
+# on a fixed set, so bench emits a ``comparable_subtotal`` over this
+# list alongside the full headline total (VERDICT r10 ask #4; before
+# this field, r10's 16.64s vs r09's 9.49s read as +75% until the
+# reader hand-subtracted g03 and checked loadavg).
+COMPARABLE_SET = (
+    "a02_document_fold",
+    "e01_tumbling_window",
+    "e12_markov_transitions",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "u07_incremental_agg",
+    "x04_minhash_lsh_candidates",
+    "x07_cosine_topk",
+    "x52_hll_vocab",
+    "x58_histogram_quantiles",
+    "x68_target_encoding",
+)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +105,20 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 4)
+    cond_end = run_conditions(spark)
+    comparable = round(
+        sum(timings[n] for n in COMPARABLE_SET if n in timings), 4
+    )
+    # Machine-drift-corrected subtotal: divide by the mean data-free
+    # probe time (runcond.reference_probe — pure codegen arithmetic, so
+    # it moves only with the machine). Cross-round, compare THIS number
+    # first; if it is flat while raw seconds moved, the swing is load.
+    probes = [
+        c["probe_sec"]
+        for c in (cond_start, cond_end)
+        if c.get("probe_sec")
+    ]
+    probe_mean = round(statistics.mean(probes), 4) if probes else None
     print(
         json.dumps(
             {
@@ -92,9 +128,15 @@ def main() -> int:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": reps,
+                "comparable_set": list(COMPARABLE_SET),
+                "comparable_subtotal": comparable,
+                "probe_sec_mean": probe_mean,
+                "comparable_per_probe": (
+                    round(comparable / probe_mean, 3) if probe_mean else None
+                ),
                 "conditions": {
                     "start": cond_start,
-                    "end": run_conditions(spark),
+                    "end": cond_end,
                 },
             }
         )
