@@ -798,3 +798,274 @@ def test_rich_club_validates_ks(spark):
         rich_club(e, [])
     with _pytest.raises(ValueError):
         rich_club(e, [1, -2])
+
+
+# --- round-11 fuzz parity for the round-10 graph family (g09-g12) -----------
+# (VERDICT r10 ask #5: hand topologies pin known cases; derandomized
+# hypothesis vs a pure-Python reference hunts unknown semantic drift —
+# the tier that caught real divergences every round since r5.)
+
+
+def _mk_edges(spark, pairs):
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs] or [(0, 0)],
+        "src long, dst long",
+    )
+    return edges.limit(0) if not pairs else edges
+
+
+def _norm_undirected(pairs):
+    """Mirror operators.graph._undirected_edges: NULL-free ints in,
+    self-loops dropped, one (min, max) row per undirected edge."""
+    return {
+        (min(a, b), max(a, b)) for a, b in pairs if a != b
+    }
+
+
+def _py_hits(pairs, iterations, scale):
+    """Pure-Python mirror of hits_integer: directed distinct edges,
+    synchronous half-steps, integer divide-first max-normalization
+    (x_raw div max(1, m div scale)); inner-join semantics — an edge
+    whose from-side node is absent from the score frame contributes
+    nothing."""
+    edges = {(a, b) for a, b in pairs}
+    nodes = {n for e in edges for n in e}
+
+    def half(scores, from_idx, to_idx):
+        raw: dict = {}
+        for e in edges:
+            if e[from_idx] in scores:
+                raw[e[to_idx]] = raw.get(e[to_idx], 0) + scores[e[from_idx]]
+        if not raw:
+            return {}
+        denom = max(1, max(raw.values()) // scale)
+        return {n: v // denom for n, v in raw.items()}
+
+    h = {n: scale for n in nodes}
+    a: dict = {}
+    for _ in range(iterations):
+        a = half(h, 0, 1)
+        h = half(a, 1, 0)
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.graph import (
+        HITS_SCALE,
+        hits_integer,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=0,
+            max_size=20,
+        ),
+        iterations=st.integers(1, 3),
+    )
+    def check(pairs, iterations):
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in hits_integer(
+                _mk_edges(spark, pairs), iterations=iterations
+            ).collect()
+        }
+        assert got == _py_hits(pairs, iterations, HITS_SCALE)
+
+    check()
+
+
+def _py_bfs(pairs, seeds, max_hops):
+    e = _norm_undirected(pairs)
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in set(seeds)}
+    frontier = set(dist)
+    for r in range(1, max_hops + 1):
+        nxt = {
+            m for n in frontier for m in adj.get(n, ()) if m not in dist
+        }
+        if not nxt:
+            break
+        dist.update({m: r for m in nxt})
+        frontier = nxt
+    return dist
+
+
+def test_bfs_layers_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.graph import bfs_layers
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=0,
+            max_size=20,
+        ),
+        seeds=st.lists(st.integers(0, 7), min_size=1, max_size=3),
+        max_hops=st.integers(0, 4),
+    )
+    def check(pairs, seeds, max_hops):
+        seed_df = spark.createDataFrame(
+            [(int(s),) for s in seeds], "node long"
+        )
+        got = {
+            r.node: r.dist
+            for r in bfs_layers(
+                _mk_edges(spark, pairs), seed_df, max_hops=max_hops
+            ).collect()
+        }
+        assert got == _py_bfs(pairs, seeds, max_hops)
+
+    check()
+
+
+def _py_modularity(pairs, labels):
+    """Mirror operators.graph.modularity: per-community
+    (n_nodes, internal_edges, degree_sum, contribution) + global Q;
+    only labeled nodes WITH edges count toward n_nodes/degree_sum, an
+    edge is internal iff BOTH endpoints carry the same label."""
+    e = _norm_undirected(pairs)
+    m = len(e)
+    deg: dict = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    per_c: dict = {}
+    for n, d in deg.items():
+        if n in labels:
+            c = labels[n]
+            nn, ds = per_c.get(c, (0, 0))
+            per_c[c] = (nn + 1, ds + d)
+    internal: dict = {}
+    for a, b in e:
+        if a in labels and b in labels and labels[a] == labels[b]:
+            internal[labels[a]] = internal.get(labels[a], 0) + 1
+    num = {
+        c: 4 * m * internal.get(c, 0) - ds * ds
+        for c, (nn, ds) in per_c.items()
+    }
+    den = 4 * m * m
+    q = sum(num.values()) / den if per_c else None
+    return {
+        c: (
+            nn,
+            internal.get(c, 0),
+            ds,
+            num[c] / den,
+            q,
+        )
+        for c, (nn, ds) in per_c.items()
+    }
+
+
+def test_modularity_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.graph import modularity
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=1,
+            max_size=20,
+        ),
+        # partial labeling into 3 communities; unlabeled endpoints are
+        # external by definition (the operator's documented rule)
+        labeled=st.dictionaries(
+            st.integers(0, 7), st.integers(100, 102), max_size=8
+        ),
+    )
+    def check(pairs, labeled):
+        lab_df = spark.createDataFrame(
+            [(int(n), int(c)) for n, c in labeled.items()] or [(0, 0)],
+            "node long, label long",
+        )
+        if not labeled:
+            lab_df = lab_df.limit(0)
+        got = {
+            r.community: (
+                r.n_nodes,
+                r.internal_edges,
+                r.degree_sum,
+                r.contribution,
+                r.modularity,
+            )
+            for r in modularity(_mk_edges(spark, pairs), lab_df).collect()
+        }
+        assert got == _py_modularity(pairs, labeled)
+
+    check()
+
+
+def _py_rich_club(pairs, ks):
+    e = _norm_undirected(pairs)
+    deg: dict = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in ks:
+        n_k = sum(1 for d in deg.values() if d > k)
+        e_k = sum(1 for a, b in e if min(deg[a], deg[b]) > k)
+        phi = (2 * e_k) / (n_k * (n_k - 1)) if n_k >= 2 else None
+        out[k] = (n_k, e_k, phi)
+    return out
+
+
+def test_rich_club_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.graph import rich_club
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=0,
+            max_size=20,
+        ),
+        ks=st.lists(
+            st.integers(0, 5), min_size=1, max_size=4, unique=True
+        ),
+    )
+    def check(pairs, ks):
+        got = {
+            r.k: (r.n_nodes, r.n_internal_edges, r.phi)
+            for r in rich_club(_mk_edges(spark, pairs), ks).collect()
+        }
+        assert got == _py_rich_club(pairs, ks)
+
+    check()
