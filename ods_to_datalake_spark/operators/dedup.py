@@ -1155,7 +1155,19 @@ def dup_multiplicity_histogram(
         .groupBy("__h")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
-    hist = groups.groupBy(F.col("__n").alias("multiplicity")).agg(
+    return dup_spectrum_from_group_sizes(groups, "__n")
+
+
+def dup_spectrum_from_group_sizes(
+    groups: DataFrame, size_col: str
+) -> DataFrame:
+    """Histogram derivation shared by batch `dup_multiplicity_histogram`
+    and the streaming face (`streaming/dup_spectrum.read_dup_spectrum`
+    folds per-batch hash counts into the same group-size frame): one
+    definition, so stream and batch cannot drift (the zipf_from_counts
+    contract). ``groups`` is one row per content-hash group with its
+    exact copy count in ``size_col``."""
+    hist = groups.groupBy(F.col(size_col).alias("multiplicity")).agg(
         F.count(F.lit(1)).cast("long").alias("n_groups")
     ).localCheckpoint()  # ≤ max-multiplicity rows; feeds the total
     # agg AND the report (uncheckpointed, each leg re-runs the
