@@ -126,6 +126,15 @@ SUITE_QUERIES = [
     # query is non-viable on amplified corpora by construction —
     # the container index holds corpus-wide tokens, so replica-0
     # prefixes hit quadratic buckets (10x GC-thrashed the VM)
+    # round-11 (VERDICT r10 ask #7): the two round-10 additions that
+    # window the full stream per key. e17 orders every user's events
+    # (user_id amplified → key population grows, the honest per-key
+    # regime); u16 is the OPPOSITE regime by construction — 5 fixed
+    # o_orderpriority groups over an amplified fact, so each group's
+    # order statistics land in ONE window partition and the cell
+    # measures the skew ceiling of the order-statistic median design
+    "e17_interarrival_stats",
+    "u16_robust_outliers",
 ]
 
 
