@@ -1192,3 +1192,67 @@ def dup_spectrum_from_group_sizes(
             / F.col("__t").cast("double"),
         ).alias("doc_share"),
     )
+
+
+def shingle_novelty(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty_share) — per-document
+    first-occurrence attribution over word n-gram shingles: of each
+    document's DISTINCT shingles, how many did THIS document introduce
+    to the corpus (no smaller doc_id contains them)? The per-document
+    Heaps-law face: a crawl batch whose novelty_share sags is
+    re-reading the web (x84 says how duplicated whole documents are;
+    this says how derivative the REST is — near-dup boilerplate that
+    exact hashing never groups), and 'keep the high-novelty tail' is a
+    standard curation move before paying for MinHash.
+
+    Determinism: the introducing document is min(doc_id) per shingle —
+    a total order, no ties; a repeated shingle within one document
+    counts once (distinct (doc, shingle)); documents with NULL id or
+    fewer than ``shingle_n`` tokens have no shingles and are absent
+    (the u16 no-evidence rule). novelty_share is ONE raw
+    BIGINT/BIGINT IEEE division (n_shingles ≥ 1 by construction).
+
+    Scale: explode + distinct is ONE (doc, shingle)-keyed shuffle; the
+    min-attribution table is vocabulary-sized (the Heaps artifact — it
+    grows sublinearly on real corpora) and joins back on the SAME
+    shingle key before one doc-keyed count. Nothing is all-pairs; the
+    corpus-wide state is the shingle→first map, which is exactly the
+    mergeable artifact an incremental ingest maintains (min is
+    associative — today's batch folds against yesterday's map)."""
+    sh = X.shingles(X.tokens(text_col), shingle_n)
+    pairs = (
+        docs.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.explode(sh).alias("__s"))
+        .distinct()
+    )
+    first = pairs.groupBy("__s").agg(
+        F.min(id_col).alias("__first")
+    )
+    return (
+        pairs.join(first, "__s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(id_col) == F.col("__first"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty_share"),
+        )
+    )

@@ -263,6 +263,32 @@ def triangle_count(
     e = _undirected_edges(edges, src, dst).localCheckpoint(
         eager=True, storageLevel=_DISK_ONLY
     )
+    deg, oriented = _degree_oriented(e)
+    o1 = oriented.select("u", "v", "kv")
+    o2 = oriented.select(
+        F.col("u").alias("u2"),
+        F.col("v").alias("w"),
+        F.col("kv").alias("kw"),
+    )
+    wedges = o1.join(
+        o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
+    ).select("v", "w")
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    return wedges.join(closing, ["v", "w"], "inner").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def _degree_oriented(e: DataFrame):
+    """(degree frame, degree-oriented edge frame) shared by
+    triangle_count and clustering_coefficient: each undirected edge of
+    the pre-normalized ``e`` points from its lower-(degree, id)
+    endpoint ``u`` to the higher ``v``, carrying ``kv`` = the (degree,
+    id) struct of ``v`` for wedge ordering. The oriented table is
+    DISK_ONLY-checkpointed (it feeds 2-3 plan legs — the x25/r9
+    rule)."""
     deg = (
         e.select(F.col("__a").alias("node"))
         .union(e.select("__b"))
@@ -304,6 +330,42 @@ def triangle_count(
         )
         .alias("kv"),
     ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    return deg, oriented
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_triangles, clustering) — exact per-node local
+    clustering coefficient C(n) = 2·T(n) / (d(n)·(d(n)−1)) over the
+    undirected graph (Watts & Strogatz 1998): of a node's possible
+    neighbor pairs, the fraction that are themselves connected — the
+    per-node "is my neighborhood a clique or a star" signal behind
+    community cores, spam/bot-ring detection (rings are near-cliques),
+    and the small-world diagnostic; g03's single global count answers
+    "how many triangles", this answers "whose".
+
+    Triangle attribution: the same degree-ordered compact-forward
+    wedge join as `triangle_count` (one definition via
+    `_degree_oriented` — the O(√m) fan-out bound is what survives a
+    celebrity node at 100 TB), but each closed triangle (u, v, w)
+    credits ALL THREE corners (explode), so Σ_n T(n) = 3·triangles.
+    Nodes in no triangle read 0; degree-1 nodes (and isolated
+    endpoints of dropped self-loops) have no neighbor pairs — their
+    coefficient is NULL (no evidence), not 0, CASE-guarded like
+    rich_club's Φ.
+
+    Exactness: counts exact BIGINTs; the denominator d·(d−1)
+    multiplies in DECIMAL(38,0) (crosses int64 at d ~3e9);
+    ``clustering`` is ONE IEEE division per node. Scale: degree agg +
+    two node-keyed equi-joins + the wedge join (all shared with g03's
+    shape), one corner explode (3 rows per triangle), one node-keyed
+    count, one node-keyed left join back to the degree table."""
+    d38 = "decimal(38,0)"
+    e = _undirected_edges(edges, src, dst).localCheckpoint(
+        eager=True, storageLevel=_DISK_ONLY
+    )
+    deg, oriented = _degree_oriented(e)
     o1 = oriented.select("u", "v", "kv")
     o2 = oriented.select(
         F.col("u").alias("u2"),
@@ -312,12 +374,37 @@ def triangle_count(
     )
     wedges = o1.join(
         o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
-    ).select("v", "w")
+    ).select("u", "v", "w")
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )
-    return wedges.join(closing, ["v", "w"], "inner").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    corners = (
+        wedges.join(closing, ["v", "w"], "inner")
+        .select(
+            F.explode(
+                F.array(F.col("u"), F.col("v"), F.col("w"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(corners, "node", "left").select(
+        "node",
+        F.col("__deg").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        F.when(
+            F.col("__deg") >= 2,
+            (
+                F.lit(2).cast(d38)
+                * F.coalesce("n_triangles", F.lit(0)).cast(d38)
+            ).cast("double")
+            / (
+                F.col("__deg").cast(d38)
+                * (F.col("__deg").cast(d38) - F.lit(1).cast(d38))
+            ).cast("double"),
+        ).alias("clustering"),
     )
 
 

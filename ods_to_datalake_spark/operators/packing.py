@@ -66,3 +66,70 @@ def pack_sequences(
             (F.col("cum_before") % target_len).cast("long").alias("offset"),
         )
     )
+
+
+def packing_report(
+    packed: DataFrame, target_len: int
+) -> DataFrame:
+    """(shard, n_docs, total_tokens, n_windows, utilization,
+    n_straddlers, straddler_share) — the efficiency audit of a
+    `pack_sequences` layout, per shard: how many fixed-size training
+    windows the shard cuts into, how full they are, and how many
+    documents STRADDLE a window boundary — the three numbers that
+    price a packing run (windows = step count, utilization = padding
+    waste, straddlers = documents whose attention span a cut splits;
+    concat-and-cut wastes tokens ONLY in each shard's final partial
+    window, so utilization here isolates exactly that tail).
+
+    Exactness: all counts exact BIGINTs off the packed frame itself
+    (never recomputed from text); n_windows = ceil(total/target) as
+    integer arithmetic ((total + target − 1) div target); a document
+    straddles iff offset + n_tokens > target_len (zero-token documents
+    never straddle); utilization = total/(windows·target) and
+    straddler_share are ONE IEEE division each, CASE-guarded when a
+    shard holds only zero-token docs (0 windows is no evidence).
+
+    Scale: one shard-keyed partial agg over the packed table (which
+    already paid its shard shuffle — composing keeps the partitioning);
+    output is shard-count-sized."""
+    t = int(target_len)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("offset") + F.col("n_tokens") > t, 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_straddlers"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {t - 1}) div {t}").alias(
+                "n_windows"
+            ),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_tokens").cast("double")
+                / (
+                    F.expr(f"(total_tokens + {t - 1}) div {t}")
+                    * t
+                ).cast("double"),
+            ).alias("utilization"),
+            "n_straddlers",
+            (
+                F.col("n_straddlers").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("straddler_share"),
+        )
+    )

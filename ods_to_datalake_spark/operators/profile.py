@@ -629,3 +629,102 @@ def concentration_from_counts(
             ).alias("gini_impurity"),
         )
     )
+
+
+def correlation_profile(
+    df: DataFrame, cols: list[tuple[str, Column]]
+) -> DataFrame:
+    """(col_x, col_y, n_pairs, corr) — exact-arithmetic Pearson
+    correlation for every unordered column pair: the feature-redundancy
+    / leakage panel a training pipeline reads before fitting anything
+    (|r| ≈ 1 means one column is the other in disguise — drop it or
+    leak it), and the multicollinearity screen a profiler (u11/u18)
+    doesn't answer. One row per pair in input order.
+
+    Exactness contract: every ``cols`` expression must be
+    INTEGER-valued (money as cents — the Decimal(18,2)·100 rule). Per
+    pair, the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    fold over the PAIRWISE-complete rows (both sides non-NULL) as
+    exact DECIMAL sums — order-free, partition-invariant; then
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    with the three operands exact DECIMAL(38,0) integers cast ONCE to
+    double (the oracle VARCHAR-hops its HUGEINT casts — the u17
+    rule; both engines' √/·// are correctly-rounded IEEE on identical
+    operands, so the result is bit-identical with NO transcendental
+    quantization — sqrt is exact by IEEE-754, unlike ln). A constant
+    column (zero variance) has no correlation: CASE-guarded NULL, not
+    0. DECIMAL(38,0) headroom: n·Σxy caps at ~rows²·x̄² — at 1e12
+    rows of 1e7-cent values rescale the unit, the same ceiling every
+    DECIMAL money fold in this repo documents.
+
+    Scale: ONE map-side-combinable global aggregate computes all
+    K(K−1)/2 pairs' statistics in a single pass (6 conditional sums
+    per pair — the rich_club wide-agg shape), then a 1-row explode;
+    NO shuffle beyond the single-row agg exchange, no per-pair scans,
+    no corr() UDAF (Spark's covar/corr are float-summed and
+    partition-order-dependent — unusable for the cross-engine
+    contract)."""
+    d18 = "decimal(18,0)"
+    d38 = "decimal(38,0)"
+    named = [(name, expr.cast(d18)) for name, expr in cols]
+    aggs = []
+    pairs = []
+    for i in range(len(named)):
+        for j in range(i + 1, len(named)):
+            nx, x = named[i]
+            ny, y = named[j]
+            both = x.isNotNull() & y.isNotNull()
+            tag = f"__{i}_{j}"
+            aggs += [
+                F.coalesce(
+                    F.sum(F.when(both, 1)), F.lit(0)
+                ).cast("long").alias(f"n{tag}"),
+                F.coalesce(F.sum(F.when(both, x)), F.lit(0))
+                .cast(d38)
+                .alias(f"sx{tag}"),
+                F.coalesce(F.sum(F.when(both, y)), F.lit(0))
+                .cast(d38)
+                .alias(f"sy{tag}"),
+                F.coalesce(F.sum(F.when(both, x * y)), F.lit(0))
+                .cast(d38)
+                .alias(f"sxy{tag}"),
+                F.coalesce(F.sum(F.when(both, x * x)), F.lit(0))
+                .cast(d38)
+                .alias(f"sxx{tag}"),
+                F.coalesce(F.sum(F.when(both, y * y)), F.lit(0))
+                .cast(d38)
+                .alias(f"syy{tag}"),
+            ]
+            pairs.append((i, j, nx, ny, tag))
+    wide = df.agg(*aggs)
+
+    def pair_struct(i, j, nx, ny, tag):
+        n = F.col(f"n{tag}").cast(d38)
+        num = n * F.col(f"sxy{tag}") - F.col(f"sx{tag}") * F.col(
+            f"sy{tag}"
+        )
+        dx = n * F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(
+            f"sx{tag}"
+        )
+        dy = n * F.col(f"syy{tag}") - F.col(f"sy{tag}") * F.col(
+            f"sy{tag}"
+        )
+        return F.struct(
+            F.lit(nx).alias("col_x"),
+            F.lit(ny).alias("col_y"),
+            F.col(f"n{tag}").alias("n_pairs"),
+            F.when(
+                (dx > 0) & (dy > 0),
+                num.cast("double")
+                / (
+                    F.sqrt(dx.cast("double"))
+                    * F.sqrt(dy.cast("double"))
+                ),
+            ).alias("corr"),
+        )
+
+    return wide.select(
+        F.explode(
+            F.array(*[pair_struct(*p) for p in pairs])
+        ).alias("r")
+    ).select("r.*")

@@ -322,3 +322,112 @@ def token_entropy(
         F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
         F.when(F.col("n_tokens") > 0, ent).alias("entropy_bits"),
     )
+
+
+def source_kl_divergence(
+    docs: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """(source, n_tokens, n_types, kl_nats) — KL divergence of each
+    source's unigram token distribution from the WHOLE-corpus
+    distribution, KL(p_source ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t))
+    — the domain-mixture panel behind data-mixing decisions (DSIR/
+    DoReMi-style): a source at ≈0 nats is redundant with the corpus
+    mix, a high-KL source is the distinct material a re-weighting run
+    would up- or down-sample, and a KL that jumps release-over-release
+    means the source changed under you. x47 scores DOCUMENTS against
+    two fixed models; this scores SOURCES against the corpus.
+
+    Well-defined by construction: every source token is a corpus token
+    (support inclusion), so the ratio argument is never 0/0 or ln(0) —
+    no CASE guards needed, and KL ≥ 0 with equality iff the source
+    matches the mix. NULL/whitespace-only texts contribute no tokens;
+    a source with zero tokens has no distribution and is absent (the
+    u16 rule). NULL source is a real group (a 99%-NULL source column
+    is a mixture fact).
+
+    Cross-engine arithmetic (the x38/x72 per-term rule + the u17
+    VARCHAR hop for new quantizations): the ratio
+    p_s/p_c = (n_st·N_c)/(N_s·n_ct) is computed in IEEE doubles from
+    exact BIGINTs (identical casts/ops both engines; products stay OFF
+    the integer path — n_st·N_c overflows int64 at corpus scale), each
+    ln() is quantized to DECIMAL(18,6) BEFORE the weighted sum (JVM
+    and libm ln diverge 1 ulp on ~6% of integer-ratio inputs), the sum
+    Σ n_st·q_t folds exactly in DECIMAL, and kl_nats is ONE final raw
+    double division by N_s. Scale: one (source, token) partial-agg
+    shuffle over the corpus, then token- and source-keyed windows plus
+    one source rollup over the VOCABULARY-sized count table —
+    everything after the first agg is vocabulary-sized, and that count
+    table is the mergeable artifact an incremental ingest maintains
+    (counts are additive)."""
+    from ods_to_datalake_spark.functions import text as X
+
+    toks = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(X.tokens(text_col)).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_st")
+    ).localCheckpoint(eager=True)  # feeds the 1-row corpus total AND
+    # the windowed term plan — 2 legs over corpus-scale lineage (the
+    # x25 rule; the frame itself is vocabulary-sized)
+    # per-token corpus counts and per-source totals via WINDOWS over
+    # the vocabulary-sized count table, not equi-joins: a window
+    # partition key treats NULL as a real group (the NULL-source
+    # contract above) where an equi-join key silently drops it
+    from pyspark.sql import Window
+
+    nc = st.agg(F.sum("n_st").cast("long").alias("n_c"))
+    terms = st.select(
+        "source",
+        "n_st",
+        F.sum("n_st")
+        .over(Window.partitionBy("tok"))
+        .cast("long")
+        .alias("n_ct"),
+        F.sum("n_st")
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_s"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n_types"),
+    ).crossJoin(F.broadcast(nc))
+    q = (
+        F.log(
+            (
+                F.col("n_st").cast("double")
+                * F.col("n_c").cast("double")
+            )
+            / (
+                F.col("n_s").cast("double")
+                * F.col("n_ct").cast("double")
+            )
+        )
+    ).cast("decimal(18,6)")
+    return (
+        terms.select(
+            "source",
+            "n_s",
+            "n_types",
+            (F.col("n_st").cast("decimal(18,0)") * q).alias("__term"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.max("n_types").alias("n_types"),
+            F.sum("__term").alias("__num"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            (
+                F.col("__num").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("kl_nats"),
+        )
+    )

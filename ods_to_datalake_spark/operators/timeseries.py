@@ -353,3 +353,58 @@ def volume_autocorrelation(
             / F.col("__den").cast("double"),
         ).alias("autocorr"),
     )
+
+
+def daily_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(day, open, high, low, close, n_events, volume_cents) — the
+    OHLC/candlestick rollup per calendar day: first and last observed
+    value (by event time), the day's extremes, and the cents-exact
+    value volume — the canonical downsample for any metered stream
+    (prices, latencies, spend) and the storage-side face of a
+    monitoring panel: the raw stream is N rows, the candle table is
+    365 rows/year.
+
+    Determinism: "first"/"last" are defined by (ts, tiebreak) with a
+    UNIQUE tiebreak (the repo-wide top-k rule — same-timestamp events
+    are real), computed as ONE min-struct/max-struct fold — never a
+    window over the raw stream (resample_last's rule: the agg is
+    map-side combinable, a window is a full sort). The struct
+    comparison never reaches the value field (ts+tiebreak is unique),
+    so NULL values ride along safely; open/close are PICKED doubles
+    (bit-moved, never recomputed — the q02 raw-double rule), high/low
+    skip NULLs in both engines, volume sums cents exactly
+    (Decimal(18,2)·100) and reads 0 — not NULL — on an all-NULL day.
+    Rows with NULL ts have no day and are excluded (e18's rule).
+
+    Scale: ONE day-keyed partial-aggregated shuffle; output is
+    calendar-sized. The oracle mirrors first/last with ROW_NUMBER
+    windows — equal BY the unique tiebreak."""
+    day = F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day")
+    v = F.col(value_col)
+    pick = F.struct(
+        F.col(ts_col), F.col(tiebreak_col), v.alias("v")
+    )
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(day)
+        .agg(
+            F.min(pick).getField("v").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(pick).getField("v").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.coalesce(
+                F.sum(
+                    (v.cast("decimal(18,2)") * 100).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("volume_cents"),
+        )
+    )

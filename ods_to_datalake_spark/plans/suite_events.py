@@ -873,3 +873,61 @@ def e18_weekly_autocorrelation(
     return volume_autocorrelation(
         cat.table("events"), "ts", lag_days=AC_LAG
     )
+
+
+@register(
+    "e19_daily_ohlc",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY day
+               ORDER BY ts ASC, event_id ASC NULLS FIRST
+             ) AS rf,
+             ROW_NUMBER() OVER (
+               PARTITION BY day
+               ORDER BY ts DESC, event_id DESC NULLS LAST
+             ) AS rl
+      FROM ev
+    ),
+    agg AS (
+      SELECT day,
+             MAX(value) AS high,
+             MIN(value) AS low,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)), 0) AS BIGINT)
+               AS volume_cents
+      FROM ev GROUP BY day
+    )
+    SELECT agg.day, o.value AS open, agg.high, agg.low,
+           c.value AS close, agg.n_events, agg.volume_cents
+    FROM agg
+    JOIN (SELECT day, value FROM ranked WHERE rf = 1) o
+      ON o.day = agg.day
+    JOIN (SELECT day, value FROM ranked WHERE rl = 1) c
+      ON c.day = agg.day
+    """,
+    doc="Daily OHLC/candlestick rollup of the event value stream: "
+    "first/last observed value by event time (UNIQUE (ts, event_id) "
+    "tiebreak — the repo-wide rule; computed as ONE min-struct/"
+    "max-struct fold, never a window over the raw stream), the day's "
+    "extremes, and the cents-exact volume (Decimal(18,2)·100, 0 not "
+    "NULL on an all-NULL day) — the canonical downsample for any "
+    "metered stream and the 365-rows-a-year face of an N-row firehose. "
+    "Open/close are PICKED doubles (bit-moved, never recomputed — the "
+    "q02 rule); the oracle mirrors the picks with ROW_NUMBER windows, "
+    "equal BY the unique tiebreak (NULLS FIRST pinned to Spark's "
+    "null-smallest struct order). ONE day-keyed partial-agg shuffle. "
+    "operators/timeseries.daily_ohlc.",
+)
+def e19_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.timeseries import daily_ohlc
+
+    cat = load_testdata(spark, sf_dir)
+    return daily_ohlc(cat.table("events"), "ts", "event_id", "value")

@@ -1589,3 +1589,90 @@ def g12_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
     return rich_club(edges, RC_KS)
+
+
+@register(
+    "g13_clustering_coefficient",
+    oracle=f"""
+    WITH items AS MATERIALIZED {SQL_BASKET_ITEMS},
+    e AS MATERIALIZED (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) AS _u
+      GROUP BY n
+    ),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN e.b ELSE e.a END AS v,
+             CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN db.d ELSE da.d END AS dv
+      FROM e
+      JOIN deg da ON da.n = e.a
+      JOIN deg db ON db.n = e.b
+    ),
+    tri AS (
+      SELECT wj.u AS cu, wj.v AS cv, wj.w AS cw
+      FROM (
+        SELECT o1.u, o1.v, o2.v AS w
+        FROM o o1 JOIN o o2
+          ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v)
+      ) wj
+      JOIN o oc ON oc.u = wj.v AND oc.v = wj.w
+    ),
+    t AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS tn
+      FROM (
+        SELECT cu AS n FROM tri
+        UNION ALL SELECT cv FROM tri
+        UNION ALL SELECT cw FROM tri
+      ) AS _c
+      GROUP BY n
+    )
+    SELECT deg.n AS node, deg.d AS degree,
+           CAST(COALESCE(t.tn, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2 THEN
+             CAST(2 * CAST(COALESCE(t.tn, 0) AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(deg.d AS HUGEINT)
+                    * (CAST(deg.d AS HUGEINT) - 1) AS DOUBLE)
+           END AS clustering
+    FROM deg LEFT JOIN t ON t.n = deg.n
+    """,
+    doc="Per-node local clustering coefficient C(n) = "
+    "2·T(n)/(d(n)·(d(n)−1)) over the ≥2-order co-purchase graph "
+    "(Watts & Strogatz 1998): of each node's possible neighbor "
+    "pairs, the fraction actually connected — 'is my neighborhood a "
+    "clique or a star', the per-node face of g03's single global "
+    "count (bot/spam rings are near-cliques; hubs with near-zero C "
+    "are brokers). Triangle attribution reuses g03's degree-ordered "
+    "compact-forward wedge join via the shared _degree_oriented "
+    "helper (one definition — the O(sqrt m) fan-out bound is what "
+    "survives a celebrity node at 100 TB); each closed triangle "
+    "credits all three corners (explode, so sum(T) = 3·triangles); "
+    "degree-1 nodes are NULL (no neighbor pairs is no evidence, not "
+    "0 — rich_club's guard). Counts exact BIGINTs; denominator in "
+    "DECIMAL(38,0)/HUGEINT; C one CASE-guarded IEEE division. "
+    "operators/graph.clustering_coefficient.",
+)
+def g13_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return clustering_coefficient(edges)

@@ -2047,3 +2047,117 @@ def x85_token_entropy(
 
     cat = load_testdata(spark, sf_dir)
     return token_entropy(cat.table("documents"), "doc_id", "text")
+
+
+@register(
+    "x86_shingle_novelty",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_sql_shingles(SQL_TOKENS)} AS sh
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    pairs AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS s
+      FROM sh_t WHERE len(sh) > 0
+    ),
+    first AS (
+      SELECT s, MIN(doc_id) AS f FROM pairs GROUP BY s
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN p.doc_id = first.f
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_novel,
+           CAST(COALESCE(SUM(CASE WHEN p.doc_id = first.f
+                                  THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_share
+    FROM pairs p JOIN first ON first.s = p.s
+    GROUP BY p.doc_id
+    """,
+    doc=f"Per-document shingle novelty: of each document's DISTINCT "
+    f"word {SHINGLE_N}-shingles, the count and share THIS document "
+    "introduced to the corpus (no smaller doc_id contains them) — the "
+    "per-document Heaps-law panel: x84 says how duplicated whole "
+    "documents are, this says how derivative the rest is (near-dup "
+    "boilerplate exact hashing never groups), and 'keep the "
+    "high-novelty tail' is a standard curation move before paying for "
+    "MinHash. Introducer = min(doc_id) per shingle (total order, no "
+    "ties); zero-shingle docs absent (the u16 no-evidence rule); "
+    "share one raw BIGINT/BIGINT division. One (doc,shingle) distinct "
+    "shuffle; the shingle→first map is the vocabulary-sized MERGEABLE "
+    "artifact (min is associative) an incremental ingest folds "
+    "today's batch against. operators/dedup.shingle_novelty.",
+)
+def x86_shingle_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import shingle_novelty
+
+    cat = load_testdata(spark, sf_dir)
+    return shingle_novelty(
+        cat.table("documents"), "doc_id", "text", SHINGLE_N
+    )
+
+
+@register(
+    "x87_source_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents
+    ),
+    t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_st
+      FROM t2 GROUP BY source, tok
+    ),
+    nc AS (SELECT CAST(SUM(n_st) AS BIGINT) AS n_c FROM st),
+    terms AS (
+      SELECT source, n_st,
+             CAST(SUM(n_st) OVER (PARTITION BY tok) AS BIGINT)
+               AS n_ct,
+             CAST(SUM(n_st) OVER (PARTITION BY source) AS BIGINT)
+               AS n_s,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+               AS n_types
+      FROM st
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           CAST(CAST(SUM(CAST(n_st AS DECIMAL(18,0))
+                 * CAST(CAST(ln((CAST(n_st AS DOUBLE)
+                                 * CAST(nc.n_c AS DOUBLE))
+                                / (CAST(n_s AS DOUBLE)
+                                   * CAST(n_ct AS DOUBLE)))
+                             AS VARCHAR) AS DECIMAL(18,6)))
+                AS VARCHAR) AS DOUBLE)
+           / CAST(MAX(n_s) AS DOUBLE) AS kl_nats
+    FROM terms CROSS JOIN nc
+    GROUP BY source
+    """,
+    doc="KL divergence of each source's unigram distribution from the "
+    "whole-corpus mix, KL(p_s ‖ p_c) = Σ p_s·ln(p_s/p_c) — the "
+    "domain-mixture panel behind DSIR/DoReMi-style data-mixing: ≈0 "
+    "nats is redundant with the mix, high-KL is the distinct material "
+    "re-weighting would move, a release-over-release jump means the "
+    "source changed under you (x47 scores documents against two fixed "
+    "models; this scores SOURCES against the corpus). Support "
+    "inclusion makes every term well-defined (no ln(0)/0-div guards); "
+    "ratio in IEEE doubles from exact BIGINTs (products stay OFF the "
+    "int path — n_st·N_c overflows int64 at scale), each ln quantized "
+    "to DECIMAL(18,6) BEFORE the weighted DECIMAL-exact sum (x38/x72 "
+    "rule, VARCHAR-hopped in the oracle per the u17 rule), ONE final "
+    "raw double division. One corpus shuffle; token/source windows "
+    "run over the vocabulary-sized count table (NULL source is a real "
+    "group — window keys keep it where join keys drop it). "
+    "operators/quality.source_kl_divergence.",
+)
+def x87_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.quality import (
+        source_kl_divergence,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return source_kl_divergence(
+        cat.table("documents"), "source", "text"
+    )

@@ -358,3 +358,85 @@ def x26_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(pix_str).alias("pixel_value"),
         (pix_str == F.repeat(F.substring(pix_str, 1, 1), 64)).alias("solid"),
     )
+
+
+@register(
+    "x88_packing_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(COALESCE(text, '')),
+                                         '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8)) AS BIGINT)
+                  % {PACK_SHARDS} AS INT) AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM t
+    ), packed AS (
+      SELECT shard, n_tokens,
+             CAST(cum_before % {PACK_TARGET} AS BIGINT) AS "offset"
+      FROM c
+    ), agg AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT)
+               AS total_tokens,
+             CAST(COALESCE(SUM(CASE WHEN "offset" + n_tokens
+                                         > {PACK_TARGET}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_straddlers
+      FROM packed GROUP BY shard
+    )
+    SELECT shard, n_docs, total_tokens,
+           CAST((total_tokens + {PACK_TARGET - 1}) // {PACK_TARGET}
+                AS BIGINT) AS n_windows,
+           CASE WHEN total_tokens > 0 THEN
+             CAST(total_tokens AS DOUBLE)
+             / CAST(((total_tokens + {PACK_TARGET - 1})
+                     // {PACK_TARGET}) * {PACK_TARGET} AS DOUBLE)
+           END AS utilization,
+           n_straddlers,
+           CAST(n_straddlers AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS straddler_share
+    FROM agg
+    """,
+    doc=f"Packing efficiency audit over x28's concat-and-cut layout, "
+    f"per md5-shard: window count (= training steps), utilization "
+    f"(concat-and-cut wastes tokens ONLY in each shard's final "
+    f"partial {PACK_TARGET}-token window — this isolates that tail), "
+    "and the documents straddling a window boundary (offset + "
+    "n_tokens > target — the docs whose attention span a cut splits, "
+    "the number packing-with-truncation papers trade against "
+    "utilization). The oracle embeds x28's packing CTE (the x25 "
+    "single-source rule); all counts exact BIGINTs off the packed "
+    "frame, n_windows = ceil as integer div, two CASE-guarded IEEE "
+    "divisions. One shard-keyed partial agg composed ON the pack's "
+    "own partitioning; shard-count-sized output. "
+    "operators/packing.packing_report.",
+)
+def x88_packing_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.packing import (
+        pack_sequences,
+        packing_report,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents").select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+")
+        ).alias("n_tok"),
+    )
+    packed = pack_sequences(
+        docs, "doc_id", "n_tok", PACK_TARGET, PACK_SHARDS
+    )
+    return packing_report(packed, PACK_TARGET)

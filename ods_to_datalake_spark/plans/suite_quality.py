@@ -793,3 +793,96 @@ def u18_concentration_profile(
 
     cat = load_testdata(spark, sf_dir)
     return concentration_profile(cat.table("orders"), U18_COLS)
+
+
+# u19: the four lineitem measures as exact cents/centi-units (the
+# Decimal(18,2)·100 rule); Pearson r is scale-invariant, so the ×100
+# only fixes the integer-exactness contract, never the result
+U19_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _correlation_oracle() -> str:
+    vals = ", ".join(
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v{i}"
+        for i, c in enumerate(U19_COLS)
+    )
+    stats, arms = [], []
+    for i in range(len(U19_COLS)):
+        for j in range(i + 1, len(U19_COLS)):
+            t = f"_{i}_{j}"
+            both = f"v{i} IS NOT NULL AND v{j} IS NOT NULL"
+            stats += [
+                f"CAST(COUNT(*) FILTER (WHERE {both}) AS HUGEINT)"
+                f" AS n{t}",
+                f"COALESCE(SUM(v{i}) FILTER (WHERE {both}),"
+                f" 0) AS sx{t}",
+                f"COALESCE(SUM(v{j}) FILTER (WHERE {both}),"
+                f" 0) AS sy{t}",
+                f"COALESCE(SUM(v{i} * v{j}) FILTER (WHERE {both}),"
+                f" 0) AS sxy{t}",
+                f"COALESCE(SUM(v{i} * v{i}) FILTER (WHERE {both}),"
+                f" 0) AS sxx{t}",
+                f"COALESCE(SUM(v{j} * v{j}) FILTER (WHERE {both}),"
+                f" 0) AS syy{t}",
+            ]
+            # VARCHAR-hop every HUGEINT→DOUBLE cast (the u17 rule:
+            # DuckDB's direct wide-decimal→double cast is 1 ulp off
+            # at ~1e13; the string parse is correctly rounded like
+            # Spark's BigDecimal path)
+            arms.append(f"""
+      SELECT '{U19_COLS[i]}' AS col_x, '{U19_COLS[j]}' AS col_y,
+             CAST(n{t} AS BIGINT) AS n_pairs,
+             CASE WHEN n{t} * sxx{t} - sx{t} * sx{t} > 0
+                   AND n{t} * syy{t} - sy{t} * sy{t} > 0 THEN
+               CAST(CAST(n{t} * sxy{t} - sx{t} * sy{t} AS VARCHAR)
+                    AS DOUBLE)
+               / (sqrt(CAST(CAST(n{t} * sxx{t} - sx{t} * sx{t}
+                                 AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(n{t} * syy{t} - sy{t} * sy{t}
+                                   AS VARCHAR) AS DOUBLE)))
+             END AS corr
+      FROM s""")
+    return (
+        "WITH vals AS (SELECT " + vals + " FROM lineitem),\n"
+        "s AS (SELECT " + ",\n ".join(stats) + " FROM vals)\n"
+        + "\nUNION ALL".join(arms)
+    )
+
+
+@register(
+    "u19_correlation_profile",
+    oracle=_correlation_oracle(),
+    doc="Exact Pearson correlation for every pair of the four "
+    "lineitem measures (quantity/extendedprice/discount/tax as "
+    "cents-exact integers): the feature-redundancy / leakage panel a "
+    "training pipeline reads before fitting — |r| ≈ 1 means one "
+    "column is the other in disguise. Per pair the six sufficient "
+    "statistics fold over PAIRWISE-complete rows as exact DECIMAL "
+    "sums (order-free); r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·"
+    "√(nΣy²−(Σy)²)) with the three operands exact DECIMAL(38,0)/"
+    "HUGEINT integers cast once to double (oracle VARCHAR-hops — the "
+    "u17 rule). NO transcendental quantization needed: IEEE-754 sqrt "
+    "is correctly rounded in both engines, unlike ln — identical "
+    "integer operands → bit-identical r. Zero-variance columns are "
+    "CASE-guarded NULL. Spark's own corr()/covar_pop() are float-"
+    "summed and partition-order-dependent — unusable for the "
+    "contract; this is ONE map-side-combinable aggregate computing "
+    "all K(K−1)/2 pairs in a single pass + a 1-row explode (the "
+    "rich_club wide-agg shape, zero per-pair scans). "
+    "operators/profile.correlation_profile.",
+)
+def u19_correlation_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        correlation_profile,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return correlation_profile(
+        cat.table("lineitem"),
+        [
+            (c, F.col(c).cast("decimal(18,2)") * 100)
+            for c in U19_COLS
+        ],
+    )

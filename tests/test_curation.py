@@ -1040,3 +1040,54 @@ def test_token_entropy_hand_cases(spark):
     assert out[3].entropy_bits is None and out[3].n_tokens == 0
     assert out[4].entropy_bits is None
     assert out[5].entropy_bits == 1.0
+
+
+# --- per-source KL divergence (x87) ------------------------------------------
+
+
+def test_source_kl_known_two_source_value(spark):
+    """A:{a,a} vs B:{b,b}: each source's ratio is exactly 2, so KL =
+    quantize6(ln 2) = 0.693147 on both sides; a source matching the
+    mix reads EXACTLY 0 (q = quantize6(ln 1) = 0)."""
+    from ods_to_datalake_spark.operators.quality import (
+        source_kl_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "a a"), ("B", "b b")], "source string, text string"
+    )
+    got = {
+        r.source: (r.n_tokens, r.n_types, r.kl_nats)
+        for r in source_kl_divergence(df, "source", "text").collect()
+    }
+    assert got == {"A": (2, 1, 0.693147), "B": (2, 1, 0.693147)}
+
+    uniform = spark.createDataFrame(
+        [("A", "a b"), ("B", "a b")], "source string, text string"
+    )
+    got = {
+        r.source: r.kl_nats
+        for r in source_kl_divergence(
+            uniform, "source", "text"
+        ).collect()
+    }
+    assert got == {"A": 0.0, "B": 0.0}
+
+
+def test_source_kl_null_source_is_a_group(spark):
+    """NULL source is a mixture fact, not a dropped row (window keys,
+    not join keys); NULL/whitespace texts contribute nothing and an
+    all-NULL-text source is absent."""
+    from ods_to_datalake_spark.operators.quality import (
+        source_kl_divergence,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a a"), ("B", "b b"), ("C", None), ("C", "   ")],
+        "source string, text string",
+    )
+    got = {
+        r.source: r.n_tokens
+        for r in source_kl_divergence(df, "source", "text").collect()
+    }
+    assert got == {None: 2, "B": 2}

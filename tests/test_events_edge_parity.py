@@ -83,6 +83,9 @@ EDGE_QUERIES = [
     "e13_activity_streaks",
     "e14_running_distinct_users",  # epoch-0 first-seen days + the
     # HUGEINT-window-sum recast
+    # round-11: OHLC picks at tied timestamps (the unique-tiebreak
+    # rule), NULL-value open/close ride-along, epoch-0 days
+    "e19_daily_ohlc",
 ]
 
 

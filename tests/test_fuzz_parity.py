@@ -77,6 +77,13 @@ FUZZ_QUERIES = [
     # distribution), single-token docs (exactly 0 bits), the
     # quantized log2 terms under unicode token counts
     "x85_token_entropy",
+    # round-11: shingle novelty — tiny-alphabet corpora collide
+    # shingles constantly (first-occurrence attribution really
+    # contested), sub-shingle docs absent, within-doc repeats distinct
+    "x86_shingle_novelty",
+    # round-11: source KL — single-source fuzz corpora must read
+    # EXACTLY 0 nats (support == mix), all-NULL corpora have no tokens
+    "x87_source_kl",
 ]
 
 

@@ -1069,3 +1069,92 @@ def test_rich_club_matches_python_reference(spark):
         assert got == _py_rich_club(pairs, ks)
 
     check()
+
+
+# --- local clustering coefficient (g13) --------------------------------------
+
+
+def _cc(spark, pairs):
+    from ods_to_datalake_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    return {
+        r.node: (r.degree, r.n_triangles, r.clustering)
+        for r in clustering_coefficient(_mk_edges(spark, pairs)).collect()
+    }
+
+
+def test_clustering_k4_is_all_one(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _cc(spark, k4)
+    assert got == {n: (3, 3, 1.0) for n in range(4)}
+
+
+def test_clustering_star_is_zero_center_null_leaves(spark):
+    star = [(0, i) for i in range(1, 5)]
+    got = _cc(spark, star)
+    assert got[0] == (4, 0, 0.0)
+    for leaf in range(1, 5):
+        assert got[leaf] == (1, 0, None)
+
+
+def test_clustering_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: node 3 has degree 3, one of
+    # its three neighbor pairs connected -> 1/3; the pendant is NULL
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, 1.0 / 3.0)
+    assert got[4] == (1, 0, None)
+
+
+def test_clustering_corner_sum_is_three_triangles(spark):
+    from ods_to_datalake_spark.operators.graph import triangle_count
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (2, 4)]
+    got = _cc(spark, pairs)
+    n_tri = triangle_count(_mk_edges(spark, pairs)).collect()[0][0]
+    assert sum(t for _, t, _ in got.values()) == 3 * n_tri
+
+
+def _py_clustering(pairs):
+    e = _norm_undirected(pairs)
+    adj: dict = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        t = sum(
+            1
+            for x in nbrs
+            for y in nbrs
+            if x < y and (min(x, y), max(x, y)) in e
+        )
+        out[n] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else None)
+    return out
+
+
+def test_clustering_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    def check(pairs):
+        assert _cc(spark, pairs) == _py_clustering(pairs)
+
+    check()

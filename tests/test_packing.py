@@ -177,3 +177,58 @@ def test_incremental_dedup_matches_reference(spark, new_texts, seen_texts):
         r.doc_id for r in incremental_dedup(new, seen, "doc_id", "text").collect()
     )
     assert got == _ref_incremental(new_rows, seen_rows)
+
+
+def test_packing_report_straddlers_and_tail_waste(spark):
+    """One shard, target 10, docs 6+6+8: doc2 straddles (offset 6 + 6 >
+    10), doc3 straddles (offset 2 + 8 = 10 exactly -> does NOT, it ends
+    flush at the boundary); 20 tokens cut into 2 full windows =
+    utilization 1.0."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.packing import (
+        pack_sequences,
+        packing_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 8)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", 10, n_shards=1)
+    (r,) = packing_report(packed, 10).collect()
+    assert (r.n_docs, r.total_tokens, r.n_windows) == (3, 20, 2)
+    assert r.utilization == 1.0
+    assert r.n_straddlers == 1  # doc2 only; doc3 ends flush
+    assert r.straddler_share == 1.0 / 3.0
+
+
+def test_packing_report_partial_tail_and_zero_token_guard(spark):
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.packing import (
+        pack_sequences,
+        packing_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 7), (2, 0), (3, 0)], "doc_id long, n_tok long"
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tok", 10, n_shards=1)
+    (r,) = packing_report(packed, 10).collect()
+    assert (r.total_tokens, r.n_windows) == (7, 1)
+    assert r.utilization == 0.7
+    assert r.n_straddlers == 0  # zero-token docs never straddle
+
+    empty = packing_report(
+        pack_sequences(
+            docs.where(F.col("n_tok") == 0),
+            "doc_id",
+            "n_tok",
+            10,
+            n_shards=1,
+        ),
+        10,
+    ).collect()
+    (z,) = empty
+    assert (z.total_tokens, z.n_windows) == (0, 0)
+    assert z.utilization is None  # 0 windows is no evidence

@@ -398,3 +398,76 @@ def test_concentration_profile_empty_table(spark):
     (r,) = concentration_profile(df, ["k"]).collect()
     assert (r.n_rows, r.n_distinct, r.top_count) == (0, 0, None)
     assert r.gini_impurity is None and r.top_share is None
+
+
+# --- correlation profile (u19) -----------------------------------------------
+
+
+def test_correlation_profile_exact_endpoints(spark):
+    """y = 2x reads +1 and y = -x reads -1 to within one ulp — NOT
+    exactly 1.0: the statistics are exact integers, but √dx·√dy is two
+    correctly-rounded sqrts MULTIPLIED, which can differ from the
+    exact √(dx·dy) by 1 ulp (observed: 1.0000000000000002). That ulp
+    is identical in both engines (same operands, same IEEE ops — the
+    contract the oracle hashes); the mathematical endpoint is what
+    this test bounds."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import (
+        correlation_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, -1, 5), (2, 4, -2, 1), (3, 6, -3, 4)],
+        "x int, y int, z int, w int",
+    )
+    got = {
+        (r.col_x, r.col_y): (r.n_pairs, r.corr)
+        for r in correlation_profile(
+            df,
+            [(c, F.col(c)) for c in ("x", "y", "z", "w")],
+        ).collect()
+    }
+    ulp = 3e-16
+    assert got[("x", "y")][0] == 3
+    assert abs(got[("x", "y")][1] - 1.0) <= ulp
+    assert abs(got[("x", "z")][1] + 1.0) <= ulp
+    assert abs(got[("y", "z")][1] + 1.0) <= ulp
+    n, r = got[("x", "w")]
+    assert n == 3 and -1.0 < r < 1.0
+
+
+def test_correlation_profile_constant_and_null_guards(spark):
+    """A zero-variance column correlates with nothing (NULL, not 0);
+    statistics are PAIRWISE-complete — a row NULL in one column still
+    counts for the other pairs; an empty frame emits every pair with
+    n_pairs 0 and NULL corr."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import (
+        correlation_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7, 10), (2, 7, None), (3, 7, 30), (4, 7, 40)],
+        "x int, c int, y int",
+    )
+    cols = [(n, F.col(n)) for n in ("x", "c", "y")]
+    got = {
+        (r.col_x, r.col_y): (r.n_pairs, r.corr)
+        for r in correlation_profile(df, cols).collect()
+    }
+    assert got[("x", "c")] == (4, None)  # constant side
+    assert got[("c", "y")] == (3, None)
+    n, r = got[("x", "y")]
+    assert n == 3 and r == 1.0  # (1,10),(3,30),(4,40) are collinear
+
+    empty = {
+        (r.col_x, r.col_y): (r.n_pairs, r.corr)
+        for r in correlation_profile(df.limit(0), cols).collect()
+    }
+    assert empty == {
+        ("x", "c"): (0, None),
+        ("x", "y"): (0, None),
+        ("c", "y"): (0, None),
+    }

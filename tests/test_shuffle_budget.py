@@ -408,6 +408,22 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "x88_packing_report": 1,  # one shard-keyed partial agg composed on
+    # the pack's own shard shuffle (the window reuses it)
+    "x87_source_kl": 3,  # tok window + source window + source rollup
+    # over the vocabulary-sized count table (the corpus shuffle is
+    # paid by the checkpointed count frame)
+    "x86_shingle_novelty": 3,  # (doc,shingle) distinct shuffle +
+    # shingle-keyed min-attribution agg (join reuses its partitioning)
+    # + the doc-keyed count
+    "e19_daily_ohlc": 1,  # one day-keyed partial-agg shuffle; the
+    # open/close picks are min/max-struct folds inside the SAME agg
+    "u19_correlation_profile": 1,  # ONE global wide agg (all pairs'
+    # sufficient statistics in a single pass) + the 1-row explode
+    "g13_clustering_coefficient": 6,  # measured: the final plan reads
+    # the CHECKPOINTED oriented table (edge build paid separately) —
+    # wedge self-join + closing join + corner-explode count + degree
+    # agg + the node-keyed join back; same family as g03's 5
 }
 
 

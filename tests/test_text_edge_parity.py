@@ -62,6 +62,10 @@ EDGE_QUERIES = [
     "x05_lsh_jaccard_verify",
     "x20_quality_topk_per_source",
     "x22_repetition_metrics",
+    # round-11: first-occurrence shingle attribution on the dup-heavy
+    # edge corpus (exact copies contest every shingle); unicode
+    # shingles; 1200-token doc
+    "x86_shingle_novelty",
     "x23_tfidf_top_terms",
     "x24_stratified_sample",
     "x25_dedup_clusters",

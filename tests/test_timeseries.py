@@ -271,3 +271,61 @@ def test_autocorr_calendar_lag_breaks_on_gaps_and_guards(spark):
     df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp")
     (r2,) = volume_autocorrelation(df2, "ts").collect()
     assert r2.n_pairs == 3 and r2.autocorr is None
+
+
+# --- daily OHLC (e19) --------------------------------------------------------
+
+
+def test_daily_ohlc_picks_by_unique_tiebreak(spark):
+    from ods_to_datalake_spark.operators.timeseries import daily_ohlc
+
+    rows = [
+        # one day, same-timestamp open pair: tiebreak decides
+        (1, "2024-01-01 00:00:00", 5.0),
+        (2, "2024-01-01 00:00:00", 7.0),
+        (3, "2024-01-01 09:00:00", 1.0),
+        (4, "2024-01-01 23:00:00", 4.0),
+        # NULL ts: excluded entirely
+        (9, None, 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    (r,) = daily_ohlc(df, "ts", "event_id", "value").collect()
+    assert str(r.day) == "2024-01-01"
+    assert r.open == 5.0  # event_id 1 beats 2 at the tied timestamp
+    assert r.close == 4.0
+    assert (r.high, r.low) == (7.0, 1.0)
+    assert r.n_events == 4
+    assert r.volume_cents == 1700
+
+
+def test_daily_ohlc_null_values_ride_along(spark):
+    """NULL values: picked open/close may BE NULL (the first event had
+    no value — that is the fact), high/low/volume skip NULLs, and an
+    all-NULL day reads volume 0, not NULL."""
+    from ods_to_datalake_spark.operators.timeseries import daily_ohlc
+
+    rows = [
+        (1, "2024-01-01 00:00:00", None),
+        (2, "2024-01-01 12:00:00", 3.0),
+        (3, "2024-01-02 00:00:00", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    )
+    got = {
+        str(r.day): r
+        for r in daily_ohlc(df, "ts", "event_id", "value").collect()
+    }
+    d1 = got["2024-01-01"]
+    assert d1.open is None and d1.close == 3.0
+    assert d1.high == 3.0 and d1.low == 3.0 and d1.volume_cents == 300
+    d2 = got["2024-01-02"]
+    assert d2.open is None and d2.close is None
+    assert d2.high is None and d2.low is None
+    assert d2.n_events == 1 and d2.volume_cents == 0
