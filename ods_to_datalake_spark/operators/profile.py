@@ -728,3 +728,83 @@ def correlation_profile(
             F.array(*[pair_struct(*p) for p in pairs])
         ).alias("r")
     ).select("r.*")
+
+
+def referential_audit(
+    fks: list[tuple[str, DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """(fk_name, n_rows, n_null_keys, n_orphan_keys, n_orphan_rows,
+    orphan_share) — cross-table referential-integrity audit: for each
+    declared FK edge (name, child, child_key, parent, parent_key),
+    how many child rows point at a parent key that does not exist —
+    the lake-health check u12's single-table constraints cannot
+    answer, and the FIRST question after any partial load, GDPR
+    delete, or compaction ('did we just orphan the fact table?').
+    `check_foreign_key` above is the pass/fail CONSTRAINT face of one
+    edge (for constraint_report gates); this is the multi-edge REPORT
+    face — key-level and row-level orphan counts plus the share, the
+    numbers a triage actually reads.
+    Joins silently DROP orphans, which is exactly why they go
+    unnoticed until a revenue number is short.
+
+    Semantics: NULL child keys are counted separately (n_null_keys —
+    a null FK is a modeling fact, not an orphan); an orphan key is a
+    NON-NULL child key absent from the parent's key set;
+    orphan_share = orphan_rows / non-null rows, CASE-guarded NULL
+    when the child has no non-null keys. Counts exact BIGINTs; one
+    IEEE division per edge.
+
+    Scale: per edge, the child aggregates to its DISTINCT key counts
+    first (vocabulary-sized — the corpus never reaches the join),
+    then ONE anti-join against the parent's distinct keys (broadcast
+    when the parent is a dim); output is one row per edge. The audit
+    composes: run it after every ingest batch and diff."""
+    outs = []
+    for name, child, ckey, parent, pkey in fks:
+        ck = (
+            child.where(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("__k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        )
+        orphans = ck.join(
+            parent.where(F.col(pkey).isNotNull())
+            .select(F.col(pkey).alias("__k"))
+            .distinct(),
+            "__k",
+            "left_anti",
+        )
+        totals = child.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(ckey).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_null_keys"),
+        )
+        o = orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphan_keys"),
+            F.coalesce(F.sum("__n"), F.lit(0))
+            .cast("long")
+            .alias("n_orphan_rows"),
+        )
+        outs.append(
+            totals.crossJoin(o).select(
+                F.lit(name).alias("fk_name"),
+                "n_rows",
+                "n_null_keys",
+                "n_orphan_keys",
+                "n_orphan_rows",
+                F.when(
+                    F.col("n_rows") - F.col("n_null_keys") > 0,
+                    F.col("n_orphan_rows").cast("double")
+                    / (
+                        F.col("n_rows") - F.col("n_null_keys")
+                    ).cast("double"),
+                ).alias("orphan_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

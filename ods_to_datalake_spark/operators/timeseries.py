@@ -408,3 +408,69 @@ def daily_ohlc(
             .alias("volume_cents"),
         )
     )
+
+
+def max_drawdown(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """(day, value_cents, peak_cents, drawdown_cents) — the single
+    worst peak-to-trough decline of the daily cents-exact value
+    series: for each day, drawdown = (running max of daily value) −
+    (that day's value); the emitted row is the day the gap is widest —
+    the risk/regression headline number (a revenue stream, a
+    throughput metric, a model-quality series: "how far below its
+    best has it fallen, and when"), and the e10 anomaly face's
+    complement (e10 flags per-day deviation from a LOCAL baseline;
+    drawdown measures decline from the GLOBAL running best).
+
+    Exactness: daily values are cents-exact BIGINTs (Decimal(18,2)·100
+    — all-NULL days read 0, the e19 rule), the running max and the
+    subtraction stay integer, and the winner is picked by (drawdown
+    DESC, day ASC) — deterministic at ties. NULL-ts rows are excluded
+    (no day). Empty input → empty result.
+
+    Scale: one day-keyed partial-agg shuffle over the events, then a
+    single-partition prefix-max window over the CHECKPOINTED
+    calendar-sized daily frame (the e16 rule — 365 rows/year however
+    large the stream) and a 1-row limit."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col(value_col).cast("decimal(18,2)") * 100)
+                    .cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("value_cents")
+        )
+        .localCheckpoint()  # calendar-sized; the window + top-1 read
+        # this, not the event-stream lineage
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.select(
+            "day",
+            "value_cents",
+            F.max("value_cents").over(w).cast("long").alias(
+                "peak_cents"
+            ),
+        )
+        .withColumn(
+            "drawdown_cents",
+            (F.col("peak_cents") - F.col("value_cents")).cast("long"),
+        )
+        .orderBy(F.col("drawdown_cents").desc(), F.col("day").asc())
+        .limit(1)
+    )

@@ -931,3 +931,49 @@ def e19_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_testdata(spark, sf_dir)
     return daily_ohlc(cat.table("events"), "ts", "event_id", "value")
+
+
+@register(
+    "e20_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)), 0) AS BIGINT)
+               AS value_cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, value_cents,
+             CAST(MAX(value_cents) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS peak_cents
+      FROM daily
+    )
+    SELECT day, value_cents, peak_cents,
+           CAST(peak_cents - value_cents AS BIGINT)
+             AS drawdown_cents
+    FROM dd
+    ORDER BY drawdown_cents DESC, day ASC
+    LIMIT 1
+    """,
+    doc="Maximum drawdown of the daily event-value series: the day the "
+    "gap between the running best daily total and that day's total is "
+    "widest — the risk/regression headline ('how far below its best "
+    "has this stream fallen, and when'); e10 flags deviation from a "
+    "LOCAL baseline, this measures decline from the GLOBAL running "
+    "best. Cents-exact BIGINTs end to end (Decimal(18,2)·100; "
+    "all-NULL days read 0 — the e19 rule), integer prefix-max and "
+    "subtraction, winner by (drawdown DESC, day ASC) — deterministic "
+    "at ties. One day-keyed shuffle; the prefix window and top-1 run "
+    "over the CHECKPOINTED calendar-sized daily frame (the e16 "
+    "single-partition-is-fine pattern). "
+    "operators/timeseries.max_drawdown.",
+)
+def e20_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.timeseries import max_drawdown
+
+    cat = load_testdata(spark, sf_dir)
+    return max_drawdown(cat.table("events"), "ts", "value")

@@ -1676,3 +1676,61 @@ def g13_clustering_coefficient(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
     return clustering_coefficient(edges)
+
+
+@register(
+    "g14_degree_histogram",
+    oracle=f"""
+    WITH items AS {SQL_BASKET_ITEMS},
+    e AS (
+      SELECT a.item AS a, b.item AS b
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) AS _u
+      GROUP BY n
+    ),
+    hist AS (
+      SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY d
+    )
+    SELECT degree, n_nodes,
+           CAST(n_nodes AS DOUBLE)
+           / CAST(CAST(SUM(n_nodes) OVER () AS BIGINT) AS DOUBLE)
+             AS node_share,
+           CAST(CAST(SUM(n_nodes) OVER (
+                  ORDER BY degree DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(n_nodes) OVER () AS BIGINT) AS DOUBLE)
+             AS ccdf
+    FROM hist
+    """,
+    doc="Degree distribution + complementary CDF of the ≥2-order "
+    "co-purchase graph — the first plot read off any large graph "
+    "(power-law tail? cutoff? hub count above each k) and the panel "
+    "g08's single correlation and g12's thresholded Φ(k) summarize. "
+    "Exact BIGINT buckets, one IEEE division per share; the ccdf "
+    "suffix-sum windows over the HISTOGRAM (max-degree-sized, the "
+    "e16 calendar-frame pattern), never the node table; DuckDB's "
+    "HUGEINT window sums recast to BIGINT (the x28 rule). One degree "
+    "agg + one degree-keyed rollup. "
+    "operators/graph.degree_histogram.",
+)
+def g14_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.basket import cooccurrence
+    from ods_to_datalake_spark.operators.graph import degree_histogram
+
+    cat = load_testdata(spark, sf_dir)
+    edges = cooccurrence(
+        cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=2
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return degree_histogram(edges)

@@ -886,3 +886,81 @@ def u19_correlation_profile(
             for c in U19_COLS
         ],
     )
+
+
+U20_FKS = [  # (name, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _referential_oracle() -> str:
+    arms = []
+    for name, child, ckey, parent, pkey in U20_FKS:
+        arms.append(f"""
+      SELECT '{name}' AS fk_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+             (SELECT CAST(COUNT(*) - COUNT({ckey}) AS BIGINT)
+              FROM {child}) AS n_null_keys,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT {ckey} FROM {child} WHERE {ckey} IS NOT NULL
+                GROUP BY {ckey}
+              ) ck WHERE ck.{ckey} NOT IN (
+                SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL
+              )) AS n_orphan_keys,
+             (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
+                SELECT {ckey}, COUNT(*) AS n FROM {child}
+                WHERE {ckey} IS NOT NULL GROUP BY {ckey}
+              ) ck WHERE ck.{ckey} NOT IN (
+                SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL
+              )) AS n_orphan_rows""")
+    shares = """
+    SELECT fk_name, n_rows, n_null_keys, n_orphan_keys, n_orphan_rows,
+           CASE WHEN n_rows - n_null_keys > 0 THEN
+             CAST(n_orphan_rows AS DOUBLE)
+             / CAST(n_rows - n_null_keys AS DOUBLE)
+           END AS orphan_share
+    FROM ("""
+    return shares + "\nUNION ALL".join(arms) + ") AS _edges"
+
+
+@register(
+    "u20_referential_audit",
+    oracle=_referential_oracle(),
+    doc="Cross-table referential-integrity audit over the six schema "
+    "FK edges: per edge, the child rows whose non-NULL key has no "
+    "parent — the lake-health check u12's single-table constraints "
+    "cannot answer, and the first question after any partial load / "
+    "GDPR delete / compaction (joins silently DROP orphans, which is "
+    "why they go unnoticed until a revenue number is short). NULL "
+    "child keys counted separately (a null FK is a modeling fact, "
+    "not an orphan); counts exact BIGINTs, one CASE-guarded IEEE "
+    "division per edge. Per edge the child aggregates to DISTINCT "
+    "key counts first (vocabulary-sized — the corpus never reaches "
+    "the join) then ONE anti-join against the parent's keys "
+    "(broadcast for dims). operators/profile.referential_audit.",
+)
+def u20_referential_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        referential_audit,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return referential_audit(
+        [
+            (name, cat.table(child), ckey, cat.table(parent), pkey)
+            for name, child, ckey, parent, pkey in U20_FKS
+        ]
+    )

@@ -1158,3 +1158,33 @@ def test_clustering_matches_python_reference(spark):
         assert _cc(spark, pairs) == _py_clustering(pairs)
 
     check()
+
+
+# --- degree histogram (g14) --------------------------------------------------
+
+
+def test_degree_histogram_path_graph(spark):
+    from ods_to_datalake_spark.operators.graph import degree_histogram
+
+    # P4: degrees 1,2,2,1 -> histogram {1: 2, 2: 2}
+    got = {
+        r.degree: (r.n_nodes, r.node_share, r.ccdf)
+        for r in degree_histogram(
+            _mk_edges(spark, [(1, 2), (2, 3), (3, 4)])
+        ).collect()
+    }
+    assert got == {1: (2, 0.5, 1.0), 2: (2, 0.5, 0.5)}
+
+
+def test_degree_histogram_empty_and_dup_edges(spark):
+    from ods_to_datalake_spark.operators.graph import degree_histogram
+
+    assert degree_histogram(_mk_edges(spark, [])).count() == 0
+    # direction/dup/self-loop normalization shared with every g-op
+    got = {
+        r.degree: r.n_nodes
+        for r in degree_histogram(
+            _mk_edges(spark, [(1, 2), (2, 1), (1, 1), (1, 2)])
+        ).collect()
+    }
+    assert got == {1: 2}

@@ -471,3 +471,47 @@ def test_correlation_profile_constant_and_null_guards(spark):
         ("x", "y"): (0, None),
         ("c", "y"): (0, None),
     }
+
+
+# --- referential audit (u20) -------------------------------------------------
+
+
+def test_referential_audit_counts_orphans_and_nulls(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        referential_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 98), (6, 99)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame(
+        [(10,), (11,), (None,)], "pk long"
+    )
+    (r,) = referential_audit(
+        [("child.fk->parent", child, "fk", parent, "pk")]
+    ).collect()
+    assert r.n_rows == 6 and r.n_null_keys == 1
+    assert r.n_orphan_keys == 2  # 98, 99
+    assert r.n_orphan_rows == 3  # 99 twice + 98 once
+    assert r.orphan_share == 3.0 / 5.0  # of the 5 non-null rows
+
+
+def test_referential_audit_all_null_child_guard(spark):
+    """A child whose FK column is entirely NULL has no non-null rows:
+    orphan_share is NULL (no evidence), not 0 — and a NULL parent key
+    never adopts anyone."""
+    from ods_to_datalake_spark.operators.profile import (
+        referential_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(None,)], "pk long")
+    (r,) = referential_audit(
+        [("e", child, "fk", parent, "pk")]
+    ).collect()
+    assert (r.n_rows, r.n_null_keys) == (2, 2)
+    assert (r.n_orphan_keys, r.n_orphan_rows) == (0, 0)
+    assert r.orphan_share is None

@@ -408,6 +408,15 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "u20_referential_audit": 24,  # 4 per FK edge x 6 edges (child
+    # distinct-key agg + its 1-row totals + the orphan rollup + the
+    # union stage) - every exchange carries key-distinct or 1-row
+    # data; the corpus never reaches a join
+    "e20_max_drawdown": 1,  # one day-keyed agg; prefix-max window +
+    # top-1 read the checkpointed calendar-sized daily frame
+    "g14_degree_histogram": 2,  # total agg + suffix window over the
+    # CHECKPOINTED histogram (uncheckpointed, each leg re-planned the
+    # basket/degree build - measured 11 -> 2)
     "x88_packing_report": 1,  # one shard-keyed partial agg composed on
     # the pack's own shard shuffle (the window reuses it)
     "x87_source_kl": 3,  # tok window + source window + source rollup
