@@ -631,39 +631,17 @@ def concentration_from_counts(
     )
 
 
-def correlation_profile(
+def correlation_pair_stats(
     df: DataFrame, cols: list[tuple[str, Column]]
 ) -> DataFrame:
-    """(col_x, col_y, n_pairs, corr) — exact-arithmetic Pearson
-    correlation for every unordered column pair: the feature-redundancy
-    / leakage panel a training pipeline reads before fitting anything
-    (|r| ≈ 1 means one column is the other in disguise — drop it or
-    leak it), and the multicollinearity screen a profiler (u11/u18)
-    doesn't answer. One row per pair in input order.
-
-    Exactness contract: every ``cols`` expression must be
-    INTEGER-valued (money as cents — the Decimal(18,2)·100 rule). Per
-    pair, the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
-    fold over the PAIRWISE-complete rows (both sides non-NULL) as
-    exact DECIMAL sums — order-free, partition-invariant; then
-        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
-    with the three operands exact DECIMAL(38,0) integers cast ONCE to
-    double (the oracle VARCHAR-hops its HUGEINT casts — the u17
-    rule; both engines' √/·// are correctly-rounded IEEE on identical
-    operands, so the result is bit-identical with NO transcendental
-    quantization — sqrt is exact by IEEE-754, unlike ln). A constant
-    column (zero variance) has no correlation: CASE-guarded NULL, not
-    0. DECIMAL(38,0) headroom: n·Σxy caps at ~rows²·x̄² — at 1e12
-    rows of 1e7-cent values rescale the unit, the same ceiling every
-    DECIMAL money fold in this repo documents.
-
-    Scale: ONE map-side-combinable global aggregate computes all
-    K(K−1)/2 pairs' statistics in a single pass (6 conditional sums
-    per pair — the rich_club wide-agg shape), then a 1-row explode;
-    NO shuffle beyond the single-row agg exchange, no per-pair scans,
-    no corr() UDAF (Spark's covar/corr are float-summed and
-    partition-order-dependent — unusable for the cross-engine
-    contract)."""
+    """(col_x, col_y, n, sx, sy, sxy, sxx, syy) — one row per unordered
+    column pair holding the exact Pearson sufficient statistics over
+    the PAIRWISE-complete rows. These are ADDITIVE (plain sums), which
+    is what makes the correlation panel streamable: per-batch rows
+    sum-fold across batches and `correlation_finalize` derives r from
+    the folded exact integers. See `correlation_profile` (the batch
+    composition) for the full exactness contract; the plan here is
+    the ONE map-side-combinable wide aggregate + 1-row explode."""
     d18 = "decimal(18,0)"
     d38 = "decimal(38,0)"
     named = [(name, expr.cast(d18)) for name, expr in cols]
@@ -699,28 +677,15 @@ def correlation_profile(
     wide = df.agg(*aggs)
 
     def pair_struct(i, j, nx, ny, tag):
-        n = F.col(f"n{tag}").cast(d38)
-        num = n * F.col(f"sxy{tag}") - F.col(f"sx{tag}") * F.col(
-            f"sy{tag}"
-        )
-        dx = n * F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(
-            f"sx{tag}"
-        )
-        dy = n * F.col(f"syy{tag}") - F.col(f"sy{tag}") * F.col(
-            f"sy{tag}"
-        )
         return F.struct(
             F.lit(nx).alias("col_x"),
             F.lit(ny).alias("col_y"),
-            F.col(f"n{tag}").alias("n_pairs"),
-            F.when(
-                (dx > 0) & (dy > 0),
-                num.cast("double")
-                / (
-                    F.sqrt(dx.cast("double"))
-                    * F.sqrt(dy.cast("double"))
-                ),
-            ).alias("corr"),
+            F.col(f"n{tag}").alias("n"),
+            F.col(f"sx{tag}").alias("sx"),
+            F.col(f"sy{tag}").alias("sy"),
+            F.col(f"sxy{tag}").alias("sxy"),
+            F.col(f"sxx{tag}").alias("sxx"),
+            F.col(f"syy{tag}").alias("syy"),
         )
 
     return wide.select(
@@ -728,6 +693,71 @@ def correlation_profile(
             F.array(*[pair_struct(*p) for p in pairs])
         ).alias("r")
     ).select("r.*")
+
+
+def correlation_finalize(stats: DataFrame) -> DataFrame:
+    """(col_x, col_y, n_pairs, corr) from a (col_x, col_y, n, sx, sy,
+    sxy, sxx, syy) sufficient-statistics frame — split from
+    `correlation_pair_stats` so the STREAMING face (which sum-folds
+    per-batch additive statistics from the lake) derives the
+    correlation through the SAME expressions and stays bit-identical
+    to batch by construction (the zipf_from_counts contract)."""
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "col_x",
+        "col_y",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / (
+                F.sqrt(dx.cast("double"))
+                * F.sqrt(dy.cast("double"))
+            ),
+        ).alias("corr"),
+    )
+
+
+def correlation_profile(
+    df: DataFrame, cols: list[tuple[str, Column]]
+) -> DataFrame:
+    """(col_x, col_y, n_pairs, corr) — exact-arithmetic Pearson
+    correlation for every unordered column pair: the feature-redundancy
+    / leakage panel a training pipeline reads before fitting anything
+    (|r| ≈ 1 means one column is the other in disguise — drop it or
+    leak it), and the multicollinearity screen a profiler (u11/u18)
+    doesn't answer. One row per pair in input order.
+
+    Exactness contract: every ``cols`` expression must be
+    INTEGER-valued (money as cents — the Decimal(18,2)·100 rule). Per
+    pair, the six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    fold over the PAIRWISE-complete rows (both sides non-NULL) as
+    exact DECIMAL sums — order-free, partition-invariant; then
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    with the three operands exact DECIMAL(38,0) integers cast ONCE to
+    double (the oracle VARCHAR-hops its HUGEINT casts — the u17
+    rule; both engines' √/·// are correctly-rounded IEEE on identical
+    operands, so the result is bit-identical with NO transcendental
+    quantization — sqrt is exact by IEEE-754, unlike ln). A constant
+    column (zero variance) has no correlation: CASE-guarded NULL, not
+    0. DECIMAL(38,0) headroom: n·Σxy caps at ~rows²·x̄² — at 1e12
+    rows of 1e7-cent values rescale the unit, the same ceiling every
+    DECIMAL money fold in this repo documents.
+
+    Scale: ONE map-side-combinable global aggregate computes all
+    K(K−1)/2 pairs' statistics in a single pass (6 conditional sums
+    per pair — the rich_club wide-agg shape), then a 1-row explode;
+    NO shuffle beyond the single-row agg exchange, no per-pair scans,
+    no corr() UDAF (Spark's covar/corr are float-summed and
+    partition-order-dependent — unusable for the cross-engine
+    contract). Composition of `correlation_pair_stats` (the additive
+    artifact — also the streaming face's per-batch sink payload) and
+    `correlation_finalize` (the shared derivation)."""
+    return correlation_finalize(correlation_pair_stats(df, cols))
 
 
 def referential_audit(
