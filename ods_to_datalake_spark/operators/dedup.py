@@ -348,7 +348,34 @@ def jaccard_pairs(
     Attaches each side's distinct-shingle set size, counts the shingle
     intersection via an exploded join, and keeps pairs with
     jaccard >= threshold. Cost is bounded by the candidate list — the LSH
-    pre-filter is what makes this viable at corpus scale.
+    pre-filter is what makes this viable at corpus scale. Thin final
+    projection over `jaccard_counts` (the exact integer i/u table the
+    x89 calibration audit also consumes)."""
+    counts = jaccard_counts(
+        df, candidates, id_col, text_col, shingle_n, shingle_table
+    )
+    out = counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / F.col("n_union"), 6
+        ).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_counts(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    shingle_table: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_inter, n_union) — the exact INTEGER shingle
+    intersection/union sizes behind `jaccard_pairs`, split out so the
+    estimator-calibration audit (x89) reads the same counts the verify
+    step divides (one definition).
 
     The shingle-set table feeds THREE join branches (sizes ×2 and the
     exploded intersection); without materialization Spark re-tokenizes
@@ -392,7 +419,7 @@ def jaccard_pairs(
 
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    out = (
+    counts = (
         candidates.alias("c")
         .join(sa, F.col("c.id_a") == F.col(f"sa.{id_col}"))
         .join(sb, F.col("c.id_b") == F.col(f"sb.{id_col}"))
@@ -405,18 +432,19 @@ def jaccard_pairs(
         .select(
             F.col("c.id_a").alias("id_a"),
             F.col("c.id_b").alias("id_b"),
-            F.round(
-                F.coalesce(F.col("i.n_inter"), F.lit(0))
-                / (
-                    F.col("sa.n_sh")
-                    + F.col("sb.n_sh")
-                    - F.coalesce(F.col("i.n_inter"), F.lit(0))
-                ),
-                6,
-            ).alias("jaccard"),
+            F.coalesce(F.col("i.n_inter"), F.lit(0))
+            .cast("long")
+            .alias("n_inter"),
+            (
+                F.col("sa.n_sh")
+                + F.col("sb.n_sh")
+                - F.coalesce(F.col("i.n_inter"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_union"),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    return counts
 
 
 def simhash_signatures(
@@ -1255,4 +1283,114 @@ def shingle_novelty(
                 / F.col("n_shingles").cast("double")
             ).alias("novelty_share"),
         )
+    )
+
+
+def minhash_calibration_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    k: int,
+    bands: int,
+    rows: int,
+) -> DataFrame:
+    """(n_pairs, mean_est, mean_exact, mean_abs_err, max_abs_err) —
+    calibration audit of the MinHash Jaccard ESTIMATOR itself, over
+    the LSH candidate pairs: Ĵ = (matching signature coordinates)/k
+    against the exact shingle-set Jaccard the verify step computes.
+    x78 audits the CANDIDATE layer (did LSH find the true near-dups);
+    this audits the ESTIMATE (when a pipeline trusts Ĵ instead of
+    paying for exact verification — the standard k-budget decision —
+    how wrong is it, on THIS corpus at THIS k?). The answer prices k:
+    E[|Ĵ−J|] ~ √(J(1−J)/k), so doubling signature width buys √2
+    accuracy at 2× shuffle weight — a measured mean_abs_err is the
+    number that justifies (or kills) that spend.
+
+    Cross-engine arithmetic: matches m and the exact (i, u) counts
+    are integers (`jaccard_counts` — the SAME counts x05 divides, one
+    definition); Ĵ = m/k is EXACT in binary for power-of-two k; J =
+    i/u and the error |Ĵ−J| are correctly-rounded IEEE on identical
+    operands — identical doubles in both engines. The per-pair J and
+    error are quantized to DECIMAL(18,12) for the MEAN folds (a
+    double sum is partition-order-dependent; the decimal sum is
+    exact — the x38 per-term rule; the oracle VARCHAR-hops its casts
+    per the u17 rule), then ONE raw division by n each;
+    max_abs_err is an order-free max over identical doubles, left
+    raw. Zero candidate pairs → zero counts, NULL means (CASE
+    guard).
+
+    Scale: the candidate pair frame is corpus-scale lineage feeding
+    the counts join AND the signature join — checkpointed DISK_ONLY
+    (the x25/r9 rule); everything after is one pair-keyed join pair
+    and a 1-row aggregate. At 100 TB run it on a SAMPLED candidate
+    slice (the estimator's error is a binomial proportion — hundreds
+    of pairs bound it), exactly like the x80 recall audit."""
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, shingle_n, k, bands, rows
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    counts = jaccard_counts(docs, cands, id_col, text_col, shingle_n)
+    sig = minhash_table(docs, id_col, text_col, shingle_n, k)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{s}").alias(f"a_{s}") for s in range(k)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{s}").alias(f"b_{s}") for s in range(k)],
+    )
+    m = F.lit(0)
+    for s in range(k):
+        m = m + F.when(F.col(f"a_{s}") == F.col(f"b_{s}"), 1).otherwise(0)
+    per_pair = (
+        counts.join(cands.join(sa, "id_a").join(sb, "id_b"),
+                    ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            m.cast("long").alias("m"),
+            "n_inter",
+            "n_union",
+        )
+        .select(
+            (F.col("m").cast("double") / F.lit(float(k))).alias("est"),
+            (
+                F.col("n_inter").cast("double")
+                / F.col("n_union").cast("double")
+            ).alias("exact"),
+            F.col("m"),
+        )
+        .select(
+            "m",
+            "est",
+            "exact",
+            F.abs(F.col("est") - F.col("exact")).alias("err"),
+        )
+    )
+    d12 = "decimal(18,12)"
+    agg = per_pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("__sm"),
+        F.sum(F.col("exact").cast(d12)).alias("__se"),
+        F.sum(F.col("err").cast(d12)).alias("__serr"),
+        F.max("err").alias("max_abs_err"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("__sm").cast("double")
+            / (F.lit(int(k)) * F.col("n_pairs")).cast("double"),
+        ).alias("mean_est"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("__se").cast("double")
+            / F.col("n_pairs").cast("double"),
+        ).alias("mean_exact"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("__serr").cast("double")
+            / F.col("n_pairs").cast("double"),
+        ).alias("mean_abs_err"),
+        "max_abs_err",
     )

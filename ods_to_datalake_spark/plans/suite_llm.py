@@ -2161,3 +2161,102 @@ def x87_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_kl_divergence(
         cat.table("documents"), "source", "text"
     )
+
+
+_X89_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh_{s} = b.mh_{s} THEN 1 ELSE 0 END)"
+    for s in range(MINHASH_K)
+)
+
+
+@register(
+    "x89_minhash_calibration",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, list_distinct({_sql_shingles(SQL_TOKENS)}) AS sh
+      FROM documents
+    ), sh_ok AS (
+      SELECT doc_id, sh FROM sh_t WHERE len(sh) > 0
+    ), {_sql_minhash_ctes('sh_ok')}, bands AS (
+      SELECT doc_id, {_BAND_SQL} FROM sig
+    ), banded AS (
+      {_BAND_UNION}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), shx AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sh_ok
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n_sh FROM sh_ok
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shx ea ON c.id_a = ea.doc_id
+      JOIN shx eb ON c.id_b = eb.doc_id AND ea.shingle = eb.shingle
+      GROUP BY c.id_a, c.id_b
+    ), pe AS (
+      SELECT ({_X89_MATCHES}) AS m,
+             CAST(({_X89_MATCHES}) AS DOUBLE) / {MINHASH_K} AS est,
+             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - COALESCE(i.n_inter, 0)
+                    AS DOUBLE) AS exact
+      FROM cand c
+      JOIN sig a ON c.id_a = a.doc_id
+      JOIN sig b ON c.id_b = b.doc_id
+      JOIN sizes sa ON c.id_a = sa.doc_id
+      JOIN sizes sb ON c.id_b = sb.doc_id
+      LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    ), pf AS (
+      SELECT m, est, exact, abs(est - exact) AS err FROM pe
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(CAST(COALESCE(SUM(m), 0) AS BIGINT) AS DOUBLE)
+             / CAST({MINHASH_K} * COUNT(*) AS DOUBLE)
+           END AS mean_est,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(CAST(SUM(CAST(CAST(exact AS VARCHAR)
+                                AS DECIMAL(18,12))) AS VARCHAR)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           END AS mean_exact,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(CAST(SUM(CAST(CAST(err AS VARCHAR)
+                                AS DECIMAL(18,12))) AS VARCHAR)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           END AS mean_abs_err,
+           MAX(err) AS max_abs_err
+    FROM pf
+    """,
+    doc=f"Calibration audit of the MinHash Jaccard ESTIMATOR over the "
+    f"LSH candidate pairs: realized |Ĵ − J| where Ĵ = matching "
+    f"signature coordinates / {MINHASH_K} and J is the exact "
+    "shingle Jaccard the verify step computes (same jaccard_counts "
+    "integers as x05 — one definition). x78 audits the candidate "
+    "LAYER (recall); this audits the ESTIMATE — when a pipeline "
+    "trusts Ĵ instead of paying exact verification, how wrong is it "
+    "on THIS corpus at THIS k? E[|Ĵ−J|] ~ sqrt(J(1−J)/k), so the "
+    "measured mean_abs_err prices a wider signature (2× shuffle "
+    "weight per √2 accuracy). Ĵ exact in binary (power-of-two k); "
+    "J/err correctly-rounded IEEE on identical integers; per-pair "
+    "terms quantized DECIMAL(18,12) for the mean folds (double sums "
+    "are partition-order-dependent; VARCHAR-hopped oracle casts), "
+    "max left raw (order-free). Candidate frame DISK_ONLY-"
+    "checkpointed (feeds counts + signature joins). Sample the "
+    "candidate slice at 100 TB — a binomial proportion needs "
+    "hundreds of pairs, not the corpus. "
+    "operators/dedup.minhash_calibration_report.",
+)
+def x89_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        minhash_calibration_report,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return minhash_calibration_report(
+        cat.table("documents"), "doc_id", "text",
+        SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS,
+    )

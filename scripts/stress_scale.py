@@ -135,6 +135,13 @@ SUITE_QUERIES = [
     # measures the skew ceiling of the order-statistic median design
     "e17_interarrival_stats",
     "u16_robust_outliers",
+    # round-11: the new wide-agg correlation panel (pure scan + one
+    # map-side-combinable aggregate — the cell pins scan-bound
+    # linearity) and the per-node triangle attribution (g03's wedge
+    # join + a corner explode tripling the triangle stream; disjoint
+    # replica graphs, so ~linear medians mean the plan scales)
+    "u19_correlation_profile",
+    "g13_clustering_coefficient",
 ]
 
 

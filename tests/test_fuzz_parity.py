@@ -84,6 +84,10 @@ FUZZ_QUERIES = [
     # round-11: source KL — single-source fuzz corpora must read
     # EXACTLY 0 nats (support == mix), all-NULL corpora have no tokens
     "x87_source_kl",
+    # round-11: estimator calibration — tiny-alphabet corpora are
+    # candidate-dense, zero-candidate corpora hit the NULL-mean
+    # guards, and the DECIMAL(18,12) per-pair quantization folds
+    "x89_minhash_calibration",
 ]
 
 

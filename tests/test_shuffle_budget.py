@@ -408,6 +408,10 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "x89_minhash_calibration": 8,  # reads the CHECKPOINTED candidate
+    # pair frame: shingle-set sizes x2 + exploded intersection + one
+    # signature agg joined twice + the 1-row report (x05's verify
+    # funnel budget is 10 for the same shape)
     "u20_referential_audit": 24,  # 4 per FK edge x 6 edges (child
     # distinct-key agg + its 1-row totals + the orphan rollup + the
     # union stage) - every exchange carries key-distinct or 1-row
