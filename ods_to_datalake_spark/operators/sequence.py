@@ -327,3 +327,116 @@ def gap_stats_from_sums(agg: DataFrame, key: str) -> DataFrame:
             (F.sqrt(var) - mean) / (F.sqrt(var) + mean),
         ).alias("burstiness"),
     )
+
+
+def ab_proportion_test(
+    df: DataFrame,
+    key_col: str,
+    cohort: Column,
+    converted: Column,
+    negative: Column | None = None,
+) -> DataFrame:
+    """(n_a, conv_a, rate_a, n_b, conv_b, rate_b, lift, z_score) — the
+    two-proportion z-test over per-key conversion, the experiment
+    readout every A/B assignment funnels into: cohort 0 vs cohort 1
+    unit counts, converted counts, rates, absolute lift, and the
+    pooled-variance z statistic
+
+        z = (p_a − p_b) / √( p̂(1−p̂) · (1/n_a + 1/n_b) ),
+        p̂ = (c_a + c_b) / (n_a + n_b)
+
+    (the standard normal-approximation test; |z| > 1.96 ≈ p < .05
+    two-sided). The UNIT is the key (user), never the event — one
+    heavy user must not count as many conversions, the classic A/B
+    unit-of-analysis error — so the first fold collapses each key to
+    (cohort, converted) and the cohort agg counts keys. ``converted``
+    alone means converted-at-least-once; with ``negative`` the key
+    converts iff it has strictly MORE converted than negative events
+    (the net-positive readout — exact integer comparison).
+
+    Cross-engine exactness: all counts exact BIGINTs; rates, lift,
+    p̂, the variance product, the √, and z are a fixed chain of
+    correctly-rounded IEEE ops on identical integer operands —
+    bit-identical in both engines with no quantization (√ is exact
+    per IEEE-754; no transcendentals anywhere). Degenerate guards:
+    either cohort empty, or pooled p̂ ∈ {0, 1} (zero variance —
+    all-converted/none-converted), → NULL z (no evidence, not 0);
+    the counts still report. NULL keys carry no cohort and are
+    excluded; ``cohort`` must evaluate to 0/1.
+
+    Scale: one key-keyed partial agg over the events + one tiny
+    cohort rollup folded into a single wide row (conditional sums) —
+    two shuffles total, output exactly 1 row."""
+    if negative is None:
+        conv_agg = F.max(F.when(converted, 1).otherwise(0))
+    else:
+        # net-positive conversion: strictly more `converted` events
+        # than `negative` ones (exact integer comparison)
+        conv_agg = F.when(
+            F.coalesce(F.sum(F.when(converted, 1).otherwise(0)), F.lit(0))
+            > F.coalesce(F.sum(F.when(negative, 1).otherwise(0)), F.lit(0)),
+            1,
+        ).otherwise(0)
+    per_key = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(
+            F.max(cohort).alias("__g"),
+            conv_agg.alias("__conv"),
+        )
+    )
+    wide = per_key.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("__g") == g, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"n_{t}")
+            for g, t in ((0, "a"), (1, "b"))
+        ],
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("__g") == g) & (F.col("__conv") == 1),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"conv_{t}")
+            for g, t in ((0, "a"), (1, "b"))
+        ],
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = (
+        F.col("conv_a").cast("double"),
+        F.col("conv_b").cast("double"),
+    )
+    ra, rb = ca / na, cb / nb
+    pooled = (ca + cb) / (na + nb)
+    var = pooled * (F.lit(1.0) - pooled) * (
+        F.lit(1.0) / na + F.lit(1.0) / nb
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") > 0)
+        & (
+            F.col("conv_a") + F.col("conv_b")
+            < F.col("n_a") + F.col("n_b")
+        )
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return wide.select(
+        "n_a",
+        "conv_a",
+        F.when(F.col("n_a") > 0, ra).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.when(F.col("n_b") > 0, rb).alias("rate_b"),
+        F.when(both, ra - rb).alias("lift"),
+        F.when(ok, (ra - rb) / F.sqrt(var)).alias("z_score"),
+    )

@@ -977,3 +977,93 @@ def e20_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = load_testdata(spark, sf_dir)
     return max_drawdown(cat.table("events"), "ts", "value")
+
+
+@register(
+    "e21_ab_proportion_test",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS g,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS conv
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    w AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_a,
+        CAST(COALESCE(SUM(CASE WHEN g = 0 AND conv = 1
+                               THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS conv_a,
+        CAST(COALESCE(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_b,
+        CAST(COALESCE(SUM(CASE WHEN g = 1 AND conv = 1
+                               THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS conv_b
+      FROM per_key
+    )
+    SELECT n_a, conv_a,
+           CASE WHEN n_a > 0 THEN
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           END AS rate_a,
+           n_b, conv_b,
+           CASE WHEN n_b > 0 THEN
+             CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           END AS rate_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+           END AS lift,
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND conv_a + conv_b > 0
+                 AND conv_a + conv_b < n_a + n_b THEN
+             (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(
+                 ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (1.0 - (CAST(conv_a AS DOUBLE)
+                           + CAST(conv_b AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE)
+                           + CAST(n_b AS DOUBLE)))
+                 * (1.0 / CAST(n_a AS DOUBLE)
+                    + 1.0 / CAST(n_b AS DOUBLE))
+               )
+           END AS z_score
+    FROM w
+    """,
+    doc="Two-proportion z-test of per-USER conversion (more "
+    "purchases than errors — a balanced split at every SF, so the z "
+    "path is exercised at the gate) between the user-parity cohorts — the experiment readout every "
+    "A/B assignment funnels into (|z| > 1.96 ≈ p < .05 two-sided). "
+    "The unit is the USER, never the event (one heavy user must not "
+    "count as many conversions — the classic unit-of-analysis "
+    "error): the first fold collapses each user to converted-at-"
+    "least-once, the cohort agg counts users. Exact BIGINT counts; "
+    "rates/pooled-variance/√/z are a fixed chain of correctly-"
+    "rounded IEEE ops on identical integers — bit-identical, no "
+    "transcendentals (√ is exact per IEEE-754). Empty cohort or "
+    "zero-variance pooled rate → NULL z (no evidence). Two shuffles "
+    "(user fold + 1-row rollup), 1 output row. "
+    "operators/sequence.ab_proportion_test.",
+)
+def e21_ab_proportion_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        ab_proportion_test,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return ab_proportion_test(
+        cat.table("events"),
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long"),
+        F.col("event_type") == "purchase",
+        negative=F.col("event_type") == "error",
+    )

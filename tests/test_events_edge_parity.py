@@ -86,6 +86,9 @@ EDGE_QUERIES = [
     # round-11: OHLC picks at tied timestamps (the unique-tiebreak
     # rule), NULL-value open/close ride-along, epoch-0 days
     "e19_daily_ohlc",
+    # round-11: per-user A/B fold (NULL users excluded, tied
+    # purchase/error counts are NOT conversions, z guards)
+    "e21_ab_proportion_test",
 ]
 
 

@@ -668,3 +668,100 @@ def test_interarrival_bursty_and_degenerate_guards(spark):
     assert out[2].mean_gap_s is None and out[2].burstiness is None
     assert out[3].n_gaps == 1 and out[3].sum_gap_s == 0
     assert out[3].std_gap_s == 0.0 and out[3].burstiness is None
+
+
+# --- A/B two-proportion z-test (e21) ------------------------------------------
+
+
+def test_ab_proportion_known_value(spark):
+    """4 users per cohort, A converts 3/4, B converts 1/4: z =
+    (0.75-0.25)/sqrt(0.5*0.5*(1/4+1/4)) = sqrt(2) exactly (all the
+    operands are exact binary fractions, so even the IEEE chain lands
+    on the closed form)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.sequence import (
+        ab_proportion_test,
+    )
+
+    rows = [(u, "p" if c else "x") for u, c in
+            [(0, 1), (2, 1), (4, 1), (6, 0),
+             (1, 1), (3, 0), (5, 0), (7, 0)]]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    (r,) = ab_proportion_test(
+        df,
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long"),
+        F.col("event_type") == "p",
+    ).collect()
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (4, 3, 4, 1)
+    assert r.lift == 0.5
+    assert abs(r.z_score - math.sqrt(2.0)) <= 1e-15
+
+
+def test_ab_unit_is_the_user_not_the_event(spark):
+    """One user firing 100 purchase events is ONE conversion — the
+    unit-of-analysis contract."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.sequence import (
+        ab_proportion_test,
+    )
+
+    rows = [(0, "p")] * 100 + [(2, "x"), (1, "x"), (3, "x")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    (r,) = ab_proportion_test(
+        df,
+        "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long"),
+        F.col("event_type") == "p",
+    ).collect()
+    assert (r.n_a, r.conv_a) == (2, 1)
+    assert (r.n_b, r.conv_b) == (2, 0)
+
+
+def test_ab_guards_empty_cohort_and_zero_variance(spark):
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.sequence import (
+        ab_proportion_test,
+    )
+
+    # all users even -> cohort b empty
+    df = spark.createDataFrame(
+        [(0, "p"), (2, "x")], "user_id long, event_type string"
+    )
+    (r,) = ab_proportion_test(
+        df, "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long"),
+        F.col("event_type") == "p",
+    ).collect()
+    assert r.n_b == 0 and r.rate_b is None
+    assert r.lift is None and r.z_score is None
+
+    # everyone converts -> pooled p = 1, zero variance
+    df2 = spark.createDataFrame(
+        [(0, "p"), (1, "p")], "user_id long, event_type string"
+    )
+    (r2,) = ab_proportion_test(
+        df2, "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long"),
+        F.col("event_type") == "p",
+    ).collect()
+    assert r2.rate_a == 1.0 and r2.rate_b == 1.0
+    assert r2.lift == 0.0 and r2.z_score is None
+
+    # net-positive mode: a TIE (1 purchase, 1 error) is NOT converted
+    df3 = spark.createDataFrame(
+        [(0, "p"), (0, "e"), (1, "p")],
+        "user_id long, event_type string",
+    )
+    (r3,) = ab_proportion_test(
+        df3, "user_id",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("long"),
+        F.col("event_type") == "p",
+        negative=F.col("event_type") == "e",
+    ).collect()
+    assert (r3.conv_a, r3.conv_b) == (0, 1)

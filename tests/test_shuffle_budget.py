@@ -408,6 +408,7 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
     "x89_minhash_calibration": 8,  # reads the CHECKPOINTED candidate
     # pair frame: shingle-set sizes x2 + exploded intersection + one
     # signature agg joined twice + the 1-row report (x05's verify
