@@ -838,3 +838,91 @@ def referential_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+) -> DataFrame:
+    """(n_a, n_b, ks_d, at_value) — exact two-sample Kolmogorov–
+    Smirnov statistic D = sup_x |F_a(x) − F_b(x)| between the value
+    distributions of group TRUE (a) and group FALSE (b): the
+    distribution-drift test behind "did this release change the SHAPE
+    of the metric, not just its mean" (u14 diffs summary stats; e21
+    tests one proportion; KS sees every quantile at once — a variance
+    doubling with equal means is invisible to both and maximal here).
+    Reject at α=.05 when D > 1.358·√((n_a+n_b)/(n_a·n_b)).
+
+    Exactness: ``value`` must be INTEGER-valued (cents). D is found
+    WITHOUT float CDFs: at every distinct value,
+    |F_a − F_b| = |c_a·n_b − c_b·n_a| / (n_a·n_b) with the numerator
+    an exact DECIMAL(38,0) integer (c·n crosses int64 at ~3e9 rows),
+    so the argmax is an exact integer comparison — no accumulated
+    float error can move it — and ks_d is ONE IEEE division at the
+    end (oracle VARCHAR-hops its casts, the u17 rule). ``at_value``
+    is the smallest value attaining the sup (deterministic at ties).
+    NULL values and NULL group rows are excluded (no distribution
+    membership); an empty side → NULL D (no evidence).
+
+    Scale: one conditional-count agg per DISTINCT VALUE (partial,
+    map-side), then cumulative windows over the distinct-VALUE frame
+    — whose size is bounded by the value DOMAIN (cents of a bounded
+    measure), not the row count, which is what makes the
+    single-partition cumulative window survive 100 TB (the e16
+    calendar-frame argument, domain-sized instead of calendar-sized);
+    a 1-row argmax ends it."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        group.alias("__g"), value.cast("long").alias("__v")
+    ).where(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    per_v = rows.groupBy("__v").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__g"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("__na"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__g"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("__nb"),
+    ).localCheckpoint()  # domain-sized; feeds totals AND the window
+    tot = per_v.agg(
+        F.coalesce(F.sum("__na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("__nb"), F.lit(0)).cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "__v",
+        F.sum("__na").over(w).cast("long").alias("__ca"),
+        F.sum("__nb").over(w).cast("long").alias("__cb"),
+    ).crossJoin(F.broadcast(tot))
+    gap = cum.select(
+        "n_a",
+        "n_b",
+        "__v",
+        F.abs(
+            F.col("__ca").cast(d38) * F.col("n_b").cast(d38)
+            - F.col("__cb").cast(d38) * F.col("n_a").cast(d38)
+        ).alias("__num"),
+    )
+    top = gap.orderBy(
+        F.col("__num").desc(), F.col("__v").asc()
+    ).limit(1)
+    return top.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("__num").cast("double")
+            / (
+                F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+            ).cast("double"),
+        ).alias("ks_d"),
+        F.col("__v").alias("at_value"),
+    )

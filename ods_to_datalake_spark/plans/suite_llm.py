@@ -2260,3 +2260,71 @@ def x89_minhash_calibration(
         cat.table("documents"), "doc_id", "text",
         SHINGLE_N, MINHASH_K, LSH_BANDS, LSH_ROWS,
     )
+
+
+@register(
+    "x90_cluster_size_spectrum",
+    oracle=None,  # assembled below: embeds x25's recursive-CTE oracle
+    # as the cluster source (the single-source rule — x90 can never
+    # disagree with x25 about what a cluster is)
+    doc="Near-dup cluster-SIZE spectrum: how many verified near-dup "
+    "families exist at each member count, and what share of the "
+    "clustered documents sits at that size — x84's histogram applied "
+    "one funnel stage later (x84 reads EXACT-dup multiplicities from "
+    "content hashes; this reads NEAR-dup family sizes from the "
+    "x25 connected components — a corpus can be exact-unique yet "
+    "dominated by one giant near-dup family, the case that decides "
+    "between keep-one-per-cluster and threshold re-tuning). Derived "
+    "through the SAME dedup.dup_spectrum_from_group_sizes arithmetic "
+    "as x84 and the x84 streaming face (one definition, three "
+    "consumers); the funnel cost is x25's — the spectrum adds one "
+    "cluster-keyed count and a histogram-sized rollup. "
+    "operators/dedup.connected_components + dup_spectrum_from_group_sizes.",
+)
+def x90_cluster_size_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.dedup import (
+        connected_components,
+        dup_spectrum_from_group_sizes,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    cc = connected_components(
+        verified_pairs(cat.table("documents")), "id_a", "id_b"
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return dup_spectrum_from_group_sizes(sizes, "__n")
+
+
+def _assemble_x90_oracle() -> None:
+    from ods_to_datalake_spark.plans.suite import REGISTRY
+
+    x25 = REGISTRY["x25_dedup_clusters"].oracle
+    REGISTRY["x90_cluster_size_spectrum"].oracle = f"""
+    WITH sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({x25}) cc GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT n AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM sizes GROUP BY n
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(multiplicity * n_groups), 0) AS BIGINT)
+        AS t
+      FROM hist
+    )
+    SELECT multiplicity, n_groups,
+           CAST(multiplicity * n_groups AS BIGINT) AS n_docs,
+           CASE WHEN t > 0 THEN
+             CAST(multiplicity * n_groups AS DOUBLE)
+             / CAST(t AS DOUBLE)
+           END AS doc_share
+    FROM hist CROSS JOIN tot
+    """
+
+
+_assemble_x90_oracle()

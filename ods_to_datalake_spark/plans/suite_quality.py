@@ -964,3 +964,86 @@ def u20_referential_audit(
             for name, child, ckey, parent, pkey in U20_FKS
         ]
     )
+
+
+@register(
+    "u21_ks_two_sample",
+    oracle="""
+    WITH rows_f AS (
+      SELECT o_orderpriority = '1-URGENT' AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_totalprice IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+    ),
+    per_v AS (
+      SELECT v,
+             CAST(COALESCE(SUM(CASE WHEN g THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS na,
+             CAST(COALESCE(SUM(CASE WHEN NOT g THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS nb
+      FROM rows_f GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b
+      FROM per_v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ca,
+             CAST(SUM(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cb
+      FROM per_v
+    ),
+    gap AS (
+      SELECT t.n_a, t.n_b, c.v,
+             abs(CAST(c.ca AS HUGEINT) * t.n_b
+                 - CAST(c.cb AS HUGEINT) * t.n_a) AS num
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR)
+                    AS DOUBLE)
+           END AS ks_d,
+           v AS at_value
+    FROM gap
+    ORDER BY num DESC, v ASC
+    LIMIT 1
+    """,
+    doc="Exact two-sample Kolmogorov–Smirnov D between the URGENT and "
+    "LOW order-priority total-price distributions — the distribution-"
+    "drift test behind 'did the SHAPE change, not just the mean' "
+    "(u14 diffs summary stats, e21 tests one proportion; KS sees "
+    "every quantile — a variance doubling with equal means is "
+    "invisible to both and maximal here; reject at .05 when D > "
+    "1.358·√((n_a+n_b)/(n_a·n_b))). D found WITHOUT float CDFs: "
+    "|c_a·n_b − c_b·n_a| is an exact DECIMAL(38,0)/HUGEINT integer at "
+    "every distinct value, so the argmax is an exact comparison and "
+    "ks_d is ONE final division (VARCHAR-hopped oracle casts); "
+    "at_value = smallest argmax (deterministic ties). Cumulative "
+    "windows run over the distinct-VALUE frame — bounded by the "
+    "cents DOMAIN, not row count (the e16 argument, domain-sized). "
+    "operators/profile.ks_two_sample.",
+)
+def u21_ks_two_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import ks_two_sample
+
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    return ks_two_sample(
+        orders,
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
+    )

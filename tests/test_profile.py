@@ -515,3 +515,58 @@ def test_referential_audit_all_null_child_guard(spark):
     assert (r.n_rows, r.n_null_keys) == (2, 2)
     assert (r.n_orphan_keys, r.n_orphan_rows) == (0, 0)
     assert r.orphan_share is None
+
+
+# --- exact two-sample KS (u21) -------------------------------------------------
+
+
+def test_ks_two_sample_known_values(spark):
+    """Disjoint supports -> D = 1 exactly; identical samples -> D = 0;
+    the classic quarter-shift case lands on an exact rational."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import ks_two_sample
+
+    def ks(rows):
+        df = spark.createDataFrame(rows, "g boolean, v long")
+        return ks_two_sample(df, F.col("g"), F.col("v")).collect()[0]
+
+    r = ks([(True, 1), (True, 2), (False, 10), (False, 11)])
+    assert r.ks_d == 1.0 and r.at_value == 2
+
+    r = ks([(True, 1), (True, 2), (False, 1), (False, 2)])
+    assert r.ks_d == 0.0 and r.at_value == 1  # smallest argmax at ties
+
+    # a: {1,2,3,4}, b: {3,4,5,6}: sup gap at v=2 (2/4 vs 0/4) = 0.5
+    r = ks(
+        [(True, v) for v in (1, 2, 3, 4)]
+        + [(False, v) for v in (3, 4, 5, 6)]
+    )
+    assert r.ks_d == 0.5 and r.at_value == 2
+
+
+def test_ks_two_sample_guards(spark):
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import ks_two_sample
+
+    # one side empty -> NULL D (no evidence), counts still report
+    df = spark.createDataFrame(
+        [(True, 1), (True, 2)], "g boolean, v long"
+    )
+    (r,) = ks_two_sample(df, F.col("g"), F.col("v")).collect()
+    assert (r.n_a, r.n_b) == (2, 0) and r.ks_d is None
+
+    # NULL values and NULL groups excluded entirely
+    df2 = spark.createDataFrame(
+        [(True, 1), (True, None), (None, 5), (False, 2)],
+        "g boolean, v long",
+    )
+    (r2,) = ks_two_sample(df2, F.col("g"), F.col("v")).collect()
+    assert (r2.n_a, r2.n_b) == (1, 1)
+
+    # empty input -> empty result
+    assert (
+        ks_two_sample(df.limit(0), F.col("g"), F.col("v")).count()
+        == 0
+    )

@@ -408,6 +408,13 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "x90_cluster_size_spectrum": 1,  # funnel rounds are checkpoint-
+    # truncated (x25's rule; its own budget reads 0) - visible:
+    # cluster-size agg; the histogram rollup + total reuse the
+    # checkpointed tiny frame
+    "u21_ks_two_sample": 2,  # distinct-value conditional-count agg;
+    # the cumulative windows + argmax read the CHECKPOINTED
+    # domain-sized frame (totals broadcast back)
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
     "x89_minhash_calibration": 8,  # reads the CHECKPOINTED candidate
     # pair frame: shingle-set sizes x2 + exploded intersection + one

@@ -66,6 +66,9 @@ EDGE_QUERIES = [
     # edge corpus (exact copies contest every shingle); unicode
     # shingles; 1200-token doc
     "x86_shingle_novelty",
+    # round-11: near-dup family sizes on the dup-heavy edge corpus
+    # (exact copies form multi-member clusters; the recursive oracle)
+    "x90_cluster_size_spectrum",
     "x23_tfidf_top_terms",
     "x24_stratified_sample",
     "x25_dedup_clusters",
