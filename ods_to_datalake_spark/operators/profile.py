@@ -926,3 +926,87 @@ def ks_two_sample(
         ).alias("ks_d"),
         F.col("__v").alias("at_value"),
     )
+
+
+def cramers_v(
+    df: DataFrame, col_a: Column, col_b: Column
+) -> DataFrame:
+    """(n_rows, n_levels_a, n_levels_b, chi2, cramers_v) — χ²-based
+    Cramér's V association between two CATEGORICAL columns: the
+    "are these two labels entangled" panel that completes u19 (which
+    answers it for numeric pairs) — V ∈ [0, 1], 0 independent, 1 one
+    column determines the other; the pre-fit screen for redundant
+    categorical features and the drift test for a (segment × outcome)
+    table.
+
+        χ² = Σ_cells (o·N − r·c)² / (N·r·c),   V = √(χ² / (N·k)),
+        k = min(levels_a, levels_b) − 1
+
+    Exactness (the u17 Benford-χ² pattern): observed o, row/col
+    totals r/c, and N are exact BIGINTs; each cell's deviation
+    (o·N − r·c) is computed in DECIMAL(38,0) (o·N crosses int64 at
+    ~3e9 rows) and cast ONCE to double, the per-cell term
+    dev²/(N·r·c) is a fixed IEEE chain on identical operands, each
+    term is quantized to DECIMAL(28,12) BEFORE the fold (a double sum
+    is partition-order-dependent; the oracle VARCHAR-hops its casts),
+    and χ²/V are one division + one exact IEEE √ at the end. Rows
+    with a NULL on either side are excluded (a NULL level belongs to
+    check_not_null, not the association); single-level columns have
+    k = 0 → NULL V (no evidence). Empty input → zero counts, NULL
+    stats.
+
+    Scale: one (a, b) cell-count shuffle over the table; row/col
+    totals and level counts are WINDOWS over the cell frame (levels²
+    rows — tiny), the grand total a 1-row broadcast; everything after
+    the first agg is contingency-table-sized."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(col_a.alias("__a"), col_b.alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .localCheckpoint()  # contingency-sized; feeds the 1-row total
+        # AND the windowed term plan (the x25 rule)
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("__o"), F.lit(0)).cast("long").alias("__n"),
+        F.count_distinct(F.col("__a")).cast("long").alias("__la"),
+        F.count_distinct(F.col("__b")).cast("long").alias("__lb"),
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    terms = cells.select(
+        "__o",
+        F.sum("__o").over(wa).cast("long").alias("__r"),
+        F.sum("__o").over(wb).cast("long").alias("__c"),
+    ).crossJoin(F.broadcast(tot))
+    dev = (
+        F.col("__o").cast(d38) * F.col("__n").cast(d38)
+        - F.col("__r").cast(d38) * F.col("__c").cast(d38)
+    ).cast("double")
+    den = (
+        F.col("__n").cast(d38)
+        * F.col("__r").cast(d38)
+        * F.col("__c").cast(d38)
+    ).cast("double")
+    q = ((dev * dev) / den).cast("decimal(28,12)")
+    agg = terms.agg(F.sum(q).alias("__chi")).crossJoin(
+        F.broadcast(tot)
+    )
+    k = F.least(F.col("__la"), F.col("__lb")) - 1
+    chi2 = F.col("__chi").cast("double")
+    return agg.select(
+        F.col("__n").alias("n_rows"),
+        F.col("__la").alias("n_levels_a"),
+        F.col("__lb").alias("n_levels_b"),
+        F.when(F.col("__n") > 0, chi2).alias("chi2"),
+        F.when(
+            (F.col("__n") > 0) & (k > 0),
+            F.sqrt(
+                chi2
+                / (F.col("__n").cast("double") * k.cast("double"))
+            ),
+        ).alias("cramers_v"),
+    )

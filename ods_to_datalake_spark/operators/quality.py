@@ -431,3 +431,62 @@ def source_kl_divergence(
             ).alias("kl_nats"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, n_chars, chars_per_token,
+    tokens_per_doc) — tokenizer fertility panel per language (or any
+    grouping): characters per BPE-ish token, the multilingual-corpus
+    cost metric (a language at 2× the chars/token pays 2× the context
+    window for the same text — fertility is how tokenizer and
+    data-mixture papers report it) and the budget number behind
+    per-language sampling rates. Uses x02's BPE-ish segmentation
+    (letter runs / digit runs / single punctuation — pure JVM regexp)
+    so the two queries count the same tokens.
+
+    Exactness: counts exact BIGINTs; NULL text contributes no chars
+    and no tokens in BOTH engines (size/LEN of NULL is NULL, SUM
+    skips) but the document still counts toward n_docs; NULL group is
+    a real group (groupBy keeps it). The two ratios are raw
+    BIGINT/BIGINT IEEE divisions, CASE-guarded on zero denominators.
+
+    Scale: one group-keyed partial agg — the per-row regexp token
+    count is map-side, the shuffle carries language-count rows."""
+    toks = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)),
+            F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"),
+            0,
+        )
+    ).cast("long")
+    chars = F.length(F.col(text_col)).cast("long")
+    return (
+        docs.groupBy(F.col(group_col).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(toks), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.sum(chars), F.lit(0))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("chars_per_token"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"),
+            ).alias("tokens_per_doc"),
+        )
+    )

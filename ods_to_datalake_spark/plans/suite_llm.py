@@ -2328,3 +2328,48 @@ def _assemble_x90_oracle() -> None:
 
 
 _assemble_x90_oracle()
+
+
+@register(
+    "x91_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(LEN(regexp_extract_all(LOWER(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) AS BIGINT)
+             AS n_tokens,
+           CAST(COALESCE(SUM(LENGTH(text)), 0) AS BIGINT) AS n_chars,
+           CASE WHEN COALESCE(SUM(LEN(regexp_extract_all(LOWER(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) > 0 THEN
+             CAST(COALESCE(SUM(LENGTH(text)), 0) AS DOUBLE)
+             / CAST(COALESCE(SUM(LEN(regexp_extract_all(LOWER(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) AS DOUBLE)
+           END AS chars_per_token,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(COALESCE(SUM(LEN(regexp_extract_all(LOWER(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 0) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+           END AS tokens_per_doc
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Tokenizer fertility panel per language: chars per BPE-ish "
+    "token (x02's segmentation — same tokens, one definition) and "
+    "tokens per document — the multilingual cost metric (a language "
+    "at 2× chars/token pays 2× context window for the same text; "
+    "fertility is how tokenizer/mixture papers report it) and the "
+    "budget number behind per-language sampling. Exact BIGINT "
+    "counts; NULL text adds nothing in both engines but the doc "
+    "counts; NULL lang is a real group; two raw guarded divisions. "
+    "One group-keyed partial agg — the regexp count is map-side. "
+    "operators/quality.tokenizer_fertility.",
+)
+def x91_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.quality import (
+        tokenizer_fertility,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return tokenizer_fertility(cat.table("documents"), "lang", "text")

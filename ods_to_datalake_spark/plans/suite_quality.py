@@ -1047,3 +1047,79 @@ def u21_ks_two_sample(
         F.col("o_orderpriority") == "1-URGENT",
         F.col("o_totalprice").cast("decimal(18,2)") * 100,
     )
+
+
+@register(
+    "u22_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS la,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS lb
+      FROM cells
+    ),
+    terms AS (
+      SELECT o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c
+      FROM cells
+    ),
+    q AS (
+      SELECT CAST(CAST(
+               (CAST(CAST(CAST(o AS HUGEINT) * t.n
+                          - CAST(r AS HUGEINT) * c AS VARCHAR)
+                     AS DOUBLE)
+                * CAST(CAST(CAST(o AS HUGEINT) * t.n
+                            - CAST(r AS HUGEINT) * c AS VARCHAR)
+                       AS DOUBLE))
+               / CAST(CAST(CAST(t.n AS HUGEINT) * r * c AS VARCHAR)
+                      AS DOUBLE)
+             AS VARCHAR) AS DECIMAL(28,12)) AS term
+      FROM terms CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT (SELECT SUM(term) FROM q) AS chi_dec,
+             n, la, lb
+      FROM tot
+    )
+    SELECT n AS n_rows, la AS n_levels_a, lb AS n_levels_b,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(chi_dec AS VARCHAR) AS DOUBLE)
+           END AS chi2,
+           CASE WHEN n > 0 AND LEAST(la, lb) - 1 > 0 THEN
+             sqrt(CAST(CAST(chi_dec AS VARCHAR) AS DOUBLE)
+                  / (CAST(n AS DOUBLE)
+                     * CAST(LEAST(la, lb) - 1 AS DOUBLE)))
+           END AS cramers_v
+    FROM agg
+    """,
+    doc="Cramér's V association between order status and priority — "
+    "the categorical twin of u19's numeric correlation panel (V ∈ "
+    "[0,1]; 0 independent, 1 one column determines the other): the "
+    "pre-fit screen for entangled categorical features and the drift "
+    "test for a segment × outcome table. χ² per the u17 Benford "
+    "pattern: each cell's (o·N − r·c) deviation exact in "
+    "DECIMAL(38,0)/HUGEINT, the term dev²/(N·r·c) a fixed IEEE chain, "
+    "quantized DECIMAL(28,12) before the fold (VARCHAR-hopped oracle "
+    "casts), χ²/V one division + one exact IEEE √. NULL levels "
+    "excluded (check_not_null's job); single-level → NULL V. One "
+    "cell-count shuffle; totals are windows over the contingency "
+    "table. operators/profile.cramers_v.",
+)
+def u22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import cramers_v
+
+    cat = load_testdata(spark, sf_dir)
+    return cramers_v(
+        cat.table("orders"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )

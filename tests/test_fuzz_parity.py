@@ -88,6 +88,9 @@ FUZZ_QUERIES = [
     # candidate-dense, zero-candidate corpora hit the NULL-mean
     # guards, and the DECIMAL(18,12) per-pair quantization folds
     "x89_minhash_calibration",
+    # round-11: fertility — unicode codepoint counting, NULL texts
+    # count docs but no tokens, empty corpora (single fuzz lang group)
+    "x91_tokenizer_fertility",
 ]
 
 

@@ -408,6 +408,10 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "x91_tokenizer_fertility": 1,  # one group-keyed partial agg;
+    # the regexp token count is map-side
+    "u22_cramers_v": 6,  # reads the CHECKPOINTED contingency table:
+    # level-count/total agg + the two marginal windows + the term fold
     "x90_cluster_size_spectrum": 1,  # funnel rounds are checkpoint-
     # truncated (x25's rule; its own budget reads 0) - visible:
     # cluster-size agg; the histogram rollup + total reuse the
