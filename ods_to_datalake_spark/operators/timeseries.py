@@ -383,20 +383,45 @@ def daily_ohlc(
 
     Scale: ONE day-keyed partial-aggregated shuffle; output is
     calendar-sized. The oracle mirrors first/last with ROW_NUMBER
-    windows — equal BY the unique tiebreak."""
+    windows — equal BY the unique tiebreak. Composition of
+    `ohlc_partials` (the per-day MERGEABLE candle state — min/max
+    are associative, so partial candles from different batches fold
+    exactly; the streaming face's per-batch sink payload) and
+    `ohlc_finalize` (the shared projection)."""
+    return ohlc_finalize(
+        ohlc_partials(df, ts_col, tiebreak_col, value_col)
+    )
+
+
+def ohlc_partials(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(day, first_pick, last_pick, high, low, n_events,
+    volume_cents) — the per-day MERGEABLE candle state behind
+    `daily_ohlc`: first/last carried as full (ts, tiebreak, v)
+    structs so min/max stay associative ACROSS partial frames (two
+    batches' partials merge to exactly the single-pass candle —
+    min/max/count/sum are all semigroup folds; this is the algebra
+    the streaming face relies on, a step beyond the additive-sums
+    faces: mergeable, not merely additive)."""
     day = F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day")
     v = F.col(value_col)
     pick = F.struct(
-        F.col(ts_col), F.col(tiebreak_col), v.alias("v")
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        v.alias("v"),
     )
     return (
         df.where(F.col(ts_col).isNotNull())
         .groupBy(day)
         .agg(
-            F.min(pick).getField("v").alias("open"),
+            F.min(pick).alias("first_pick"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.max(pick).getField("v").alias("close"),
+            F.max(pick).alias("last_pick"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.coalesce(
                 F.sum(
@@ -407,6 +432,37 @@ def daily_ohlc(
             .cast("long")
             .alias("volume_cents"),
         )
+    )
+
+
+def ohlc_merge(partials: DataFrame) -> DataFrame:
+    """Fold a union of `ohlc_partials` frames back into one candle
+    per day — the semigroup merge (min of min-structs, max of
+    max-structs, sums of counts): bit-identical to a single-pass
+    `ohlc_partials` over the concatenated raw stream."""
+    return partials.groupBy("day").agg(
+        F.min("first_pick").alias("first_pick"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("last_pick").alias("last_pick"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("volume_cents").cast("long").alias("volume_cents"),
+    )
+
+
+def ohlc_finalize(partials: DataFrame) -> DataFrame:
+    """Project the mergeable candle state to the public
+    (day, open, high, low, close, n_events, volume_cents) schema —
+    shared by batch `daily_ohlc` and the streaming face so the two
+    cannot drift."""
+    return partials.select(
+        "day",
+        F.col("first_pick").getField("v").alias("open"),
+        "high",
+        "low",
+        F.col("last_pick").getField("v").alias("close"),
+        "n_events",
+        "volume_cents",
     )
 
 
