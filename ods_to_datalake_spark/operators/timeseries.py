@@ -512,6 +512,18 @@ def max_drawdown(
         .localCheckpoint()  # calendar-sized; the window + top-1 read
         # this, not the event-stream lineage
     )
+    return drawdown_from_daily(daily)
+
+
+def drawdown_from_daily(daily: DataFrame) -> DataFrame:
+    """`max_drawdown`'s derivation over a pre-built (day, value_cents)
+    frame — split out so the STREAMING read (which folds the OHLC
+    face's per-batch candle partials into exactly this daily series)
+    derives the drawdown through the SAME windows and stays
+    bit-identical to batch by construction (the cusum_from_daily
+    pattern: one lake artifact, several read-time derivations)."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

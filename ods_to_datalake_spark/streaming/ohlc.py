@@ -92,3 +92,33 @@ def read_daily_ohlc(
         *[f"{out_dir}/snapshot={b}" for b in snaps]
     )
     return ohlc_finalize(ohlc_merge(partials))
+
+
+def read_max_drawdown(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    """(day, value_cents, peak_cents, drawdown_cents) — e20's maximum
+    drawdown derived from the SAME candle-partials artifact the OHLC
+    read folds (the cusum/seasonal shared-sink pattern: one ingest
+    write, several read-time derivations — the folded candles' daily
+    volume_cents IS the drawdown's input series): semigroup fold via
+    `ohlc_merge`, then batch `timeseries.drawdown_from_daily`'s own
+    windows — bit-identical to batch `max_drawdown` over the
+    delivered history. None before any commit."""
+    from ods_to_datalake_spark.operators.timeseries import (
+        drawdown_from_daily,
+        ohlc_merge,
+    )
+
+    snaps = list_cdc_snapshots(spark, out_dir)
+    if not snaps:
+        return None
+    partials = spark.read.parquet(
+        *[f"{out_dir}/snapshot={b}" for b in snaps]
+    )
+    from pyspark.sql import functions as F
+
+    daily = ohlc_merge(partials).select(
+        "day", F.col("volume_cents").alias("value_cents")
+    )
+    return drawdown_from_daily(daily)

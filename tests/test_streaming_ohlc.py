@@ -174,3 +174,33 @@ def test_real_stream_matches_batch_candles(spark, tmp_path):
         q.stop()
     got = _candles(read_daily_ohlc(spark, str(tmp_path / "out")))
     assert got == _candles(_batch_reference(spark, ALL))
+
+
+def test_drawdown_derives_from_the_same_artifact(spark, tmp_path):
+    """The shared-sink contract (cusum/seasonal pattern): one candle-
+    partials artifact, TWO read-time derivations — the drawdown read
+    must equal batch max_drawdown over the delivered history after
+    every batch, with no second ingest store."""
+    from ods_to_datalake_spark.operators.timeseries import max_drawdown
+    from ods_to_datalake_spark.streaming.ohlc import read_max_drawdown
+
+    sink = ohlc_partials_sink(
+        str(tmp_path / "out"), "ts", "event_id", "value"
+    )
+    for i, rows in enumerate(ALL):
+        sink(_mk(spark, rows), i)
+        got = [
+            (str(r.day), r.value_cents, r.peak_cents, r.drawdown_cents)
+            for r in read_max_drawdown(
+                spark, str(tmp_path / "out")
+            ).collect()
+        ]
+        ref = [
+            (str(r.day), r.value_cents, r.peak_cents, r.drawdown_cents)
+            for r in max_drawdown(
+                _mk(spark, [x for b in ALL[: i + 1] for x in b]),
+                "ts",
+                "value",
+            ).collect()
+        ]
+        assert got == ref, f"divergence after batch {i}"
