@@ -643,20 +643,19 @@ def correlation_pair_stats(
     composition) for the full exactness contract; the plan here is
     the ONE map-side-combinable wide aggregate + 1-row explode.
 
-    Arithmetic path (measured): per-row products multiply in LONG and
-    only the ACCUMULATION is decimal - sum(CAST(x*y AS DECIMAL(20,0)))
-    - which is 2.75x cheaper than decimal-multiply+decimal-sum at 18M
-    rows (0.65s vs 1.79s for the 18 product sums; the full-decimal
-    form made the registered query's 30x stress cell ~34s, almost all
-    of it BigDecimal multiplies). Identical integers out. The cost is
-    a tighter per-VALUE domain: x*y and x*x must fit int64, i.e.
-    |value| < ~3e9 (a $30M line item in cents) - violations THROW
-    under ANSI rather than corrupt, and the row-count ceiling is
-    decimal(30,0)'s ~1e16 rows. (A hi/lo-split prototype measured
-    5.5x but its long accumulators overflow at ~2e9 ROWS - a
-    row-count bound is the wrong trade for 100 TB; the value bound
-    is not.)"""
-    d20 = "decimal(20,0)"
+    Arithmetic path (measured at 30x/18M rows): the DOMINANT cost was
+    never the arithmetic choice but expression inlining - see the
+    pre-projection note in the body. Products multiply in
+    DECIMAL(18,0) deliberately: a long-multiply path (sum(CAST(x*y AS
+    DECIMAL(20,0)))) measured 2.75x cheaper on the sums but bounds
+    VALUES at |x| < ~3e9 - and the adversarial relational tier's
+    1e15-cent rows THREW on it (ANSI-loud, caught by
+    test_relational_edge_parity before it shipped); a hi/lo long
+    split was 5.5x but bounds ROWS at ~2e9. The decimal-multiply form
+    keeps the operand domain at 1e18 with no row ceiling below
+    decimal(38)'s - the only form that survives both axes at 100 TB;
+    with pre-projection it is within ~2x of the unsafe fast path."""
+    d18 = "decimal(18,0)"
     d38 = "decimal(38,0)"
     # Pre-project the integer casts ONCE under aliases so every one of
     # the 6·K(K-1)/2 aggregate expressions references a plain column:
@@ -666,7 +665,7 @@ def correlation_pair_stats(
     # worth more than any arithmetic choice below).
     base = df.select(
         *[
-            expr.cast("long").alias(f"__v{i}")
+            expr.cast("long").cast(d18).alias(f"__v{i}")
             for i, (_, expr) in enumerate(cols)
         ]
     )
@@ -686,29 +685,19 @@ def correlation_pair_stats(
                 F.coalesce(
                     F.sum(F.when(both, 1)), F.lit(0)
                 ).cast("long").alias(f"n{tag}"),
-                F.coalesce(
-                    F.sum(F.when(both, x).cast(d20)), F.lit(0)
-                )
+                F.coalesce(F.sum(F.when(both, x)), F.lit(0))
                 .cast(d38)
                 .alias(f"sx{tag}"),
-                F.coalesce(
-                    F.sum(F.when(both, y).cast(d20)), F.lit(0)
-                )
+                F.coalesce(F.sum(F.when(both, y)), F.lit(0))
                 .cast(d38)
                 .alias(f"sy{tag}"),
-                F.coalesce(
-                    F.sum(F.when(both, x * y).cast(d20)), F.lit(0)
-                )
+                F.coalesce(F.sum(F.when(both, x * y)), F.lit(0))
                 .cast(d38)
                 .alias(f"sxy{tag}"),
-                F.coalesce(
-                    F.sum(F.when(both, x * x).cast(d20)), F.lit(0)
-                )
+                F.coalesce(F.sum(F.when(both, x * x)), F.lit(0))
                 .cast(d38)
                 .alias(f"sxx{tag}"),
-                F.coalesce(
-                    F.sum(F.when(both, y * y).cast(d20)), F.lit(0)
-                )
+                F.coalesce(F.sum(F.when(both, y * y)), F.lit(0))
                 .cast(d38)
                 .alias(f"syy{tag}"),
             ]
