@@ -368,3 +368,135 @@ def dsir_logratio(
         text_col,
         n_buckets,
     )
+
+
+def skipgram_pmi(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """(tok_a, tok_b, n_pair, n_a, n_b, pmi) — skip-gram co-occurrence
+    PMI over a ±``window`` token context: the word2vec/SGNS
+    preprocessing table (Mikolov et al. 2013; Levy & Goldberg 2014
+    showed SGNS factorizes exactly this shifted-PMI matrix), and the
+    corpus-level collocation panel x72 computes for BASKETS applied to
+    token CONTEXTS — "which words keep company", the input to
+    embedding training, phrase mining, and tokenizer-merge decisions.
+
+        pmi(a,b) = ln( n_ab · N_tok² / (N_pairs · n_a · n_b) )
+
+    with n_ab the unordered co-occurrence events at distance ≤ w,
+    n_a/n_b corpus unigram counts, N_tok total tokens, N_pairs total
+    events. Pairs below ``min_count`` are dropped BEFORE the marginal
+    joins (rare-pair PMI is noise — the standard SGNS floor — and the
+    filter shrinks the join input).
+
+    Exactness: counts exact BIGINTs; the ratio cross-multiplies in
+    DECIMAL(38,0) (n_ab·N_tok² caps ~1e36 at 1e12 tokens) and divides
+    once in IEEE doubles; the single ln is quantized to DECIMAL(18,6)
+    (the x72 rule — JVM vs libm ln diverges 1 ulp on integer ratios;
+    the oracle VARCHAR-hops its casts per the u17 rule) and emitted
+    through finalize_output's decimal→double. Empty-string tokens are
+    excluded in both engines (x87's rule).
+
+    Scale: pair GENERATION is the shingles zip-shift trick (w shifted
+    zips per document — map-side, never a positional self-join of the
+    exploded corpus, which would shuffle corpus×w rows on doc id);
+    ONE pair-keyed count shuffle bounded by observed-pair vocabulary;
+    two token-keyed marginal joins against the unigram table (both
+    vocabulary-sized); 1-row totals broadcast."""
+    from ods_to_datalake_spark.functions import text as X
+
+    tok = F.filter(X.tokens(text_col), lambda t: t != F.lit(""))
+    # raw (left, right) first, filter the null-padded tail, THEN the
+    # unordered (least, greatest) map: least/greatest SKIP nulls in
+    # Spark, so ordering before the null filter would fabricate
+    # self-pairs at every array tail
+    shifted_pairs = [
+        F.transform(
+            F.filter(
+                F.zip_with(
+                    tok,
+                    F.slice(
+                        tok,
+                        k + 1,
+                        F.greatest(F.size(tok) - k, F.lit(1)),
+                    ),
+                    lambda a, b: F.struct(
+                        a.alias("ra"), b.alias("rb")
+                    ),
+                ),
+                lambda s: s.getField("rb").isNotNull(),
+            ),
+            lambda s: F.struct(
+                F.least(
+                    s.getField("ra"), s.getField("rb")
+                ).alias("ta"),
+                F.greatest(
+                    s.getField("ra"), s.getField("rb")
+                ).alias("tb"),
+            ),
+        )
+        for k in range(1, window + 1)
+    ]
+    pairs = docs.select(
+        F.explode(F.flatten(F.array(*shifted_pairs))).alias("p")
+    ).select(F.col("p.ta").alias("tok_a"), F.col("p.tb").alias("tok_b"))
+    pair_counts = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .localCheckpoint(eager=True)  # feeds the totals agg AND the
+        # marginal joins (the x25 rule; observed-pair-vocab-sized)
+    )
+    uni = (
+        docs.select(F.explode(tok).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # feeds N_tok agg + two joins
+    )
+    totals = uni.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("__nt")
+    ).crossJoin(
+        pair_counts.agg(
+            F.coalesce(F.sum("n_pair"), F.lit(0))
+            .cast("long")
+            .alias("__np")
+        )
+    )
+    d38 = "decimal(38,0)"
+    kept = pair_counts.where(F.col("n_pair") >= min_count)
+    out = (
+        kept.join(
+            uni.select(
+                F.col("t").alias("tok_a"), F.col("n").alias("n_a")
+            ),
+            "tok_a",
+        )
+        .join(
+            uni.select(
+                F.col("t").alias("tok_b"), F.col("n").alias("n_b")
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("n_pair").cast(d38)
+        * F.col("__nt").cast(d38)
+        * F.col("__nt").cast(d38)
+    ).cast("double")
+    den = (
+        F.col("__np").cast(d38)
+        * F.col("n_a").cast(d38)
+        * F.col("n_b").cast(d38)
+    ).cast("double")
+    return out.select(
+        "tok_a",
+        "tok_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        F.log(num / den).cast("decimal(18,6)").alias("pmi"),
+    )

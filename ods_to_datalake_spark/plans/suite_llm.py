@@ -2373,3 +2373,86 @@ def x91_tokenizer_fertility(
 
     cat = load_testdata(spark, sf_dir)
     return tokenizer_fertility(cat.table("documents"), "lang", "text")
+
+
+SGNS_WINDOW = 2
+SGNS_MIN_COUNT = 5
+
+
+@register(
+    "x92_skipgram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({SQL_TOKENS}, t -> t <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      -- two same-length unnests zip positionally in DuckDB
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(t))) AS BIGINT) AS p,
+             unnest(t) AS tok
+      FROM toks
+    ),
+    ev AS (
+      SELECT LEAST(a.tok, b.tok) AS tok_a,
+             GREATEST(a.tok, b.tok) AS tok_b
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id
+       AND b.p > a.p AND b.p <= a.p + {SGNS_WINDOW}
+    ),
+    pc AS (
+      SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM ev GROUP BY tok_a, tok_b
+    ),
+    uni AS (
+      SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pos GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST((SELECT COALESCE(SUM(n), 0) FROM uni) AS BIGINT)
+               AS nt,
+             CAST((SELECT COALESCE(SUM(n_pair), 0) FROM pc)
+                  AS BIGINT) AS np
+    )
+    SELECT p.tok_a, p.tok_b, p.n_pair, ua.n AS n_a, ub.n AS n_b,
+           CAST(ln(
+             CAST(CAST(CAST(p.n_pair AS HUGEINT) * tot.nt * tot.nt
+                       AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(tot.np AS HUGEINT) * ua.n * ub.n
+                         AS VARCHAR) AS DOUBLE)
+           ) AS DECIMAL(18,6)) AS pmi
+    FROM pc p
+    JOIN uni ua ON ua.t = p.tok_a
+    JOIN uni ub ON ub.t = p.tok_b
+    CROSS JOIN tot
+    WHERE p.n_pair >= {SGNS_MIN_COUNT}
+    """,
+    double_cols=["pmi"],
+    doc=f"Skip-gram co-occurrence PMI over a ±{SGNS_WINDOW} token "
+    "context — the word2vec/SGNS preprocessing table (Levy & "
+    "Goldberg 2014: SGNS factorizes exactly this shifted-PMI "
+    "matrix); x72's collocation statistic moved from baskets to "
+    "token contexts: the input to embedding training, phrase "
+    "mining, and tokenizer-merge decisions. Pair generation is the "
+    "shingles zip-shift trick (w shifted zips per doc, map-side — "
+    "never a positional self-join of the exploded corpus; the "
+    "oracle's self-join IS that quadratic-ish form, fine for DuckDB "
+    f"at gate scale); pairs below {SGNS_MIN_COUNT} drop BEFORE the "
+    "marginal joins (the SGNS floor). least/greatest order AFTER "
+    "the null-tail filter (Spark least skips NULLs — ordering first "
+    "fabricates self-pairs at array tails). Ratio cross-multiplied "
+    "in DECIMAL(38,0)/HUGEINT (VARCHAR-hopped oracle casts), ONE "
+    "IEEE division, ln quantized DECIMAL(18,6) (the x72 rule), "
+    "decimal→double via double_cols. "
+    "operators/lm.skipgram_pmi.",
+)
+def x92_skipgram_pmi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.lm import skipgram_pmi
+
+    cat = load_testdata(spark, sf_dir)
+    return skipgram_pmi(
+        cat.table("documents"), "doc_id", "text",
+        window=SGNS_WINDOW, min_count=SGNS_MIN_COUNT,
+    )

@@ -91,6 +91,10 @@ FUZZ_QUERIES = [
     # round-11: fertility — unicode codepoint counting, NULL texts
     # count docs but no tokens, empty corpora (single fuzz lang group)
     "x91_tokenizer_fertility",
+    # round-11: skip-gram PMI — tiny-alphabet corpora are pair-dense
+    # past the min-count floor, single/empty-token docs hit the
+    # null-tail filter, unordered least/greatest on unicode
+    "x92_skipgram_pmi",
 ]
 
 

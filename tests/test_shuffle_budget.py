@@ -408,6 +408,9 @@ SHUFFLE_BUDGET = {
     # CHECKPOINTED |queries|×k neighbor frames: the (query, neighbor)
     # hit equi-join + three 1-row count aggs; the brute-force truth
     # and IVF probe legs paid their exchanges at materialization
+    "x92_skipgram_pmi": 2,  # pair-keyed count + unigram agg; pair
+    # GENERATION is map-side zip-shifts (never a positional
+    # self-join); marginal joins read the checkpointed vocab frames
     "x91_tokenizer_fertility": 1,  # one group-keyed partial agg;
     # the regexp token count is map-side
     "u22_cramers_v": 6,  # reads the CHECKPOINTED contingency table:
