@@ -542,3 +542,86 @@ def drawdown_from_daily(daily: DataFrame) -> DataFrame:
         .orderBy(F.col("drawdown_cents").desc(), F.col("day").asc())
         .limit(1)
     )
+
+
+def drawdown_duration(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """(n_days_below, start_day, end_day) — the LONGEST consecutive
+    run of observed days strictly below the running best daily value:
+    e20 measures how DEEP the worst decline went, this measures how
+    LONG the stream stayed under water (time-to-recover — the two
+    numbers every drawdown review wants together; a shallow-but-
+    year-long slump and a one-day crash read identically on depth
+    alone). The value-conditioned cousin of e13's activity streaks
+    and w08's rising runs — the same gaps-and-islands machinery with
+    the run predicate derived from a PREFIX WINDOW (below = value <
+    running max) instead of a row property.
+
+    Determinism: days are the OBSERVED daily series (the e20/e16
+    convention — absent days don't break a run: the run is over
+    observed points; compose with gap_fill first if silence should
+    count); "below" is STRICT (a day that re-touches the peak ends
+    the run); islands via day_index − below_rank (both row_numbers
+    over the unique day order — no ties possible); winner by
+    (length DESC, start_day ASC). All integers. A series that never
+    dips (monotone running max) has no runs — empty result, the
+    no-evidence rule.
+
+    Scale: one day-keyed agg over the events, then prefix-max /
+    row-number windows over the CHECKPOINTED calendar-sized daily
+    frame (the e16 single-partition-is-fine pattern), an island agg
+    and a 1-row limit."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col(value_col).cast("decimal(18,2)") * 100)
+                    .cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("value_cents")
+        )
+        .localCheckpoint()  # calendar-sized
+    )
+    w_prefix = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_idx = Window.orderBy("day")
+    flagged = daily.select(
+        "day",
+        (
+            F.col("value_cents")
+            < F.max("value_cents").over(w_prefix)
+        ).alias("__below"),
+        F.row_number().over(w_idx).alias("__idx"),
+    )
+    below = flagged.where(F.col("__below")).select(
+        "day",
+        (
+            F.col("__idx")
+            - F.row_number().over(Window.orderBy("day"))
+        ).alias("__island"),
+    )
+    runs = below.groupBy("__island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_below"),
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+    )
+    return (
+        runs.orderBy(
+            F.col("n_days_below").desc(), F.col("start_day").asc()
+        )
+        .limit(1)
+        .select("n_days_below", "start_day", "end_day")
+    )

@@ -1067,3 +1067,64 @@ def e21_ab_proportion_test(
         F.col("event_type") == "purchase",
         negative=F.col("event_type") == "error",
     )
+
+
+@register(
+    "e22_drawdown_duration",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                                    * 100 AS BIGINT)), 0) AS BIGINT)
+               AS value_cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    ),
+    flagged AS (
+      SELECT day,
+             value_cents < CAST(MAX(value_cents) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS below,
+             ROW_NUMBER() OVER (ORDER BY day) AS idx
+      FROM daily
+    ),
+    below AS (
+      SELECT day,
+             idx - ROW_NUMBER() OVER (ORDER BY day) AS island
+      FROM flagged WHERE below
+    ),
+    runs AS (
+      SELECT island,
+             CAST(COUNT(*) AS BIGINT) AS n_days_below,
+             MIN(day) AS start_day,
+             MAX(day) AS end_day
+      FROM below GROUP BY island
+    )
+    SELECT n_days_below, start_day, end_day
+    FROM runs
+    ORDER BY n_days_below DESC, start_day ASC
+    LIMIT 1
+    """,
+    doc="Longest consecutive run of observed days strictly below the "
+    "running best daily value — time-under-water, e20's duration "
+    "twin (depth and duration are the two numbers every drawdown "
+    "review wants: a year-long shallow slump and a one-day crash "
+    "read identically on depth alone). The value-conditioned member "
+    "of the gaps-and-islands family (e13 streaks, w08 rising runs) "
+    "with the run predicate from a PREFIX window; islands via "
+    "day_index − below_rank (unique day order, no ties), winner by "
+    "(length DESC, start ASC), strict <, all integers; a never-"
+    "dipping series reads EMPTY (no evidence). Windows over the "
+    "CHECKPOINTED calendar-sized daily frame (the e16 pattern). "
+    "operators/timeseries.drawdown_duration.",
+)
+def e22_drawdown_duration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.timeseries import (
+        drawdown_duration,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return drawdown_duration(cat.table("events"), "ts", "value")

@@ -89,6 +89,9 @@ EDGE_QUERIES = [
     # round-11: per-user A/B fold (NULL users excluded, tied
     # purchase/error counts are NOT conversions, z guards)
     "e21_ab_proportion_test",
+    # round-11: below-peak runs on the adversarial daily series
+    # (epoch-0 day, ties at the peak are NOT below - strict <)
+    "e22_drawdown_duration",
 ]
 
 

@@ -422,6 +422,8 @@ SHUFFLE_BUDGET = {
     "u21_ks_two_sample": 2,  # distinct-value conditional-count agg;
     # the cumulative windows + argmax read the CHECKPOINTED
     # domain-sized frame (totals broadcast back)
+    "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
+    # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
     "x89_minhash_calibration": 8,  # reads the CHECKPOINTED candidate
     # pair frame: shingle-set sizes x2 + exploded intersection + one

@@ -329,3 +329,40 @@ def test_daily_ohlc_null_values_ride_along(spark):
     assert d2.open is None and d2.close is None
     assert d2.high is None and d2.low is None
     assert d2.n_events == 1 and d2.volume_cents == 0
+
+
+def test_drawdown_duration_islands_and_strictness(spark):
+    from ods_to_datalake_spark.operators.timeseries import (
+        drawdown_duration,
+    )
+
+    # peaks 10, then 3 below-days, a re-touch (NOT below: strict),
+    # then 2 below-days: longest run is the first (3 days)
+    rows = [
+        (1, "2024-01-01", 10.0),
+        (2, "2024-01-02", 4.0),
+        (3, "2024-01-03", 5.0),
+        (4, "2024-01-04", 6.0),
+        (5, "2024-01-05", 10.0),  # re-touch ends the run
+        (6, "2024-01-06", 9.0),
+        (7, "2024-01-07", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    (r,) = drawdown_duration(df, "ts", "value").collect()
+    assert r.n_days_below == 3
+    assert str(r.start_day) == "2024-01-02"
+    assert str(r.end_day) == "2024-01-04"
+
+
+def test_drawdown_duration_monotone_is_empty(spark):
+    from ods_to_datalake_spark.operators.timeseries import (
+        drawdown_duration,
+    )
+
+    rows = [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+    assert drawdown_duration(df, "ts", "value").count() == 0
