@@ -1188,3 +1188,49 @@ def test_degree_histogram_empty_and_dup_edges(spark):
         ).collect()
     }
     assert got == {1: 2}
+
+
+def _py_degree_histogram(pairs):
+    e = _norm_undirected(pairs)
+    deg: dict = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hist: dict = {}
+    for d in deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    n = len(deg)
+    out = {}
+    for d, c in hist.items():
+        ge = sum(cc for dd, cc in hist.items() if dd >= d)
+        out[d] = (c, c / n, ge / n)
+    return out
+
+
+def test_degree_histogram_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.graph import degree_histogram
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    def check(pairs):
+        got = {
+            r.degree: (r.n_nodes, r.node_share, r.ccdf)
+            for r in degree_histogram(_mk_edges(spark, pairs)).collect()
+        }
+        assert got == _py_degree_histogram(pairs)
+
+    check()
