@@ -1038,3 +1038,69 @@ def cramers_v(
             ),
         ).alias("cramers_v"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    weight: Column,
+) -> DataFrame:
+    """(group…, total_weight, weighted_median) — exact lower weighted
+    median per group: the smallest value v with
+    2·(cumulative weight through v) ≥ total weight — "the price at
+    which half the UNITS (not half the ORDERS) trade", the
+    volume-weighted center a plain median mis-states whenever line
+    sizes vary (u16's median treats a 1-unit and a 10000-unit line
+    identically). With all weights 1 this IS u16's lower-middle order
+    statistic (property the tests pin).
+
+    Exactness: ``value`` and ``weight`` must be integer-valued (cents
+    / units); the pick condition 2·cumw ≥ totw is ALL-integer (never
+    a float quantile fraction — the x42 boundary rule); ties on value
+    merge into one cumulative step (summed weight per distinct value
+    first), so the result is a value FROM the data, deterministic
+    under any partitioning. NULL values and NULL/non-positive weights
+    are excluded; a group with zero total weight has no median and is
+    absent (the u16 no-evidence rule).
+
+    Scale: ONE group-keyed shuffle shared by the per-(group, value)
+    pre-aggregation, the cumulative window, and the pick — the same
+    single-exchange shape as u16; the window runs over DISTINCT
+    values per group, bounded by the value domain."""
+    from pyspark.sql import Window
+
+    rows = df.select(
+        *group_cols,
+        value.cast("long").alias("__v"),
+        weight.cast("long").alias("__w"),
+    ).where(
+        F.col("__v").isNotNull()
+        & F.col("__w").isNotNull()
+        & (F.col("__w") > 0)
+    )
+    per_v = rows.groupBy(*group_cols, "__v").agg(
+        F.sum("__w").cast("long").alias("__wv")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = per_v.select(
+        *group_cols,
+        "__v",
+        F.sum("__wv").over(w_cum).cast("long").alias("__cum"),
+        F.sum("__wv").over(w_all).cast("long").alias("__tot"),
+    )
+    picked = cum.where(
+        F.lit(2) * F.col("__cum") >= F.col("__tot")
+    )
+    return (
+        picked.groupBy(*group_cols)
+        .agg(
+            F.max("__tot").cast("long").alias("total_weight"),
+            F.min("__v").cast("long").alias("weighted_median"),
+        )
+    )

@@ -1123,3 +1123,62 @@ def u22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
         F.col("o_orderpriority"),
     )
+
+
+@register(
+    "u23_weighted_median",
+    oracle="""
+    WITH rows_f AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_quantity > 0
+    ),
+    per_v AS (
+      SELECT grp, v, CAST(SUM(w) AS BIGINT) AS wv
+      FROM rows_f GROUP BY grp, v
+    ),
+    cum AS (
+      SELECT grp, v,
+             CAST(SUM(wv) OVER (
+               PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS c,
+             CAST(SUM(wv) OVER (PARTITION BY grp) AS BIGINT) AS t
+      FROM per_v
+    )
+    SELECT grp AS l_returnflag,
+           CAST(MAX(t) AS BIGINT) AS total_weight,
+           CAST(MIN(v) AS BIGINT) AS weighted_median
+    FROM cum WHERE 2 * c >= t
+    GROUP BY grp
+    """,
+    doc="Exact lower weighted median of line price (cents) per return "
+    "flag, weighted by quantity - 'the price at which half the UNITS "
+    "trade': the volume-weighted center a plain median (u16) "
+    "mis-states whenever line sizes vary; degenerates to u16's "
+    "lower-middle order statistic at unit weights (property-tested). "
+    "Pick condition 2*cumw >= totw is ALL-integer (the x42 boundary "
+    "rule - never a float quantile fraction); ties on value merge "
+    "into one cumulative step so the result is a value FROM the "
+    "data; non-positive/NULL weights excluded; zero-weight groups "
+    "absent. ONE group-keyed shuffle shared by the pre-agg, the "
+    "cumulative window, and the pick (u16's shape); DuckDB's HUGEINT "
+    "window sums recast (the x28 rule). "
+    "operators/profile.weighted_median.",
+)
+def u23_weighted_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import weighted_median
+
+    cat = load_testdata(spark, sf_dir)
+    return weighted_median(
+        cat.table("lineitem"),
+        ["l_returnflag"],
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100,
+        F.col("l_quantity"),
+    )

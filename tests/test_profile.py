@@ -570,3 +570,47 @@ def test_ks_two_sample_guards(spark):
         ks_two_sample(df.limit(0), F.col("g"), F.col("v")).count()
         == 0
     )
+
+
+# --- weighted median (u23) -----------------------------------------------------
+
+
+def test_weighted_median_unit_weights_equal_lower_median(spark):
+    """With all weights 1 the weighted median IS u16's lower-middle
+    order statistic (even count -> the LOWER of the two middles)."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (10, 20, 30, 40)], "grp string, v long"
+    )
+    (r,) = weighted_median(
+        df, ["grp"], F.col("v"), F.lit(1)
+    ).collect()
+    assert (r.total_weight, r.weighted_median) == (4, 20)
+
+
+def test_weighted_median_weight_dominance_and_guards(spark):
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.profile import weighted_median
+
+    # one 100-unit line at price 5 outweighs ten 1-unit lines at 99
+    rows = [("g", 5, 100)] + [("g", 99, 1)] * 10
+    # zero/negative/NULL weights excluded; NULL values excluded
+    rows += [("g", 1, 0), ("g", 1, -3), ("g", 1, None), ("g", None, 5)]
+    df = spark.createDataFrame(rows, "grp string, v long, w long")
+    (r,) = weighted_median(
+        df, ["grp"], F.col("v"), F.col("w")
+    ).collect()
+    assert r.total_weight == 110
+    assert r.weighted_median == 5
+
+    # a group with zero admissible weight is absent
+    only_bad = spark.createDataFrame(
+        [("z", 1, 0)], "grp string, v long, w long"
+    )
+    assert weighted_median(
+        only_bad, ["grp"], F.col("v"), F.col("w")
+    ).count() == 0

@@ -419,6 +419,8 @@ SHUFFLE_BUDGET = {
     # truncated (x25's rule; its own budget reads 0) - visible:
     # cluster-size agg; the histogram rollup + total reuse the
     # checkpointed tiny frame
+    "u23_weighted_median": 2,  # one group-keyed shuffle shared by the
+    # (group, value) pre-agg, the cumulative windows, and the pick
     "u21_ks_two_sample": 2,  # distinct-value conditional-count agg;
     # the cumulative windows + argmax read the CHECKPOINTED
     # domain-sized frame (totals broadcast back)
