@@ -106,8 +106,14 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
     cond_end = run_conditions(spark)
-    comparable = round(
-        sum(timings[n] for n in COMPARABLE_SET if n in timings), 4
+    # A partial subtotal silently invalidates cross-round ratios (the
+    # field's whole purpose), so a frozen-set member missing from the
+    # headline run is surfaced in the JSON instead of dropped.
+    comparable_missing = [n for n in COMPARABLE_SET if n not in timings]
+    comparable = (
+        round(sum(timings[n] for n in COMPARABLE_SET), 4)
+        if not comparable_missing
+        else None
     )
     # Machine-drift-corrected subtotal: divide by the mean data-free
     # probe time (runcond.reference_probe — pure codegen arithmetic, so
@@ -130,6 +136,7 @@ def main() -> int:
                 "reps": reps,
                 "comparable_set": list(COMPARABLE_SET),
                 "comparable_subtotal": comparable,
+                "comparable_missing": comparable_missing,
                 "probe_sec_mean": probe_mean,
                 "comparable_per_probe": (
                     round(comparable / probe_mean, 3) if probe_mean else None

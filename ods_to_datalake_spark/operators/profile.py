@@ -817,6 +817,8 @@ def referential_audit(
     then ONE anti-join against the parent's distinct keys (broadcast
     when the parent is a dim); output is one row per edge. The audit
     composes: run it after every ingest batch and diff."""
+    if not fks:
+        raise ValueError("fks must be non-empty")
     outs = []
     for name, child, ckey, parent, pkey in fks:
         ck = (

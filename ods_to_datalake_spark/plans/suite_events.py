@@ -984,7 +984,7 @@ def e20_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_key AS (
       SELECT user_id,
-             CAST(user_id % 2 AS BIGINT) AS g,
+             CAST(((user_id % 2) + 2) % 2 AS BIGINT) AS g,
              CASE WHEN SUM(CASE WHEN event_type = 'purchase'
                            THEN 1 ELSE 0 END)
                      > SUM(CASE WHEN event_type = 'error'

@@ -2415,12 +2415,12 @@ SGNS_MIN_COUNT = 5
                   AS BIGINT) AS np
     )
     SELECT p.tok_a, p.tok_b, p.n_pair, ua.n AS n_a, ub.n AS n_b,
-           CAST(ln(
+           CAST(CAST(ln(
              CAST(CAST(CAST(p.n_pair AS HUGEINT) * tot.nt * tot.nt
                        AS VARCHAR) AS DOUBLE)
              / CAST(CAST(CAST(tot.np AS HUGEINT) * ua.n * ub.n
                          AS VARCHAR) AS DOUBLE)
-           ) AS DECIMAL(18,6)) AS pmi
+           ) AS VARCHAR) AS DECIMAL(18,6)) AS pmi
     FROM pc p
     JOIN uni ua ON ua.t = p.tok_a
     JOIN uni ub ON ub.t = p.tok_b
@@ -2442,7 +2442,8 @@ SGNS_MIN_COUNT = 5
     "the null-tail filter (Spark least skips NULLs — ordering first "
     "fabricates self-pairs at array tails). Ratio cross-multiplied "
     "in DECIMAL(38,0)/HUGEINT (VARCHAR-hopped oracle casts), ONE "
-    "IEEE division, ln quantized DECIMAL(18,6) (the x72 rule), "
+    "IEEE division, ln quantized DECIMAL(18,6) via the VARCHAR hop "
+    "(the u17 rule for new quantizations), "
     "decimal→double via double_cols. "
     "operators/lm.skipgram_pmi.",
 )

@@ -517,6 +517,19 @@ def test_referential_audit_all_null_child_guard(spark):
     assert r.orphan_share is None
 
 
+def test_referential_audit_empty_fks_raises(spark):
+    """An empty edge list is a caller bug — a clear ValueError, never
+    an IndexError from the fold (ADVICE r11)."""
+    import pytest
+
+    from ods_to_datalake_spark.operators.profile import (
+        referential_audit,
+    )
+
+    with pytest.raises(ValueError, match="non-empty"):
+        referential_audit([])
+
+
 # --- exact two-sample KS (u21) -------------------------------------------------
 
 
