@@ -1294,6 +1294,7 @@ def minhash_calibration_report(
     k: int,
     bands: int,
     rows: int,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """(n_pairs, mean_est, mean_exact, mean_abs_err, max_abs_err) —
     calibration audit of the MinHash Jaccard ESTIMATOR itself, over
@@ -1323,12 +1324,31 @@ def minhash_calibration_report(
     Scale: the candidate pair frame is corpus-scale lineage feeding
     the counts join AND the signature join — checkpointed DISK_ONLY
     (the x25/r9 rule); everything after is one pair-keyed join pair
-    and a 1-row aggregate. At 100 TB run it on a SAMPLED candidate
-    slice (the estimator's error is a binomial proportion — hundreds
-    of pairs bound it), exactly like the x80 recall audit."""
+    and a 1-row aggregate. At 100 TB run it with ``sample_mod=M`` —
+    a deterministic hash-mod slice of the candidate PAIRS (pair keys
+    hashed, so the slice is stable across runs and engines; pairs
+    survive with probability 1/M) — because on a dup-heavy corpus the
+    candidate stream itself is quadratic BY LSH CONSTRUCTION (banding
+    collides at signature similarity, far below any verify threshold:
+    measured on the 30× perturbed stress corpus, J≈0.78 cross-replica
+    pairs band-collide at p≈0.98 — 0.73M candidates at 10× → 6.3M at
+    30×, 8.6× on 3× the docs). The estimator's error is a binomial
+    proportion — hundreds of pairs bound it, exactly like the x80
+    recall audit; the verify-join cost drops by the same 1/M."""
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, shingle_n, k, bands, rows
-    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
+    )
+    if sample_mod is not None and sample_mod > 1:
+        # sample BEFORE the checkpoint/verify joins — bounding the
+        # expensive exact-Jaccard work is the point of the slice
+        cands = cands.where(
+            F.pmod(
+                F.xxhash64(F.col("id_a"), F.col("id_b")),
+                F.lit(int(sample_mod)),
+            )
+            == 0
+        )
+    cands = cands.localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     counts = jaccard_counts(docs, cands, id_col, text_col, shingle_n)
     sig = minhash_table(docs, id_col, text_col, shingle_n, k)
     sa = sig.select(

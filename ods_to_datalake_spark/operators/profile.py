@@ -901,10 +901,13 @@ def ks_two_sample(
     measure), not the row count, which is what makes the
     single-partition cumulative window survive 100 TB (the e16
     calendar-frame argument, domain-sized instead of calendar-sized);
-    a 1-row argmax ends it."""
-    from pyspark.sql import Window
+    a 1-row argmax ends it.
 
-    d38 = "decimal(38,0)"
+    Split stats/finalize like u19's correlation: the per-value (na,
+    nb) counts are the ADDITIVE artifact (`ks_from_value_counts` is
+    the shared derivation), which is what gives the statistic a
+    contract-free streaming face (`streaming/ks_drift.py` — frozen
+    baseline vs folded ingest counts through this same arithmetic)."""
     rows = df.select(
         group.alias("__g"), value.cast("long").alias("__v")
     ).where(F.col("__v").isNotNull() & F.col("__g").isNotNull())
@@ -919,7 +922,21 @@ def ks_two_sample(
         )
         .cast("long")
         .alias("__nb"),
-    ).localCheckpoint()  # domain-sized; feeds totals AND the window
+    )
+    return ks_from_value_counts(per_v)
+
+
+def ks_from_value_counts(per_v: DataFrame) -> DataFrame:
+    """`ks_two_sample`'s derivation from the per-distinct-value count
+    frame (__v long, __na long, __nb long) — the additive artifact a
+    streaming ingest maintains (counts sum across batches; the
+    statistic itself does NOT merge). One definition, so stream and
+    batch cannot drift (the zipf_from_counts contract)."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    per_v = per_v.localCheckpoint()
+    # domain-sized; feeds totals AND the window (the x25 rule)
     tot = per_v.agg(
         F.coalesce(F.sum("__na"), F.lit(0)).cast("long").alias("n_a"),
         F.coalesce(F.sum("__nb"), F.lit(0)).cast("long").alias("n_b"),

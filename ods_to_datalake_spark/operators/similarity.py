@@ -692,6 +692,85 @@ def ivf_index_append(
     )
 
 
+def ivf_cell_balance(
+    assignment: DataFrame, cluster_col: str
+) -> DataFrame:
+    """(cluster, n_vecs, vec_share, size_rank, cum_share) — IVF
+    cell-size concentration audit: one row per non-empty cell, largest
+    first, with its corpus share and the running share of the top
+    ``size_rank`` cells. The missing face of the ANN audit family
+    (recall x80, quantization x83, estimator bias x89): probed-cell
+    recall decays SILENTLY as an index grows imbalanced — a query's
+    nprobe cells cover a shrinking corpus fraction when appends pile
+    into few cells (`ivf_index_append` never moves frozen centroids),
+    and a mega-cell makes its probes scan-expensive while starved
+    cells waste k. cum_share at rank m IS "share of the corpus in the
+    top m cells"; a healthy layout reads cum_share ≈ m/k along the
+    curve, a skewed one front-loads it (tests pin both regimes).
+
+    Determinism: exact BIGINT counts; ordering n_vecs DESC with
+    cluster id tiebreak (total order); shares are single IEEE
+    divisions of BIGINTs, produced only when the total is positive
+    (empty input → empty frame, no division evaluated).
+
+    Scale: ONE cluster-keyed count shuffle (map-side combinable) over
+    the assignment; everything after runs on the k-sized cell frame —
+    checkpointed (it feeds the total AND the ranked output; the x25
+    rule) — with a single-partition window over ≤ k rows. Audit an
+    on-disk layout via `ivf_index_cell_balance` (reads ONLY the
+    partition column, so the scan is footer/metadata work, not data)."""
+    from pyspark.sql import Window
+
+    sizes = (
+        assignment.groupBy(F.col(cluster_col).alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .localCheckpoint()
+    )
+    tot = sizes.agg(
+        F.coalesce(F.sum("n_vecs"), F.lit(0)).cast("long").alias("__t")
+    )
+    w = Window.orderBy(F.col("n_vecs").desc(), F.col("cluster"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cluster",
+        "n_vecs",
+        F.when(
+            F.col("__t") > 0,
+            F.col("n_vecs").cast("double") / F.col("__t").cast("double"),
+        ).alias("vec_share"),
+        F.row_number().over(w).cast("long").alias("size_rank"),
+        F.when(
+            F.col("__t") > 0,
+            F.sum("n_vecs").over(w).cast("double")
+            / F.col("__t").cast("double"),
+        ).alias("cum_share"),
+    )
+
+
+def ivf_index_cell_balance(spark, index_path: str) -> DataFrame:
+    """`ivf_cell_balance` over a persisted `build_ivf_index` layout,
+    INCLUDING empty cells (a stored centroid whose partition holds no
+    vectors reads n_vecs=0 — starved cells are precisely the wasted-k
+    signal an assignment-frame audit cannot see). Reads only the
+    corpus partition column plus the tiny centroids table."""
+    sizes = ivf_cell_balance(
+        spark.read.parquet(f"{index_path}/corpus").select("cluster"),
+        "cluster",
+    )
+    cells = spark.read.parquet(f"{index_path}/centroids").select(
+        F.col("cluster").cast(sizes.schema["cluster"].dataType)
+    )
+    missing = cells.join(sizes.select("cluster"), "cluster", "left_anti")
+    return sizes.unionByName(
+        missing.select(
+            "cluster",
+            F.lit(0).cast("long").alias("n_vecs"),
+            F.lit(0.0).alias("vec_share"),
+            F.lit(None).cast("long").alias("size_rank"),
+            F.lit(None).cast("double").alias("cum_share"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (IVF-PQ compression tier)
 # ---------------------------------------------------------------------------

@@ -47,6 +47,9 @@ PQ_KS = 4
 PQ_SUB = 16
 # semantic dedup: 8 seed centroids, same cosine threshold as x13/x14
 SEM_K = 8
+# IVF cell-balance audit: same seeded-centroid count (the audit reads
+# an assignment's layout, so it shares x36's assignment arithmetic)
+IVF_BAL_K = 8
 
 
 @register(
@@ -336,6 +339,97 @@ def x36_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", cents, NEAR_DUP_TAU
     )
+
+
+@register(
+    "x93_ivf_cell_balance",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cid, v AS cv
+      FROM c ORDER BY vec_id LIMIT {IVF_BAL_K}
+    ), dpre AS (
+      SELECT c.vec_id, cb.cid,
+             list_transform(list_zip(c.v, cb.cv), z -> z[1] - z[2]) AS dv
+      FROM c CROSS JOIN cb
+    ), d AS (
+      SELECT vec_id, cid, list_dot_product(dv, dv) AS d2 FROM dpre
+    ), assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cid
+               ) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ), sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assign GROUP BY cluster
+    ), tot AS (
+      SELECT CAST(COALESCE(SUM(n_vecs), 0) AS BIGINT) AS t FROM sizes
+    )
+    SELECT s.cluster, s.n_vecs,
+           CASE WHEN tot.t > 0
+                THEN CAST(s.n_vecs AS DOUBLE) / tot.t END AS vec_share,
+           CAST(ROW_NUMBER() OVER (ORDER BY s.n_vecs DESC, s.cluster)
+                AS BIGINT) AS size_rank,
+           CASE WHEN tot.t > 0 THEN
+             CAST(CAST(SUM(s.n_vecs) OVER (
+               ORDER BY s.n_vecs DESC, s.cluster
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS DOUBLE) / tot.t
+           END AS cum_share
+    FROM sizes s CROSS JOIN tot
+    """,
+    doc=f"IVF cell-balance audit: assign every embedding to its "
+    f"nearest of {IVF_BAL_K} seeded centroids (x36's bit-identical "
+    "euclidean argmin), then the cell-size concentration curve — per "
+    "cell: exact count, corpus share, size rank, and cumulative share "
+    "of the top-rank cells. The index-health face of the ANN audit "
+    "family (recall x80, quantization x83, estimator bias x89): "
+    "probed-cell recall decays silently as appends pile into few "
+    "cells under frozen centroids, and cum_share at rank m reads "
+    "'share of the corpus in the top m cells' directly. Exact BIGINT "
+    "counts, n_vecs DESC + cluster-id tiebreak (total order), one "
+    "IEEE division per share; the windowed SUM is cast back to "
+    "BIGINT in the oracle (DuckDB promotes to HUGEINT → float64 in "
+    "pandas). operators/similarity.ivf_cell_balance.",
+)
+def x93_ivf_cell_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_cell_balance,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    emb = cat.table("embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(IVF_BAL_K)
+        .collect()
+    ]
+    if not cents:
+        # empty-corpus seeding (the x36 guard): no centroids → no
+        # assignments; schema-stable empty frame, kept lazy
+        assignment = emb.select(
+            "vec_id", F.lit(0).cast("int").alias("cluster")
+        ).where(F.lit(False))
+    else:
+        assignment = assign_to_centroids(
+            emb.select("vec_id", "embedding"), "embedding", cents,
+            "cluster",
+        )
+    return ivf_cell_balance(assignment, "cluster")
 
 
 @register(

@@ -142,6 +142,18 @@ SUITE_QUERIES = [
     # replica graphs, so ~linear medians mean the plan scales)
     "u19_correlation_profile",
     "g13_clustering_coefficient",
+    # round-12 (VERDICT r11 ask #2): the three round-11 operators that
+    # move corpus-scale streams. All PERTURB-gated (see the skip list
+    # below): the base corpus's FIXED 31-word vocabulary is the
+    # degenerate regime for shingle/token operators — x86's novelty
+    # table and x92's pair vocabulary stay O(1) on exact copies (the
+    # cell would measure a saturated-vocabulary artifact, not a
+    # growing corpus), and x89 runs x04's LSH candidate funnel, whose
+    # candidate stream goes quadratic on exact-copy replicas (every
+    # cross-replica pair is a J=1 true dup — the x60 artifact class).
+    "x86_shingle_novelty",  # distinct (doc,shingle) explode + min fold
+    "x92_skipgram_pmi",  # w zip-shift pair streams + marginal joins
+    "x89_minhash_calibration",  # LSH candidates + exact-J verify join
 ]
 
 
@@ -364,7 +376,33 @@ def main() -> int:
             docs, "doc_id", "text", CONT_NUM, CONT_DEN,
             max_token_bucket=2000,
         ),
+        # x89_sampled: the calibration audit's 100-TB operating mode
+        # (sample_mod slices the candidate pairs 1/16 BEFORE the
+        # exact-verify joins). The registered x89 stays full/exact;
+        # its uncapped stress trend is quadratic BY LSH CONSTRUCTION
+        # (candidates 0.73M at 10× → 6.3M at 30×, 8.6× on 3× docs —
+        # banding collides at J≈0.78 perturbed-replica similarity,
+        # far below the 0.9 verify threshold), so the sampled cell is
+        # the one whose trend should track the CANDIDATE-GENERATION
+        # cost rather than the quadratic verify volume.
+        "x89_sampled": lambda: _mk_x89_sampled(docs),
     }
+
+    def _mk_x89_sampled(docs):
+        from ods_to_datalake_spark.operators.dedup import (
+            minhash_calibration_report,
+        )
+        from ods_to_datalake_spark.plans.sql_fragments import (
+            LSH_BANDS,
+            LSH_ROWS,
+            MINHASH_K,
+            SHINGLE_N,
+        )
+
+        return minhash_calibration_report(
+            docs, "doc_id", "text", SHINGLE_N, MINHASH_K,
+            LSH_BANDS, LSH_ROWS, sample_mod=16,
+        )
 
     # isolate suspicious cells (cross-query GC interference — CLAUDE.md):
     # SPARK_GRAFT_STRESS_QUERIES="x51_gopher_repetition" runs one cell
@@ -382,6 +420,15 @@ def main() -> int:
             # quadratic without the perturbation
             "x60_capped",
             "x82_capped",
+            # round-12: x89 inherits x04's LSH candidate funnel —
+            # quadratic candidates on exact copies; x86/x92 don't
+            # blow up but measure a saturated 31-word vocabulary
+            # (novelty/pair tables O(1) in scale) instead of a
+            # growing corpus — meaningless trend either way
+            "x86_shingle_novelty",
+            "x92_skipgram_pmi",
+            "x89_minhash_calibration",
+            "x89_sampled",
         ) and not os.environ.get("SPARK_GRAFT_STRESS_PERTURB_DOCS"):
             # on exact-copy replicas every cross-replica pair is a
             # TRUE near-dup: the cell's output/candidates go quadratic

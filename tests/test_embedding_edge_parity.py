@@ -56,6 +56,7 @@ EDGE_QUERIES = [
     "x32_incremental_embedding_dedup",
     "x35_pq_encode",
     "x36_semantic_dedup",
+    "x93_ivf_cell_balance",
 ]
 
 

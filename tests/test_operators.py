@@ -827,3 +827,48 @@ def test_rising_runs_hand_case(spark):
             out[1].n_runs_at_min) == (5, 3, 1)
     assert (out[2].longest_rising_run, out[2].n_runs_at_min) == (2, 0)
     assert (out[3].n_rows, out[3].longest_rising_run) == (1, 1)
+
+
+def test_minhash_calibration_sampled_slice(spark):
+    """sample_mod=M keeps a deterministic hash-mod slice of the
+    candidate PAIRS before the exact-verify joins — the 100-TB mode
+    for dup-heavy corpora where the candidate stream is quadratic by
+    LSH construction. The slice is stable (same pairs every run), the
+    report arithmetic is unchanged, and M=1/None is the full report."""
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.dedup import (
+        minhash_calibration_report,
+        minhash_lsh_candidates,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta w{i} "
+            f"iota kappa w{i % 7} lambda mu nu xi")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_calibration_report(
+        df, "doc_id", "text", 3, 8, 4, 2
+    ).collect()[0]
+    again = minhash_calibration_report(
+        df, "doc_id", "text", 3, 8, 4, 2, sample_mod=1
+    ).collect()[0]
+    assert full == again
+    assert full.n_pairs > 0
+
+    mod = 4
+    sampled = minhash_calibration_report(
+        df, "doc_id", "text", 3, 8, 4, 2, sample_mod=mod
+    ).collect()[0]
+    expected = (
+        minhash_lsh_candidates(df, "doc_id", "text", 3, 8, 4, 2)
+        .where(F.pmod(F.xxhash64("id_a", "id_b"), F.lit(mod)) == 0)
+        .count()
+    )
+    assert sampled.n_pairs == expected < full.n_pairs
+    if sampled.n_pairs > 0:
+        assert 0.0 <= sampled.mean_est <= 1.0
+        assert 0.0 <= sampled.mean_exact <= 1.0
+        assert sampled.max_abs_err <= 1.0

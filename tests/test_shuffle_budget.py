@@ -452,6 +452,10 @@ SHUFFLE_BUDGET = {
     # open/close picks are min/max-struct folds inside the SAME agg
     "u19_correlation_profile": 1,  # ONE global wide agg (all pairs'
     # sufficient statistics in a single pass) + the 1-row explode
+    "x93_ivf_cell_balance": 2,  # measured: the assignment agg's
+    # cluster-keyed count shuffle reads the CHECKPOINTED cell frame
+    # (corpus argmin paid at checkpoint time); the single-partition
+    # window over <= k cells adds the second Exchange
     "g13_clustering_coefficient": 6,  # measured: the final plan reads
     # the CHECKPOINTED oriented table (edge build paid separately) —
     # wedge self-join + closing join + corner-explode count + degree

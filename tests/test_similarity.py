@@ -597,3 +597,74 @@ def test_pq_train_cuts_distortion_audit_consumes_it(spark):
     assert d_t5 < 0.7 * d_seed  # the measured ~38% cut, with slack
     for r in (r_seed, r_t5):
         assert r is not None and 0.0 <= r <= 1.0
+
+
+def test_ivf_cell_balance_skew_vs_uniform(spark):
+    """The balance audit separates the two regimes it exists to tell
+    apart: a uniform assignment reads cum_share ≈ m/k along the curve,
+    a skewed one front-loads the mass into the top cell."""
+    from ods_to_datalake_spark.operators.similarity import (
+        ivf_cell_balance,
+    )
+
+    uniform = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "id long, cluster int"
+    )
+    u = {r.size_rank: r for r in ivf_cell_balance(
+        uniform, "cluster").collect()}
+    assert len(u) == 4
+    assert all(u[m].n_vecs == 100 for m in u)
+    assert u[1].cum_share == pytest.approx(0.25)
+    assert u[2].cum_share == pytest.approx(0.50)
+    assert u[4].cum_share == pytest.approx(1.0)
+
+    # 370 of 400 vectors in cell 0 — the pile-up an append-only index
+    # with frozen centroids drifts toward
+    skewed = spark.createDataFrame(
+        [(i, 0 if i < 370 else i % 3 + 1) for i in range(400)],
+        "id long, cluster int",
+    )
+    s = {r.size_rank: r for r in ivf_cell_balance(
+        skewed, "cluster").collect()}
+    assert s[1].cluster == 0 and s[1].vec_share == pytest.approx(0.925)
+    # top-1 cell holds >90% of the corpus; the uniform one holds 25%
+    assert s[1].cum_share > 0.9
+    assert u[1].cum_share == pytest.approx(0.25)
+
+
+def test_ivf_index_cell_balance_includes_empty_cells(spark, emb, tmp_path):
+    """The index-layout face reads the persisted partitioning and
+    surfaces STARVED cells: a centroid whose partition is empty after
+    deletes/appends reports n_vecs=0 (wasted k — invisible to the
+    assignment-frame audit)."""
+    from ods_to_datalake_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_cell_balance,
+    )
+
+    idx = str(tmp_path / "ivf_bal")
+    build_ivf_index(emb, "vec_id", "embedding", k=6, path=idx)
+    rows = {r.cluster: r for r in ivf_index_cell_balance(
+        spark, idx).collect()}
+    total = sum(r.n_vecs for r in rows.values())
+    assert total == emb.count()
+    ranked = [r for r in rows.values() if r.size_rank is not None]
+    # ranked rows partition the corpus; cum_share closes at 1.0
+    top = max(ranked, key=lambda r: r.size_rank)
+    assert top.cum_share == pytest.approx(1.0)
+
+    # carve out one cell's rows to fake a starved cell: delete its
+    # partition directory and confirm the audit reports it as 0
+    import glob
+    import shutil
+
+    cells = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{idx}/corpus/cluster=*")
+    )
+    victim = cells[0]
+    shutil.rmtree(f"{idx}/corpus/cluster={victim}")
+    rows2 = {r.cluster: r for r in ivf_index_cell_balance(
+        spark, idx).collect()}
+    assert rows2[victim].n_vecs == 0
+    assert rows2[victim].size_rank is None
