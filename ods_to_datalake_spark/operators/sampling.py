@@ -377,3 +377,68 @@ def stratified_exact_sample(
         .where(F.col("__p") <= F.col("quota"))
         .select("stratum", "id", "quota")
     )
+
+
+def weighted_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Weight-proportional EXACT-k sample without replacement
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir"): each row enters an exponential race with rate = its
+    weight — race_key r_i = −ln(u_i)/w_i with u_i a deterministic
+    hash-uniform — and the k SMALLEST race keys win, which draws
+    exactly the successive weighted-sampling-without-replacement
+    distribution. The fixed-budget draw the sampling family lacked:
+    x24/x42 are rate-based (Binomial counts), x59/x77 are exact-k but
+    weight-BLIND — this one makes a 10×-weight row 10× as likely to
+    claim a seat, the shape of quality-weighted eval draws and
+    importance-weighted annotation batches.
+
+    Cross-engine determinism (the charter discipline for the float
+    u^(1/w) key): u_i = (md5-prefix(id) + 1)/2^32+1 is an identical
+    double in both engines (integer hash, one literal division);
+    −ln(u) is a TRANSCENDENTAL on a data-dependent domain, so it is
+    quantized per-term to DECIMAL(18,12) — oracle via the VARCHAR hop
+    (the u17 rule) — before ONE IEEE division by the weight; identical
+    operands + identical ops → bit-identical race keys, and the
+    unique id breaks any residual tie. Deterministic means
+    REPRODUCIBLE, not rerollable: re-running draws the same sample
+    (the x59/x19 membership-stability property); vary the id→hash
+    salt upstream for a fresh draw.
+
+    Weights must be positive integers (cents — the u23 rule);
+    non-positive/NULL weights and NULL ids are excluded (a zero-rate
+    racer never finishes; NULL has no hash position).
+
+    Scale: map-only key computation; rank<=k per group rewrites to
+    WindowGroupLimit — a per-partition k-heap BEFORE the shuffle
+    (plan-asserted), so a skewed stratum moves k rows per input
+    partition, never its population. Mergeable like bottom-k: the
+    winners of a union are the winners of the per-part winners, so
+    per-shard samples fold without re-scanning."""
+    from pyspark.sql import Window
+
+    from ods_to_datalake_spark.operators.sketch import _hex_long
+
+    keys = list(by or [])
+    base = (
+        df.where(F.col(id_col).isNotNull())
+        .select(*keys, F.col(id_col), weight.cast("long").alias("weight"))
+        .where(F.col("weight") > 0)
+    )
+    h = _hex_long(F.md5(F.col(id_col).cast("string")), 1, 8)
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    lnq = (-F.log(u)).cast("decimal(18,12)")
+    keyed = base.withColumn(
+        "race_key", lnq.cast("double") / F.col("weight").cast("double")
+    )
+    w = Window.partitionBy(*keys).orderBy("race_key", id_col)
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "rank", id_col, "weight", "race_key")
+    )

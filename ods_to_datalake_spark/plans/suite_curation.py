@@ -1708,3 +1708,68 @@ def x83_pq_recall_audit(
         emb, queries, "vec_id", "embedding", PQR_K, approx,
         truth=truth,
     )
+
+
+# weighted exact-k draw: per-priority seats, weight = order value cents
+WES_K = 20
+
+
+@register(
+    "x94_weighted_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS weight,
+             CAST(concat('0x', substring(
+                 md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS hb
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ), f AS (
+      SELECT o_orderpriority, o_orderkey, weight,
+             CAST(CAST(-ln((hb + 1) / 4294967297.0) AS VARCHAR)
+                  AS DECIMAL(18,12)) AS lnq
+      FROM h WHERE weight > 0
+    ), r AS (
+      SELECT o_orderpriority, o_orderkey, weight,
+             CAST(CAST(lnq AS VARCHAR) AS DOUBLE)
+               / CAST(weight AS DOUBLE) AS race_key
+      FROM f
+    ), rk AS (
+      SELECT o_orderpriority, o_orderkey, weight, race_key,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY race_key, o_orderkey
+             ) AS INT) AS rank
+      FROM r
+    )
+    SELECT o_orderpriority, rank, o_orderkey, weight, race_key
+    FROM rk WHERE rank <= {WES_K}
+    """,
+    doc=f"Weight-proportional exact-{WES_K} draw per order priority "
+    "(Efraimidis-Spirakis 2006 exponential race): race_key = "
+    "-ln(u)/weight with u a deterministic md5-uniform, k smallest "
+    "keys win — the fixed-budget weighted draw completing the "
+    "sampling family (x24/x42 rate-based, x59/x77 exact-k "
+    "weight-blind). ln quantized DECIMAL(18,12) per-term via the "
+    "VARCHAR hop (u17 rule — and the decimal→double read-back hops "
+    "too: 2.2e13-scaled internal ints sit exactly in DuckDB's 1-ulp "
+    "direct-cast territory), ONE IEEE division by the cents weight "
+    "(u23's money rule), unique-id tiebreak; rank<=k rewrites to "
+    "WindowGroupLimit. operators/sampling.weighted_exact_sample.",
+)
+def x94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.operators.sampling import (
+        weighted_exact_sample,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return weighted_exact_sample(
+        cat.table("orders"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
+        WES_K,
+        by=["o_orderpriority"],
+    )

@@ -37,6 +37,9 @@ INVARIANCE_QUERIES = [
     "x43_cluster_canonical",
     "x46_decontaminate_scored",
     "x47_dsir_weights",
+    # round-12: quantized-ln race keys + unique-id tiebreak must pick
+    # the same winners under any partitioning
+    "x94_weighted_sample",
 ]
 
 

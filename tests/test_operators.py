@@ -872,3 +872,53 @@ def test_minhash_calibration_sampled_slice(spark):
         assert 0.0 <= sampled.mean_est <= 1.0
         assert 0.0 <= sampled.mean_exact <= 1.0
         assert sampled.max_abs_err <= 1.0
+
+
+def test_weighted_exact_sample_properties(spark):
+    """Exact k per group, weight-exclusion rules, reproducibility,
+    WindowGroupLimit plan, and the defining distribution property:
+    a heavy row wins a seat far more often than a light one across
+    many independent draws (salted ids simulate re-draws)."""
+    from ods_to_datalake_spark.operators.sampling import (
+        weighted_exact_sample,
+    )
+
+    rows = [(i, "g" + str(i % 2), (i % 7 + 1) * 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+
+    out = weighted_exact_sample(df, "id", F.col("w"), 5, by=["g"])
+    got = out.collect()
+    assert len(got) == 10  # exactly k per group
+    assert {r.g for r in got} == {"g0", "g1"}
+    assert all(1 <= r.rank <= 5 for r in got)
+
+    # reproducible: same draw every run
+    again = weighted_exact_sample(df, "id", F.col("w"), 5, by=["g"])
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+    # plan: per-group selection is a WindowGroupLimit k-heap
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+    # non-positive/NULL weights and NULL ids are excluded
+    bad = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, None), (None, 10)],
+        "id long, w long",
+    )
+    kept = weighted_exact_sample(bad, "id", F.col("w"), 10).collect()
+    assert sorted(r.id for r in kept) == [1]
+
+    # weight-proportionality: 500 independent 1-of-2 draws between a
+    # weight-9 row and a weight-1 row (distinct id salts = fresh
+    # uniforms); the heavy row should win ~90% of the seats
+    many = spark.createDataFrame(
+        [(f"h#{t}", "t" + str(t), 9000) for t in range(500)]
+        + [(f"l#{t}", "t" + str(t), 1000) for t in range(500)],
+        "id string, trial string, w long",
+    )
+    winners = weighted_exact_sample(
+        many, "id", F.col("w"), 1, by=["trial"]
+    ).collect()
+    heavy_wins = sum(1 for r in winners if r.id.startswith("h#"))
+    assert len(winners) == 500
+    assert 400 <= heavy_wins <= 490, heavy_wins

@@ -452,6 +452,8 @@ SHUFFLE_BUDGET = {
     # open/close picks are min/max-struct folds inside the SAME agg
     "u19_correlation_profile": 1,  # ONE global wide agg (all pairs'
     # sufficient statistics in a single pass) + the 1-row explode
+    "x94_weighted_sample": 1,  # measured: map-only race keys, ONE
+    # group-keyed exchange under the WindowGroupLimit k-heap
     "x93_ivf_cell_balance": 2,  # measured: the assignment agg's
     # cluster-keyed count shuffle reads the CHECKPOINTED cell frame
     # (corpus argmin paid at checkpoint time); the single-partition
