@@ -1059,6 +1059,111 @@ def cramers_v(
     )
 
 
+def mutual_information(
+    df: DataFrame, col_a: Column, col_b: Column
+) -> DataFrame:
+    """(n_rows, n_levels_a, n_levels_b, h_a, h_b, mi_nats, nmi) —
+    Shannon mutual information (nats) between two CATEGORICAL columns
+    plus both marginal entropies and the min-normalized NMI ∈ [0, 1]:
+    u22's Cramér's V answers "are these entangled" on the χ² scale;
+    MI answers it on the COMPRESSION scale — how many nats of one
+    label the other explains — which is the quantity feature-selection
+    ranks by (information gain IS MI with the class) and the one that
+    composes with the entropy family (x85 token entropy, x87 KL:
+    MI(a,b) = KL(joint ‖ product-of-marginals), the same Dunning
+    contingency geometry as x72 read as information).
+
+        MI  = Σ_cells (o/N)·ln(o·N/(r·c))
+        H_x = Σ_levels (m/N)·ln(N/m),   NMI = MI / min(H_a, H_b)
+
+    Exactness (the x72/u22 contingency discipline): o, marginals r/c
+    /m, and N are exact BIGINTs; each ln ratio's numerator o·N and
+    denominator r·c are exact DECIMAL(38,0) products cast once to
+    double (oracle VARCHAR-hops those casts — 1e24 magnitudes sit in
+    DuckDB's 1-ulp direct-cast territory), ONE IEEE division, ln
+    quantized to DECIMAL(18,6) PER TERM via the VARCHAR hop (the u17
+    rule) BEFORE the integer multiply (the x72 multiply-after rule),
+    per-term products o·lnq folded as exact decimals, and each final
+    statistic is one decimal→double read-back + one division by N.
+    Only observed cells contribute (o ≥ 1 — no ln(0) guard needed by
+    construction, unlike x72's zero-cell CASE). NULL levels excluded;
+    single-level columns have H = 0 → NULL nmi (no evidence); empty
+    input → zero counts, NULL stats.
+
+    Scale: ONE (a, b) cell-count shuffle over the table (map-side
+    combinable); marginals are windows/re-aggregations of the
+    contingency-sized cell frame (checkpointed — it feeds the MI
+    terms, both entropy legs, AND the totals; the x25 rule);
+    everything after the first agg is levels²-sized."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(col_a.alias("__a"), col_b.alias("__b"))
+        .where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__o"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.coalesce(F.sum("__o"), F.lit(0)).cast("long").alias("__n"),
+        F.count_distinct(F.col("__a")).cast("long").alias("__la"),
+        F.count_distinct(F.col("__b")).cast("long").alias("__lb"),
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    joint = cells.select(
+        "__o",
+        F.sum("__o").over(wa).cast("long").alias("__r"),
+        F.sum("__o").over(wb).cast("long").alias("__c"),
+    ).crossJoin(F.broadcast(tot.select("__n")))
+    num = (F.col("__o").cast(d38) * F.col("__n").cast(d38)).cast(
+        "double"
+    )
+    den = (F.col("__r").cast(d38) * F.col("__c").cast(d38)).cast(
+        "double"
+    )
+    lnq = F.log(num / den).cast("decimal(18,6)")
+    mi_agg = joint.agg(
+        F.sum(F.col("__o").cast("decimal(18,0)") * lnq).alias("__mi")
+    )
+
+    def _entropy(margin: str, out: str) -> DataFrame:
+        m = (
+            cells.groupBy(margin)
+            .agg(F.sum("__o").cast("long").alias("__m"))
+            .crossJoin(F.broadcast(tot.select("__n")))
+        )
+        lq = F.log(
+            F.col("__n").cast("double") / F.col("__m").cast("double")
+        ).cast("decimal(18,6)")
+        return m.agg(
+            F.sum(F.col("__m").cast("decimal(18,0)") * lq).alias(out)
+        )
+
+    out = (
+        tot.crossJoin(F.broadcast(mi_agg))
+        .crossJoin(F.broadcast(_entropy("__a", "__ha")))
+        .crossJoin(F.broadcast(_entropy("__b", "__hb")))
+    )
+    n_d = F.col("__n").cast("double")
+    h_a = F.col("__ha").cast("double") / n_d
+    h_b = F.col("__hb").cast("double") / n_d
+    mi = F.col("__mi").cast("double") / n_d
+    return out.select(
+        F.col("__n").alias("n_rows"),
+        F.col("__la").alias("n_levels_a"),
+        F.col("__lb").alias("n_levels_b"),
+        F.when(F.col("__n") > 0, h_a).alias("h_a"),
+        F.when(F.col("__n") > 0, h_b).alias("h_b"),
+        F.when(F.col("__n") > 0, mi).alias("mi_nats"),
+        F.when(
+            (F.col("__n") > 0) & (F.least(h_a, h_b) > 0),
+            mi / F.least(h_a, h_b),
+        ).alias("nmi"),
+    )
+
+
 def weighted_median(
     df: DataFrame,
     group_cols: list[str],
@@ -1122,4 +1227,82 @@ def weighted_median(
             F.max("__tot").cast("long").alias("total_weight"),
             F.min("__v").cast("long").alias("weighted_median"),
         )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, group_cols: list[str], value: Column
+) -> DataFrame:
+    """(group…, n_rows, total_value, gini) — exact Gini inequality
+    coefficient of a non-negative integer measure per group (cents):
+    0 = perfectly equal, →1 = one row holds everything. u18's
+    concentration profile reads CATEGORY dominance (top-share /
+    impurity of a label column); this reads MAGNITUDE dominance of a
+    measure — "does 1% of the orders carry 60% of the revenue" — the
+    whale-detection panel behind pricing, abuse, and sampling-bias
+    review (a corpus whose token mass is Gini-0.9 over sources is one
+    scrape away from a single-domain model).
+
+    Exactness: computed WITHOUT sorting rows — from the per-distinct-
+    value count frame, G = (2T − (n+1)·S) / (n·S) with
+    2T = Σ_v v·(2·c_v·cum_before + c_v·(c_v+1)) (the rank-sum of a
+    tied block in closed form — note 2T directly, so no halving and
+    no fractional intermediate), all in DECIMAL(38,0) (v·n² crosses
+    int64 by ~1e13 rows·cents); ONE IEEE division at the end (oracle
+    VARCHAR-hops the decimal→double read-backs). Tie-permutation
+    invariant by construction (tied values contribute a closed-form
+    block sum, not an arbitrary rank order). NULL and NEGATIVE values
+    are excluded (Gini is defined on a non-negative measure; a
+    refunds-included audit should split sign first); zero-total
+    groups → NULL gini (no evidence).
+
+    Scale: ONE group-keyed shuffle to per-(group, value) counts, a
+    cumulative window over DISTINCT values (domain-bounded, the
+    u23/u16 argument — never a per-row rank over the corpus), one
+    group-sized agg."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        *group_cols, value.cast("long").alias("__v")
+    ).where(F.col("__v").isNotNull() & (F.col("__v") >= 0))
+    per_v = rows.groupBy(*group_cols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        *group_cols,
+        "__v",
+        "__c",
+        (F.sum("__c").over(w_cum) - F.col("__c"))
+        .cast("long")
+        .alias("__cb"),
+    )
+    t2_term = F.col("__v").cast(d38) * (
+        F.lit(2).cast(d38) * F.col("__c").cast(d38) * F.col("__cb").cast(d38)
+        + F.col("__c").cast(d38) * (F.col("__c").cast(d38) + F.lit(1).cast(d38))
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum(F.col("__v").cast(d38) * F.col("__c").cast(d38)).alias(
+            "__s"
+        ),
+        F.sum(t2_term).alias("__t2"),
+    )
+    num = (
+        F.col("__t2")
+        - (F.col("n_rows").cast(d38) + F.lit(1).cast(d38)) * F.col("__s")
+    ).cast("double")
+    den = (F.col("n_rows").cast(d38) * F.col("__s")).cast("double")
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.col("__s").cast("long").alias("total_value"),
+        F.when(
+            (F.col("n_rows") > 0) & (F.col("__s") > 0), num / den
+        ).alias("gini"),
     )

@@ -1182,3 +1182,188 @@ def u23_weighted_median(
         F.col("l_extendedprice").cast("decimal(18,2)") * 100,
         F.col("l_quantity"),
     )
+
+
+@register(
+    "u24_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+        AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS la,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS lb
+      FROM cells
+    ),
+    joint AS (
+      SELECT o,
+             CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c
+      FROM cells
+    ),
+    mi_terms AS (
+      SELECT CAST(o AS DECIMAL(18,0)) *
+             CAST(CAST(ln(
+               CAST(CAST(CAST(o AS HUGEINT) * t.n AS VARCHAR)
+                    AS DOUBLE)
+               / CAST(CAST(CAST(r AS HUGEINT) * c AS VARCHAR)
+                      AS DOUBLE)
+             ) AS VARCHAR) AS DECIMAL(18,6)) AS term
+      FROM joint CROSS JOIN tot t
+    ),
+    ma AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS m FROM cells GROUP BY a
+    ),
+    mb AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS m FROM cells GROUP BY b
+    ),
+    ha_terms AS (
+      SELECT CAST(m AS DECIMAL(18,0)) *
+             CAST(CAST(ln(CAST(t.n AS DOUBLE) / CAST(m AS DOUBLE))
+                  AS VARCHAR) AS DECIMAL(18,6)) AS term
+      FROM ma CROSS JOIN tot t
+    ),
+    hb_terms AS (
+      SELECT CAST(m AS DECIMAL(18,0)) *
+             CAST(CAST(ln(CAST(t.n AS DOUBLE) / CAST(m AS DOUBLE))
+                  AS VARCHAR) AS DECIMAL(18,6)) AS term
+      FROM mb CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT n, la, lb,
+             (SELECT SUM(term) FROM mi_terms) AS mi_dec,
+             (SELECT SUM(term) FROM ha_terms) AS ha_dec,
+             (SELECT SUM(term) FROM hb_terms) AS hb_dec
+      FROM tot
+    )
+    SELECT n AS n_rows, la AS n_levels_a, lb AS n_levels_b,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(ha_dec AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE) END AS h_a,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(hb_dec AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE) END AS h_b,
+           CASE WHEN n > 0 THEN
+             CAST(CAST(mi_dec AS VARCHAR) AS DOUBLE)
+               / CAST(n AS DOUBLE) END AS mi_nats,
+           CASE WHEN n > 0 AND LEAST(
+                  CAST(CAST(ha_dec AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE),
+                  CAST(CAST(hb_dec AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE)) > 0 THEN
+             (CAST(CAST(mi_dec AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / LEAST(CAST(CAST(ha_dec AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE),
+                     CAST(CAST(hb_dec AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+           END AS nmi
+    FROM agg
+    """,
+    doc="Shannon mutual information (nats) between order status and "
+    "priority, with both marginal entropies and min-normalized NMI — "
+    "u22's entanglement question on the COMPRESSION scale (how many "
+    "nats of one label the other explains): the ranking quantity of "
+    "information-gain feature selection, and the entropy-family "
+    "member tying x85/x87 to the contingency table (MI = KL(joint || "
+    "product of marginals), x72's geometry read as information). "
+    "Per-term discipline: o*N and r*c exact DECIMAL(38,0)/HUGEINT "
+    "cast via VARCHAR (1e24 magnitudes sit in DuckDB's 1-ulp "
+    "direct-cast territory), ONE IEEE division, ln quantized "
+    "DECIMAL(18,6) via the VARCHAR hop BEFORE the integer multiply "
+    "(x72's rule), decimal folds, one read-back + one division by N "
+    "per statistic. Observed cells only (o >= 1: no ln(0) by "
+    "construction); single-level -> NULL nmi. "
+    "operators/profile.mutual_information.",
+)
+def u24_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        mutual_information,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return mutual_information(
+        cat.table("orders"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    )
+
+
+@register(
+    "u25_gini_coefficient",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) >= 0
+    ),
+    per_v AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM f GROUP BY grp, v
+    ),
+    cum AS (
+      SELECT grp, v, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS BIGINT) AS cb
+      FROM per_v
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             SUM(CAST(v AS HUGEINT) * c) AS s,
+             SUM(CAST(v AS HUGEINT)
+                 * (2 * CAST(c AS HUGEINT) * cb
+                    + CAST(c AS HUGEINT) * (c + 1))) AS t2
+      FROM cum GROUP BY grp
+    )
+    SELECT grp AS o_orderpriority, n_rows,
+           CAST(s AS BIGINT) AS total_value,
+           CASE WHEN n_rows > 0 AND s > 0 THEN
+             CAST(CAST(t2 - (CAST(n_rows AS HUGEINT) + 1) * s
+                       AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_rows AS HUGEINT) * s AS VARCHAR)
+                    AS DOUBLE)
+           END AS gini
+    FROM agg
+    """,
+    doc="Exact Gini coefficient of order value (cents) per priority — "
+    "magnitude-dominance inequality (0 equal, ->1 one order carries "
+    "everything), the whale-detection twin of u18's category "
+    "concentration: computed WITHOUT sorting rows, from the "
+    "per-distinct-value count frame via the closed-form tied-block "
+    "rank sum 2T = sum v*(2c*cum_before + c*(c+1)) — note 2T "
+    "directly, no halving, no fractional intermediate — G = "
+    "(2T-(n+1)S)/(nS), everything DECIMAL(38,0)/HUGEINT until ONE "
+    "IEEE division (VARCHAR-hopped oracle read-backs). "
+    "Tie-permutation invariant by construction; negative values "
+    "excluded (Gini is defined on a non-negative measure); "
+    "zero-total groups NULL. One group-keyed shuffle + a "
+    "domain-bounded cumulative window (the u23 shape). "
+    "operators/profile.gini_coefficient.",
+)
+def u25_gini_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return gini_coefficient(
+        cat.table("orders"),
+        ["o_orderpriority"],
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
+    )

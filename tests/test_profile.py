@@ -627,3 +627,100 @@ def test_weighted_median_weight_dominance_and_guards(spark):
     assert weighted_median(
         only_bad, ["grp"], F.col("v"), F.col("w")
     ).count() == 0
+
+
+# --- mutual information (u24) --------------------------------------------------
+
+
+def test_mutual_information_known_values(spark):
+    """Independent columns -> MI ~ 0; a determined column -> NMI = 1
+    (MI = min entropy); single-level column -> H = 0, NULL nmi."""
+    import math
+
+    import pytest
+
+    from ods_to_datalake_spark.operators.profile import (
+        mutual_information,
+    )
+
+    # perfectly determined: b = f(a), both uniform over 2 levels
+    det = spark.createDataFrame(
+        [("x", "u"), ("y", "v")] * 50, "a string, b string"
+    )
+    (r,) = mutual_information(
+        det, F.col("a"), F.col("b")
+    ).collect()
+    assert (r.n_rows, r.n_levels_a, r.n_levels_b) == (100, 2, 2)
+    assert r.h_a == pytest.approx(math.log(2), abs=1e-5)
+    assert r.mi_nats == pytest.approx(math.log(2), abs=1e-5)
+    assert r.nmi == pytest.approx(1.0, abs=1e-4)
+
+    # independent uniform 2x2: every cell o*N == r*c -> each ln term
+    # is exactly ln(1) = 0 -> MI exactly 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)],
+        "a string, b string",
+    )
+    (r,) = mutual_information(
+        ind, F.col("a"), F.col("b")
+    ).collect()
+    assert r.mi_nats == 0.0
+    assert r.nmi == 0.0
+
+    # single-level a: H_a = 0 -> NULL nmi, MI = 0
+    single = spark.createDataFrame(
+        [("k", "u"), ("k", "v")] * 10, "a string, b string"
+    )
+    (r,) = mutual_information(
+        single, F.col("a"), F.col("b")
+    ).collect()
+    assert r.h_a == 0.0 and r.mi_nats == 0.0 and r.nmi is None
+
+    # empty -> zero counts, NULL stats
+    empty = spark.createDataFrame([], "a string, b string")
+    (r,) = mutual_information(
+        empty, F.col("a"), F.col("b")
+    ).collect()
+    assert (r.n_rows, r.mi_nats, r.nmi) == (0, None, None)
+
+
+# --- Gini coefficient (u25) ----------------------------------------------------
+
+
+def test_gini_known_values(spark):
+    """Equal values -> 0; one-holder extreme -> (n-1)/n; the 2-row
+    hand case [1, 3] -> 0.25; negatives/NULLs excluded; zero-total ->
+    NULL; tie-permutation invariance via duplicated values."""
+    import pytest
+
+    from ods_to_datalake_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    def g(rows):
+        df = spark.createDataFrame(rows, "grp string, v long")
+        return {
+            r.grp: r
+            for r in gini_coefficient(
+                df, ["grp"], F.col("v")
+            ).collect()
+        }
+
+    out = g(
+        [("eq", 5)] * 4                      # equal -> 0
+        + [("one", 0)] * 9 + [("one", 100)]  # 1 of 10 holds all -> 0.9
+        + [("pair", 1), ("pair", 3)]         # hand: G = 0.25
+        + [("mix", -7), ("mix", None), ("mix", 2), ("mix", 2)]
+        + [("zero", 0), ("zero", 0)]         # zero total -> NULL
+    )
+    assert out["eq"].gini == 0.0
+    assert out["one"].gini == pytest.approx(0.9)
+    assert out["pair"].gini == pytest.approx(0.25)
+    # mix: negatives and NULLs excluded -> two equal rows -> 0
+    assert out["mix"].n_rows == 2 and out["mix"].gini == 0.0
+    assert out["zero"].gini is None and out["zero"].n_rows == 2
+
+    # tied blocks: [2,2,4] == any permutation; sorted rank sum
+    # sum i*x = 1*2 + 2*2 + 3*4 = 18 -> G = (2*18 - 4*8)/(3*8) = 1/6
+    t = g([("t", 2), ("t", 4), ("t", 2)])
+    assert t["t"].gini == pytest.approx((2 * 18 - 4 * 8) / 24)

@@ -413,6 +413,13 @@ SHUFFLE_BUDGET = {
     # self-join); marginal joins read the checkpointed vocab frames
     "x91_tokenizer_fertility": 1,  # one group-keyed partial agg;
     # the regexp token count is map-side
+    "u25_gini_coefficient": 2,  # ONE (group, value) pre-agg shuffle
+    # + the group-keyed window/final-agg exchange (the u23 shape)
+    "u24_mutual_information": 12,  # reads the CHECKPOINTED
+    # contingency table (the corpus cell shuffle paid at checkpoint
+    # time): two marginal windows + two entropy re-aggs + the
+    # count_distinct totals + broadcast joins — every Exchange moves
+    # the levels^2-sized cell frame, never the corpus
     "u22_cramers_v": 6,  # reads the CHECKPOINTED contingency table:
     # level-count/total agg + the two marginal windows + the term fold
     "x90_cluster_size_spectrum": 1,  # funnel rounds are checkpoint-
