@@ -440,3 +440,75 @@ def ab_proportion_test(
         F.when(both, ra - rb).alias("lift"),
         F.when(ok, (ra - rb) / F.sqrt(var)).alias("z_score"),
     )
+
+
+def session_spectrum(sessions: DataFrame) -> DataFrame:
+    """(n_events, n_sessions, n_users, session_share, total_duration_s,
+    mean_duration_s) — the engagement spectrum over a sessionized
+    frame (e02's `sessionize_batch` output: one row per (user,
+    session) with session_start/session_end/n_events): how many
+    sessions are 1-event bounces, how long does each depth class
+    stay — the bounce-rate / depth panel product analytics reads
+    first, and the x84/x90 multiplicity-histogram idea applied to
+    SESSIONS instead of documents (one funnel stage later than raw
+    event counts: e02 defines the unit, this reads its distribution).
+
+    Exactness: durations are integer SECONDS (unix_timestamp of the
+    min/max event — sub-second parquet precision truncates
+    identically in both engines via epoch-seconds floor); counts
+    exact BIGINTs; session_share and mean_duration_s are single IEEE
+    divisions of exact integers (the spectrum frame is tiny, but the
+    per-class sums are decimal-free: second-magnitude · corpus rows
+    stays far inside int64 at any scale that fits a cluster —
+    9e18 s ≈ 3e11 years).
+
+    Scale: rides the sessionize shuffle (user-keyed) with ONE further
+    depth-keyed count agg over the SESSION frame (map-side
+    combinable); output is bounded by the maximum session depth, a
+    domain-sized spectrum like x84's. The checkpoint covers the
+    total-agg + report legs (the x25 rule applied to the tiny frame,
+    not the corpus)."""
+    per = (
+        sessions.select(
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("user_id"),
+            (
+                F.unix_timestamp(F.col("session_end"))
+                - F.unix_timestamp(F.col("session_start"))
+            )
+            .cast("long")
+            .alias("__dur"),
+        )
+        .groupBy("n_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.count_distinct(F.col("user_id"))
+            .cast("long")
+            .alias("n_users"),
+            F.coalesce(F.sum("__dur"), F.lit(0))
+            .cast("long")
+            .alias("total_duration_s"),
+        )
+        .localCheckpoint()
+    )
+    tot = per.agg(
+        F.coalesce(F.sum("n_sessions"), F.lit(0))
+        .cast("long")
+        .alias("__t")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "n_events",
+        "n_sessions",
+        "n_users",
+        F.when(
+            F.col("__t") > 0,
+            F.col("n_sessions").cast("double")
+            / F.col("__t").cast("double"),
+        ).alias("session_share"),
+        "total_duration_s",
+        F.when(
+            F.col("n_sessions") > 0,
+            F.col("total_duration_s").cast("double")
+            / F.col("n_sessions").cast("double"),
+        ).alias("mean_duration_s"),
+    )

@@ -37,10 +37,9 @@ def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(cat.table("events"), "1 hour")
 
 
-@register(
-    "e02_sessionize",
-    oracle="""
-    WITH marked AS (
+# e02's session definition, shared verbatim by e23's spectrum oracle
+# (the x25 single-source rule: one session definition, two readers)
+_SQL_SESSIONS = """marked AS (
       SELECT user_id, ts, event_id,
              CASE WHEN FLOOR(epoch(ts)) -
                   FLOOR(epoch(LAG(ts) OVER (
@@ -54,12 +53,21 @@ def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) + 1 AS BIGINT) AS session_seq
       FROM marked
-    )
-    SELECT user_id, session_seq,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM numbered
-    GROUP BY user_id, session_seq
+    ), sess AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered
+      GROUP BY user_id, session_seq
+    )"""
+
+
+@register(
+    "e02_sessionize",
+    oracle=f"""
+    WITH {_SQL_SESSIONS}
+    SELECT user_id, session_seq, session_start, session_end, n_events
+    FROM sess
     """,
     doc="Sessionization (30-min gap) via lag + running sum — one shuffle "
     "on user_id, window reuses the partitioning; the streaming face uses "
@@ -1128,3 +1136,58 @@ def e22_drawdown_duration(
 
     cat = load_testdata(spark, sf_dir)
     return drawdown_duration(cat.table("events"), "ts", "value")
+
+
+@register(
+    "e23_session_spectrum",
+    oracle=f"""
+    WITH {_SQL_SESSIONS},
+    per AS (
+      SELECT n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(FLOOR(epoch(session_end))
+                               - FLOOR(epoch(session_start))), 0)
+                  AS BIGINT) AS total_duration_s
+      FROM sess GROUP BY n_events
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(n_sessions), 0) AS BIGINT) AS t
+      FROM per
+    )
+    SELECT n_events, n_sessions, n_users,
+           CASE WHEN t > 0 THEN
+             CAST(n_sessions AS DOUBLE) / CAST(t AS DOUBLE)
+           END AS session_share,
+           total_duration_s,
+           CASE WHEN n_sessions > 0 THEN
+             CAST(total_duration_s AS DOUBLE)
+               / CAST(n_sessions AS DOUBLE)
+           END AS mean_duration_s
+    FROM per CROSS JOIN tot
+    """,
+    doc="Session-depth spectrum over e02's sessions (the oracle "
+    "EMBEDS e02's session CTE — one session definition, two readers, "
+    "the x25 single-source rule): per depth class, session count, "
+    "distinct users, corpus share, and total/mean dwell seconds — "
+    "the bounce-rate / engagement-depth panel (n_events=1 IS the "
+    "bounce row), x84's multiplicity-histogram idea applied to "
+    "SESSIONS. Durations are integer unix seconds (FLOOR(epoch) in "
+    "the oracle = unix_timestamp in Spark, e02's gap arithmetic); "
+    "shares/means single IEEE divisions of exact BIGINTs. Rides the "
+    "sessionize shuffle + ONE depth-keyed agg over the session "
+    "frame; output bounded by max session depth. "
+    "operators/sequence.session_spectrum.",
+)
+def e23_session_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        session_spectrum,
+    )
+    from ods_to_datalake_spark.streaming.events import sessionize_batch
+
+    cat = load_testdata(spark, sf_dir)
+    return session_spectrum(
+        sessionize_batch(cat.table("events"), "30 minutes")
+    )

@@ -765,3 +765,42 @@ def test_ab_guards_empty_cohort_and_zero_variance(spark):
         negative=F.col("event_type") == "e",
     ).collect()
     assert (r3.conv_a, r3.conv_b) == (0, 1)
+
+
+def test_session_spectrum_depth_classes_and_durations(spark):
+    from ods_to_datalake_spark.operators.sequence import session_spectrum
+    from ods_to_datalake_spark.streaming.events import sessionize_batch
+
+    # user 1: one 3-event session spanning 600s, then (>30 min later)
+    # a 1-event bounce; user 2: a 1-event bounce
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0), "a", 1),
+            (1, datetime(2024, 1, 1, 0, 5, 0), "a", 2),
+            (1, datetime(2024, 1, 1, 0, 10, 0), "a", 3),
+            (1, datetime(2024, 1, 1, 2, 0, 0), "a", 4),
+            (2, datetime(2024, 1, 1, 0, 0, 0), "a", 5),
+        ],
+        EV_SCHEMA,
+    )
+    rows = {
+        r.n_events: r
+        for r in session_spectrum(
+            sessionize_batch(ev, "30 minutes")
+        ).collect()
+    }
+    assert set(rows) == {1, 3}
+    bounce, deep = rows[1], rows[3]
+    assert bounce.n_sessions == 2 and bounce.n_users == 2
+    assert bounce.total_duration_s == 0 and bounce.mean_duration_s == 0.0
+    assert deep.n_sessions == 1 and deep.n_users == 1
+    assert deep.total_duration_s == 600 and deep.mean_duration_s == 600.0
+    assert bounce.session_share == 2 / 3 and deep.session_share == 1 / 3
+
+
+def test_session_spectrum_empty_input_is_empty(spark):
+    from ods_to_datalake_spark.operators.sequence import session_spectrum
+    from ods_to_datalake_spark.streaming.events import sessionize_batch
+
+    ev = spark.createDataFrame([], EV_SCHEMA)
+    assert session_spectrum(sessionize_batch(ev)).count() == 0

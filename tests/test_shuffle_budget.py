@@ -434,6 +434,9 @@ SHUFFLE_BUDGET = {
     "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
     # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
+    "e23_session_spectrum": 1,  # the 1-row totals agg over the
+    # checkpointed depth spectrum; e02's user shuffle + the depth agg
+    # hide behind the localCheckpoint (g01 convention)
     "x89_minhash_calibration": 8,  # reads the CHECKPOINTED candidate
     # pair frame: shingle-set sizes x2 + exploded intersection + one
     # signature agg joined twice + the 1-row report (x05's verify
