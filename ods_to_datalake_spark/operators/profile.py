@@ -1306,3 +1306,171 @@ def gini_coefficient(
             (F.col("n_rows") > 0) & (F.col("__s") > 0), num / den
         ).alias("gini"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """(group…, n_pairs, rho) — exact tie-aware Spearman rank
+    correlation per group: Pearson r computed on AVERAGE ranks — the
+    monotonic-association twin of u19's linear panel (a perfect
+    y = x³ relationship reads ρ = 1 here but r < 1 there), and the
+    robust screen for ordinal / heavy-tailed columns where a single
+    outlier row dominates the raw-value moments.
+
+    Exactness contract: ``x`` and ``y`` must be INTEGER-valued (cents
+    — the Decimal(18,2)·100 rule; ranks only need ORDER, so the ×100
+    never changes ρ). Tie-aware average ranks are kept integral via
+    the 2·rank trick: a tie block with min ascending rank m and c
+    members has average rank m + (c−1)/2, so
+        R2 = 2·avg_rank = rank_asc + (n_g − rank_desc + 1)
+    (min asc rank + max asc rank, both plain RANK() windows) is an
+    exact BIGINT, and Pearson is affine-invariant so r(R2x, R2y) =
+    r(Rx, Ry). The six sufficient statistics then fold as exact
+    DECIMAL(38,0) sums and the u19 formula finishes: operands cast
+    ONCE to double (oracle VARCHAR-hops — the u17 rule), IEEE sqrt /
+    division — bit-identical cross-engine with NO transcendental
+    quantization. All-tied (zero rank variance) → NULL, not 0; rows
+    with a NULL on either side are excluded BEFORE ranking (pairwise
+    complete — a NULL has no rank). Headroom: n·ΣR2xR2y ≤ 4n⁴ —
+    DECIMAL(38,0) holds to n ≈ 1.7e9 rows per group; shard larger
+    groups by a salt and merge via the streaming-correlation
+    sufficient-stats fold if ever needed.
+
+    Scale: ONE group-keyed shuffle shared by all five rank windows
+    (rank asc/desc over x, rank asc/desc over y, group count — every
+    window partitions by exactly ``group_cols``, so Spark plans one
+    Exchange and sorts within partitions) and the final group agg;
+    per the u19 pre-projection rule the R2 columns are materialized
+    in a select() BEFORE the wide agg so each aggregate references a
+    plain column."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        *group_cols,
+        x.cast("long").alias("__x"),
+        y.cast("long").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    wg = Window.partitionBy(*group_cols)
+    wxa = wg.orderBy(F.col("__x").asc())
+    wxd = wg.orderBy(F.col("__x").desc())
+    wya = wg.orderBy(F.col("__y").asc())
+    wyd = wg.orderBy(F.col("__y").desc())
+    n_g = F.count(F.lit(1)).over(wg)
+    # u19 pre-projection rule: R2 under an alias BEFORE the agg
+    ranked = rows.select(
+        *group_cols,
+        (F.rank().over(wxa) + n_g - F.rank().over(wxd) + F.lit(1))
+        .cast(d38)
+        .alias("__rx"),
+        (F.rank().over(wya) + n_g - F.rank().over(wyd) + F.lit(1))
+        .cast(d38)
+        .alias("__ry"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast(d38)
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return agg.select(
+        *group_cols,
+        "n_pairs",
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+        ).alias("rho"),
+    )
+
+
+def mann_whitney_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    label: Column,
+) -> DataFrame:
+    """(group…, n_pos, n_neg, auc) — exact tie-aware ROC AUC per
+    group via the Mann–Whitney rank-sum identity
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻): the standard
+    separability eval for any scoring model — x75 evaluates a
+    retrieval RANKING, x81 evaluates a score's SCALE (calibration),
+    this evaluates its DISCRIMINATION (would thresholding the score
+    separate the classes at all, at any threshold).
+
+    Exactness: ``score`` must be INTEGER-valued (AUC is
+    rank-invariant, so cents/counts encodings never change it);
+    ``label`` is 0/1. With the 2·rank trick (R2 = 2·cum_before + c + 1
+    per tied score value), ΣR2 over positives is an exact integer and
+        AUC = (ΣR2⁺ − n⁺·(n⁺+1)) / (2·n⁺·n⁻)
+    — a single IEEE division of two exact DECIMAL(38,0) integers
+    (oracle VARCHAR-hops the casts — the u17 rule). A group missing
+    either class has no defined AUC: CASE-guarded NULL. NULL scores /
+    labels are excluded (no rank). Ties are handled EXACTLY — the ½
+    lives in the integer arithmetic, never a float.
+
+    Scale: the rank sum needs NO row-level rank join — per distinct
+    (group, score) value the tied block contributes
+    p·(2·cum_before + c + 1) where p = positive count, c = total
+    count, cum_before = running count of smaller values: ONE
+    (group, score)-keyed pre-agg shuffle, a cumulative window over
+    the DOMAIN-sized value frame (the u23/u25 shape), and a final
+    group agg that reuses the group partitioning."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        *group_cols,
+        score.cast("long").alias("__s"),
+        label.cast("long").alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per_v = rows.groupBy(*group_cols, "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("__y").cast("long").alias("__p"),
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        *group_cols,
+        "__c",
+        "__p",
+        (F.sum("__c").over(w_cum) - F.col("__c"))
+        .cast("long")
+        .alias("__cb"),
+    )
+    r2_term = F.col("__p").cast(d38) * (
+        F.lit(2).cast(d38) * F.col("__cb").cast(d38)
+        + F.col("__c").cast(d38)
+        + F.lit(1).cast(d38)
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.sum(r2_term).alias("__sr2"),
+    )
+    npos = F.col("n_pos").cast(d38)
+    nneg = F.col("n_neg").cast(d38)
+    num = F.col("__sr2") - npos * (npos + F.lit(1).cast(d38))
+    den = F.lit(2).cast(d38) * npos * nneg
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("auc"),
+    )

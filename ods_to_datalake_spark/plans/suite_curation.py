@@ -1773,3 +1773,107 @@ def x94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WES_K,
         by=["o_orderpriority"],
     )
+
+
+def _auc_oracle() -> str:
+    """x95: tie-aware Mann-Whitney AUC of token count as a predictor
+    of x51's Gopher-repetition pass flag, per source — the label CTE
+    embeds x51's oracle verbatim (x81's single-source pattern; x81
+    evaluates a score's SCALE, this evaluates DISCRIMINATION). The
+    rank sum never ranks rows: per distinct (source, score) value the
+    tied block contributes p*(2*cum_before + c + 1) exactly."""
+    return f"""
+    WITH lbl AS ({_repetition_oracle()}),
+    feat AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS s
+      FROM (SELECT doc_id, source, {SQL_TOKENS} AS toks
+            FROM documents)
+    ),
+    rows_pc AS (
+      SELECT f.source, f.s, CAST(l.passes AS BIGINT) AS y
+      FROM feat f JOIN lbl l USING (doc_id)
+      WHERE f.s IS NOT NULL AND l.passes IS NOT NULL
+    ),
+    per_v AS (
+      SELECT source, s,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM rows_pc GROUP BY source, s
+    ),
+    cum AS (
+      SELECT source, c, p,
+             CAST(SUM(c) OVER (
+               PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - c AS BIGINT) AS cb
+      FROM per_v
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+             SUM(CAST(p AS HUGEINT)
+                 * (2 * CAST(cb AS HUGEINT)
+                    + CAST(c AS HUGEINT) + 1)) AS sr2
+      FROM cum GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(CAST(sr2 - CAST(n_pos AS HUGEINT)
+                             * (CAST(n_pos AS HUGEINT) + 1)
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(2 * CAST(n_pos AS HUGEINT)
+                           * CAST(n_neg AS HUGEINT)
+                    AS VARCHAR) AS DOUBLE)
+           END AS auc
+    FROM agg
+    """
+
+
+@register(
+    "x95_score_auc",
+    oracle=_auc_oracle(),
+    doc="Exact tie-aware ROC AUC (Mann-Whitney rank-sum identity) of "
+    "token count as a predictor of the Gopher-repetition pass flag, "
+    "per source — the DISCRIMINATION face of the score-eval family "
+    "(x75 ranking, x81 calibration/scale): is document length alone "
+    "already a separability baseline any learned quality score must "
+    "beat, and does it differ by source. Label CTE embeds x51's "
+    "oracle verbatim; score is x02's token segmentation (one "
+    "definition each). AUC = (SumR2+ - n+(n+1)) / (2 n+ n-) with the "
+    "2*rank trick keeping tie-averaged ranks integral: per distinct "
+    "(source, score) block, positives contribute p*(2*cum_before + "
+    "c + 1) — ONE (source,score)-keyed pre-agg shuffle, a cumulative "
+    "window over the DOMAIN-sized value frame (u23/u25 shape), NO "
+    "row-level rank join anywhere; single IEEE division of exact "
+    "DECIMAL(38,0)/HUGEINT integers (VARCHAR-hopped oracle casts). "
+    "Class-missing groups CASE-guarded NULL. "
+    "operators/profile.mann_whitney_auc.",
+)
+def x95_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.functions import text as X
+    from ods_to_datalake_spark.operators.profile import (
+        mann_whitney_auc,
+    )
+    from ods_to_datalake_spark.operators.quality import (
+        gopher_repetition,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens("text")).cast("long").alias("__ntok"),
+    )
+    lbl = gopher_repetition(docs, "doc_id", "text").select(
+        "doc_id", "passes"
+    )
+    return mann_whitney_auc(
+        feat.join(lbl, "doc_id"),
+        ["source"],
+        F.col("__ntok"),
+        F.col("passes"),
+    )

@@ -1367,3 +1367,80 @@ def u25_gini_coefficient(
         ["o_orderpriority"],
         F.col("o_totalprice").cast("decimal(18,2)") * 100,
     )
+
+
+@register(
+    "u26_spearman_correlation",
+    oracle="""
+    WITH rows_pc AS (
+      SELECT l_returnflag AS grp,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT grp,
+             -- 2*avg_rank = min asc rank + max asc rank, exact ints
+             CAST(RANK() OVER (PARTITION BY grp ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY grp)
+                  - RANK() OVER (PARTITION BY grp ORDER BY x DESC)
+                  + 1 AS HUGEINT) AS rx,
+             CAST(RANK() OVER (PARTITION BY grp ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY grp)
+                  - RANK() OVER (PARTITION BY grp ORDER BY y DESC)
+                  + 1 AS HUGEINT) AS ry
+      FROM rows_pc
+    ),
+    s AS (
+      SELECT grp,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx,
+             SUM(ry * ry) AS syy
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp AS l_returnflag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR)
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR)
+                            AS DOUBLE)))
+           END AS rho
+    FROM s
+    """,
+    doc="Exact tie-aware Spearman rank correlation of quantity vs "
+    "extended price per return flag — the monotonic-association twin "
+    "of u19's linear Pearson panel (y = x^3 reads rho = 1 here, "
+    "r < 1 there) and the robust screen for heavy-tailed columns. "
+    "Average ranks stay integral via the 2*rank trick (R2 = asc rank "
+    "+ n - desc rank + 1 = min + max asc rank of the tie block; "
+    "Pearson is affine-invariant so rho is unchanged); six "
+    "sufficient statistics fold as exact DECIMAL(38,0)/HUGEINT sums; "
+    "the u19 formula finishes with IEEE sqrt/division on "
+    "VARCHAR-hopped operands — bit-identical, NO transcendental "
+    "quantization. ONE group-keyed shuffle shared by all five rank "
+    "windows (every window partitions by exactly the group) and the "
+    "final agg; R2 pre-projected before the wide agg (u19 rule). "
+    "operators/profile.spearman_correlation.",
+)
+def u26_spearman_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return spearman_correlation(
+        cat.table("lineitem"),
+        ["l_returnflag"],
+        F.col("l_quantity").cast("decimal(18,2)") * 100,
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100,
+    )

@@ -95,6 +95,10 @@ FUZZ_QUERIES = [
     # past the min-count floor, single/empty-token docs hit the
     # null-tail filter, unordered least/greatest on unicode
     "x92_skipgram_pmi",
+    # round-12: Mann-Whitney AUC — tiny corpora hit the one-class
+    # NULL guard constantly, tied token counts exercise the exact
+    # half-credit integer arithmetic, NULL texts rank nothing
+    "x95_score_auc",
 ]
 
 

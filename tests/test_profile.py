@@ -724,3 +724,94 @@ def test_gini_known_values(spark):
     # sum i*x = 1*2 + 2*2 + 3*4 = 18 -> G = (2*18 - 4*8)/(3*8) = 1/6
     t = g([("t", 2), ("t", 4), ("t", 2)])
     assert t["t"].gini == pytest.approx((2 * 18 - 4 * 8) / 24)
+
+
+def test_spearman_known_values(spark):
+    import pytest
+
+    from ods_to_datalake_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    def s(rows):
+        df = spark.createDataFrame(
+            rows, "grp string, x long, y long"
+        )
+        return {
+            r.grp: r
+            for r in spearman_correlation(
+                df, ["grp"], F.col("x"), F.col("y")
+            ).collect()
+        }
+
+    out = s(
+        # monotone but NONLINEAR (y = x^3): rho = 1 where Pearson < 1
+        [("cube", v, v**3) for v in (1, 2, 3, 4, 5)]
+        # strictly decreasing -> -1
+        + [("neg", v, 10 - v) for v in (1, 2, 3)]
+        # constant y -> zero rank variance -> NULL
+        + [("const", v, 7) for v in (1, 2, 3)]
+        # NULLs excluded before ranking
+        + [("nul", 1, 1), ("nul", 2, None), ("nul", 3, 9)]
+    )
+    # sqrt(d)*sqrt(d) can land 1 ulp off d, so +-1 reads 1 - 1ulp —
+    # identical IEEE in both engines (the cross-engine contract holds)
+    assert out["cube"].rho == pytest.approx(1.0, abs=1e-15)
+    assert out["cube"].n_pairs == 5
+    assert out["neg"].rho == pytest.approx(-1.0, abs=1e-15)
+    assert out["const"].rho is None
+    assert out["nul"].n_pairs == 2
+    assert out["nul"].rho == pytest.approx(1.0, abs=1e-15)
+
+    # tie-aware hand case: x = [1,2,2,3], y = [1,3,2,4]
+    # avg ranks x: [1, 2.5, 2.5, 4]; y: [1, 3, 2, 4]
+    # classic Pearson on those ranks = 0.9486832980505138...
+    t = s([("t", 1, 1), ("t", 2, 3), ("t", 2, 2), ("t", 3, 4)])
+    import math
+
+    rx = [1.0, 2.5, 2.5, 4.0]
+    ry = [1.0, 3.0, 2.0, 4.0]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    assert t["t"].rho == pytest.approx(want, abs=1e-12)
+
+
+def test_mann_whitney_auc_known_values(spark):
+    from ods_to_datalake_spark.operators.profile import (
+        mann_whitney_auc,
+    )
+
+    def a(rows):
+        df = spark.createDataFrame(
+            rows, "grp string, s long, y long"
+        )
+        return {
+            r.grp: r
+            for r in mann_whitney_auc(
+                df, ["grp"], F.col("s"), F.col("y")
+            ).collect()
+        }
+
+    out = a(
+        # perfect separation -> 1; reversed -> 0
+        [("sep", 1, 0), ("sep", 2, 0), ("sep", 5, 1), ("sep", 9, 1)]
+        + [("rev", 9, 0), ("rev", 5, 0), ("rev", 1, 1)]
+        # all scores tied -> 0.5 exactly (the half lives in integers)
+        + [("tie", 3, 0), ("tie", 3, 1), ("tie", 3, 0)]
+        # one class only -> NULL
+        + [("pos", 1, 1), ("pos", 2, 1)]
+        # hand case: pos={2,3}, neg={1,3}: pairs (2>1)=1, (2,3)=0,
+        # (3>1)=1, (3=3)=0.5 -> AUC = 2.5/4
+        + [("h", 1, 0), ("h", 3, 0), ("h", 2, 1), ("h", 3, 1)]
+    )
+    assert out["sep"].auc == 1.0
+    assert out["rev"].auc == 0.0
+    assert out["tie"].auc == 0.5
+    assert out["pos"].auc is None and out["pos"].n_neg == 0
+    assert out["h"].auc == 2.5 / 4

@@ -434,6 +434,11 @@ SHUFFLE_BUDGET = {
     "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
     # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
+    "u26_spearman_correlation": 2,  # ONE group shuffle shared by all
+    # five rank windows + the final agg exchange
+    "x95_score_auc": 8,  # doc-keyed feature/label join + the
+    # (source,score) pre-agg + source window/agg; label leg reuses
+    # x51's repetition fold
     "e23_session_spectrum": 1,  # the 1-row totals agg over the
     # checkpointed depth spectrum; e02's user shuffle + the depth agg
     # hide behind the localCheckpoint (g01 convention)
