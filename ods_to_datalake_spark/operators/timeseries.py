@@ -625,3 +625,87 @@ def drawdown_duration(
         .limit(1)
         .select("n_days_below", "start_day", "end_day")
     )
+
+
+def realized_volatility(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(n_returns, mean_log_return, realized_vol) — sample standard
+    deviation of daily close-to-close log returns over e19's candle
+    series: the canonical dispersion number of any metered stream
+    (price volatility, but equally latency / throughput / spend
+    stability), and the THIRD read-time derivation of the same daily
+    candle artifact (e20's drawdown reads its depth, e22 its
+    duration, this its jitter — one lake artifact, several readers,
+    the cusum_from_daily pattern).
+
+    Exactness: closes are e19's PICKED doubles (bit-moved); the ratio
+    close/prev_close is one IEEE division of identical operands; each
+    ln is quantized to DECIMAL(18,6) BEFORE aggregation (the x72
+    transcendental rule — 1-ulp ln wiggle flips the quantization only
+    ~2e-9/term; the oracle hops through VARCHAR per the u17 rule,
+    this side's double→decimal cast rounds the same shortest repr);
+    Σr and Σr² fold as exact decimal sums (order-free), then the
+    variance (n·Σr² − (Σr)²)/(n(n−1)) and √ run in IEEE on identical
+    operands — bit-identical cross-engine. Non-positive closes have
+    no log return (CASE-guarded out in BOTH engines — an unguarded ln
+    is an ANSI crash); n < 2 → NULL vol; a numerically negative
+    variance (IEEE cancellation) clamps to 0 identically.
+
+    Scale: ONE day-keyed partial-agg shuffle (the candle fold), then
+    lag/agg over the CHECKPOINTED calendar-sized close series — 365
+    rows/year however large the stream (the e16 rule)."""
+    daily = (
+        ohlc_finalize(
+            ohlc_partials(df, ts_col, tiebreak_col, value_col)
+        )
+        .select("day", "close")
+        .localCheckpoint()  # calendar-sized; lag + stats read this
+    )
+    return realized_vol_from_daily(daily)
+
+
+def realized_vol_from_daily(daily: DataFrame) -> DataFrame:
+    """`realized_volatility`'s derivation over a pre-built
+    (day, close) frame — split out so the STREAMING read (which folds
+    the OHLC face's per-batch candle partials into exactly this close
+    series) derives the volatility through the SAME expressions and
+    stays bit-identical to batch by construction."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    rets = daily.select(
+        "close",
+        F.lag("close").over(w).alias("__prev"),
+    )
+    lr = rets.where(
+        F.col("__prev").isNotNull()
+        & (F.col("__prev") > 0)
+        & (F.col("close") > 0)
+    ).select(
+        F.log(F.col("close") / F.col("__prev"))
+        .cast("decimal(18,6)")
+        .alias("__r")
+    )
+    s = lr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_returns"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__sr2"),
+    )
+    nd = F.col("n_returns").cast("double")
+    srd = F.col("__sr").cast("double")
+    sr2d = F.col("__sr2").cast("double")
+    var = (nd * sr2d - srd * srd) / (nd * (nd - F.lit(1.0)))
+    return s.select(
+        "n_returns",
+        F.when(F.col("n_returns") > 0, srd / nd).alias(
+            "mean_log_return"
+        ),
+        F.when(
+            F.col("n_returns") >= 2,
+            F.sqrt(F.greatest(var, F.lit(0.0))),
+        ).alias("realized_vol"),
+    )

@@ -1191,3 +1191,81 @@ def e23_session_spectrum(
     return session_spectrum(
         sessionize_batch(cat.table("events"), "30 minutes")
     )
+
+
+@register(
+    "e24_realized_volatility",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id, value
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY day
+               ORDER BY ts DESC, event_id DESC NULLS LAST
+             ) AS rl
+      FROM ev
+    ),
+    closes AS (SELECT day, value AS close FROM ranked WHERE rl = 1),
+    rets AS (
+      SELECT close,
+             LAG(close) OVER (ORDER BY day) AS prev
+      FROM closes
+    ),
+    lr AS (
+      -- ln quantized DECIMAL(18,6) via the VARCHAR hop (u17 rule)
+      SELECT CAST(CAST(ln(close / prev) AS VARCHAR)
+                  AS DECIMAL(18,6)) AS r
+      FROM rets
+      WHERE prev IS NOT NULL AND prev > 0 AND close > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(r) AS sr,
+             SUM(r * r) AS sr2
+      FROM lr
+    ),
+    d AS (
+      SELECT n,
+             CAST(CAST(sr AS VARCHAR) AS DOUBLE) AS srd,
+             CAST(CAST(sr2 AS VARCHAR) AS DOUBLE) AS sr2d,
+             CAST(n AS DOUBLE) AS nd
+      FROM s
+    )
+    SELECT n AS n_returns,
+           CASE WHEN n > 0 THEN srd / nd END AS mean_log_return,
+           CASE WHEN n >= 2 THEN
+             sqrt(GREATEST(
+               (nd * sr2d - srd * srd) / (nd * (nd - 1.0)), 0.0))
+           END AS realized_vol
+    FROM s JOIN d USING (n)
+    """,
+    doc="Realized volatility: sample stddev of daily close-to-close "
+    "log returns over e19's candle series — the THIRD read-time "
+    "derivation of the daily candle artifact (e20 reads its depth, "
+    "e22 its duration, this its jitter; one lake artifact, several "
+    "readers). Closes are e19's PICKED doubles; close/prev is one "
+    "IEEE division; each ln quantized DECIMAL(18,6) BEFORE the "
+    "order-free decimal folds (x72 rule, VARCHAR-hopped in the "
+    "oracle per u17); variance and sqrt run in IEEE on identical "
+    "operands — bit-identical. Non-positive closes CASE-guarded out "
+    "in BOTH engines (unguarded ln is an ANSI crash); n<2 -> NULL "
+    "vol; IEEE-negative variance clamps to 0 identically. ONE "
+    "day-keyed candle shuffle, then lag/agg over the CHECKPOINTED "
+    "calendar-sized close series. "
+    "operators/timeseries.realized_volatility.",
+)
+def e24_realized_volatility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.timeseries import (
+        realized_volatility,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return realized_volatility(
+        cat.table("events"), "ts", "event_id", "value"
+    )

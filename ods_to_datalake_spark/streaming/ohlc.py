@@ -122,3 +122,34 @@ def read_max_drawdown(
         "day", F.col("volume_cents").alias("value_cents")
     )
     return drawdown_from_daily(daily)
+
+
+def read_realized_vol(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    """(n_returns, mean_log_return, realized_vol) — e24's realized
+    volatility derived from the SAME candle-partials artifact (the
+    third derivation: OHLC reads the candles, drawdown their depth,
+    this their jitter): semigroup fold via `ohlc_merge`, then batch
+    `timeseries.realized_vol_from_daily`'s own expressions over the
+    folded closes — bit-identical to batch `realized_volatility`
+    over the delivered history, because a late event that changes a
+    day's close simply wins the next max-struct merge and the log
+    returns recompute from the corrected series. None before any
+    commit."""
+    from ods_to_datalake_spark.operators.timeseries import (
+        ohlc_finalize,
+        ohlc_merge,
+        realized_vol_from_daily,
+    )
+
+    snaps = list_cdc_snapshots(spark, out_dir)
+    if not snaps:
+        return None
+    partials = spark.read.parquet(
+        *[f"{out_dir}/snapshot={b}" for b in snaps]
+    )
+    daily = ohlc_finalize(ohlc_merge(partials)).select(
+        "day", "close"
+    )
+    return realized_vol_from_daily(daily)

@@ -92,6 +92,15 @@ EDGE_QUERIES = [
     # round-11: below-peak runs on the adversarial daily series
     # (epoch-0 day, ties at the peak are NOT below - strict <)
     "e22_drawdown_duration",
+    # round-12: session spectrum over the tied-timestamp /
+    # single-event corpus (bounce rows, zero-duration sessions, the
+    # epoch-0 user) — the oracle embeds e02's session CTE
+    "e23_session_spectrum",
+    # round-12: realized vol over adversarial closes — the 0.0 close
+    # (2024-01-03) breaks the return chain on BOTH sides identically
+    # (the ANSI ln guard), epoch-0 and far-future days, tied
+    # timestamps pick the close by the unique tiebreak
+    "e24_realized_volatility",
 ]
 
 

@@ -439,6 +439,9 @@ SHUFFLE_BUDGET = {
     "x95_score_auc": 8,  # doc-keyed feature/label join + the
     # (source,score) pre-agg + source window/agg; label leg reuses
     # x51's repetition fold
+    "e24_realized_volatility": 2,  # single-partition lag window over
+    # the CHECKPOINTED calendar-sized close series + the 1-row stats
+    # agg; the day-keyed candle shuffle hides behind the checkpoint
     "e23_session_spectrum": 1,  # the 1-row totals agg over the
     # checkpointed depth spectrum; e02's user shuffle + the depth agg
     # hide behind the localCheckpoint (g01 convention)

@@ -204,3 +204,37 @@ def test_drawdown_derives_from_the_same_artifact(spark, tmp_path):
             ).collect()
         ]
         assert got == ref, f"divergence after batch {i}"
+
+
+def test_realized_vol_derives_from_the_same_artifact(spark, tmp_path):
+    """Third read-time derivation of the candle artifact (e24): the
+    volatility read must equal batch realized_volatility over the
+    delivered history after every batch — a late event that moves a
+    day's close wins the max-struct merge and the returns recompute
+    from the corrected series."""
+    from ods_to_datalake_spark.operators.timeseries import (
+        realized_volatility,
+    )
+    from ods_to_datalake_spark.streaming.ohlc import read_realized_vol
+
+    sink = ohlc_partials_sink(
+        str(tmp_path / "out"), "ts", "event_id", "value"
+    )
+    for i, rows in enumerate(ALL):
+        sink(_mk(spark, rows), i)
+        got = [
+            (r.n_returns, r.mean_log_return, r.realized_vol)
+            for r in read_realized_vol(
+                spark, str(tmp_path / "out")
+            ).collect()
+        ]
+        ref = [
+            (r.n_returns, r.mean_log_return, r.realized_vol)
+            for r in realized_volatility(
+                _mk(spark, [x for b in ALL[: i + 1] for x in b]),
+                "ts",
+                "event_id",
+                "value",
+            ).collect()
+        ]
+        assert got == ref, f"divergence after batch {i}"

@@ -366,3 +366,60 @@ def test_drawdown_duration_monotone_is_empty(spark):
         rows, "event_id long, ts string, value double"
     ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
     assert drawdown_duration(df, "ts", "value").count() == 0
+
+
+def test_realized_volatility_hand_case_and_guards(spark):
+    import math
+
+    import pytest
+
+    from ods_to_datalake_spark.operators.timeseries import (
+        realized_volatility,
+    )
+
+    def vol(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+        )
+        (r,) = realized_volatility(
+            df, "ts", "event_id", "value"
+        ).collect()
+        return r
+
+    # closes 100 -> 110 -> 99: two returns ln(1.1), ln(0.9); the
+    # intraday event (value 500) must NOT leak in — only closes count
+    r = vol(
+        [
+            (1, "2024-01-01 09:00:00", 500.0),
+            (2, "2024-01-01 16:00:00", 100.0),
+            (3, "2024-01-02 16:00:00", 110.0),
+            (4, "2024-01-03 16:00:00", 99.0),
+        ]
+    )
+    assert r.n_returns == 2
+    # expressions quantize each ln to 6dp before the stats
+    q = [round(math.log(1.1), 6), round(math.log(0.9), 6)]
+    m = sum(q) / 2
+    want = math.sqrt(sum((x - m) ** 2 for x in q) / 1)
+    assert r.mean_log_return == pytest.approx(m, abs=1e-12)
+    assert r.realized_vol == pytest.approx(want, rel=1e-9)
+
+    # a non-positive close breaks the chain on BOTH sides of the day
+    # (no ln for -5 as numerator or denominator) -> only 30->33 counts
+    r2 = vol(
+        [
+            (1, "2024-01-01 16:00:00", 10.0),
+            (2, "2024-01-02 16:00:00", -5.0),
+            (3, "2024-01-03 16:00:00", 30.0),
+            (4, "2024-01-04 16:00:00", 33.0),
+        ]
+    )
+    assert r2.n_returns == 1
+    assert r2.realized_vol is None  # n < 2
+
+    # single day -> no returns at all
+    r3 = vol([(1, "2024-01-01 16:00:00", 42.0)])
+    assert r3.n_returns == 0
+    assert r3.mean_log_return is None and r3.realized_vol is None
