@@ -1734,3 +1734,105 @@ def g14_degree_histogram(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
     return degree_histogram(edges)
+
+
+KZ_ITERATIONS = 4
+
+
+def _katz_oracle(iterations: int) -> str:
+    """Chained-CTE mirror of `katz_centrality` over the symmetric
+    trade graph (one CTE per round, each referenced exactly once by
+    the next — the g01 unroll shape, so no AS MATERIALIZED needed;
+    DuckDB `//` matches Spark `div` on the non-negative ranks)."""
+    from ods_to_datalake_spark.operators.graph import (
+        KZ_DEN,
+        KZ_NUM,
+        KZ_SCALE,
+    )
+
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT 2*l_suppkey AS src, 2*o_custkey+1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
+    )""",
+        """edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    )""",
+        """nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges) AS _u
+    )""",
+        f"""r0 AS (
+      SELECT node, CAST({KZ_SCALE} AS BIGINT) AS r FROM nodes
+    )""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+      SELECT nd.node,
+             CAST({KZ_SCALE}
+                  + ({KZ_NUM} * COALESCE(s.sm, 0)) // {KZ_DEN}
+               AS BIGINT) AS r
+      FROM nodes nd
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(CAST(rp.r AS HUGEINT)) AS sm
+        FROM edges e
+        JOIN r{k - 1} rp ON e.src = rp.node
+        GROUP BY e.dst
+      ) s ON s.node = nd.node
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, r FROM r{iterations}"
+    )
+
+
+@register(
+    "g15_katz_centrality",
+    oracle=_katz_oracle(KZ_ITERATIONS),
+    doc=f"Exact-integer truncated Katz centrality ({KZ_ITERATIONS} "
+    "rounds, alpha = 1/8, beta = 1 at scale 1e9) over the symmetric "
+    "supplier<->customer trade graph — the attenuated count of all "
+    "walks ending at each node (Katz 1953): unlike PageRank a "
+    "prolific hub passes FULL weight to every neighbor (no outdegree "
+    "split), the influence measure for endorsement graphs and the "
+    "eigenvector-centrality family member the g-suite lacked. "
+    "Per-round in-neighbor fold sums scaled BIGINTs through "
+    "DECIMAL(38,0)/HUGEINT (walk mass grows like (alpha*indeg)^t), "
+    "one integer div per round, final BIGINT cast THROWS under ANSI "
+    "on genuine overflow (loud, never silent). Oracle = the g01 "
+    "unrolled-CTE shape, every round CTE referenced once. Edge list "
+    "DISK_ONLY once; each round one src-keyed join + one dst-keyed "
+    "partial agg; nodes-sized state localCheckpoints per round. "
+    "operators/graph.katz_centrality.",
+)
+def g15_katz_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.graph import katz_centrality
+
+    cat = load_testdata(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.table("orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(
+            F.col("l_suppkey").isNotNull()
+            & F.col("o_custkey").isNotNull()
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    return katz_centrality(edges, iterations=KZ_ITERATIONS)

@@ -1234,3 +1234,87 @@ def test_degree_histogram_matches_python_reference(spark):
         assert got == _py_degree_histogram(pairs)
 
     check()
+
+
+# --- Katz centrality (g15) -----------------------------------------------
+
+
+def test_katz_path_hand_case_and_no_in_edges(spark):
+    from ods_to_datalake_spark.operators.graph import katz_centrality
+
+    # a -> b -> c, alpha = 1/2, beta = scale = 8, 2 rounds:
+    # r1: a=8, b=8+8//2=12, c=8+8//2=12
+    # r2: a=8, b=8+r1(a)//2=12, c=8+r1(b)//2=14
+    edges = _mk_edges(spark, [(1, 2), (2, 3)])
+    out = {
+        r.node: r.r
+        for r in katz_centrality(
+            edges, iterations=2, scale=8, alpha_num=1, alpha_den=2
+        ).collect()
+    }
+    assert out == {1: 8, 2: 12, 3: 14}
+
+    # NULL endpoints dropped; a node with no in-edges holds beta
+    e2 = spark.createDataFrame(
+        [(1, 2), (None, 9), (9, None)], "src long, dst long"
+    )
+    out2 = {
+        r.node: r.r
+        for r in katz_centrality(
+            e2, iterations=3, scale=100, alpha_num=1, alpha_den=4
+        ).collect()
+    }
+    assert out2[1] == 100 and out2[2] == 125
+    assert 9 not in out2  # both its edges had a NULL endpoint
+
+
+def _py_katz(pairs, iterations, scale, num, den):
+    """Pure-Python mirror of katz_centrality: DIRECTED edges taken as
+    given (a repeated edge contributes twice — dedup is the caller's
+    contract, like pagerank), x' = scale + (num * sum-in) // den."""
+    nodes = {n for e in pairs for n in e}
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        sums: dict = {}
+        for a, b in pairs:
+            sums[b] = sums.get(b, 0) + r[a]
+        r = {
+            n: scale + (num * sums.get(n, 0)) // den for n in nodes
+        }
+    return r
+
+
+def test_katz_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ods_to_datalake_spark.operators.graph import katz_centrality
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=1,
+            max_size=20,
+        ),
+        iterations=st.integers(1, 3),
+    )
+    def check(pairs, iterations):
+        got = {
+            r.node: r.r
+            for r in katz_centrality(
+                _mk_edges(spark, pairs),
+                iterations=iterations,
+                scale=1000,
+                alpha_num=1,
+                alpha_den=8,
+            ).collect()
+        }
+        assert got == _py_katz(pairs, iterations, 1000, 1, 8)
+
+    check()

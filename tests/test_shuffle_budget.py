@@ -299,6 +299,10 @@ SHUFFLE_BUDGET = {
     # the checkpointed rank RDD; each materialized round paid 2 keyed
     # exchanges (un-checkpointed the 5-round plan measured 65 — the
     # O(k^2) lineage blowup this guard would otherwise miss)
+    "g15_katz_centrality": 0,  # same checkpoint-truncated iterative
+    # shape as g01: final plan reads the round-4 checkpointed rank
+    # RDD; each materialized round paid one src-keyed join + one
+    # dst-keyed partial agg over the DISK_ONLY edge list
     "x64_cms_join_size": 5,  # two grid builds (2-stage partials) +
     # the per-row dot agg; the exact-count audit leg joins broadcast
     "x65_random_projection": 0,  # pure map-side fold over plan-literal
