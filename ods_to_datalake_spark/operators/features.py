@@ -211,3 +211,84 @@ def calibration_report(
             F.col("__gsum").cast("double") / F.col("__N").cast("double")
         ).alias("ece"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col,
+    n_bins: int = 4,
+) -> DataFrame:
+    """(r_bin, f_bin, m_bin, n_customers, total_cents) — the classic
+    RFM segmentation grid (Hughes 1994): per customer, Recency (days
+    since last order, measured from the dataset's own max order date
+    — data-derived, so the result is reproducible), Frequency (order
+    count) and Monetary (total cents) are each cut into ``n_bins``
+    NTILE bins with bin 1 = BEST (most recent / most frequent /
+    highest spend), and the output is the occupancy grid — the
+    at-a-glance "champions vs at-risk vs hibernating" panel CRM and
+    lifecycle targeting reads first, and the canonical multi-metric
+    binning member of the profile family (u16/u23 cut ONE metric).
+
+    Determinism: NTILE over a total order — every ORDER BY carries
+    the unique customer key as tiebreak (the repo-wide top-k rule),
+    so tied metrics split identically in both engines (NTILE's
+    earlier-buckets-get-the-extra-row rule is shared SQL semantics);
+    recency is an exact integer day difference of midnight dates;
+    monetary sums cents (Decimal(18,2)·100). NULL customers are
+    excluded; NULL dates/amounts simply don't contribute to their
+    customer's aggregates, and a customer with no non-NULL date has
+    no recency — excluded, counted nowhere (no-evidence rule).
+
+    Scale: ONE customer-keyed shuffle to the per-customer RFM frame,
+    then three NTILE windows over the CUSTOMER-sized frame — a
+    dimension, not a fact, but still the u16 single-partition-window
+    regime: at 1e9+ customers swap the NTILE for the value-table
+    rank arithmetic (u23/u25's shape) per metric; the grid agg is
+    n_bins³-bounded."""
+    from pyspark.sql import Window
+
+    per_cust = (
+        orders.where(F.col(customer_col).isNotNull())
+        .groupBy(F.col(customer_col).alias("__cust"))
+        .agg(
+            F.max(F.col(date_col)).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("__freq"),
+            F.coalesce(
+                F.sum(
+                    (amount_col.cast("decimal(18,2)") * 100).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__cents"),
+        )
+        .where(F.col("__last").isNotNull())
+    )
+    asof = per_cust.agg(F.max("__last").alias("__asof"))
+    rfm = per_cust.crossJoin(F.broadcast(asof)).select(
+        "__cust",
+        F.datediff(F.col("__asof"), F.col("__last"))
+        .cast("long")
+        .alias("__rec"),
+        "__freq",
+        "__cents",
+    )
+    wr = Window.orderBy(F.col("__rec").asc(), F.col("__cust").asc())
+    wf = Window.orderBy(F.col("__freq").desc(), F.col("__cust").asc())
+    wm = Window.orderBy(
+        F.col("__cents").desc(), F.col("__cust").asc()
+    )
+    binned = rfm.select(
+        F.ntile(n_bins).over(wr).cast("long").alias("r_bin"),
+        F.ntile(n_bins).over(wf).cast("long").alias("f_bin"),
+        F.ntile(n_bins).over(wm).cast("long").alias("m_bin"),
+        "__cents",
+    )
+    return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__cents").cast("long").alias("total_cents"),
+    )

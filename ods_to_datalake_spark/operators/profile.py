@@ -1260,15 +1260,30 @@ def gini_coefficient(
     cumulative window over DISTINCT values (domain-bounded, the
     u23/u16 argument — never a per-row rank over the corpus), one
     group-sized agg."""
-    from pyspark.sql import Window
-
-    d38 = "decimal(38,0)"
     rows = df.select(
         *group_cols, value.cast("long").alias("__v")
     ).where(F.col("__v").isNotNull() & (F.col("__v") >= 0))
     per_v = rows.groupBy(*group_cols, "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    return gini_from_value_counts(per_v, group_cols)
+
+
+def gini_from_value_counts(
+    per_v: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """`gini_coefficient`'s derivation over a pre-built
+    (group…, __v, __c) per-distinct-value count frame — split out
+    (the ks_from_value_counts pattern) so the STREAMING face, whose
+    maintained artifact is exactly these ADDITIVE per-value counts,
+    derives the coefficient through the SAME expressions and stays
+    bit-identical to batch by construction. Callers must have
+    applied the batch operator's domain rules already (NULLs and
+    negatives excluded)."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    d38 = "decimal(38,0)"
     w_cum = (
         Window.partitionBy(*group_cols)
         .orderBy("__v")

@@ -1444,3 +1444,70 @@ def u26_spearman_correlation(
         F.col("l_quantity").cast("decimal(18,2)") * 100,
         F.col("l_extendedprice").cast("decimal(18,2)") * 100,
     )
+
+
+@register(
+    "u27_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust,
+             MAX(o_orderdate) AS last_dt,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(COALESCE(SUM(CAST(CAST(o_totalprice
+                    AS DECIMAL(18,2)) * 100 AS BIGINT)), 0)
+               AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+      GROUP BY o_custkey
+      HAVING MAX(o_orderdate) IS NOT NULL
+    ),
+    anchor AS (SELECT MAX(last_dt) AS asof_dt FROM per_cust),
+    rfm AS (
+      SELECT cust,
+             CAST(date_diff('day', CAST(last_dt AS DATE),
+                            CAST(asof_dt AS DATE)) AS BIGINT) AS rec,
+             freq, cents
+      FROM per_cust CROSS JOIN anchor
+    ),
+    binned AS (
+      SELECT CAST(NTILE(4) OVER (ORDER BY rec ASC, cust ASC)
+               AS BIGINT) AS r_bin,
+             CAST(NTILE(4) OVER (ORDER BY freq DESC, cust ASC)
+               AS BIGINT) AS f_bin,
+             CAST(NTILE(4) OVER (ORDER BY cents DESC, cust ASC)
+               AS BIGINT) AS m_bin,
+             cents
+      FROM rfm
+    )
+    SELECT r_bin, f_bin, m_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM binned GROUP BY r_bin, f_bin, m_bin
+    """,
+    doc="RFM segmentation grid (Hughes 1994) over orders: per "
+    "customer, Recency (days since last order, from the dataset's "
+    "own max date — reproducible), Frequency (order count), Monetary "
+    "(cents) each NTILE'd into 4 bins with bin 1 = best, then the "
+    "occupancy grid (n_customers + exact cents mass per cell) — the "
+    "champions/at-risk/hibernating lifecycle panel, the multi-metric "
+    "binning member of the profile family (u16/u23 cut ONE metric). "
+    "Every NTILE carries the unique customer key tiebreak so tied "
+    "metrics split identically cross-engine (earlier-buckets-get-"
+    "the-extra-row is shared semantics); recency is an exact integer "
+    "day diff of midnight dates. ONE customer-keyed shuffle, three "
+    "NTILEs over the CUSTOMER-sized frame (dimension-scale; the "
+    "docstring names the value-table rank swap for 1e9+ customers), "
+    "4^3-bounded grid agg. operators/features.rfm_segments.",
+)
+def u27_rfm_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.features import rfm_segments
+
+    cat = load_testdata(spark, sf_dir)
+    return rfm_segments(
+        cat.table("orders"),
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_totalprice"),
+    )

@@ -105,3 +105,34 @@ def read_ks_drift(
         F.coalesce(F.col("__nb"), F.lit(0)).cast("long").alias("__nb"),
     )
     return ks_from_value_counts(merged)
+
+
+def read_gini(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    """(n_rows, total_value, gini) — u25's exact Gini coefficient
+    derived from the SAME per-value count artifact the KS gate folds
+    (the shared-sink pattern: one value-count ingest, two read-time
+    derivations — KS asks "did the distribution MOVE", this asks "how
+    UNEQUAL is it now", the live whale/concentration gate): sum-fold
+    the committed count partitions, apply the batch operator's domain
+    rule (negative values excluded — Gini is defined on a
+    non-negative measure; the sink already excluded NULLs), then
+    derive through `profile.gini_from_value_counts` — bit-identical
+    to batch `gini_coefficient` over the delivered history because
+    the closed-form tied-block rank sum needs only (value, count).
+    None before any commit."""
+    from ods_to_datalake_spark.operators.profile import (
+        gini_from_value_counts,
+    )
+
+    snaps = list_cdc_snapshots(spark, out_dir)
+    if not snaps:
+        return None
+    per_v = (
+        spark.read.parquet(*[f"{out_dir}/snapshot={b}" for b in snaps])
+        .where(F.col("v") >= 0)
+        .groupBy(F.col("v").alias("__v"))
+        .agg(F.sum("n").cast("long").alias("__c"))
+    )
+    return gini_from_value_counts(per_v)

@@ -154,6 +154,18 @@ SUITE_QUERIES = [
     "x86_shingle_novelty",  # distinct (doc,shingle) explode + min fold
     "x92_skipgram_pmi",  # w zip-shift pair streams + marginal joins
     "x89_minhash_calibration",  # LSH candidates + exact-J verify join
+    # round-12: the new corpus-moving plans. u26 ranks the whole fact
+    # inside 3 fixed l_returnflag window partitions — the u16
+    # skew-ceiling regime ON PURPOSE (global-ish rank windows are the
+    # operator's scale boundary; the cell measures where it is). x95
+    # is corpus-linear tokenization + a (source,score) pre-agg that
+    # collapses to a domain-sized value frame (no PERTURB needed:
+    # the fixed vocabulary concentrates scores into FEWER distinct
+    # values, which only shrinks the window side). g15 iterates over
+    # disjoint replica trade graphs (the g01 regime).
+    "u26_spearman_correlation",  # 5 rank windows in 3 partitions
+    "x95_score_auc",  # tokenize + (source,score) pre-agg + cum window
+    "g15_katz_centrality",  # 4 checkpointed rounds over DISK_ONLY edges
 ]
 
 
@@ -294,6 +306,7 @@ def main() -> int:
         "g06_label_propagation",
         "g09_hits",
         "g10_bfs_layers",
+        "g15_katz_centrality",
     }
 
     def bench(name, mk):

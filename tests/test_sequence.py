@@ -804,3 +804,39 @@ def test_session_spectrum_empty_input_is_empty(spark):
 
     ev = spark.createDataFrame([], EV_SCHEMA)
     assert session_spectrum(sessionize_batch(ev)).count() == 0
+
+
+def test_rfm_segments_hand_case_and_exclusions(spark):
+    from ods_to_datalake_spark.operators.features import rfm_segments
+
+    rows = [
+        # c1: most recent, 3 orders, highest spend
+        (1, "2024-01-09", 100.0), (1, "2024-01-10", 100.0),
+        (1, "2024-01-08", 100.0),
+        # c2: oldest, 1 order, mid spend
+        (2, "2024-01-01", 50.0),
+        # c3: mid recency, 2 orders, second spend
+        (3, "2024-01-05", 60.0), (3, "2024-01-04", 40.0),
+        # c4: recent, most orders, lowest spend
+        (4, "2024-01-08", 5.0), (4, "2024-01-07", 5.0),
+        (4, "2024-01-06", 5.0), (4, "2024-01-08", 5.0),
+        # NULL customer excluded; c5 has only NULL dates -> excluded
+        (None, "2024-01-09", 999.0), (5, None, 999.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "cust long, dt string, amt double"
+    ).selectExpr("cust", "CAST(dt AS TIMESTAMP) AS dt", "amt")
+    out = {
+        (r.r_bin, r.f_bin, r.m_bin): (r.n_customers, r.total_cents)
+        for r in rfm_segments(
+            df, "cust", "dt", F.col("amt"), n_bins=2
+        ).collect()
+    }
+    # asof = 2024-01-10: rec c1=0,c4=2,c3=5,c2=9 -> bins {c1,c4}=1;
+    # freq desc c4,c1 | c3,c2; cents desc c1,c3 | c2,c4
+    assert out == {
+        (1, 1, 1): (1, 30000),
+        (2, 2, 2): (1, 5000),
+        (2, 2, 1): (1, 10000),
+        (1, 1, 2): (1, 2000),
+    }

@@ -438,6 +438,9 @@ SHUFFLE_BUDGET = {
     "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
     # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
+    "u27_rfm_segments": 6,  # customer fold + 1-row anchor + three
+    # single-partition NTILE exchanges over the customer-sized frame
+    # (dimension-scale, the documented u16 regime) + the 64-cell grid
     "u26_spearman_correlation": 2,  # ONE group shuffle shared by all
     # five rank windows + the final agg exchange
     "x95_score_auc": 8,  # doc-keyed feature/label join + the

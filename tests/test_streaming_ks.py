@@ -172,3 +172,33 @@ def test_real_stream_matches_batch_ks(spark, tmp_path):
         )
     )
     assert got == _row(_batch_reference(spark, ALL))
+
+
+def test_gini_derives_from_the_same_artifact(spark, tmp_path):
+    """Second read-time derivation of the value-count artifact (u25's
+    streaming face): the Gini read must equal batch gini_coefficient
+    over the delivered history after every batch — the closed-form
+    tied-block rank sum needs only (value, count), which is exactly
+    what the KS sink maintains. Negative values are excluded at READ
+    time (the batch operator's non-negative-measure rule); the NULL
+    in batch 2 was already excluded by the sink."""
+    from ods_to_datalake_spark.operators.profile import (
+        gini_coefficient,
+    )
+    from ods_to_datalake_spark.streaming.ks_drift import read_gini
+
+    batches = [BATCH0, BATCH1, BATCH2 + [(-5,)]]
+    sink = value_counts_sink(str(tmp_path / "out"), F.col("v"))
+    for i, rows in enumerate(batches):
+        sink(_mk(spark, rows), i)
+        (g,) = read_gini(spark, str(tmp_path / "out")).collect()
+        (ref,) = gini_coefficient(
+            _mk(spark, [r for b in batches[: i + 1] for r in b]),
+            [],
+            F.col("v"),
+        ).collect()
+        assert (g.n_rows, g.total_value, g.gini) == (
+            ref.n_rows,
+            ref.total_value,
+            ref.gini,
+        ), f"divergence after batch {i}"
