@@ -292,3 +292,112 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("__cents").cast("long").alias("total_cents"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score,
+    label,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n_rows, n_pos, cum_rows, cum_pos, capture_rate,
+    cum_lift) — the cumulative-gains / decile-lift table of a score
+    against a 0/1 label: sort by score DESCENDING (highest scored
+    targeted first), cut into ``n_bins`` equal-population bins, and
+    report per bin how much of the positive class the top-k bins
+    capture and the lift over random targeting — the third member of
+    the score-eval family (x95 asks CAN the score separate at all,
+    x81 whether its value is a probability; this asks the operational
+    question: "if I act on the top 20%, what fraction of the
+    positives do I get"). cum_lift of bin b = capture through b ÷
+    population share through b; random targeting reads 1.0.
+
+    Exactness: ``score`` must be INTEGER-valued, ``label`` 0/1; rows
+    with a NULL in either are excluded. Binning is all-integer (the
+    x42 boundary rule): a tied-score block whose first row sits at
+    descending position `cum_before` lands WHOLE in bin
+    ``(n_bins·cum_before) div n`` — ties never split across bins (a
+    split would need an arbitrary intra-tie order), so a dominant
+    tied block may leave later bins empty (absent rows, not
+    fabricated zeros) and own more than 1/n_bins of the mass; all
+    counts fold as exact BIGINTs and capture/lift are single IEEE
+    divisions of exact integer cross-products. No positives →
+    NULL capture/lift (CASE-guarded).
+
+    Scale: ONE score-keyed pre-agg shuffle to the per-distinct-value
+    frame, a cumulative window over the DOMAIN-sized value frame
+    (u23/u25's shape — never a per-row rank over the corpus), an
+    n_bins-bounded agg and an n_bins-bounded cumulative window."""
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    rows = df.select(
+        score.cast("long").alias("__s"),
+        label.cast("long").alias("__y"),
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per_v = rows.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"),
+        F.sum("__y").cast("long").alias("__p"),
+    )
+    w_cum = (
+        Window.orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = per_v.select(
+        "__c",
+        "__p",
+        (F.sum("__c").over(w_cum) - F.col("__c"))
+        .cast("long")
+        .alias("__cb"),
+        F.sum("__c").over(w_all).cast("long").alias("__n"),
+        F.sum("__p").over(w_all).cast("long").alias("__np"),
+    )
+    binned = cum.select(
+        F.expr(f"(CAST({n_bins} AS BIGINT) * __cb) div __n")
+        .cast("long")
+        .alias("bin"),
+        "__c",
+        "__p",
+        "__n",
+        "__np",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.max("__n").cast("long").alias("__n"),
+        F.max("__np").cast("long").alias("__np"),
+    )
+    w_bins = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = per_bin.select(
+        "bin",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(w_bins).cast("long").alias("cum_rows"),
+        F.sum("n_pos").over(w_bins).cast("long").alias("cum_pos"),
+        "__n",
+        "__np",
+    )
+    d38 = "decimal(38,0)"
+    return staged.select(
+        "bin",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        F.when(
+            F.col("__np") > 0,
+            F.col("cum_pos").cast("double")
+            / F.col("__np").cast("double"),
+        ).alias("capture_rate"),
+        F.when(
+            (F.col("__np") > 0) & (F.col("cum_rows") > 0),
+            (F.col("cum_pos").cast(d38) * F.col("__n").cast(d38))
+            .cast("double")
+            / (F.col("cum_rows").cast(d38) * F.col("__np").cast(d38))
+            .cast("double"),
+        ).alias("cum_lift"),
+    )

@@ -1877,3 +1877,115 @@ def x95_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__ntok"),
         F.col("passes"),
     )
+
+
+def _lift_oracle() -> str:
+    """x96: decile-lift arithmetic over the same token-count score
+    and Gopher-repetition label as x95 (one score, one label, three
+    eval faces: x95 discrimination, x81 calibration, this gains)."""
+    return f"""
+    WITH lbl AS ({_repetition_oracle()}),
+    feat AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS s
+      FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+    ),
+    rows_pc AS (
+      SELECT f.s, CAST(l.passes AS BIGINT) AS y
+      FROM feat f JOIN lbl l USING (doc_id)
+      WHERE f.s IS NOT NULL AND l.passes IS NOT NULL
+    ),
+    per_v AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM rows_pc GROUP BY s
+    ),
+    cum AS (
+      SELECT c, p,
+             CAST(SUM(c) OVER (
+               ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - c AS BIGINT) AS cb,
+             CAST(SUM(c) OVER () AS BIGINT) AS n,
+             CAST(SUM(p) OVER () AS BIGINT) AS np
+      FROM per_v
+    ),
+    binned AS (
+      SELECT (CAST(10 AS BIGINT) * cb) // n AS bin,
+             c, p, n, np
+      FROM cum
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(np) AS BIGINT) AS np
+      FROM binned GROUP BY bin
+    ),
+    staged AS (
+      SELECT bin, n_rows, n_pos,
+             CAST(SUM(n_rows) OVER (
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_rows,
+             CAST(SUM(n_pos) OVER (
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_pos,
+             n, np
+      FROM per_bin
+    )
+    SELECT bin, n_rows, n_pos, cum_rows, cum_pos,
+           CASE WHEN np > 0 THEN
+             CAST(cum_pos AS DOUBLE) / CAST(np AS DOUBLE)
+           END AS capture_rate,
+           CASE WHEN np > 0 AND cum_rows > 0 THEN
+             CAST(CAST(CAST(cum_pos AS HUGEINT) * CAST(n AS HUGEINT)
+                  AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(cum_rows AS HUGEINT)
+                         * CAST(np AS HUGEINT)
+                  AS VARCHAR) AS DOUBLE)
+           END AS cum_lift
+    FROM staged
+    """
+
+
+@register(
+    "x96_lift_table",
+    oracle=_lift_oracle(),
+    doc="Cumulative-gains / decile-lift table of token count against "
+    "the Gopher-repetition pass flag — the OPERATIONAL face of the "
+    "score-eval family (x95 discrimination, x81 calibration, this "
+    "gains: 'act on the top 20%, get what fraction of positives'): "
+    "sort by score DESC, all-integer equal-population binning (a "
+    "tied block lands WHOLE in bin (10*cum_before) div n — ties "
+    "never split, the x42 rule; a dominant block may leave later "
+    "bins absent), exact BIGINT folds, capture/lift single IEEE "
+    "divisions of DECIMAL(38,0)/HUGEINT cross-products (oracle "
+    "VARCHAR-hops). Same score+label single-sources as x95/x81. ONE "
+    "score-keyed pre-agg, domain-sized cumulative window, 10-row "
+    "tail. operators/features.lift_table.",
+)
+def x96_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ods_to_datalake_spark.functions import text as X
+    from ods_to_datalake_spark.operators.features import lift_table
+    from ods_to_datalake_spark.operators.quality import (
+        gopher_repetition,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    docs = cat.table("documents")
+    feat = docs.select(
+        "doc_id",
+        F.size(X.tokens("text")).cast("long").alias("__ntok"),
+    )
+    lbl = gopher_repetition(docs, "doc_id", "text").select(
+        "doc_id", "passes"
+    )
+    return lift_table(
+        feat.join(lbl, "doc_id"),
+        F.col("__ntok"),
+        F.col("passes"),
+    )

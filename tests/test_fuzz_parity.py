@@ -99,6 +99,10 @@ FUZZ_QUERIES = [
     # NULL guard constantly, tied token counts exercise the exact
     # half-credit integer arithmetic, NULL texts rank nothing
     "x95_score_auc",
+    # round-12: decile lift — tiny corpora make dominant tied blocks
+    # (whole-block binning with absent later bins), zero-positive
+    # corpora hit the NULL rate guards
+    "x96_lift_table",
 ]
 
 

@@ -815,3 +815,44 @@ def test_mann_whitney_auc_known_values(spark):
     assert out["tie"].auc == 0.5
     assert out["pos"].auc is None and out["pos"].n_neg == 0
     assert out["h"].auc == 2.5 / 4
+
+
+def test_lift_table_hand_case_tied_blocks_and_guards(spark):
+    import pytest
+
+    from ods_to_datalake_spark.operators.features import lift_table
+
+    def lt(rows, n_bins):
+        df = spark.createDataFrame(rows, "s long, y long")
+        return {
+            r.bin: r
+            for r in lift_table(
+                df, F.col("s"), F.col("y"), n_bins=n_bins
+            ).collect()
+        }
+
+    # perfect score, 2 bins of 2: both positives in the top bin ->
+    # bin 0 captures 100% at lift 2.0; bin 1 adds nothing (lift 1.0)
+    out = lt([(9, 1), (8, 1), (2, 0), (1, 0)], 2)
+    assert out[0].capture_rate == 1.0 and out[0].cum_lift == 2.0
+    assert out[1].cum_pos == 2 and out[1].cum_lift == 1.0
+
+    # a dominant tied block lands WHOLE in its start bin: 4 rows all
+    # score 5 with 2 bins -> everything in bin 0, bin 1 absent
+    out2 = lt([(5, 1), (5, 0), (5, 1), (5, 0)], 2)
+    assert set(out2) == {0}
+    assert out2[0].n_rows == 4 and out2[0].cum_lift == 1.0
+
+    # no positives -> counts real, rates NULL
+    out3 = lt([(3, 0), (2, 0)], 2)
+    assert out3[0].capture_rate is None and out3[0].cum_lift is None
+
+    # NULL score/label rows excluded
+    out4 = lt([(9, 1), (None, 1), (3, None), (1, 0)], 2)
+    assert out4[0].n_rows == 1 and out4[0].n_pos == 1
+
+    with pytest.raises(ValueError):
+        lift_table(
+            spark.createDataFrame([(1, 1)], "s long, y long"),
+            F.col("s"), F.col("y"), n_bins=0,
+        )

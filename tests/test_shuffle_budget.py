@@ -438,6 +438,9 @@ SHUFFLE_BUDGET = {
     "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
     # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
+    "x96_lift_table": 8,  # doc-keyed feature/label join + score
+    # pre-agg + the domain-sized desc window + 10-row bin agg/window;
+    # label leg reuses x51's repetition fold
     "u27_rfm_segments": 6,  # customer fold + 1-row anchor + three
     # single-partition NTILE exchanges over the customer-sized frame
     # (dimension-scale, the documented u16 regime) + the 64-cell grid
