@@ -247,9 +247,28 @@ def rfm_segments(
     regime: at 1e9+ customers swap the NTILE for the value-table
     rank arithmetic (u23/u25's shape) per metric; the grid agg is
     n_bins³-bounded."""
-    from pyspark.sql import Window
+    return rfm_finalize(
+        rfm_partials(orders, customer_col, date_col, amount_col),
+        n_bins=n_bins,
+    )
 
-    per_cust = (
+
+def rfm_partials(
+    orders: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col,
+) -> DataFrame:
+    """(__cust, __last, __freq, __cents) — the per-customer MERGEABLE
+    RFM state behind `rfm_segments`: max-date / count / cents-sum are
+    all semigroup folds, so partials from different batches merge to
+    exactly the single-pass state (the ohlc_partials algebra — a late
+    order that improves a customer's recency simply wins the next
+    max-merge; the streaming face's per-batch sink payload). A
+    customer whose orders so far all have NULL dates carries a NULL
+    __last — excluded by the finalize, resurrected the moment a real
+    date arrives."""
+    return (
         orders.where(F.col(customer_col).isNotNull())
         .groupBy(F.col(customer_col).alias("__cust"))
         .agg(
@@ -266,8 +285,30 @@ def rfm_segments(
             .cast("long")
             .alias("__cents"),
         )
-        .where(F.col("__last").isNotNull())
     )
+
+
+def rfm_merge(partials: DataFrame) -> DataFrame:
+    """Fold a union of `rfm_partials` frames back into one state row
+    per customer — max of maxes, sums of counts/cents: bit-identical
+    to a single-pass `rfm_partials` over the concatenated orders."""
+    return partials.groupBy("__cust").agg(
+        F.max("__last").alias("__last"),
+        F.sum("__freq").cast("long").alias("__freq"),
+        F.sum("__cents").cast("long").alias("__cents"),
+    )
+
+
+def rfm_finalize(
+    per_cust_all: DataFrame, n_bins: int = 4
+) -> DataFrame:
+    """Project the mergeable per-customer state to the public
+    (r_bin, f_bin, m_bin, n_customers, total_cents) grid — shared by
+    batch `rfm_segments` and the streaming face so the two cannot
+    drift (the ohlc_finalize contract)."""
+    from pyspark.sql import Window
+
+    per_cust = per_cust_all.where(F.col("__last").isNotNull())
     asof = per_cust.agg(F.max("__last").alias("__asof"))
     rfm = per_cust.crossJoin(F.broadcast(asof)).select(
         "__cust",
