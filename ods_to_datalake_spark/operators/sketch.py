@@ -604,3 +604,139 @@ def histogram_quantiles(
         "hist_bucket",
         edge.cast("long").alias("est_upper_cents"),
     )
+
+
+def hll_pairwise_overlap(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """(source_a, source_b, exact_a, exact_b, exact_common,
+    est_a_raw, est_b_raw, est_union_raw, est_inter_raw) — pairwise
+    distinct-value overlap between groups via HLL register algebra,
+    WITH its own exact calibration columns (the x89 rule: never ship
+    an estimator face without the number that audits it): HLL
+    registers are a SEMILATTICE under per-bucket max, so the union
+    cardinality of two groups is estimated by merging their register
+    tables and re-reading the estimate — the set-operation trick that
+    makes 256-row sketches answer "how much vocabulary do these two
+    corpora share" without ever joining the corpora — and the
+    intersection follows by inclusion–exclusion:
+        |A∩B|̂ = est(A) + est(B) − est(A ∪ B).
+    The panel behind source-mixture planning ("are these two scrapes
+    the same crawl") at 100-TB scale, where the exact columns are the
+    ones you drop (x52's contract; keep them at audit SF).
+
+    Determinism: registers/estimates are the repo's exact-arithmetic
+    HLL (md5 slices, power-of-two BIGINT sums, one correctly-rounded
+    cast + divide — engine bit-identical); est_inter_raw is two IEEE
+    additions on identical doubles. Inclusion–exclusion AMPLIFIES the
+    1.04/√m noise (three estimates, so small true overlaps can read
+    NEGATIVE) — the raw value is reported unclamped, exactly so the
+    exact_common column can calibrate it. NULL group rows are
+    excluded (pairs need an order); NULL values carry no identity
+    (the register rule). Pairs are unordered (a < b), only groups
+    present in ``rows`` appear.
+
+    Scale: per-group register build is ONE map-side-partial agg (the
+    x52 shape); the pair merge is model⋈model — groups²·2^p rows,
+    never the corpus; exact_common is one token-keyed join of the
+    distinct (group, value) table with itself (drop the exact legs at
+    scale and the corpus is touched exactly once)."""
+    ga, gb = "source_a", "source_b"
+    base = rows.where(F.col(group_col).isNotNull())
+    regs = hll_registers(
+        base, value_col, p=p, by=[group_col]
+    ).localCheckpoint()  # groups·2^p rows; read by 3 legs (x25 rule)
+    ests = hll_estimate(regs, p=p, by=[group_col]).select(
+        F.col(group_col), F.col("hll_estimate_raw")
+    )
+    dv = (
+        base.select(F.col(group_col), F.col(value_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .distinct()
+        .localCheckpoint()  # (group, value) — read by 2 legs
+    )
+    exact = dv.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__exact")
+    )
+    pairs = (
+        exact.select(
+            F.col(group_col).alias(ga),
+            F.col("__exact").alias("exact_a"),
+        )
+        .join(
+            exact.select(
+                F.col(group_col).alias(gb),
+                F.col("__exact").alias("exact_b"),
+            ),
+            F.col(ga) < F.col(gb),
+        )
+    )
+    common = (
+        dv.select(F.col(group_col).alias(ga), "__v")
+        .join(
+            dv.select(F.col(group_col).alias(gb), "__v"),
+            ["__v"],
+        )
+        .where(F.col(ga) < F.col(gb))
+        .groupBy(ga, gb)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_common"))
+    )
+    side_a = pairs.select(ga, gb).join(
+        regs.select(
+            F.col(group_col).alias(ga), "hll_bucket", "register"
+        ),
+        ga,
+    )
+    side_b = pairs.select(ga, gb).join(
+        regs.select(
+            F.col(group_col).alias(gb), "hll_bucket", "register"
+        ),
+        gb,
+    )
+    union_regs = (
+        side_a.select(ga, gb, "hll_bucket", "register")
+        .unionByName(side_b.select(ga, gb, "hll_bucket", "register"))
+        .groupBy(ga, gb, "hll_bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    union_est = hll_estimate(union_regs, p=p, by=[ga, gb]).select(
+        ga, gb, F.col("hll_estimate_raw").alias("est_union_raw")
+    )
+    return (
+        pairs.join(
+            ests.select(
+                F.col(group_col).alias(ga),
+                F.col("hll_estimate_raw").alias("est_a_raw"),
+            ),
+            ga,
+        )
+        .join(
+            ests.select(
+                F.col(group_col).alias(gb),
+                F.col("hll_estimate_raw").alias("est_b_raw"),
+            ),
+            gb,
+        )
+        .join(common, [ga, gb], "left")
+        .join(union_est, [ga, gb])
+        .select(
+            ga,
+            gb,
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("exact_common"), F.lit(0))
+            .cast("long")
+            .alias("exact_common"),
+            "est_a_raw",
+            "est_b_raw",
+            "est_union_raw",
+            (
+                F.col("est_a_raw")
+                + F.col("est_b_raw")
+                - F.col("est_union_raw")
+            ).alias("est_inter_raw"),
+        )
+    )

@@ -371,3 +371,105 @@ def x59_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bottomk_sample(
         cat.table("documents"), "doc_id", BOTTOMK, by=["source"]
     )
+
+
+def _hll_overlap_oracle() -> str:
+    """x97: pairwise register-merge overlap — registers/estimates via
+    the same SQL fragments as x52 (one HLL definition, every reader),
+    exact columns from the distinct (source, token) table."""
+    regs = sql_hll_registers(
+        "(SELECT source, token FROM toks WHERE source IS NOT NULL)"
+        " AS _base",
+        "token",
+        p=HLL_P,
+        by="source",
+    )
+    ests = sql_hll_estimate("SELECT * FROM regs", p=HLL_P, by="source")
+    uest = sql_hll_estimate(
+        "SELECT * FROM uregs", p=HLL_P, by="source_a, source_b"
+    )
+    return f"""
+    WITH {SQL_TOKS_CTE},
+    regs AS ({regs}),
+    ests AS ({ests}),
+    dv AS (
+      SELECT DISTINCT source, token FROM toks
+      WHERE source IS NOT NULL
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ex
+      FROM dv GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, a.ex AS exact_a,
+             b.source AS source_b, b.ex AS exact_b
+      FROM exact a JOIN exact b ON a.source < b.source
+    ),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_common
+      FROM dv a JOIN dv b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    uregs AS (
+      SELECT source_a, source_b, hll_bucket,
+             MAX(register) AS register
+      FROM (
+        SELECT p.source_a, p.source_b, r.hll_bucket, r.register
+        FROM pairs p JOIN regs r ON r.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, r.hll_bucket, r.register
+        FROM pairs p JOIN regs r ON r.source = p.source_b
+      ) AS _u GROUP BY 1, 2, 3
+    ),
+    uest AS ({uest})
+    SELECT p.source_a, p.source_b, p.exact_a, p.exact_b,
+           CAST(COALESCE(c.exact_common, 0) AS BIGINT)
+             AS exact_common,
+           ea.hll_estimate_raw AS est_a_raw,
+           eb.hll_estimate_raw AS est_b_raw,
+           u.hll_estimate_raw AS est_union_raw,
+           ea.hll_estimate_raw + eb.hll_estimate_raw
+             - u.hll_estimate_raw AS est_inter_raw
+    FROM pairs p
+    JOIN ests ea ON ea.source = p.source_a
+    JOIN ests eb ON eb.source = p.source_b
+    LEFT JOIN common c
+      ON c.source_a = p.source_a AND c.source_b = p.source_b
+    JOIN uest u
+      ON u.source_a = p.source_a AND u.source_b = p.source_b
+    """
+
+
+@register(
+    "x97_hll_source_overlap",
+    oracle=_hll_overlap_oracle(),
+    doc="Pairwise source vocabulary overlap via HLL register algebra "
+    "+ exact calibration: registers are a SEMILATTICE under "
+    "per-bucket max, so union cardinality = estimate over the merged "
+    "pair registers and intersection follows by inclusion-exclusion "
+    "(est_a + est_b - est_union) — 256-row sketches answering 'are "
+    "these two scrapes the same crawl' without joining corpora; the "
+    "exact_a/exact_b/exact_common columns ride along as the audit "
+    "(the x89 rule; at 100 TB they are the ones you drop — x52's "
+    "contract). All arithmetic engine-exact (md5 slices, power-of-2 "
+    "BIGINT sums, IEEE adds in fixed order); inclusion-exclusion "
+    "amplifies the 1.04/sqrt(m) noise so small overlaps can read "
+    "NEGATIVE — reported unclamped, that is the calibration's point. "
+    "One map-side register build, model-x-model pair merge "
+    "(groups^2 * 2^p rows), one token-keyed distinct join for the "
+    "exact leg. operators/sketch.hll_pairwise_overlap.",
+)
+def x97_hll_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sketch import (
+        hll_pairwise_overlap,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return hll_pairwise_overlap(
+        _spark_tokens(cat.table("documents")), "source", "token",
+        p=HLL_P,
+    )

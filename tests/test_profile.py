@@ -856,3 +856,35 @@ def test_lift_table_hand_case_tied_blocks_and_guards(spark):
             spark.createDataFrame([(1, 1)], "s long, y long"),
             F.col("s"), F.col("y"), n_bins=0,
         )
+
+
+def test_spearman_and_auc_partition_invariance(spark):
+    import random
+
+    from ods_to_datalake_spark.operators.profile import (
+        mann_whitney_auc,
+        spearman_correlation,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        ("g", rng.randrange(0, 50), rng.randrange(0, 200))
+        for _ in range(500)
+    ]
+    schema = "grp string, a long, b long"
+    df1 = spark.createDataFrame(rows, schema).coalesce(1)
+    df32 = spark.createDataFrame(rows, schema).repartition(32)
+
+    s1 = sorted(map(tuple, spearman_correlation(
+        df1, ["grp"], F.col("a"), F.col("b")).collect()))
+    s32 = sorted(map(tuple, spearman_correlation(
+        df32, ["grp"], F.col("a"), F.col("b")).collect()))
+    assert s1 == s32  # bit-identical, not approx
+
+    a1 = sorted(map(tuple, mann_whitney_auc(
+        df1, ["grp"], F.col("a"), F.pmod(F.col("b"), F.lit(2))
+    ).collect()))
+    a32 = sorted(map(tuple, mann_whitney_auc(
+        df32, ["grp"], F.col("a"), F.pmod(F.col("b"), F.lit(2))
+    ).collect()))
+    assert a1 == a32

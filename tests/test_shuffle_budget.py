@@ -438,6 +438,10 @@ SHUFFLE_BUDGET = {
     "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
     # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
+    "x97_hll_source_overlap": 11,  # register + distinct-token builds
+    # read CHECKPOINTED frames; visible: per-source estimate agg, the
+    # pair/common/union-merge model joins and their aggs — all
+    # groups^2-bounded, the corpus is touched once per checkpoint
     "x96_lift_table": 8,  # doc-keyed feature/label join + score
     # pre-agg + the domain-sized desc window + 10-row bin agg/window;
     # label leg reuses x51's repetition fold

@@ -286,3 +286,48 @@ def test_bottomk_sample_null_ids_and_plan(spark):
     with contextlib.redirect_stdout(buf):
         got.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_hll_pairwise_overlap_identical_disjoint_and_null(spark):
+    from ods_to_datalake_spark.operators.sketch import (
+        hll_pairwise_overlap,
+    )
+
+    # n = 2000 per side: the RAW estimate (no linear-counting
+    # correction — deliberately, ln isn't cross-engine stable) is only
+    # in its 1.04/sqrt(m) band for n >~ 2.5*m = 640 at p=8
+    rows = (
+        # a and b identical 2000-value sets; c disjoint from both
+        [("a", f"v{i}") for i in range(2000)]
+        + [("b", f"v{i}") for i in range(2000)]
+        + [("c", f"w{i}") for i in range(2000)]
+        # duplicates must not change distinct semantics
+        + [("a", "v0"), ("c", "w0")]
+        # NULL group excluded from the panel entirely
+        + [(None, "v0")]
+    )
+    df = spark.createDataFrame(rows, "src string, val string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in hll_pairwise_overlap(df, "src", "val").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    ab = out[("a", "b")]
+    # identical sets: merged registers == each side's registers, so
+    # union estimate EQUALS the per-side estimate bit-for-bit and
+    # inclusion-exclusion returns est_a exactly (a + a - a)
+    assert ab.est_union_raw == ab.est_a_raw == ab.est_b_raw
+    assert ab.est_inter_raw == ab.est_a_raw
+    assert ab.exact_common == 2000 and ab.exact_a == 2000
+
+    ac = out[("a", "c")]
+    assert ac.exact_common == 0
+    # disjoint: union genuinely larger than either side
+    assert ac.est_union_raw > ac.est_a_raw
+    assert ac.est_union_raw > ac.est_b_raw
+    # estimator sanity at m=256, n=2000/side: ~3 sigma bands of the
+    # 1.04/sqrt(256) = 6.5% relative error (inclusion-exclusion sums
+    # three of them for the intersection)
+    assert abs(ac.est_inter_raw) < 900
+    assert abs(ac.est_union_raw - 4000) < 900
