@@ -266,3 +266,57 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str | None = None,
+    n: int = 2,
+) -> DataFrame:
+    """(doc_id, phrase, n_matches) — exact position-verified phrase
+    retrieval: which documents contain the n-word phrase VERBATIM
+    (adjacent tokens, in order) and how many times — the grep face of
+    the retrieval family (x55/x56 rank by bag-of-words; a phrase
+    query is the one thing a bag can't answer: "learning to rank"
+    must not match "rank to learning"). The positional verification
+    is FREE here: an n-token shingle IS its position-adjacency proof,
+    so phrase occurrences = shingle-equality matches — no positional
+    postings join, the x34/x16 shingle machinery reused verbatim
+    (one n-gram definition corpus-wide).
+
+    ``phrase=None`` retrieves the corpus's own TOP n-gram (max count,
+    lexicographic tiebreak — deterministic, reproducible on any
+    corpus); pass an explicit space-joined phrase for a real query.
+    Only matching docs appear (no fabricated zero rows); NULL texts
+    and sub-n-token docs shingle to nothing in both engines.
+
+    Scale: the shingle stream is map-side generation; the phrase
+    filter broadcasts ONE row against it (or a literal, when given),
+    so the only shuffles are the n-gram count agg behind the argmax
+    (vocabulary-bounded) and the per-doc match count. A standing
+    phrase workload should build x55's index once instead —
+    this is the ad-hoc path."""
+    from ods_to_datalake_spark.functions import text as X
+
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            X.shingles(X.tokens(text_col), n)
+        ).alias("__bg"),
+    )
+    if phrase is None:
+        top = (
+            bg.groupBy("__bg")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__bg").asc())
+            .limit(1)
+            .select("__bg")
+        )
+        hits = bg.join(F.broadcast(top), "__bg")
+    else:
+        hits = bg.where(F.col("__bg") == F.lit(phrase))
+    return hits.groupBy("doc_id", F.col("__bg").alias("phrase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

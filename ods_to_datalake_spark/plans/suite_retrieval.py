@@ -122,3 +122,50 @@ def x56_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         cat.table("documents"), "doc_id", "text", QUERY_TERMS, k=TOP_K
     )
+
+
+def _phrase_oracle() -> str:
+    """x98: the top corpus bigram (max count, lexicographic tiebreak)
+    phrase-matched per doc — shingle equality IS the position proof,
+    via the same sql_shingles fragment as the span/chunk family."""
+    from ods_to_datalake_spark.plans.sql_fragments import sql_shingles
+
+    return f"""
+    WITH bg AS (
+      SELECT doc_id, unnest({sql_shingles(SQL_TOKENS, 2)}) AS bg
+      FROM documents
+    ),
+    top AS (
+      SELECT bg FROM (
+        SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg
+      ) AS _c ORDER BY c DESC, bg ASC LIMIT 1
+    )
+    SELECT b.doc_id, t.bg AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM bg b JOIN top t ON b.bg = t.bg
+    GROUP BY b.doc_id, t.bg
+    """
+
+
+@register(
+    "x98_phrase_match",
+    oracle=_phrase_oracle(),
+    doc="Exact position-verified phrase retrieval (the grep face of "
+    "the retrieval family — x55/x56 rank bags of words; a phrase "
+    "query is the one thing a bag can't answer): occurrences of the "
+    "corpus's TOP bigram per doc, where an n-token shingle IS its "
+    "own adjacency proof, so phrase matching is shingle equality — "
+    "no positional-postings join, the span/chunk shingle machinery "
+    "reused verbatim (one n-gram definition corpus-wide). The query "
+    "phrase is data-derived (max count, lexicographic tiebreak — "
+    "deterministic on any corpus); only matching docs appear; NULL "
+    "and sub-2-token texts shingle to nothing in both engines. "
+    "Map-side shingle stream; the phrase broadcasts ONE row against "
+    "it; shuffles are the vocabulary-bounded bigram count agg and "
+    "the per-doc match count. operators/retrieval.phrase_match.",
+)
+def x98_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ods_to_datalake_spark.operators.retrieval import phrase_match
+
+    cat = load_testdata(spark, sf_dir)
+    return phrase_match(cat.table("documents"), "doc_id", "text")

@@ -103,6 +103,11 @@ FUZZ_QUERIES = [
     # (whole-block binning with absent later bins), zero-positive
     # corpora hit the NULL rate guards
     "x96_lift_table",
+    # round-12: phrase match — tiny-alphabet corpora make the top
+    # bigram genuinely contested (count ties broken lexicographically
+    # must agree cross-engine), overlapping occurrences, sub-2-token
+    # and NULL docs shingle to nothing
+    "x98_phrase_match",
 ]
 
 

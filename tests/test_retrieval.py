@@ -104,3 +104,40 @@ def test_inverted_index_partition_invariance(spark, corpus):
         corpus.repartition(17), "doc_id", "text"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_phrase_match_explicit_overlap_and_order(spark):
+    from ods_to_datalake_spark.operators.retrieval import phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),   # "a b" twice
+            (2, "a a a"),       # overlapping "a a" counts both
+            (3, "b a"),         # reversed order must NOT match "a b"
+            (4, None),          # NULL text -> nothing
+            (5, "a"),           # sub-phrase-length -> nothing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_match(
+            docs, "doc_id", "text", phrase="a b"
+        ).collect()
+    }
+    assert got == {1: 2}
+    ov = {
+        r.doc_id: r.n_matches
+        for r in phrase_match(
+            docs, "doc_id", "text", phrase="a a"
+        ).collect()
+    }
+    assert ov == {2: 2}
+
+    # data-derived mode: the top bigram here is "a b" (2 occurrences,
+    # beats "b c"/"c a"/"a a"... wait "a a" also has 2 -> tie broken
+    # lexicographically: "a a" < "a b")
+    top = phrase_match(docs, "doc_id", "text").collect()
+    assert {(r.doc_id, r.phrase, r.n_matches) for r in top} == {
+        (2, "a a", 2)
+    }
