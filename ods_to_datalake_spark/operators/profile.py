@@ -1489,3 +1489,73 @@ def mann_whitney_auc(
             num.cast("double") / den.cast("double"),
         ).alias("auc"),
     )
+
+
+def trend_fit(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """(group…, n_rows, slope, intercept, r2) — exact-arithmetic
+    ordinary-least-squares line fit per group: the trend panel behind
+    "is revenue per priority rising and how fast" — u19 answers
+    whether two measures MOVE TOGETHER (unitless r); this fits the
+    LINE (slope in y-units per x-unit + level + fit quality), the
+    number a forecast or an SLO burn-rate check actually consumes.
+
+    Exactness contract: ``x`` and ``y`` INTEGER-valued (days /
+    cents); the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) fold as exact DECIMAL(38,0) sums (order-free), then
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n          [at x = 0]
+        r² = (nΣxy − ΣxΣy)² / ((nΣx²−(Σx)²)·(nΣy²−(Σy)²))
+    with every operand cast ONCE to double (oracle VARCHAR-hops —
+    the u17 rule) and the rest a fixed IEEE chain — bit-identical
+    cross-engine, no transcendentals. Zero x-variance (one distinct
+    x) → NULL slope/intercept/r²; zero y-variance with spread x →
+    slope/intercept exact 0-slope line, r² NULL (0/0 has no fit
+    quality). Pairwise-complete rows only. Headroom: nΣxy ~
+    rows²·x̄·ȳ — center/rescale x (e.g. days since the window
+    start, not epoch) to stay inside DECIMAL(38,0), the u19 ceiling
+    rule; slope is shift-invariant so centering is free.
+
+    Scale: ONE map-side-combinable group aggregate over the stream —
+    the u19 shape; nothing after it exceeds the group count."""
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        *group_cols,
+        x.cast("long").cast(d38).alias("__x"),
+        y.cast("long").cast(d38).alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    agg = rows.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("n_rows").cast(d38)
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = num.cast("double") / dx.cast("double")
+    return agg.select(
+        *group_cols,
+        "n_rows",
+        F.when(dx > 0, slope).alias("slope"),
+        F.when(
+            dx > 0,
+            (
+                F.col("__sy").cast("double")
+                - slope * F.col("__sx").cast("double")
+            )
+            / F.col("n_rows").cast("double"),
+        ).alias("intercept"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            (num.cast("double") * num.cast("double"))
+            / (dx.cast("double") * dy.cast("double")),
+        ).alias("r2"),
+    )

@@ -1511,3 +1511,85 @@ def u27_rfm_segments(
         "o_orderdate",
         F.col("o_totalprice"),
     )
+
+
+@register(
+    "u28_trend_regression",
+    oracle="""
+    WITH d0 AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0 FROM orders
+    ),
+    rows_pc AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', d0, CAST(o_orderdate AS DATE))
+               AS HUGEINT) AS x,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS HUGEINT) AS y
+      FROM orders CROSS JOIN d0
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM rows_pc GROUP BY o_orderpriority
+    ),
+    -- VARCHAR-hop every HUGEINT->DOUBLE read-back (the u17 rule)
+    d AS (
+      SELECT o_orderpriority,
+             CAST(n AS BIGINT) AS n_rows,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               AS numd,
+             n * sxx - sx * sx AS dx_i,
+             n * syy - sy * sy AS dy_i,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+               AS dxd,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+               AS dyd
+      FROM s
+    )
+    SELECT o_orderpriority, n_rows,
+           CASE WHEN dx_i > 0 THEN numd / dxd END AS slope,
+           CASE WHEN dx_i > 0 THEN
+             (syd - (numd / dxd) * sxd) / nd
+           END AS intercept,
+           CASE WHEN dx_i > 0 AND dy_i > 0 THEN
+             (numd * numd) / (dxd * dyd)
+           END AS r2
+    FROM d
+    """,
+    doc="Exact-arithmetic OLS trend fit of daily order value per "
+    "priority: slope (cents/day), intercept (level at the dataset's "
+    "first order date — x is days since the global min date, so the "
+    "DECIMAL(38,0) product headroom holds; slope is shift-invariant "
+    "so centering is free), and r-squared — u19 answers whether two "
+    "measures move together, this fits the LINE a forecast or SLO "
+    "burn-rate check consumes. Five sufficient statistics fold as "
+    "exact DECIMAL(38,0)/HUGEINT sums; slope/intercept/r2 are a "
+    "fixed IEEE chain over operands cast once (oracle VARCHAR-hops) "
+    "— bit-identical, no transcendentals. Zero x-variance -> all "
+    "NULL; zero y-variance -> exact 0-slope line with NULL r2 (0/0 "
+    "has no fit quality). ONE map-side-combinable group aggregate "
+    "(the u19 shape). operators/profile.trend_fit.",
+)
+def u28_trend_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.profile import trend_fit
+
+    cat = load_testdata(spark, sf_dir)
+    orders = cat.table("orders")
+    d0 = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("__d0")
+    )
+    rows = orders.crossJoin(F.broadcast(d0))
+    return trend_fit(
+        rows,
+        ["o_orderpriority"],
+        F.datediff(F.to_date("o_orderdate"), F.col("__d0")),
+        F.col("o_totalprice").cast("decimal(18,2)") * 100,
+    )

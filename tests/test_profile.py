@@ -888,3 +888,43 @@ def test_spearman_and_auc_partition_invariance(spark):
         df32, ["grp"], F.col("a"), F.pmod(F.col("b"), F.lit(2))
     ).collect()))
     assert a1 == a32
+
+
+def test_trend_fit_known_lines_and_guards(spark):
+    import pytest
+
+    from ods_to_datalake_spark.operators.profile import trend_fit
+
+    def fit(rows):
+        df = spark.createDataFrame(
+            rows, "grp string, x long, y long"
+        )
+        return {
+            r.grp: r
+            for r in trend_fit(
+                df, ["grp"], F.col("x"), F.col("y")
+            ).collect()
+        }
+
+    out = fit(
+        # exact line y = 3x + 7: slope/intercept/r2 recovered exactly
+        # (all-integer sufficient stats -> the IEEE chain is exact
+        # here: num/dx = 3.0 precisely)
+        [("lin", v, 3 * v + 7) for v in (0, 1, 2, 5, 10)]
+        # constant y over spread x: exact 0-slope line, r2 undefined
+        + [("flat", 1, 9), ("flat", 2, 9), ("flat", 3, 9)]
+        # one distinct x: no line
+        + [("onex", 4, 1), ("onex", 4, 99)]
+        # NULLs excluded
+        + [("nul", 1, 1), ("nul", 2, None), ("nul", None, 5),
+           ("nul", 3, 3)]
+    )
+    lin = out["lin"]
+    assert lin.slope == 3.0 and lin.intercept == 7.0 and lin.r2 == 1.0
+    flat = out["flat"]
+    assert flat.slope == 0.0 and flat.intercept == 9.0
+    assert flat.r2 is None
+    onex = out["onex"]
+    assert (onex.slope, onex.intercept, onex.r2) == (None,) * 3
+    assert out["nul"].n_rows == 2
+    assert out["nul"].slope == pytest.approx(1.0)

@@ -448,6 +448,8 @@ SHUFFLE_BUDGET = {
     "x96_lift_table": 8,  # doc-keyed feature/label join + score
     # pre-agg + the domain-sized desc window + 10-row bin agg/window;
     # label leg reuses x51's repetition fold
+    "u28_trend_regression": 3,  # 1-row min-date agg (broadcast back)
+    # + the one map-side-combinable group aggregate (the u19 shape)
     "u27_rfm_segments": 6,  # customer fold + 1-row anchor + three
     # single-partition NTILE exchanges over the customer-sized frame
     # (dimension-scale, the documented u16 regime) + the 64-cell grid
