@@ -490,3 +490,58 @@ def tokenizer_fertility(
             ).alias("tokens_per_doc"),
         )
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """(token, cf, df, burstiness) — the top-k most BURSTY terms:
+    burstiness = collection frequency / document frequency, the mean
+    occurrences per CONTAINING document (Church & Gale 1995; Katz
+    1996): function words spread thinly (ratio ≈ 1 however common),
+    content/topical words recur within the documents that use them at
+    all — the corpus-statistics screen behind stopword-list
+    induction, keyword extraction, and the x51-style repetition
+    review at TERM rather than document granularity (a term whose
+    burstiness explodes between snapshots is usually boilerplate or
+    template residue entering the corpus).
+
+    Exactness: cf and df are exact BIGINTs over x02's token
+    segmentation (one definition corpus-wide); burstiness is ONE
+    IEEE division — identical operands, identical double, so the
+    top-k ordering (burstiness DESC, token ASC — the unique-tiebreak
+    rule; equal ratios order identically cross-engine because the
+    doubles are bit-equal) agrees. ``min_df`` floors out rare-term
+    noise (a hapax is trivially "bursty"); NULL/empty tokens never
+    exist post-segmentation.
+
+    Scale: ONE term-keyed aggregate over the token stream (cf is
+    map-side combinable; exact df rides the distinct expand),
+    vocabulary-bounded output, then a global top-k limit — the t01
+    shape, never a full sort of the corpus."""
+    from ods_to_datalake_spark.functions import text as X
+
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(X.tokens(text_col)).alias("token"),
+    ).where(F.col("token") != "")
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.count_distinct("__doc").cast("long").alias("df"),
+    )
+    return (
+        stats.where(F.col("df") >= min_df)
+        .select(
+            "token",
+            "cf",
+            "df",
+            (F.col("cf").cast("double") / F.col("df").cast("double"))
+            .alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -2457,3 +2457,56 @@ def x92_skipgram_pmi(
         cat.table("documents"), "doc_id", "text",
         window=SGNS_WINDOW, min_count=SGNS_MIN_COUNT,
     )
+
+
+BURST_MIN_DF = 5
+BURST_K = 20
+
+
+@register(
+    "x99_term_burstiness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents
+      ) AS _u WHERE token <> ''
+    ),
+    stats AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY token
+    )
+    SELECT token, cf, df,
+           CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+    FROM stats
+    WHERE df >= {BURST_MIN_DF}
+    ORDER BY burstiness DESC, token ASC
+    LIMIT {BURST_K}
+    """,
+    doc="Top-20 burstiest terms: burstiness = collection frequency / "
+    "document frequency, the mean occurrences per CONTAINING doc "
+    "(Church & Gale 1995; Katz 1996) — function words spread thinly "
+    "(ratio ~1 however common), content/topical words recur within "
+    "the docs that use them: the corpus screen behind stopword "
+    "induction and template-residue detection at TERM granularity "
+    "(x51 reviews repetition per DOCUMENT). cf/df exact BIGINTs over "
+    "x02's segmentation; burstiness ONE IEEE division (bit-equal "
+    "doubles, so the DESC ordering agrees; token ASC unique "
+    "tiebreak); df >= 5 floors hapax noise. ONE term-keyed agg "
+    "(cf map-side, exact df on the distinct expand), "
+    "vocabulary-bounded, then a global top-k limit — the t01 shape. "
+    "operators/quality.term_burstiness.",
+)
+def x99_term_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.quality import (
+        term_burstiness,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return term_burstiness(
+        cat.table("documents"), "doc_id", "text",
+        min_df=BURST_MIN_DF, k=BURST_K,
+    )

@@ -1091,3 +1091,31 @@ def test_source_kl_null_source_is_a_group(spark):
         for r in source_kl_divergence(df, "source", "text").collect()
     }
     assert got == {None: 2, "B": 2}
+
+
+def test_term_burstiness_ratio_floor_and_tiebreak(spark):
+    from ods_to_datalake_spark.operators.quality import (
+        term_burstiness,
+    )
+
+    # 'the' appears once in each of 6 docs (ratio 1.0);
+    # 'zebra' appears 3x in each of 2 docs (ratio 3.0) but df=2
+    # misses the floor at min_df=3; 'burst' 2x in 3 docs -> 2.0
+    docs = spark.createDataFrame(
+        [
+            (1, "the burst burst zebra zebra zebra"),
+            (2, "the burst burst zebra zebra zebra"),
+            (3, "the burst burst"),
+            (4, "the"), (5, "the"), (6, "the"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = term_burstiness(
+        docs, "doc_id", "text", min_df=3, k=10
+    ).collect()
+    got = {r.token: (r.cf, r.df, r.burstiness) for r in rows}
+    assert "zebra" not in got  # df floor
+    assert got["burst"] == (6, 3, 2.0)
+    assert got["the"] == (6, 6, 1.0)
+    # ordering: burstiest first, token ASC on ties
+    assert [r.token for r in rows] == ["burst", "the"]

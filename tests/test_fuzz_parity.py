@@ -108,6 +108,10 @@ FUZZ_QUERIES = [
     # must agree cross-engine), overlapping occurrences, sub-2-token
     # and NULL docs shingle to nothing
     "x98_phrase_match",
+    # round-12: burstiness — tiny-alphabet corpora tie ratios at the
+    # k-cut constantly (bit-equal doubles + token tiebreak must order
+    # identically), df floor, unicode tokens
+    "x99_term_burstiness",
 ]
 
 

@@ -438,6 +438,9 @@ SHUFFLE_BUDGET = {
     "e22_drawdown_duration": 1,  # one day-keyed agg; prefix/index
     # windows + island agg + top-1 read the checkpointed daily frame
     "e21_ab_proportion_test": 2,  # user fold + the 1-row cohort rollup
+    "x99_term_burstiness": 4,  # term agg + the exact-df distinct
+    # expand + the k-row TakeOrdered exchange — vocabulary-bounded
+    # after the first agg
     "x98_phrase_match": 3,  # vocabulary-bounded bigram count agg
     # behind the argmax + the per-doc match count; the phrase itself
     # broadcasts one row against the map-side shingle stream
