@@ -512,3 +512,135 @@ def session_spectrum(sessions: DataFrame) -> DataFrame:
             / F.col("n_sessions").cast("double"),
         ).alias("mean_duration_s"),
     )
+
+
+def activation_latency(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(n_signed, n_converted, conversion_rate, min_latency_s,
+    median_latency_s, max_latency_s) — the activation-latency panel:
+    of the users who ever emitted ``start_type``, how many went on to
+    ``convert_type`` AT OR AFTER their first start, and how long did
+    it take — the time-to-value number activation funnels optimize
+    (e05 answers WHICH touch gets credit, e06 whether users COME
+    BACK, e07 how far they get; this is how FAST the key transition
+    happens).
+
+    Semantics: per user, start = MIN start-event time, conversion =
+    MIN convert-event time >= start (a purchase BEFORE ever signing
+    up does not activate the signup — the causality filter); latency
+    = integer unix seconds (floor-of-epoch difference, e02's gap
+    arithmetic — sub-second parquet precision truncates identically
+    in both engines). NULL users/timestamps excluded (no identity /
+    no time). The median is the LOWER-MIDDLE order statistic over
+    converted users (u16's convention — an ELEMENT of the data, so
+    everything stays exact BIGINT); conversion_rate is ONE IEEE
+    division of exact counts; zero signups → empty result (no
+    evidence), zero conversions → NULL latencies with a real 0 rate.
+
+    Scale: one user-keyed partial agg for starts, one conditional
+    join+agg for conversions (both map-side-combinable after the
+    user shuffle), then a per-distinct-latency count frame and ONE
+    cumulative window over the LATENCY DOMAIN (the u23/u25 shape —
+    never a rank over all users), 1-row output."""
+    from pyspark.sql import Window
+
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(type_col).alias("__t"),
+    ).where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    starts = (
+        ev.where(F.col("__t") == start_type)
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__s0"))
+    )
+    conv = (
+        ev.where(F.col("__t") == convert_type)
+        .join(starts, "__u")
+        .where(F.col("__ts") >= F.col("__s0"))
+        .groupBy("__u")
+        .agg(
+            (
+                F.unix_timestamp(F.min("__ts"))
+                - F.unix_timestamp(F.min("__s0"))
+            )
+            .cast("long")
+            .alias("__lat")
+        )
+    )
+    per_lat = conv.groupBy("__lat").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w_cum = Window.orderBy("__lat").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_lat.select(
+        "__lat",
+        F.sum("__c").over(w_cum).cast("long").alias("__cum"),
+        F.sum("__c").over(w_all).cast("long").alias("__nc"),
+        F.min("__lat").over(w_all).cast("long").alias("__min"),
+        F.max("__lat").over(w_all).cast("long").alias("__max"),
+    )
+    med = (
+        # lower-middle order statistic: first value whose cumulative
+        # count reaches rank (n+1) div 2 (all-integer, u16's pick)
+        cum.where(
+            F.col("__cum") >= F.expr("(__nc + 1) div 2")
+        )
+        .groupBy("__nc", "__min", "__max")
+        .agg(F.min("__lat").cast("long").alias("__med"))
+        # <=1 row; the converted/zero-converted branches below both
+        # read it — checkpoint so the user-keyed funnel runs ONCE
+        # (the x25 multi-leg rule applied to the tiny frame)
+        .localCheckpoint()
+    )
+    n_signed = starts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signed")
+    )
+    base = n_signed.where(
+        F.col("n_signed") > 0
+    ).localCheckpoint()  # 1 row, read by both branches
+    return (
+        base.crossJoin(
+            F.broadcast(
+                med.select(
+                    F.col("__nc").alias("n_converted"),
+                    F.col("__min").alias("min_latency_s"),
+                    F.col("__med").alias("median_latency_s"),
+                    F.col("__max").alias("max_latency_s"),
+                )
+            )
+        )
+        .unionByName(
+            # zero-conversion shape: real 0 count, NULL latencies
+            base.join(
+                F.broadcast(med.select(F.lit(1).alias("__has"))),
+                how="left_anti",
+                on=F.lit(True),
+            ).select(
+                "n_signed",
+                F.lit(0).cast("long").alias("n_converted"),
+                F.lit(None).cast("long").alias("min_latency_s"),
+                F.lit(None).cast("long").alias("median_latency_s"),
+                F.lit(None).cast("long").alias("max_latency_s"),
+            )
+        )
+        .select(
+            "n_signed",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_signed").cast("double")
+            ).alias("conversion_rate"),
+            "min_latency_s",
+            "median_latency_s",
+            "max_latency_s",
+        )
+    )

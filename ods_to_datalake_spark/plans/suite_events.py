@@ -1269,3 +1269,81 @@ def e24_realized_volatility(
     return realized_volatility(
         cat.table("events"), "ts", "event_id", "value"
     )
+
+
+@register(
+    "e25_activation_latency",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    starts AS (
+      SELECT user_id, MIN(ts) AS s0 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             CAST(FLOOR(epoch(MIN(e.ts))) - FLOOR(epoch(MIN(s.s0)))
+               AS BIGINT) AS lat
+      FROM ev e JOIN starts s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s0
+      GROUP BY e.user_id
+    ),
+    per_lat AS (
+      SELECT lat, CAST(COUNT(*) AS BIGINT) AS c
+      FROM conv GROUP BY lat
+    ),
+    cum AS (
+      SELECT lat,
+             CAST(SUM(c) OVER (
+               ORDER BY lat
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cm,
+             CAST(SUM(c) OVER () AS BIGINT) AS nc,
+             CAST(MIN(lat) OVER () AS BIGINT) AS mn,
+             CAST(MAX(lat) OVER () AS BIGINT) AS mx
+      FROM per_lat
+    ),
+    med AS (
+      SELECT nc, mn, mx, CAST(MIN(lat) AS BIGINT) AS md
+      FROM cum WHERE cm >= (nc + 1) // 2
+      GROUP BY nc, mn, mx
+    ),
+    ns AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_signed FROM starts
+    )
+    SELECT n_signed,
+           CAST(COALESCE(m.nc, 0) AS BIGINT) AS n_converted,
+           CAST(COALESCE(m.nc, 0) AS DOUBLE)
+             / CAST(n_signed AS DOUBLE) AS conversion_rate,
+           m.mn AS min_latency_s,
+           m.md AS median_latency_s,
+           m.mx AS max_latency_s
+    FROM ns LEFT JOIN med m ON TRUE
+    WHERE n_signed > 0
+    """,
+    doc="Activation latency panel: of users who ever signed up, how "
+    "many purchased AT OR AFTER their first signup and how fast — "
+    "the time-to-value number activation funnels optimize (e05 says "
+    "WHICH touch gets credit, e06 whether users RETURN, e07 how far "
+    "they get; this is how FAST the key transition happens). A "
+    "purchase BEFORE ever signing up does not activate (causality "
+    "filter); latency = integer unix seconds (floor-of-epoch, e02's "
+    "arithmetic); median = the LOWER-MIDDLE order statistic over "
+    "converted users via rank (n+1) div 2 on the cumulative "
+    "latency-DOMAIN frame (u16's pick, u23's shape — never a rank "
+    "over users); rate ONE IEEE division; zero conversions -> real "
+    "0 rate with NULL latencies; zero signups -> empty. One "
+    "user-keyed agg + one conditional join/agg + a domain-sized "
+    "window, 1-row output. operators/sequence.activation_latency.",
+)
+def e25_activation_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ods_to_datalake_spark.operators.sequence import (
+        activation_latency,
+    )
+
+    cat = load_testdata(spark, sf_dir)
+    return activation_latency(cat.table("events"), "user_id", "ts")

@@ -96,6 +96,10 @@ EDGE_QUERIES = [
     # single-event corpus (bounce rows, zero-duration sessions, the
     # epoch-0 user) — the oracle embeds e02's session CTE
     "e23_session_spectrum",
+    # round-12: activation latency — the tied-timestamp corpus has a
+    # same-second signup+purchase class via u2's events, epoch-0
+    # users, and a purchase-before-signup user (the causality filter)
+    "e25_activation_latency",
     # round-12: realized vol over adversarial closes — the 0.0 close
     # (2024-01-03) breaks the return chain on BOTH sides identically
     # (the ANSI ln guard), epoch-0 and far-future days, tied

@@ -840,3 +840,53 @@ def test_rfm_segments_hand_case_and_exclusions(spark):
         (2, 2, 1): (1, 10000),
         (1, 1, 2): (1, 2000),
     }
+
+
+def test_activation_latency_causality_median_and_guards(spark):
+    from ods_to_datalake_spark.operators.sequence import (
+        activation_latency,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type"
+        )
+        return activation_latency(df, "user_id", "ts").collect()
+
+    (r,) = run(
+        [
+            # u1: converts 100s after signup
+            (1, "2024-01-01 00:00:00", "signup"),
+            (1, "2024-01-01 00:01:40", "purchase"),
+            # u2: purchase BEFORE signup only -> signed, NOT converted
+            (2, "2024-01-01 00:00:00", "purchase"),
+            (2, "2024-01-01 01:00:00", "signup"),
+            # u3: converts instantly (same second counts, >= start)
+            (3, "2024-01-02 00:00:00", "signup"),
+            (3, "2024-01-02 00:00:00", "purchase"),
+            # u4: signs, never converts
+            (4, "2024-01-03 00:00:00", "signup"),
+            # u5: purchases but never signed -> not in the panel
+            (5, "2024-01-01 00:00:00", "purchase"),
+            # NULL user/ts excluded
+            (None, "2024-01-01 00:00:00", "signup"),
+            (6, None, "signup"),
+        ]
+    )
+    assert r.n_signed == 4 and r.n_converted == 2
+    assert r.conversion_rate == 0.5
+    # latencies {100, 0}: lower median = 0
+    assert (r.min_latency_s, r.median_latency_s, r.max_latency_s) == (
+        0, 0, 100,
+    )
+
+    # zero conversions: real 0 rate, NULL latencies
+    (z,) = run([(1, "2024-01-01 00:00:00", "signup")])
+    assert z.n_signed == 1 and z.n_converted == 0
+    assert z.conversion_rate == 0.0
+    assert z.median_latency_s is None
+
+    # zero signups: no evidence -> empty
+    assert run([(1, "2024-01-01 00:00:00", "purchase")]) == []

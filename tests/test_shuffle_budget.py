@@ -461,6 +461,9 @@ SHUFFLE_BUDGET = {
     "x95_score_auc": 8,  # doc-keyed feature/label join + the
     # (source,score) pre-agg + source window/agg; label leg reuses
     # x51's repetition fold
+    "e25_activation_latency": 2,  # final plan reads the CHECKPOINTED
+    # <=1-row med/base frames (x25 rule; the user-keyed start/convert
+    # funnel + domain window ran once at checkpoint time)
     "e24_realized_volatility": 2,  # single-partition lag window over
     # the CHECKPOINTED calendar-sized close series + the 1-row stats
     # agg; the day-keyed candle shuffle hides behind the checkpoint
