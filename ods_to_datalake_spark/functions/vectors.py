@@ -50,6 +50,26 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
 
 
+def cosine_rounded_prenorm(
+    a: Column, b: Column, na: Column, nb: Column, digits: int = 6
+) -> Column:
+    """``cosine_rounded`` with the two norms pre-computed per ROW.
+
+    Inlining ``cosine_rounded`` into a pairwise join re-evaluates
+    ``norm()`` (a zip_with+aggregate fold, interpreted with no CSE —
+    the nested-HOF trap, CLAUDE.md) once per PAIR per REFERENCE: the
+    guard's ``denom != 0`` and the divisor each fold both arrays, so a
+    corpus×query scan pays ~4 array folds per pair for values that
+    only depend on one side. Projecting ``norm(v)`` next to each
+    vector before the join drops that to the one unavoidable dot fold
+    per pair. ``na``/``nb`` MUST be ``norm(a)``/``norm(b)``: the
+    product, guard, division and rounding are then the exact same
+    IEEE operations in the same order, so results are bit-identical
+    to ``cosine_rounded`` (oracle hashes unchanged — x07 verified)."""
+    denom = na * nb
+    return F.round(F.when(denom != 0.0, dot(a, b) / denom), digits)
+
+
 def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
     """Symmetric int8 scalar quantization: (scale, quantized array).
 

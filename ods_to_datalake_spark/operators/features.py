@@ -52,9 +52,15 @@ def target_encoding(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(label).cast("long").alias("hits"),
     )
-    glob = df.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("__gn"),
-        F.sum(label).cast("decimal(38,0)").alias("__gh"),
+    # Global totals are the exact integer sums of the per-category
+    # partials — fold them from `per_cat` instead of re-aggregating
+    # `df` (the original second leg re-ran the input scan+join; the
+    # shared per-category Exchange is now reused, so the input is
+    # read once — guide §2.4). Integer sums are associative, so __gn
+    # and __gh are value-identical to a direct global aggregate.
+    glob = per_cat.agg(
+        F.sum("n").cast("decimal(38,0)").alias("__gn"),
+        F.sum("hits").cast("decimal(38,0)").alias("__gh"),
     )
     j = per_cat.crossJoin(F.broadcast(glob))
     num = (

@@ -41,6 +41,8 @@ plan stays shallow enough to skip that here.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,8 +68,26 @@ KZ_SCALE = 10**9
 KZ_NUM, KZ_DEN = 1, 8
 
 
+# Edge-count ceiling for broadcasting the oriented edge table into the
+# triangle/clustering wedge-closure joins (~24 B/row raw; 8M rows keeps
+# the built hash relation in the low hundreds of MB — guide §3.1's
+# comfortable broadcast range, far under the 8 GB cap). Overridable per
+# deployment; above it the wedge stream falls back to shuffled joins.
+_BCAST_EDGE_MAX = int(
+    os.environ.get("SPARK_GRAFT_TRIANGLE_BCAST_MAX_EDGES", str(8_000_000))
+)
+
+
+def _edge_count(oriented: "DataFrame") -> int:
+    """Row count of the (checkpointed) oriented edge table — a cheap
+    metadata-ish job, used only to pick the wedge-closure join
+    strategy (the same runtime-statistics adaptivity AQE applies to
+    ordinary joins, which cannot see through the checkpoint here)."""
+    return oriented.count()
+
+
 def _undirected_edges(
-    edges: "DataFrame", src: str, dst: str
+    edges: "DataFrame", src: str, dst: str, assume_distinct: bool = False
 ) -> "DataFrame":
     """Shared input normalization for every undirected-graph operator
     (triangle_count / label_propagation / link_prediction / k_core /
@@ -76,8 +96,16 @@ def _undirected_edges(
     undirected edge as (__a < __b). One definition so the operators
     documented as sharing this normalization cannot drift apart (and
     a report can never count different edges than its capped
-    operator drops)."""
-    return (
+    operator drops).
+
+    ``assume_distinct=True`` skips only the final ``.distinct()`` — a
+    full edge-stream Exchange — for callers whose input is ALREADY one
+    row per undirected edge (e.g. `basket.cooccurrence` output, which
+    is a grouped (a < b) pair table by construction). The null/self-
+    loop filter and least/greatest orientation are map-side cheap and
+    always applied, so a wrong attestation degrades to duplicate
+    counting, never to mis-oriented edges."""
+    normalized = (
         edges.select(
             F.col(src).alias("__a"), F.col(dst).alias("__b")
         )
@@ -90,8 +118,8 @@ def _undirected_edges(
             F.least("__a", "__b").alias("__a"),
             F.greatest("__a", "__b").alias("__b"),
         )
-        .distinct()
     )
+    return normalized if assume_distinct else normalized.distinct()
 
 
 def pagerank_integer(
@@ -242,7 +270,10 @@ def pagerank_integer(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact global triangle count over an UNDIRECTED edge list (any
     direction/duplication in the input; self-loops dropped) — one row
@@ -267,9 +298,9 @@ def triangle_count(
     uncheckpointed, every leg re-ran the whole upstream edge build:
     77 Exchanges measured vs 5 checkpointed; in a lake pipeline the
     oriented edge table is the persisted artifact)."""
-    e = _undirected_edges(edges, src, dst).localCheckpoint(
-        eager=True, storageLevel=_DISK_ONLY
-    )
+    e = _undirected_edges(
+        edges, src, dst, assume_distinct=assume_distinct
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     deg, oriented = _degree_oriented(e)
     o1 = oriented.select("u", "v", "kv")
     o2 = oriented.select(
@@ -277,12 +308,31 @@ def triangle_count(
         F.col("v").alias("w"),
         F.col("kv").alias("kw"),
     )
-    wedges = o1.join(
-        o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
-    ).select("v", "w")
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )
+    # The wedge stream is the quadratic term (Σ C(out_deg, 2) rows —
+    # measured 41M rows off 1.2M edges on the dense co-purchase graph
+    # at sf0.1) and only the closing join's survivors matter (4.6%
+    # there). Shuffling+sorting it for a sort-merge close was ~half of
+    # g03's wall clock (guide §2.3/§3.2: never shuffle a stream you
+    # can pre-filter with edge-scale state). When the EDGE table is
+    # broadcastable, broadcast-hash both the wedge self-join's probe
+    # side and the closing edge set: the wedge stream is then never
+    # exchanged at all — it is generated, probed against the closing
+    # hash and partially counted inside one map stage. The threshold
+    # gates on measured edge COUNT (the checkpoint makes the count
+    # free), not on local core count: clusters broadcast a few hundred
+    # MB routinely (guide §3.1); beyond it (the 100-TB path) the plan
+    # falls back to shuffled joins with a shuffled-hash close so the
+    # 41M-row stream is at least never SORTED.
+    if _edge_count(oriented) <= _BCAST_EDGE_MAX:
+        o2, closing = F.broadcast(o2), F.broadcast(closing)
+    else:
+        closing = closing.hint("shuffle_hash")
+    wedges = o1.join(
+        o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
+    ).select("v", "w")
     return wedges.join(closing, ["v", "w"], "inner").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
@@ -341,7 +391,10 @@ def _degree_oriented(e: DataFrame):
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, degree, n_triangles, clustering) — exact per-node local
     clustering coefficient C(n) = 2·T(n) / (d(n)·(d(n)−1)) over the
@@ -369,9 +422,9 @@ def clustering_coefficient(
     shape), one corner explode (3 rows per triangle), one node-keyed
     count, one node-keyed left join back to the degree table."""
     d38 = "decimal(38,0)"
-    e = _undirected_edges(edges, src, dst).localCheckpoint(
-        eager=True, storageLevel=_DISK_ONLY
-    )
+    e = _undirected_edges(
+        edges, src, dst, assume_distinct=assume_distinct
+    ).localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     deg, oriented = _degree_oriented(e)
     o1 = oriented.select("u", "v", "kv")
     o2 = oriented.select(
@@ -379,12 +432,23 @@ def clustering_coefficient(
         F.col("v").alias("w"),
         F.col("kv").alias("kw"),
     )
+    # same wedge-closure strategy switch as triangle_count (see there):
+    # broadcast the edge-scale sides when they fit so the quadratic
+    # wedge stream is generated, closed and partially counted in one
+    # map stage instead of shuffled+sorted; shuffled-hash fallback.
+    bcast = _edge_count(oriented) <= _BCAST_EDGE_MAX
+    if bcast:
+        o2 = F.broadcast(o2)
     wedges = o1.join(
         o2, (F.col("u") == F.col("u2")) & (F.col("kv") < F.col("kw"))
     ).select("u", "v", "w")
     closing = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )
+    if bcast:
+        closing = F.broadcast(closing)
+    else:
+        closing = closing.hint("shuffle_hash")
     corners = (
         wedges.join(closing, ["v", "w"], "inner")
         .select(

@@ -49,15 +49,22 @@ def brute_force_topk(
 
     q = queries.select(
         F.col(query_id), V.to_double(vec_col).alias("__qv")
-    )
-    c = corpus.select(F.col(id_col), V.to_double(vec_col).alias("__cv"))
+    ).withColumn("__qn", V.norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col), V.to_double(vec_col).alias("__cv")
+    ).withColumn("__cn", V.norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(query_id) != F.col(id_col))
         .select(
             query_id,
             id_col,
-            V.cosine_rounded(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            V.cosine_rounded_prenorm(
+                F.col("__qv"),
+                F.col("__cv"),
+                F.col("__qn"),
+                F.col("__cn"),
+            ).alias("cosine"),
         )
     )
     return top_k_per_group(
@@ -209,9 +216,11 @@ def _tag_hyperplane_buckets(
     dim: int,
     n_planes: int,
 ) -> DataFrame:
-    """(id, __v, __bucket): sign-bit bucket of the fixed hyperplane
-    projections — map-only, the shared indexing step of the self-join
-    and cross-corpus near-dup paths."""
+    """(id, __v, __vn, __bucket): sign-bit bucket of the fixed
+    hyperplane projections — map-only, the shared indexing step of the
+    self-join and cross-corpus near-dup paths. ``__vn`` = norm(__v),
+    computed once per VECTOR here so the per-PAIR cosine verify
+    downstream never re-folds it (cosine_rounded_prenorm)."""
     from ods_to_datalake_spark.functions import vectors as V
 
     planes = hyperplane_weights(dim, n_planes)
@@ -226,7 +235,7 @@ def _tag_hyperplane_buckets(
     )
     return corpus.select(
         F.col(id_col), v.alias("__v"), bucket.alias("__bucket")
-    )
+    ).withColumn("__vn", V.norm(F.col("__v")))
 
 
 def incremental_embedding_dedup(
@@ -267,7 +276,13 @@ def incremental_embedding_dedup(
             F.col("n.__bucket") == F.col("s.__bucket"),
         )
         .filter(
-            V.cosine_rounded(F.col("n.__v"), F.col("s.__v")) >= threshold
+            V.cosine_rounded_prenorm(
+                F.col("n.__v"),
+                F.col("s.__v"),
+                F.col("n.__vn"),
+                F.col("s.__vn"),
+            )
+            >= threshold
         )
         .select(F.col(f"n.{id_col}").alias(id_col))
         .distinct()
@@ -313,7 +328,12 @@ def hyperplane_lsh_pairs(
     ).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        V.cosine_rounded(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        V.cosine_rounded_prenorm(
+            F.col("a.__v"),
+            F.col("b.__v"),
+            F.col("a.__vn"),
+            F.col("b.__vn"),
+        ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -514,10 +534,23 @@ def _probe_clusters(
     (k × dim, tiny), tie-broken on cluster id."""
     from ods_to_datalake_spark.operators.agg import top_k_per_group
 
-    probe_scores = q.crossJoin(F.broadcast(cents)).select(
-        query_id,
-        cluster_col,
-        V.cosine_rounded(F.col("__qv"), F.col("centroid")).alias("c_cos"),
+    probe_scores = (
+        q.withColumn("__qn", V.norm(F.col("__qv")))
+        .crossJoin(
+            F.broadcast(
+                cents.withColumn("__kn", V.norm(F.col("centroid")))
+            )
+        )
+        .select(
+            query_id,
+            cluster_col,
+            V.cosine_rounded_prenorm(
+                F.col("__qv"),
+                F.col("centroid"),
+                F.col("__qn"),
+                F.col("__kn"),
+            ).alias("c_cos"),
+        )
     )
     return top_k_per_group(
         probe_scores,
@@ -544,15 +577,21 @@ def _score_probed(
 
     c = corpus.select(
         F.col(id_col), F.col(cluster_col), V.to_double(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", V.norm(F.col("__cv")))
+    qn = q.withColumn("__qn", V.norm(F.col("__qv")))
     scored = (
         c.join(F.broadcast(probes), on=cluster_col)
         .filter(F.col(query_id) != F.col(id_col))
-        .join(F.broadcast(q), on=query_id)
+        .join(F.broadcast(qn), on=query_id)
         .select(
             query_id,
             id_col,
-            V.cosine_rounded(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            V.cosine_rounded_prenorm(
+                F.col("__qv"),
+                F.col("__cv"),
+                F.col("__qn"),
+                F.col("__cn"),
+            ).alias("cosine"),
         )
     )
     return top_k_per_group(
@@ -1131,7 +1170,7 @@ def semantic_dedup(
         df.select(id_col, vec_col), vec_col, cents, "cluster"
     ).select(
         F.col(id_col), "cluster", V.to_double(vec_col).alias("__v")
-    )
+    ).withColumn("__vn", V.norm(F.col("__v")))
     if max_cluster is not None:
         from ods_to_datalake_spark.operators.dedup import (
             cap_bucket_width,
@@ -1148,7 +1187,12 @@ def semantic_dedup(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(
-            V.cosine_rounded(F.col("a.__v"), F.col("b.__v"))
+            V.cosine_rounded_prenorm(
+                F.col("a.__v"),
+                F.col("b.__v"),
+                F.col("a.__vn"),
+                F.col("b.__vn"),
+            )
             >= threshold
         )
         .select(F.col(f"b.{id_col}").alias(id_col))
@@ -1346,11 +1390,20 @@ def ivf_pq_topk_indexed(
         .filter(F.col("cluster").isin(probed))
         .select(F.col(id_col), V.to_double(vec_col).alias("__cv"))
         .join(F.broadcast(shortlist), on=id_col)
+        .withColumn("__cn", V.norm(F.col("__cv")))
     )
-    rescored = vecs.join(F.broadcast(q), on=query_id).select(
+    rescored = vecs.join(
+        F.broadcast(q.withColumn("__qn", V.norm(F.col("__qv")))),
+        on=query_id,
+    ).select(
         query_id,
         id_col,
-        V.cosine_rounded(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        V.cosine_rounded_prenorm(
+            F.col("__qv"),
+            F.col("__cv"),
+            F.col("__qn"),
+            F.col("__cn"),
+        ).alias("cosine"),
     )
     return top_k_per_group(
         rescored,

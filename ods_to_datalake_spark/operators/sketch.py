@@ -87,7 +87,11 @@ def _hex_long(col: Column, start: int, length: int) -> Column:
 
 
 def hll_registers(
-    df: DataFrame, col: str, p: int = 8, by: list[str] | None = None
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    by: list[str] | None = None,
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Sparse HLL register table: (by..., hll_bucket, register).
 
@@ -115,7 +119,7 @@ def hll_registers(
         df.where(F.col(col).isNotNull())
         .select(*keys, bucket.alias("hll_bucket"), rho.alias("rho"))
         .groupBy(*keys, "hll_bucket")
-        .agg(F.max("rho").alias("register"))
+        .agg(F.max("rho").alias("register"), *(extra_aggs or []))
     )
 
 
@@ -149,7 +153,10 @@ def _hll_alpha(m: int) -> float:
 
 
 def hll_estimate(
-    registers: DataFrame, p: int = 8, by: list[str] | None = None
+    registers: DataFrame,
+    p: int = 8,
+    by: list[str] | None = None,
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Raw HLL estimate per group: (by..., used_buckets, sum_term,
     hll_estimate_raw).
@@ -184,6 +191,7 @@ def hll_estimate(
         F.count(F.lit(1)).alias("used_buckets"),
         F.sum(term).alias("sum_present"),
         F.max("hll_bucket").alias("_max_bucket"),
+        *(extra_aggs or []),
     )
     top = F.lit(1 << HLL_RHO_MAX).cast("long")
     # executed guard, not a docstring promise: registers built with a
@@ -209,11 +217,14 @@ def hll_estimate(
         * F.lit(float(1 << HLL_RHO_MAX))
         / sum_term.cast("double")
     )
+    known = set(keys) | {"used_buckets", "sum_present", "_max_bucket"}
+    extra_cols = [c for c in agg.columns if c not in known]
     return agg.select(
         *keys,
         "used_buckets",
         sum_term.alias("sum_term"),
         est.alias("hll_estimate_raw"),
+        *extra_cols,
     )
 
 

@@ -489,7 +489,17 @@ def a02_document_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "periods"
         ),
     )
-    joined = orders.join(
+    # Catalyst's post-aggregation size estimate for `folded` is far
+    # below its real size (one array-joined periods string per order),
+    # so the planner auto-BROADCASTS the array-heavy fold — wrong at
+    # both ends: locally the driver collects+ships the widest frame in
+    # the plan, and at 100 TB an order-scale fold can never broadcast.
+    # Hint a shuffled-hash join BUILT ON THE NARROW orders side
+    # (guide §3.1): folded reuses its aggregation exchange (same key,
+    # same partition count → zero extra shuffles of the arrays), no
+    # sort touches the payload, and the hash table holds only narrow
+    # order rows. Measured at sf0.1: 3.21s → see OPTIMIZATION_r12.md.
+    joined = orders.hint("shuffle_hash").join(
         folded, orders["o_orderkey"] == folded["l_orderkey"], "left"
     )
     return joined.select(

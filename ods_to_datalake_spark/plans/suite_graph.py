@@ -398,7 +398,12 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence(
         cat.table("lineitem"), "l_orderkey", "l_partkey", min_count=1
     )
-    return triangle_count(edges, "item_a", "item_b")
+    # cooccurrence output is already one row per (a < b) pair (it IS a
+    # groupBy over the pair), so the operator's dedup Exchange of the
+    # full edge stream is skipped (assume_distinct — OPTIMIZATION_r12)
+    return triangle_count(
+        edges, "item_a", "item_b", assume_distinct=True
+    )
 
 
 def _ppr_oracle(iterations: int) -> str:
@@ -1675,7 +1680,9 @@ def g13_clustering_coefficient(
     ).select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
-    return clustering_coefficient(edges)
+    # cooccurrence pairs are distinct (a < b) by construction — skip
+    # the operator's dedup Exchange (see g03)
+    return clustering_coefficient(edges, assume_distinct=True)
 
 
 @register(

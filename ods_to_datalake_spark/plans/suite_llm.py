@@ -621,14 +621,19 @@ def x13_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = cat.table("embeddings")
     c = emb.select(
         F.col("vec_id"), V.to_double("embedding").alias("v")
-    )
+    ).withColumn("vn", V.norm(F.col("v")))
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            V.cosine_rounded(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            V.cosine_rounded_prenorm(
+                F.col("a.v"),
+                F.col("b.v"),
+                F.col("a.vn"),
+                F.col("b.vn"),
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEAR_DUP_TAU)
     )

@@ -88,27 +88,48 @@ def _spark_tokens(docs: DataFrame) -> DataFrame:
     headline=True,  # the sketch family's bench trend line (VERDICT r6)
 )
 def x52_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass restructure (OPTIMIZATION_r12): the original form ran
+    # the corpus-scale token stream through TWO independent legs — a
+    # COUNT(DISTINCT) (which expands to a full (source, token) dedup
+    # shuffle) and a second scan+tokenize+md5 pass for the registers —
+    # then joined them. Deduplicate (source, token) ONCE (the only
+    # corpus-scale shuffle either leg ever needed), and fold BOTH
+    # results out of the deduped stream in one chain: per (source,
+    # bucket) the register is max(rho) and the distinct-token count is
+    # count(*) (buckets partition the vocabulary, so Σ per-bucket
+    # counts IS the exact distinct count), then one vocabulary-sized
+    # aggregate per source. 1 scan instead of 2, md5 per distinct
+    # token instead of per occurrence, no join. max(rho) over distinct
+    # tokens equals max over occurrences, so registers — and every
+    # output value — are bit-identical to the two-leg form (oracle
+    # unchanged and still green).
     cat = load_testdata(spark, sf_dir)
     toks = _spark_tokens(cat.table("documents"))
-    est = hll_estimate(
-        hll_registers(toks, "token", p=HLL_P, by=["source"]),
+    uniq = (
+        toks.where(F.col("source").isNotNull())
+        .select("source", "token")
+        .distinct()
+    )
+    regs = hll_registers(
+        uniq,
+        "token",
         p=HLL_P,
         by=["source"],
+        extra_aggs=[F.count(F.lit(1)).alias("__n_distinct")],
     )
-    exact = toks.groupBy("source").agg(
-        F.count_distinct("token").alias("exact_vocab")
+    est = hll_estimate(
+        regs,
+        p=HLL_P,
+        by=["source"],
+        extra_aggs=[F.sum("__n_distinct").alias("exact_vocab")],
     )
-    return (
-        exact.join(est, "source")
-        .select(
-            "source",
-            "exact_vocab",
-            "used_buckets",
-            "sum_term",
-            "hll_estimate_raw",
-        )
-        .orderBy("source")
-    )
+    return est.select(
+        "source",
+        "exact_vocab",
+        "used_buckets",
+        "sum_term",
+        "hll_estimate_raw",
+    ).orderBy("source")
 
 
 @register(

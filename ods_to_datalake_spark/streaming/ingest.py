@@ -283,7 +283,12 @@ def ingest_embeddings_stream(
                 F.col("n.__bucket") == F.col("s.__bucket"),
             )
             .filter(
-                V.cosine_rounded(F.col("n.__v"), F.col("s.__v"))
+                V.cosine_rounded_prenorm(
+                    F.col("n.__v"),
+                    F.col("s.__v"),
+                    F.col("n.__vn"),
+                    F.col("s.__vn"),
+                )
                 >= threshold
             )
             .select(F.col(f"n.{id_col}").alias(id_col))

@@ -63,14 +63,25 @@ def test_top_k_uses_partial_limits(spark):
     assert "WindowGroupLimit" in plan(spark, "t02_top_k_per_group")
 
 
-def test_flagship_fold_single_shuffle(spark):
+def test_flagship_fold_shape(spark):
     """The document fold groups once; riders pre-folded before the join
-    (no rider cross-product through the wide aggregate)."""
+    (no rider cross-product through the wide aggregate).
+
+    r12 shape change: the orders attach is a SHUFFLED-HASH join built
+    on the narrow orders side, not a broadcast of the fold. Catalyst's
+    size estimate after the aggregation is tiny, so it used to
+    auto-broadcast the array-heavy folded table — the widest frame in
+    the plan collected to the driver, and a plan that cannot exist at
+    scale (an order-scale fold never fits a broadcast). Two shuffles
+    end-to-end: lineitem exchanges once on l_orderkey for the fold
+    (whose partitioning the join then REUSES — the arrays never move
+    again), and orders exchanges once on o_orderkey (narrow rows)."""
     p = plan(spark, "a02_document_fold")
     assert "ObjectHashAggregate" in p  # collect_list fold
-    # ONE shuffle end-to-end: lineitem exchanges on l_orderkey for the
-    # fold; the orders join is broadcast (no fact re-shuffle)
-    assert _shuffle_exchanges(p) == 1
+    assert "ShuffledHashJoin" in p
+    # the folded (array) side must never be the broadcast side
+    assert "BroadcastHashJoin" not in p
+    assert _shuffle_exchanges(p) == 2
 
 
 # The ONLY queries allowed to show Python in their plans: the media

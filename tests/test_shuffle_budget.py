@@ -26,7 +26,11 @@ SF = "/root/testdata/sf0.001"
 # ceilings measured on the sf0.001 plans (broadcast exchanges excluded)
 SHUFFLE_BUDGET = {
     "a01_fold_sorted_array": 1,
-    "a02_document_fold": 1,
+    # 2 since r12: the orders attach is a shuffled-hash join (narrow
+    # orders exchange) instead of an auto-broadcast of the array-heavy
+    # fold — the broadcast was a size-misestimate artifact that cannot
+    # exist at scale; the fold side still reuses its agg partitioning
+    "a02_document_fold": 2,
     "a03_conditional_sum": 1,
     "a04_pivot": 2,
     "a06_rollup": 1,
