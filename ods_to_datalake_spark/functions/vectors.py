@@ -94,7 +94,11 @@ def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
     return scale, q
 
 
-def signed_projection(vec: Column | str, signs: list[list[float]]) -> Column:
+def signed_projection(
+    vec: Column | str,
+    signs: list[list[float]],
+    cast_input: bool = True,
+) -> Column:
     """Signed random projection (Achlioptas 2003 / SimHash's linear
     cousin): y_i = Σ_j x_j · s_ij with s_ij ∈ {+1.0, −1.0} baked into
     the plan as literals (the sign matrix is data-independent — derive
@@ -107,8 +111,19 @@ def signed_projection(vec: Column | str, signs: list[list[float]]) -> Column:
     The k-dim output preserves pairwise distances within the usual
     Johnson-Lindenstrauss distortion, making it the cheap front-end
     for ANN/clustering over high-dim embeddings: project once, index
-    the short vectors, re-rank survivors at full precision."""
-    v = to_double(vec)
+    the short vectors, re-rank survivors at full precision.
+
+    ``cast_input=False`` skips the internal float→double cast for a
+    caller that pre-projected ``to_double(vec)`` under an alias: the
+    cast expression is otherwise INLINED into every one of the
+    len(signs) interpreted dot folds and re-evaluated per output
+    component (the u19 inlining trap — plan-verified 16 casts → 1 on
+    x65)."""
+    v = (
+        (F.col(vec) if isinstance(vec, str) else vec)
+        if not cast_input
+        else to_double(vec)
+    )
     return F.array(
         *[
             dot(v, F.array(*[F.lit(s) for s in row]))

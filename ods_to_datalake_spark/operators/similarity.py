@@ -437,8 +437,18 @@ def assign_to_centroids(
     `ivf_index_append` (labeling new vectors against a frozen index)."""
     if len(cents) > MAX_PLAN_K:
         return _assign_pandas(src, vec_col, cents, out_col)
-    best = nearest_centroid(V.to_double(vec_col), cents)
-    return src.withColumn(out_col, best.getField("j").cast("int"))
+    # pre-project the float→double cast ONCE per row: passed inline it
+    # is re-evaluated inside every one of the k interpreted d² folds
+    # (no CSE across HOF references — the u19 inlining trap; Catalyst
+    # keeps the multi-referenced non-cheap alias in its own Project,
+    # plan-verified k casts → 1). The distance expression itself is
+    # unchanged — same cast values through the same IEEE fold — so
+    # labels stay bit-identical to _assign_pandas and the oracles.
+    pre = src.withColumn("__acv", V.to_double(vec_col))
+    best = nearest_centroid(F.col("__acv"), cents)
+    return pre.withColumn(out_col, best.getField("j").cast("int")).drop(
+        "__acv"
+    )
 
 
 def nearest_centroid(v, cents: list[list[float]]):

@@ -1457,17 +1457,25 @@ def _rp_oracle() -> str:
     "shuffles. Long-format output (vec_id, out_dim, value).",
 )
 def x65_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ods_to_datalake_spark.functions.vectors import signed_projection
+    from ods_to_datalake_spark.functions.vectors import (
+        signed_projection,
+        to_double,
+    )
 
     cat = load_testdata(spark, sf_dir)
-    return (
-        cat.table("embeddings")
-        .select(
-            "vec_id",
-            F.posexplode(
-                signed_projection("embedding", RP_SIGNS)
-            ).alias("out_dim", "value"),
-        )
+    # pre-project the float→double cast ONCE per vector: inlined into
+    # signed_projection it is re-evaluated inside every one of the 16
+    # interpreted dot folds (no CSE across HOF references — the u19
+    # inlining trap, plan-verified 16 cast-transforms → 1 here; the
+    # Generate boundary keeps CollapseProject from re-inlining it)
+    pre = cat.table("embeddings").select(
+        "vec_id", to_double("embedding").alias("__cv")
+    )
+    return pre.select(
+        "vec_id",
+        F.posexplode(
+            signed_projection(F.col("__cv"), RP_SIGNS, cast_input=False)
+        ).alias("out_dim", "value"),
     )
 
 
