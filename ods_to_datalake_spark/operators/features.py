@@ -46,18 +46,25 @@ def target_encoding(
     label = F.coalesce(
         F.col(target_col).cast("long"), F.lit(0)
     )
-    per_cat = df.groupBy(
-        F.col(category_col).alias("category")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(label).cast("long").alias("hits"),
+    # The per-category table feeds two plan legs (its own output AND
+    # the global fold below); without a barrier Catalyst plans the
+    # aggregation subtree twice and the input is scanned twice — the
+    # x25 shared-frame rule. per_cat is category-cardinality-sized,
+    # so an eager localCheckpoint is cheap and makes the input
+    # genuinely read once (guide §2.4; runs one Spark job at
+    # DataFrame-construction time, like the graph operators).
+    per_cat = (
+        df.groupBy(F.col(category_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(label).cast("long").alias("hits"),
+        )
+        .localCheckpoint(eager=True)
     )
     # Global totals are the exact integer sums of the per-category
     # partials — fold them from `per_cat` instead of re-aggregating
-    # `df` (the original second leg re-ran the input scan+join; the
-    # shared per-category Exchange is now reused, so the input is
-    # read once — guide §2.4). Integer sums are associative, so __gn
-    # and __gh are value-identical to a direct global aggregate.
+    # `df`. Integer sums are associative, so __gn and __gh are
+    # value-identical to a direct global aggregate.
     glob = per_cat.agg(
         F.sum("n").cast("decimal(38,0)").alias("__gn"),
         F.sum("hits").cast("decimal(38,0)").alias("__gh"),

@@ -69,10 +69,14 @@ KZ_NUM, KZ_DEN = 1, 8
 
 
 # Edge-count ceiling for broadcasting the oriented edge table into the
-# triangle/clustering wedge-closure joins (~24 B/row raw; 8M rows keeps
-# the built hash relation in the low hundreds of MB — guide §3.1's
-# comfortable broadcast range, far under the 8 GB cap). Overridable per
-# deployment; above it the wedge stream falls back to shuffled joins.
+# triangle/clustering wedge-closure joins. NOTE the cap covers TWO
+# concurrent broadcasts (the probe side o2 with its kv struct AND the
+# closing pair set), and hashed-relation overhead is several times the
+# raw ~24 B/row — at the ceiling, budget on the order of 1-2 GB
+# resident on the driver and every executor (guide §3.1; still well
+# under the 8 GB cap, but size deployments accordingly). Overridable
+# per deployment; above it the wedge stream falls back to shuffled
+# joins.
 _BCAST_EDGE_MAX = int(
     os.environ.get("SPARK_GRAFT_TRIANGLE_BCAST_MAX_EDGES", str(8_000_000))
 )
@@ -279,6 +283,11 @@ def triangle_count(
     direction/duplication in the input; self-loops dropped) — one row
     ``(n_triangles)``.
 
+    EAGER at construction: building this frame materializes the edge
+    and oriented checkpoints and runs a strategy-picking edge count —
+    Spark jobs execute before the caller's first action (so plan
+    capture is not free for this operator).
+
     Degree-ordered orientation (the compact-forward / Latapy bound,
     standard since Schank & Wagner 2005): each undirected edge points
     from its lower-(degree, id) endpoint to the higher, so every
@@ -420,7 +429,11 @@ def clustering_coefficient(
     ``clustering`` is ONE IEEE division per node. Scale: degree agg +
     two node-keyed equi-joins + the wedge join (all shared with g03's
     shape), one corner explode (3 rows per triangle), one node-keyed
-    count, one node-keyed left join back to the degree table."""
+    count, one node-keyed left join back to the degree table.
+
+    EAGER at construction, like `triangle_count`: checkpoint
+    materialization + the strategy-picking edge count run Spark jobs
+    before the caller's first action."""
     d38 = "decimal(38,0)"
     e = _undirected_edges(
         edges, src, dst, assume_distinct=assume_distinct

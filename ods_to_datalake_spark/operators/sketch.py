@@ -183,6 +183,17 @@ def hll_estimate(
     """
     m = 1 << p
     keys = list(by or [])
+    # extra_aggs aliased like a reserved internal column (or a group
+    # key) would be silently dropped/shadowed by the `known` filter
+    # below — fail loudly instead (ADVICE r12)
+    reserved = set(keys) | {"used_buckets", "sum_present", "_max_bucket"}
+    for a in extra_aggs or []:
+        alias = a._jc.toString().rsplit(" AS ", 1)[-1].strip("`")
+        if alias in reserved:
+            raise ValueError(
+                f"hll_estimate extra_aggs alias {alias!r} collides with "
+                f"a reserved column {sorted(reserved)}"
+            )
     # F.shiftleft only takes a literal shift; the SQL form takes a column
     term = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - register)"

@@ -268,13 +268,22 @@ def ingest_embeddings_stream(
     def tagged(df: DataFrame) -> DataFrame:
         return _tag_hyperplane_buckets(df, id_col, vec_col, dim, n_planes)
 
-    _seed_state_if_absent(tagged(seen_df), state_dir)
+    # The state dir persists (id, __v, __bucket) ONLY — never the
+    # derived __vn norm column. A pre-r12 state dir lacks __vn, and a
+    # mixed-schema read would surface it as NULL (silently admitting
+    # near-dups of old state); deriving it at state-read time is a
+    # cheap per-row map and keeps every state-dir vintage readable.
+    _seed_state_if_absent(tagged(seen_df).drop("__vn"), state_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        seen_t = _state_excluding_batch(spark, state_dir, batch_id)
+        seen_t = (
+            _state_excluding_batch(spark, state_dir, batch_id)
+            .drop("__vn")  # tolerate r12-vintage dirs that stored it
+            .withColumn("__vn", V.norm(F.col("__v")))
+        )
         new_t = tagged(batch_df)
         near_ids = (
             new_t.alias("n")
@@ -298,7 +307,7 @@ def ingest_embeddings_stream(
         # reads the state table the second write commits to
         admitted = batch_df.join(near_ids, id_col, "left_anti").localCheckpoint()
         _batch_overwrite(admitted, out_dir, batch_id)
-        _batch_overwrite(tagged(admitted), state_dir, batch_id)
+        _batch_overwrite(tagged(admitted).drop("__vn"), state_dir, batch_id)
 
     return (
         new_stream.writeStream.foreachBatch(sink)

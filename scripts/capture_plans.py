@@ -5,8 +5,10 @@ Usage: python scripts/capture_plans.py <outdir> [suffix] [name ...]
 
 Writes <outdir>/<query>_<suffix>.txt (suffix defaults to "before") for
 each named query, or every headline query when no names are given.
-Planning only — nothing is executed, so this is safe to run while
-other work holds the CPUs. With AQE on the captured plan is the
+Planning only for most queries — but operators that materialize an
+eager localCheckpoint (or run a strategy-picking count) at
+DataFrame-CONSTRUCTION time — the graph family, x68 — do run Spark
+jobs here; budget for those. With AQE on the captured plan is the
 initial plan (isFinalPlan=false); the judge reads Exchange counts,
 join strategies and PushedFilters from it, which are all pre-AQE
 properties.

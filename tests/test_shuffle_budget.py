@@ -255,8 +255,10 @@ SHUFFLE_BUDGET = {
     # count agg + the normalizing window over the |states|^2 matrix
     "e13_activity_streaks": 2,  # distinct (user, day) + the shared
     # user partitioning for the island window / run agg / best agg
-    "x68_target_encoding": 2,  # labeled groupBy + the 1-row global
-    # agg (broadcast back); the orders-customer join broadcasts
+    "x68_target_encoding": 2,  # the per-category groupBy runs inside
+    # an eager localCheckpoint job (its Exchange is invisible to the
+    # final plan, like g01's per-round checkpoints); visible: the
+    # 1-row global agg over the checkpoint (broadcast back excluded)
     "x69_part_cooccurrence": 3,  # distinct (order, part), the
     # basket-keyed self-join, the pair count agg
     "u14_profile_drift": 4,  # two one-pass wide profile aggregates
